@@ -1,0 +1,52 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is timed end-to-end including the action (count of the
+result — forces full execution without driver-side collect of wide
+rows).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else None
+
+    from pedsnetdcc_spark.queries import QUERIES
+    from pedsnetdcc_spark.session import build_session
+
+    spark = build_session(app_name="pedsnetdcc_spark_bench")
+    # warm the JVM/IO path once so per-query numbers measure the queries
+    next(iter(QUERIES.values()))(spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    for name, fn in QUERIES.items():
+        t0 = time.monotonic()
+        df = fn(spark, sf_dir)
+        df.count()
+        timings[name] = round(time.monotonic() - t0, 3)
+
+    out = {
+        "metric": "pedsnetdcc_spark_total_query_time",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,597 @@
+"""Oracle-checked demonstration queries for every implemented operator.
+
+Each entry maps one operator from SURVEY.md §2 onto the driver's
+TPC-H-ish synthetic tables (region nation customer supplier part orders
+lineitem events documents embeddings) and pairs it with an ANSI-SQL
+oracle DuckDB runs on the same parquet files.  The driver compares
+row-count + schema + order-insensitive value hash (see
+``__spark_entry__.py``), so every computed column is aliased identically
+on both sides.
+
+The operators themselves are generic (keys/columns/gap-days are
+parameters — SURVEY.md §7); the PEDSnet configuration (concept-id sets,
+``columns_by_table`` maps) lives with the operator docstrings.  These
+queries are the correctness harness, exercising the same code paths the
+CDM configuration would.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from pedsnetdcc_spark.functions.intervals import months_in_interval, months_in_interval_sql
+from pedsnetdcc_spark.operators.cohort import distinct_cohort, subset_by_cohort
+from pedsnetdcc_spark.operators.eras import derive_eras
+from pedsnetdcc_spark.operators.group_counts import group_count_table
+from pedsnetdcc_spark.operators.ids import (
+    DomainMap,
+    IdAllocator,
+    build_id_map,
+    remap_keys,
+    remap_polymorphic,
+)
+from pedsnetdcc_spark.operators.integrity import (
+    IntegrityProbe,
+    referential_integrity_counts,
+)
+from pedsnetdcc_spark.operators.interval_summary import interval_summary, with_ordered_id
+from pedsnetdcc_spark.operators.merge import merge_sites
+from pedsnetdcc_spark.operators.quality import drop_invalid_values
+from pedsnetdcc_spark.operators.split import classify_domain
+from pedsnetdcc_spark.operators.transforms import (
+    DimensionLookup,
+    recompute_column,
+    with_dimension_names,
+    with_interval_months,
+    with_literal_column,
+)
+from pedsnetdcc_spark.operators.upsert import insert_missing
+from pedsnetdcc_spark.sources.io import read_table
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return read_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# Flagship: pricing summary (scan → filter → hash aggregate; SURVEY §2.4).
+# Sums are computed in DECIMAL so Spark and the oracle agree bit-for-bit
+# (double summation is order-dependent; decimal addition is exact).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(20,4))) AS DECIMAL(30,4)) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,4))) AS DECIMAL(30,4)) AS sum_base_price,
+           CAST(COUNT(*) AS BIGINT) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(20,4)"))
+            .cast("decimal(30,4)")
+            .alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast("decimal(20,4)"))
+            .cast("decimal(30,4)")
+            .alias("sum_base_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Transform chain: dimension-name append (J2) + literal column (P3).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dimension_names",
+    oracle="""
+    SELECT l.l_orderkey, l.l_linenumber, l.l_partkey, p.p_name AS part_name,
+           l.l_suppkey, s.s_name AS supp_name, CAST('dcc' AS VARCHAR) AS site
+    FROM lineitem l
+    LEFT JOIN part p ON p.p_partkey = l.l_partkey
+    LEFT JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    """,
+)
+def q_dimension_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"
+    )
+    out = with_dimension_names(
+        li, _t(spark, sf_dir, "part"), "p_partkey", [DimensionLookup("l_partkey", "p_name", "part_name")]
+    )
+    out = with_dimension_names(
+        out,
+        _t(spark, sf_dir, "supplier"),
+        "s_suppkey",
+        [DimensionLookup("l_suppkey", "s_name", "supp_name")],
+    )
+    out = with_literal_column(out, "site", "dcc")
+    return out.select(
+        "l_orderkey", "l_linenumber", "l_partkey", "part_name", "l_suppkey", "supp_name", "site"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Age transform: months_in_interval (F1/J1) — reference fractional-month
+# semantics, NOT months_between.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "interval_months",
+    oracle=f"""
+    SELECT l.l_orderkey, l.l_linenumber,
+           {months_in_interval_sql('o.o_orderdate', 'l.l_shipdate')} AS ship_age_months
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    """,
+)
+def q_interval_months(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber", "l_shipdate")
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderdate"
+    )
+    out = with_interval_months(
+        li,
+        orders,
+        key="l_orderkey",
+        anchor_col="o_orderdate",
+        event_cols=["l_shipdate"],
+        suffix="_age",
+        broadcast=True,
+    )
+    # anchor join key on orders side is o_orderkey; rename for the join
+    return out.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_shipdate_age").alias("ship_age_months"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Era derivation (W3/J7/J8/A3): window sessionization vs the reference's
+# own OHDSI 2*s-o=0 construction run verbatim by DuckDB — this oracle IS
+# the equivalence proof demanded by SURVEY.md §7.
+# ---------------------------------------------------------------------------
+
+_ERA_GAP = 2  # events span one month; 2-day gap exercises multi-era output
+
+_ERA_ORACLE = f"""
+    WITH target AS (
+        SELECT user_id, event_type, CAST(ts AS DATE) AS sd,
+               CAST(ts AS DATE) + 1 AS ed
+        FROM events
+    ), rawdata AS (
+        SELECT user_id, event_type, sd AS event_date, -1 AS evt_flag,
+               ROW_NUMBER() OVER (PARTITION BY user_id, event_type ORDER BY sd) AS start_ordinal
+        FROM target
+        UNION ALL
+        SELECT user_id, event_type, ed + {_ERA_GAP}, 1, NULL FROM target
+    ), e1 AS (
+        -- NOTE: the reference orders only by (event_date, evt_flag)
+        -- (era.py:49-53); with duplicate start dates that leaves the two
+        -- ROW_NUMBER windows free to break ties inconsistently, which can
+        -- spuriously mark a start event as a balance-zero era end —
+        -- nondeterministic output on Postgres too.  Adding start_ordinal
+        -- as the tie-breaker pins the canonical (consistent-ordering)
+        -- interpretation under which starts are provably never balance
+        -- points; the window formulation computes exactly this.
+        SELECT user_id, event_type, event_date, evt_flag, start_ordinal,
+               ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                  ORDER BY event_date, evt_flag, start_ordinal) AS overall_ord
+        FROM rawdata
+    ), ends AS (
+        SELECT user_id, event_type, event_date - {_ERA_GAP} AS end_date
+        FROM (
+            SELECT e1.user_id, e1.event_type, e1.event_date,
+                   COALESCE(e1.start_ordinal, MAX(e2.start_ordinal)) AS start_ordinal,
+                   e1.overall_ord
+            FROM e1
+            INNER JOIN (
+                SELECT user_id, event_type, sd AS event_date,
+                       ROW_NUMBER() OVER (PARTITION BY user_id, event_type ORDER BY sd) AS start_ordinal
+                FROM target
+            ) e2 ON e1.user_id = e2.user_id AND e1.event_type = e2.event_type
+                AND e2.event_date <= e1.event_date
+            GROUP BY e1.user_id, e1.event_type, e1.event_date, e1.start_ordinal, e1.overall_ord
+        ) e WHERE (2 * e.start_ordinal) - e.overall_ord = 0
+    ), ends2 AS (
+        SELECT c.user_id, c.event_type, c.sd, MIN(e.end_date) AS era_end_date
+        FROM target c
+        INNER JOIN ends e ON c.user_id = e.user_id AND c.event_type = e.event_type
+            AND e.end_date >= c.sd
+        GROUP BY c.user_id, c.event_type, c.sd
+    )
+    SELECT user_id, event_type, MIN(sd) AS era_start_date, era_end_date,
+           CAST(COUNT(*) AS BIGINT) AS era_count
+    FROM ends2
+    GROUP BY user_id, event_type, era_end_date
+"""
+
+
+@query("eras", oracle=_ERA_ORACLE)
+def q_eras(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.col("ts").cast("date").alias("sd")
+    )
+    ev = ev.withColumn("ed", F.date_add("sd", 1))
+    return derive_eras(
+        ev,
+        partition_keys=["user_id", "event_type"],
+        start_col="sd",
+        end_col="ed",
+        gap_days=_ERA_GAP,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Interval summary (A2/U2/W2): sync_observation_period analog across two
+# "domain" tables, with constant type concept + ordered surrogate id.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "interval_summary",
+    oracle="""
+    WITH limits AS (
+        SELECT o_custkey AS person_id, MIN(o_orderdate) AS mn, MAX(o_orderdate) AS mx
+        FROM orders GROUP BY o_custkey
+        UNION ALL
+        SELECT user_id AS person_id, MIN(ts) AS mn, MAX(ts) AS mx
+        FROM events GROUP BY user_id
+    ), agg AS (
+        SELECT person_id, MIN(mn) AS period_start,
+               COALESCE(MAX(COALESCE(mx, mn)), MIN(mn)) AS period_end
+        FROM limits GROUP BY person_id
+    )
+    SELECT person_id, period_start, period_end,
+           CAST(44814724 AS INTEGER) AS period_type_concept_id,
+           CAST(ROW_NUMBER() OVER (ORDER BY person_id) AS BIGINT) AS observation_period_id
+    FROM agg
+    """,
+)
+def q_interval_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    events = _t(spark, sf_dir, "events")
+    out = interval_summary(
+        [
+            (orders, "o_custkey", "o_orderdate", "o_orderdate"),
+            (events, "user_id", "ts", "ts"),
+        ]
+    )
+    out = out.withColumn("period_type_concept_id", F.lit(44814724))
+    out = with_ordered_id(out, "person_id", "observation_period_id")
+    return out.withColumn(
+        "observation_period_id", F.col("observation_period_id").cast("long")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Referential-integrity counts (J5/A1): anti-join probes.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "integrity_counts",
+    oracle="""
+    SELECT CAST('orders_open' AS VARCHAR) AS probe,
+           CAST(COUNT(*) AS BIGINT) AS total,
+           CAST(COUNT(CASE WHEN o.o_orderkey IS NULL THEN 1 END) AS BIGINT) AS bad
+    FROM lineitem l LEFT JOIN (SELECT o_orderkey FROM orders WHERE o_orderstatus = 'O') o
+        ON l.l_orderkey = o.o_orderkey
+    UNION ALL
+    SELECT 'part', COUNT(*),
+           CAST(COUNT(CASE WHEN p.p_partkey IS NULL THEN 1 END) AS BIGINT)
+    FROM lineitem l LEFT JOIN (SELECT p_partkey FROM part) p ON l.l_partkey = p.p_partkey
+    UNION ALL
+    SELECT 'supplier_lownation', COUNT(*),
+           CAST(COUNT(CASE WHEN s.s_suppkey IS NULL THEN 1 END) AS BIGINT)
+    FROM lineitem l
+    LEFT JOIN (SELECT s_suppkey FROM supplier WHERE s_nationkey < 13) s
+        ON l.l_suppkey = s.s_suppkey
+    """,
+)
+def q_integrity_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    part = _t(spark, sf_dir, "part")
+    supplier = _t(spark, sf_dir, "supplier")
+    probes = [
+        IntegrityProbe(
+            "orders_open", "l_orderkey", orders.filter(F.col("o_orderstatus") == "O"), "o_orderkey"
+        ),
+        IntegrityProbe("part", "l_partkey", part, "p_partkey"),
+        IntegrityProbe(
+            "supplier_lownation",
+            "l_suppkey",
+            supplier.filter(F.col("s_nationkey") < 13),
+            "s_suppkey",
+        ),
+    ]
+    return referential_integrity_counts(li, probes)
+
+
+# ---------------------------------------------------------------------------
+# Cohort build (A6/U3) + cohort subset (J6).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "distinct_cohort",
+    oracle="""
+    SELECT user_id AS person_id FROM events WHERE event_type IN ('purchase', 'signup')
+    UNION
+    SELECT o_custkey AS person_id FROM orders WHERE o_totalprice > 200000
+    """,
+)
+def q_distinct_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    orders = _t(spark, sf_dir, "orders")
+    return distinct_cohort(
+        [
+            (events, "user_id", F.col("event_type").isin("purchase", "signup")),
+            (orders, "o_custkey", F.col("o_totalprice") > 200000),
+        ]
+    )
+
+
+@query(
+    "subset_by_cohort",
+    oracle="""
+    SELECT o.* FROM orders o
+    WHERE EXISTS (SELECT 1 FROM customer c
+                  WHERE c.c_custkey = o.o_custkey AND c.c_mktsegment = 'BUILDING')
+    """,
+)
+def q_subset_by_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    cohort = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    return subset_by_cohort(orders, cohort, key="o_custkey", cohort_key="c_custkey")
+
+
+# ---------------------------------------------------------------------------
+# Multi-site merge (U1).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "merge_sites",
+    oracle="""
+    SELECT c.*, CAST('site_a' AS VARCHAR) AS site FROM customer c WHERE c_nationkey < 8
+    UNION ALL
+    SELECT c.*, 'site_b' FROM customer c WHERE c_nationkey >= 8 AND c_nationkey < 16
+    UNION ALL
+    SELECT c.*, 'site_c' FROM customer c WHERE c_nationkey >= 16
+    """,
+)
+def q_merge_sites(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    frames = [
+        ("site_a", cust.filter(F.col("c_nationkey") < 8)),
+        ("site_b", cust.filter((F.col("c_nationkey") >= 8) & (F.col("c_nationkey") < 16))),
+        ("site_c", cust.filter(F.col("c_nationkey") >= 16)),
+    ]
+    return merge_sites(frames)
+
+
+# ---------------------------------------------------------------------------
+# Group-count summary tables (A5).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "group_counts",
+    oracle="""
+    SELECT o_orderpriority, o_custkey, CAST(COUNT(o_custkey) AS BIGINT) AS cnt
+    FROM orders GROUP BY o_orderpriority, o_custkey
+    """,
+)
+def q_group_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return group_count_table(_t(spark, sf_dir, "orders"), "o_orderpriority", "o_custkey")
+
+
+# ---------------------------------------------------------------------------
+# Surrogate-id mapping (§2.9, J3): allocator + map build + key remap.
+# ---------------------------------------------------------------------------
+
+_ID_BASE = 1_000_000
+
+
+@query(
+    "id_mapping",
+    oracle=f"""
+    WITH idmap AS (
+        SELECT c_custkey AS site_id,
+               {_ID_BASE} + ROW_NUMBER() OVER (ORDER BY c_custkey) AS dcc_id
+        FROM (SELECT DISTINCT c_custkey FROM customer)
+    )
+    SELECT o.o_orderkey, CAST(m.dcc_id AS BIGINT) AS o_custkey,
+           o.o_custkey AS site_custkey
+    FROM orders o JOIN idmap m ON o.o_custkey = m.site_id
+    """,
+)
+def q_id_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    alloc = IdAllocator(tempfile.mktemp(suffix=".json"))
+    id_map = build_id_map(
+        customer, None, "c_custkey", alloc, "customer", mode="window"
+    )
+    # shift to the demonstration base (reserve() starts at 0 on a fresh store)
+    id_map = id_map.withColumn("dcc_id", (F.col("dcc_id") + F.lit(_ID_BASE)).cast("long"))
+    out = remap_keys(orders, id_map, "o_custkey", nullable=False, keep_site_col="site_custkey")
+    return out.select("o_orderkey", "o_custkey", "site_custkey")
+
+
+# ---------------------------------------------------------------------------
+# Polymorphic fact-id remap (J4): CASE dispatch over per-domain maps.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "polymorphic_map",
+    oracle="""
+    WITH facts AS (
+        SELECT event_id,
+               CASE WHEN event_type IN ('click', 'view') THEN 8 ELSE 27 END AS domain_concept_id,
+               user_id AS fact_id
+        FROM events
+    ), m8 AS (
+        SELECT user_id AS site_id, CAST(500 + user_id AS BIGINT) AS dcc_id
+        FROM (SELECT DISTINCT user_id FROM events)
+    ), m27 AS (
+        SELECT user_id AS site_id, CAST(900 + user_id AS BIGINT) AS dcc_id
+        FROM (SELECT DISTINCT user_id FROM events)
+    )
+    SELECT f.event_id, f.domain_concept_id,
+           CASE WHEN f.domain_concept_id = 8 THEN a.dcc_id
+                WHEN f.domain_concept_id = 27 THEN b.dcc_id
+           END AS fact_id
+    FROM facts f
+    LEFT JOIN m8 a ON f.fact_id = a.site_id AND f.domain_concept_id = 8
+    LEFT JOIN m27 b ON f.fact_id = b.site_id AND f.domain_concept_id = 27
+    """,
+)
+def q_polymorphic_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    facts = events.select(
+        "event_id",
+        F.when(F.col("event_type").isin("click", "view"), F.lit(8))
+        .otherwise(F.lit(27))
+        .alias("domain_concept_id"),
+        F.col("user_id").alias("fact_id"),
+    )
+    users = events.select("user_id").distinct()
+    m8 = users.select(
+        F.col("user_id").alias("site_id"), (F.lit(500) + F.col("user_id")).cast("long").alias("dcc_id")
+    )
+    m27 = users.select(
+        F.col("user_id").alias("site_id"), (F.lit(900) + F.col("user_id")).cast("long").alias("dcc_id")
+    )
+    return remap_polymorphic(
+        facts,
+        "fact_id",
+        "domain_concept_id",
+        [DomainMap(8, m8), DomainMap(27, m27)],
+    )
+
+
+# ---------------------------------------------------------------------------
+# Domain classification / split routing (P4/F4).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "classify_domains",
+    oracle="""
+    SELECT event_id, user_id, event_type,
+           CASE WHEN event_type IN ('click', 'view') THEN 'engagement'
+                WHEN event_type IN ('purchase', 'signup') THEN 'conversion'
+                ELSE 'other' END AS domain
+    FROM events
+    """,
+)
+def q_classify_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "event_type")
+    return classify_domain(
+        ev,
+        "event_type",
+        {"engagement": ["click", "view"], "conversion": ["purchase", "signup"]},
+        default="other",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Value-quality filter (P8).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "value_quality",
+    oracle="""
+    SELECT event_id, user_id, value FROM events
+    WHERE value IS NULL OR (NOT isnan(value) AND abs(value) <= 100.0)
+    """,
+)
+def q_value_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    return drop_invalid_values(ev, "value", abs_limit=100.0)
+
+
+# ---------------------------------------------------------------------------
+# Conflict-skip insert (S3).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "insert_missing",
+    oracle="""
+    SELECT * FROM orders WHERE o_orderstatus <> 'F'
+    UNION ALL
+    SELECT * FROM orders i
+    WHERE i.o_totalprice > 150000
+      AND i.o_orderkey NOT IN (SELECT o_orderkey FROM orders WHERE o_orderstatus <> 'F')
+    """,
+)
+def q_insert_missing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    target = orders.filter(F.col("o_orderstatus") != "F")
+    incoming = orders.filter(F.col("o_totalprice") > 150000)
+    return insert_missing(target, incoming, ["o_orderkey"])
+
+
+# ---------------------------------------------------------------------------
+# Correlated-update rewrite (J10).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "recompute_column",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, c.c_nationkey,
+           COALESCE(n.n_name, c.c_mktsegment) AS c_mktsegment
+    FROM customer c LEFT JOIN nation n ON n.n_nationkey = c.c_nationkey
+    """,
+)
+def q_recompute_column(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey", "c_mktsegment"
+    )
+    nation = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nationkey"), "n_name"
+    )
+    out = recompute_column(
+        cust, nation, key="c_nationkey", col="c_mktsegment", update_col="n_name"
+    )
+    return out.select("c_custkey", "c_name", "c_nationkey", "c_mktsegment")

@@ -1,0 +1,133 @@
+"""Table IO: directory-of-parquet namespaces with atomic staged publish.
+
+The reference organizes data as Postgres schemas (one per site) and
+publishes transformed schemas atomically via a rename dance inside one
+transaction — build in ``<s>_transformed``, move current to
+``<s>_backup``, move new into place, with ``undo`` restoring the backup
+(reference: pedsnetdcc/transform_runner.py:860-942,1562-1629).
+
+Here a namespace is a directory of parquet tables.  Publish writes to a
+staging directory and uses atomic directory renames to cut over, keeping
+one backup generation for ``undo``.  On a real deployment the same
+semantics map to Delta/Iceberg ``REPLACE TABLE`` transactions; plain
+directory renames are the dependency-free equivalent and are atomic on
+POSIX filesystems and HDFS (object stores would use the table-format
+path instead).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _nanos_timestamp_cols(path: str) -> list[str]:
+    """Columns stored as parquet TIMESTAMP(NANOS), which Spark reads as
+    long (``spark.sql.legacy.parquet.nanosAsLong``)."""
+    try:
+        import pyarrow.parquet as pq
+
+        if os.path.isdir(path):
+            files = [
+                os.path.join(path, f) for f in os.listdir(path) if f.endswith(".parquet")
+            ]
+            if not files:
+                return []
+            path = files[0]
+        schema = pq.read_schema(path)
+        return [f.name for f in schema if str(f.type) == "timestamp[ns]"]
+    except Exception:
+        return []
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one table from a namespace directory.
+
+    Accepts both the driver's flat layout (``<dir>/<name>.parquet`` file)
+    and the engine's own layout (``<dir>/<name>/`` parquet directory).
+    Nano-precision timestamp columns are converted to Spark's
+    micro-precision TimestampType (truncating, matching what DuckDB's
+    client yields for TIMESTAMP_NS).
+    """
+    flat = os.path.join(sf_dir, f"{name}.parquet")
+    nested = os.path.join(sf_dir, name)
+    path = flat if os.path.exists(flat) else nested
+    df = spark.read.parquet(path)
+    for c in _nanos_timestamp_cols(path):
+        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    return df
+
+
+def read_tables(spark: SparkSession, sf_dir: str, names: list[str]) -> dict[str, DataFrame]:
+    return {n: read_table(spark, sf_dir, n) for n in names}
+
+
+@dataclass
+class TableStore:
+    """A writable namespace of parquet tables with atomic publish/undo.
+
+    Directory layout::
+
+        root/
+          current/<table>/...      published tables
+          _staged.<txid>/          in-flight build
+          _backup/<table>/...      previous generation (undo target)
+    """
+
+    root: str
+    _txid: str = field(default_factory=lambda: time.strftime("%Y%m%d%H%M%S"))
+
+    @property
+    def current_dir(self) -> str:
+        return os.path.join(self.root, "current")
+
+    @property
+    def backup_dir(self) -> str:
+        return os.path.join(self.root, "_backup")
+
+    @property
+    def staging_dir(self) -> str:
+        return os.path.join(self.root, f"_staged.{self._txid}")
+
+    def read(self, spark: SparkSession, name: str) -> DataFrame:
+        return spark.read.parquet(os.path.join(self.current_dir, name))
+
+    def stage(self, df: DataFrame, name: str, partition_by: list[str] | None = None) -> None:
+        """Write a table into the staging area (the CTAS analog,
+        reference: pedsnetdcc/transform_runner.py:89-94)."""
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(os.path.join(self.staging_dir, name))
+
+    def publish(self) -> None:
+        """Atomically cut the staged build over to ``current``.
+
+        Mirrors the reference's transactional schema swap: current →
+        backup, staged → current (reference:
+        pedsnetdcc/transform_runner.py:901-927).
+        """
+        if not os.path.exists(self.staging_dir):
+            raise FileNotFoundError(f"nothing staged at {self.staging_dir}")
+        if os.path.exists(self.backup_dir):
+            shutil.rmtree(self.backup_dir)
+        if os.path.exists(self.current_dir):
+            os.rename(self.current_dir, self.backup_dir)
+        os.rename(self.staging_dir, self.current_dir)
+
+    def undo(self) -> None:
+        """Restore the previous generation (reference:
+        pedsnetdcc/transform_runner.py:1562-1629 ``undo``)."""
+        if not os.path.exists(self.backup_dir):
+            raise FileNotFoundError(f"no backup at {self.backup_dir}")
+        dropped = self.current_dir + ".dropped"
+        if os.path.exists(dropped):
+            shutil.rmtree(dropped)
+        if os.path.exists(self.current_dir):
+            os.rename(self.current_dir, dropped)
+        os.rename(self.backup_dir, self.current_dir)
