@@ -185,57 +185,75 @@ def q_interval_months(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _ERA_GAP = 2  # events span one month; 2-day gap exercises multi-era output
 
-_ERA_ORACLE = f"""
-    WITH target AS (
-        SELECT user_id, event_type, CAST(ts AS DATE) AS sd,
-               CAST(ts AS DATE) + 1 AS ed
-        FROM events
+
+def era_oracle_sql(target_sql: str, keys: list[str], gap: int) -> str:
+    """Build the reference's own OHDSI era SQL (era.py:16-134) over an
+    arbitrary ``target`` CTE exposing ``keys + (sd, ed)`` date columns —
+    this is the equivalence proof for the window formulation in
+    operators/eras.py.
+
+    NOTE: the reference orders the interleave only by (event_date,
+    evt_flag) (era.py:49-53); with duplicate start dates that leaves its
+    two ROW_NUMBER windows free to break ties inconsistently, which can
+    spuriously mark a start event as a balance-zero era end —
+    nondeterministic output on Postgres too.  Adding start_ordinal as
+    the tie-breaker pins the canonical (consistent-ordering)
+    interpretation under which starts are provably never balance points;
+    the window formulation computes exactly this.
+    """
+    k = ", ".join(keys)
+    k_e1 = ", ".join(f"e1.{c}" for c in keys)
+    on = " AND ".join(f"e1.{c} = e2.{c}" for c in keys)
+    on_ce = " AND ".join(f"c.{c} = e.{c}" for c in keys)
+    k_c = ", ".join(f"c.{c}" for c in keys)
+    return f"""
+    WITH target AS ({target_sql}
     ), rawdata AS (
-        SELECT user_id, event_type, sd AS event_date, -1 AS evt_flag,
-               ROW_NUMBER() OVER (PARTITION BY user_id, event_type ORDER BY sd) AS start_ordinal
+        SELECT {k}, sd AS event_date, -1 AS evt_flag,
+               ROW_NUMBER() OVER (PARTITION BY {k} ORDER BY sd) AS start_ordinal
         FROM target
         UNION ALL
-        SELECT user_id, event_type, ed + {_ERA_GAP}, 1, NULL FROM target
+        SELECT {k}, ed + {gap}, 1, NULL FROM target
     ), e1 AS (
-        -- NOTE: the reference orders only by (event_date, evt_flag)
-        -- (era.py:49-53); with duplicate start dates that leaves the two
-        -- ROW_NUMBER windows free to break ties inconsistently, which can
-        -- spuriously mark a start event as a balance-zero era end —
-        -- nondeterministic output on Postgres too.  Adding start_ordinal
-        -- as the tie-breaker pins the canonical (consistent-ordering)
-        -- interpretation under which starts are provably never balance
-        -- points; the window formulation computes exactly this.
-        SELECT user_id, event_type, event_date, evt_flag, start_ordinal,
-               ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+        SELECT {k}, event_date, evt_flag, start_ordinal,
+               ROW_NUMBER() OVER (PARTITION BY {k}
                                   ORDER BY event_date, evt_flag, start_ordinal) AS overall_ord
         FROM rawdata
     ), ends AS (
-        SELECT user_id, event_type, event_date - {_ERA_GAP} AS end_date
+        SELECT {k}, event_date - {gap} AS end_date
         FROM (
-            SELECT e1.user_id, e1.event_type, e1.event_date,
+            SELECT {k_e1}, e1.event_date,
                    COALESCE(e1.start_ordinal, MAX(e2.start_ordinal)) AS start_ordinal,
                    e1.overall_ord
             FROM e1
             INNER JOIN (
-                SELECT user_id, event_type, sd AS event_date,
-                       ROW_NUMBER() OVER (PARTITION BY user_id, event_type ORDER BY sd) AS start_ordinal
+                SELECT {k}, sd AS event_date,
+                       ROW_NUMBER() OVER (PARTITION BY {k} ORDER BY sd) AS start_ordinal
                 FROM target
-            ) e2 ON e1.user_id = e2.user_id AND e1.event_type = e2.event_type
-                AND e2.event_date <= e1.event_date
-            GROUP BY e1.user_id, e1.event_type, e1.event_date, e1.start_ordinal, e1.overall_ord
+            ) e2 ON {on} AND e2.event_date <= e1.event_date
+            GROUP BY {k_e1}, e1.event_date, e1.start_ordinal, e1.overall_ord
         ) e WHERE (2 * e.start_ordinal) - e.overall_ord = 0
     ), ends2 AS (
-        SELECT c.user_id, c.event_type, c.sd, MIN(e.end_date) AS era_end_date
+        SELECT {k_c}, c.sd, MIN(e.end_date) AS era_end_date
         FROM target c
-        INNER JOIN ends e ON c.user_id = e.user_id AND c.event_type = e.event_type
-            AND e.end_date >= c.sd
-        GROUP BY c.user_id, c.event_type, c.sd
+        INNER JOIN ends e ON {on_ce} AND e.end_date >= c.sd
+        GROUP BY {k_c}, c.sd
     )
-    SELECT user_id, event_type, MIN(sd) AS era_start_date, era_end_date,
+    SELECT {k}, MIN(sd) AS era_start_date, era_end_date,
            CAST(COUNT(*) AS BIGINT) AS era_count
     FROM ends2
-    GROUP BY user_id, event_type, era_end_date
+    GROUP BY {k}, era_end_date
 """
+
+
+_ERA_ORACLE = era_oracle_sql(
+    """
+        SELECT user_id, event_type, CAST(ts AS DATE) AS sd,
+               CAST(ts AS DATE) + 1 AS ed
+        FROM events""",
+    keys=["user_id", "event_type"],
+    gap=_ERA_GAP,
+)
 
 
 @query("eras", oracle=_ERA_ORACLE)
@@ -595,3 +613,162 @@ def q_recompute_column(spark: SparkSession, sf_dir: str) -> DataFrame:
         cust, nation, key="c_nationkey", col="c_mktsegment", update_col="n_name"
     )
     return out.select("c_custkey", "c_name", "c_nationkey", "c_mktsegment")
+
+
+# ---------------------------------------------------------------------------
+# Drug-era analog: hierarchy rollup (J9) + end-date fallback chain (F3)
+# + era sessionization (W3) in one pipeline — the run_drug_era shape
+# (era.py:135-258: RxNorm-ingredient rollup, COALESCE(end, start +
+# days_supply, start + 1), 30-day gap).  suppliers ≙ drugs, nations ≙
+# ingredients, l_linenumber ≙ days_supply.
+# ---------------------------------------------------------------------------
+
+_ROLLUP_TARGET = """
+        SELECT o.o_custkey AS person_id, s.s_nationkey AS item_concept_id,
+               CAST(l.l_shipdate AS DATE) AS sd,
+               COALESCE(NULL, CAST(l.l_shipdate AS DATE) + l.l_linenumber,
+                        CAST(l.l_shipdate AS DATE) + 1) AS ed
+        FROM lineitem l
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+        WHERE n.n_regionkey IN (0, 1, 2)"""
+
+
+@query(
+    "rollup_eras",
+    oracle=era_oracle_sql(
+        _ROLLUP_TARGET, keys=["person_id", "item_concept_id"], gap=30
+    ),
+)
+def q_rollup_eras(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pedsnetdcc_spark.operators.eras import rollup_hierarchy
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate", "l_linenumber"
+    )
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    supplier = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    rolled = rollup_hierarchy(
+        li,
+        fk_col="l_suppkey",
+        ancestor=supplier,
+        descendant_col="s_suppkey",
+        ancestor_col="s_nationkey",
+        dim=nation,
+        dim_key="n_nationkey",
+        dim_filter=F.col("n_regionkey").isin(0, 1, 2),
+        out_col="item_concept_id",
+    )
+    facts = rolled.join(orders, rolled["l_orderkey"] == orders["o_orderkey"]).select(
+        F.col("o_custkey").alias("person_id"),
+        "item_concept_id",
+        F.col("l_shipdate").cast("date").alias("sd"),
+        "l_linenumber",
+    )
+    facts = facts.withColumn(
+        "ed",
+        F.coalesce(
+            F.lit(None).cast("date"),
+            F.expr("date_add(sd, l_linenumber)"),
+            F.date_add("sd", 1),
+        ),
+    )
+    return derive_eras(
+        facts,
+        partition_keys=["person_id", "item_concept_id"],
+        start_col="sd",
+        end_col="ed",
+        gap_days=30,
+    )
+
+
+# ---------------------------------------------------------------------------
+# As-of nearest match (X3 pairing kernel): each purchase matched to the
+# user's nearest view within 3 days — the BMI height↔weight pairing rule
+# (bmi.py:267-273) with events standing in for measurements.
+# ---------------------------------------------------------------------------
+
+_ASOF_TOL_SEC = 259_200  # 3 days
+
+
+@query(
+    "asof_pair",
+    oracle=f"""
+    SELECT p.event_id, p.user_id, v.value AS view_value,
+           v.dist AS match_dist_us
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    LEFT JOIN LATERAL (
+        SELECT e.value,
+               CAST(abs(epoch_us(e.ts) - epoch_us(p.ts)) AS BIGINT) AS dist
+        FROM events e
+        WHERE e.event_type = 'view' AND e.user_id = p.user_id
+          AND abs(epoch_us(e.ts) - epoch_us(p.ts)) <= CAST({_ASOF_TOL_SEC} AS BIGINT) * 1000000
+        ORDER BY dist, e.ts
+        LIMIT 1
+    ) v ON TRUE
+    """,
+)
+def q_asof_pair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pedsnetdcc_spark.operators.anthro import asof_match_nearest
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("value").alias("__view_value")
+    )
+    out = asof_match_nearest(
+        purchases,
+        views,
+        keys=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        tolerance_sec=_ASOF_TOL_SEC,
+        right_cols={"__view_value": "view_value"},
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "view_value",
+        F.col("__match_dist_us").alias("match_dist_us"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# LMS z-score (X3): broadcast reference-table standardization,
+# z = ((v/M)^L - 1)/(L*S) — growth-chart method with a constant demo
+# LMS table (L=1 rows keep FP ops exactly-rounded on both engines; the
+# L≠1 / L=0 branches are covered by unit tests with tolerance).
+# ---------------------------------------------------------------------------
+
+_LMS_ROWS = [
+    ("click", 1.0, 50.0, 0.5),
+    ("view", 1.0, 40.0, 0.25),
+    ("purchase", 1.0, 60.0, 0.5),
+    ("signup", 1.0, 30.0, 0.5),
+    ("error", 1.0, 25.0, 2.0),
+]
+_LMS_VALUES = ", ".join(f"('{t}', {l!r}, {m!r}, {s!r})" for t, l, m, s in _LMS_ROWS)
+
+
+@query(
+    "lms_z_score",
+    oracle=f"""
+    WITH lms(event_type, L, M, S) AS (VALUES {_LMS_VALUES})
+    SELECT e.event_id, e.event_type, e.value,
+           (POW(e.value / r.M, r.L) - 1) / (r.L * r.S) AS z_score
+    FROM events e JOIN lms r ON r.event_type = e.event_type
+    """,
+)
+def q_lms_z_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pedsnetdcc_spark.operators.anthro import lms_z_score
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    ref = spark.createDataFrame(_LMS_ROWS, "event_type string, L double, M double, S double")
+    out = lms_z_score(ev, ref, ["event_type"], "value")
+    return out.filter(F.col("z_score").isNotNull()).select(
+        "event_id", "event_type", "value", "z_score"
+    )
