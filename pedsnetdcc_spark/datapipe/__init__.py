@@ -1,0 +1,23 @@
+"""Large-scale training-data pipeline operators (beyond the reference's
+own surface — BASELINE.json north star): deduplication, similarity
+search, text analysis, multimodal column plumbing.
+
+All hot paths are built-in column expressions / higher-order functions
+(JVM-side, whole-stage codegen); Python appears only in the explicitly
+stubbed multimodal decode (Arrow-batched mapInPandas).
+"""
+
+from pedsnetdcc_spark.datapipe.text import (  # noqa: F401
+    text_stats,
+    lang_id,
+    shingle_ngrams,
+    doc_fingerprint,
+)
+from pedsnetdcc_spark.datapipe.dedup import (  # noqa: F401
+    exact_dedup_groups,
+    ngram_jaccard_pairs,
+    minhash_signatures,
+    lsh_candidate_pairs,
+    simhash64,
+)
+from pedsnetdcc_spark.datapipe.similarity import cosine_topk  # noqa: F401

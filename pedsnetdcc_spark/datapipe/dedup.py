@@ -1,0 +1,189 @@
+"""Deduplication: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+Scale design:
+
+- **exact**: hash-groupBy on md5(text) — one shuffle keyed by digest,
+  map-side partial agg; the canonical-id choice (min id) is
+  deterministic.
+- **n-gram Jaccard (exact near-dup)**: inverted-index self-join on
+  shingles — pairs are only generated for documents sharing ≥1 shingle,
+  so cost is Σ bucket² over shingle buckets, not n².  This is the exact
+  verifier; at 100 TB you run it only on LSH candidates.
+- **MinHash + LSH**: k seeded xxhash64 min-hashes per doc (one explode +
+  groupBy), signatures banded; a band-bucket self-join yields candidate
+  pairs, verified by exact Jaccard.  Entirely deterministic (seeded
+  hashes, no RNG), no UDFs.
+- **SimHash**: per-token 64-bit hash, ±1 vote per bit weighted by term
+  frequency, sign-aggregated into a 64-bit signature; near-dups =
+  signatures within small Hamming distance (joinable on rotated bands).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from pedsnetdcc_spark.datapipe.text import shingle_ngrams, tokens
+
+
+def exact_dedup_groups(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """One row per distinct content: ``(content_hash, canonical_id,
+    dup_count)`` with the minimum id as canonical."""
+    h = F.md5(F.col(text_col))
+    return (
+        df.select(F.col(id_col), h.alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(
+            F.min(id_col).alias("canonical_id"),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact near-duplicate pairs by word n-gram Jaccard similarity:
+    ``(id_a, id_b, jaccard)`` for id_a < id_b, jaccard ≥ threshold.
+
+    Inverted-index join: explode distinct shingles, self-join on the
+    shingle, count common shingles per pair, then
+    ``jaccard = common / (|A| + |B| - common)``.
+    """
+    sh = shingle_ngrams(df, id_col, text_col, n=n)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    common = (
+        a.join(b, "shingle")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    out = (
+        common.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("common").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("common")),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+    return out.select("id_a", "id_b", "jaccard")
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, num_hashes: int = 16
+) -> DataFrame:
+    """Per-document MinHash signature: ``(id, sig array<long>)`` where
+    ``sig[i] = min over shingles of xxhash64(shingle, seed=i)``.
+    Deterministic (seeded hash family), one explode + one groupBy."""
+    sh = shingle_ngrams(df, id_col, text_col, n=n)
+    mins = [
+        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    sig = sh.groupBy(id_col).agg(*mins)
+    return sig.select(
+        id_col, F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig")
+    )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    id_col: str,
+    num_bands: int = 4,
+    sig_col: str = "sig",
+) -> DataFrame:
+    """Band the signatures and self-join on (band, band-hash): documents
+    agreeing on any full band become a candidate pair ``(id_a, id_b)``.
+
+    The band join is the scale path: candidates ≈ true near-dups +
+    controllable false positives, versus the all-pairs n² blowup.
+    """
+    # rows per band: slice the signature array into num_bands chunks
+    first = signatures.select(F.size(sig_col).alias("n")).first()
+    total = first["n"] if first else 0
+    rows_per_band = max(total // num_bands, 1)
+    bands = []
+    for b in range(num_bands):
+        chunk = F.slice(F.col(sig_col), b * rows_per_band + 1, rows_per_band)
+        bands.append(
+            signatures.select(
+                F.col(id_col),
+                F.lit(b).alias("band"),
+                F.xxhash64(F.concat_ws(",", *[chunk[i] for i in range(rows_per_band)])).alias(
+                    "bucket"
+                ),
+            )
+        )
+    banded = bands[0]
+    for b in bands[1:]:
+        banded = banded.unionByName(b)
+    a = banded.select(F.col(id_col).alias("id_a"), "band", "bucket")
+    b2 = banded.select(F.col(id_col).alias("id_b"), "band", "bucket")
+    return (
+        a.join(b2, ["band", "bucket"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 16,
+    num_bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Full MinHash-LSH pipeline: signatures → banded candidates →
+    exact-Jaccard verification of candidates only."""
+    sigs = minhash_signatures(df, id_col, text_col, n=n, num_hashes=num_hashes)
+    cands = lsh_candidate_pairs(sigs, id_col, num_bands=num_bands)
+    exact = ngram_jaccard_pairs(df, id_col, text_col, n=n, threshold=threshold)
+    return cands.join(exact, ["id_a", "id_b"], "inner")
+
+
+def simhash64(
+    df: DataFrame, id_col: str, text_col: str, out_col: str = "simhash"
+) -> DataFrame:
+    """64-bit SimHash over the token stream: token hashed with xxhash64;
+    each bit votes ±(term frequency); signature bit = sign of the vote
+    sum.  Near-duplicates have small Hamming distance."""
+    toks = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("tok"))
+    tf = toks.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("w"))
+    h = F.xxhash64(F.col("tok"))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, F.col("w")).otherwise(
+                -F.col("w")
+            )
+        ).alias(f"v{i}")
+        for i in range(64)
+    ]
+    agg = tf.groupBy(id_col).agg(*votes)
+    sig = None
+    for i in range(64):
+        bit = F.when(F.col(f"v{i}") > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        term = F.shiftleft(bit, i)
+        sig = term if sig is None else sig.bitwiseOR(term)
+    return agg.select(F.col(id_col), sig.alias(out_col))
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    """Popcount of XOR — Hamming distance between two 64-bit signatures."""
+    return F.bit_count(a.bitwiseXOR(b))

@@ -1,0 +1,136 @@
+"""Text analysis: tokenization, quality scoring, language ID,
+n-gram shingling, document fingerprinting.
+
+All pure column expressions / higher-order functions — no UDFs, so the
+whole path stays in whole-stage codegen and scales linearly with no
+Python serde.  At 100 TB these run as a single scan-project stage.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# tiny per-language stopword lists for the n-gram/stopword heuristic
+# language scorer (public-knowledge lists, truncated)
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "it"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein"],
+    "fr": ["le", "la", "les", "et", "est", "un", "une"],
+    "es": ["el", "la", "los", "y", "es", "un", "una"],
+}
+
+DEFAULT_STOPWORDS = LANG_STOPWORDS["en"]
+
+
+def tokens(text: Column | str, sep: str = " ") -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return F.split(c, sep)
+
+
+def text_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    stopwords: Sequence[str] = tuple(DEFAULT_STOPWORDS),
+) -> DataFrame:
+    """Append quality-signal columns: char/token counts, alpha-token
+    count (BPE-ish ``[a-z]+|[0-9]+`` token proxy), punctuation count,
+    stopword ratio, and a composite quality score in [0, 1].
+
+    The score blends the classic heuristics (length band, stopword
+    presence, low punctuation density) used by public web-scale corpus
+    filters; each component is a plain column expression.
+    """
+    toks = tokens(text_col)
+    n_tokens = F.size(toks)
+    n_chars = F.length(text_col)
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(list(stopwords))))
+    n_alpha = F.regexp_count(F.col(text_col), F.lit("[a-z]+"))
+    n_punct = F.regexp_count(F.col(text_col), F.lit("[^a-z0-9 ]"))
+    stop_ratio = F.when(n_tokens > 0, n_stop.cast("double") / n_tokens).otherwise(
+        F.lit(0.0)
+    )
+    punct_ratio = F.when(n_chars > 0, n_punct.cast("double") / n_chars).otherwise(
+        F.lit(0.0)
+    )
+    # length band: full credit 20-400 tokens, linear falloff outside
+    len_score = (
+        F.when(n_tokens >= 20, F.least(F.lit(1.0), F.lit(400.0) / n_tokens))
+        .otherwise(n_tokens.cast("double") / 20.0)
+    )
+    quality = (
+        len_score * 0.5
+        + F.least(F.lit(1.0), stop_ratio * 4.0) * 0.25
+        + (1.0 - F.least(F.lit(1.0), punct_ratio * 10.0)) * 0.25
+    )
+    return (
+        df.withColumn("n_chars_calc", n_chars.cast("long"))
+        .withColumn("n_tokens", n_tokens.cast("long"))
+        .withColumn("n_alpha_tokens", n_alpha.cast("long"))
+        .withColumn("n_punct", n_punct.cast("long"))
+        .withColumn("stopword_ratio", stop_ratio)
+        .withColumn("punct_ratio", punct_ratio)
+        .withColumn("quality_score", quality)
+    )
+
+
+def lang_id(
+    df: DataFrame,
+    text_col: str = "text",
+    lang_stopwords: dict[str, list[str]] | None = None,
+    out_col: str = "lang_pred",
+) -> DataFrame:
+    """Stopword-profile language ID: score each language by its stopword
+    hit count in the token stream; argmax wins, ties broken by language
+    code order.  A deterministic n-gram-free heuristic — the classic
+    cheap pre-filter before a model-based identifier.
+    """
+    langs = lang_stopwords or LANG_STOPWORDS
+    toks = tokens(text_col)
+
+    def _hits(sw: list[str]):
+        # single-arg lambda: F.filter treats two-arg lambdas as (x, idx)
+        return F.size(F.filter(toks, lambda t: t.isin(list(sw))))
+
+    scores = {lang: _hits(sw) for lang, sw in sorted(langs.items())}
+    best_score = (
+        F.greatest(*scores.values()) if len(scores) > 1 else next(iter(scores.values()))
+    )
+    pick: Column | None = None
+    for lang in sorted(scores):  # first max in code order wins ties
+        cond = scores[lang] == best_score
+        pick = F.when(cond, F.lit(lang)) if pick is None else pick.when(cond, F.lit(lang))
+    assert pick is not None
+    return df.withColumn(out_col, pick.otherwise(F.lit("und")))
+
+
+def shingle_ngrams(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, out_col: str = "shingle"
+) -> DataFrame:
+    """Distinct word n-gram shingles per document: ``(id, shingle)``.
+
+    Relational formulation (posexplode + window leads) so the DuckDB
+    oracle can compute the identical shingles; at very large scale the
+    same shape runs fine — the window is per-document and the explode is
+    pipelined (no shuffle until the downstream distinct).
+    """
+    toks = df.select(F.col(id_col), F.posexplode(tokens(text_col)).alias("pos", "tok"))
+    w = Window.partitionBy(id_col).orderBy("pos")
+    leads = {f"__l{i}": F.lead("tok", i).over(w) for i in range(1, n)}
+    sh = toks.withColumns(leads).where(F.col(f"__l{n-1}").isNotNull())
+    parts = [F.col("tok")] + [F.col(f"__l{i}") for i in range(1, n)]
+    return sh.withColumn(out_col, F.concat_ws(" ", *parts)).select(id_col, out_col).distinct()
+
+
+def doc_fingerprint(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, out_col: str = "fingerprint"
+) -> DataFrame:
+    """Per-document fingerprint: lexicographic min of the md5 hashes of
+    its word n-gram shingles (a 1-hash bottom sketch — the degenerate
+    winnowing/minhash case; identical docs ⇒ identical fingerprints,
+    near-identical docs ⇒ equal with probability ≈ Jaccard).
+    """
+    sh = shingle_ngrams(df, id_col, text_col, n=n)
+    return sh.groupBy(id_col).agg(F.min(F.md5(F.col("shingle"))).alias(out_col))

@@ -772,3 +772,209 @@ def q_lms_z_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.filter(F.col("z_score").isNotNull()).select(
         "event_id", "event_type", "value", "z_score"
     )
+
+
+# ===========================================================================
+# Datapipe extensions (BASELINE.json north star): text analysis, dedup,
+# similarity search, multimodal plumbing.
+# ===========================================================================
+
+_STOP_EN = "'the','a','of','and','to','in','is','it'"
+_SHINGLE_CTE = """
+    toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+               generate_subscripts(string_split(text, ' '), 1) AS pos
+        FROM documents
+    ), led AS (
+        SELECT doc_id, tok, lead(tok, 1) OVER w AS l1, lead(tok, 2) OVER w AS l2
+        FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ), sh AS (
+        SELECT DISTINCT doc_id, tok || ' ' || l1 || ' ' || l2 AS shingle
+        FROM led WHERE l2 IS NOT NULL
+    )"""
+
+
+@query(
+    "text_stats",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents)
+    SELECT doc_id,
+           CAST(LENGTH(text) AS BIGINT) AS n_chars_calc,
+           CAST(LEN(toks) AS BIGINT) AS n_tokens,
+           CAST(LEN(regexp_extract_all(text, '[a-z]+')) AS BIGINT) AS n_alpha_tokens,
+           CAST(LEN(regexp_extract_all(text, '[^a-z0-9 ]')) AS BIGINT) AS n_punct,
+           CASE WHEN LEN(toks) > 0
+                THEN LEN(list_filter(toks, x -> x IN ({_STOP_EN}))) * 1.0 / LEN(toks)
+                ELSE 0.0 END AS stopword_ratio,
+           CASE WHEN LENGTH(text) > 0
+                THEN LEN(regexp_extract_all(text, '[^a-z0-9 ]')) * 1.0 / LENGTH(text)
+                ELSE 0.0 END AS punct_ratio,
+           (CASE WHEN LEN(toks) >= 20 THEN LEAST(1.0, 400.0 / LEN(toks))
+                 ELSE LEN(toks) / 20.0 END) * 0.5
+           + LEAST(1.0, (CASE WHEN LEN(toks) > 0
+                  THEN LEN(list_filter(toks, x -> x IN ({_STOP_EN}))) * 1.0 / LEN(toks)
+                  ELSE 0.0 END) * 4.0) * 0.25
+           + (1.0 - LEAST(1.0, (CASE WHEN LENGTH(text) > 0
+                  THEN LEN(regexp_extract_all(text, '[^a-z0-9 ]')) * 1.0 / LENGTH(text)
+                  ELSE 0.0 END) * 10.0)) * 0.25 AS quality_score
+    FROM t
+    """,
+)
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pedsnetdcc_spark.datapipe.text import text_stats
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return text_stats(docs).drop("text")
+
+
+@query(
+    "lang_id",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    s AS (
+        SELECT doc_id,
+          LEN(list_filter(toks, x -> x IN ('der','die','das','und','ist','nicht','ein'))) AS s_de,
+          LEN(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','it'))) AS s_en,
+          LEN(list_filter(toks, x -> x IN ('el','la','los','y','es','un','una'))) AS s_es,
+          LEN(list_filter(toks, x -> x IN ('le','la','les','et','est','un','une'))) AS s_fr
+        FROM t
+    )
+    SELECT doc_id,
+           CASE WHEN s_de = GREATEST(s_de, s_en, s_es, s_fr) THEN 'de'
+                WHEN s_en = GREATEST(s_de, s_en, s_es, s_fr) THEN 'en'
+                WHEN s_es = GREATEST(s_de, s_en, s_es, s_fr) THEN 'es'
+                WHEN s_fr = GREATEST(s_de, s_en, s_es, s_fr) THEN 'fr'
+                ELSE 'und' END AS lang_pred
+    FROM s
+    """,
+)
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pedsnetdcc_spark.datapipe.text import lang_id
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return lang_id(docs).select("doc_id", "lang_pred")
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+    SELECT md5(text) AS content_hash, MIN(doc_id) AS canonical_id,
+           CAST(COUNT(*) AS BIGINT) AS dup_count
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pedsnetdcc_spark.datapipe.dedup import exact_dedup_groups
+
+    docs = _t(spark, sf_dir, "documents")
+    return exact_dedup_groups(docs, "doc_id", "text")
+
+
+@query(
+    "ngram_jaccard_dedup",
+    oracle=f"""
+    WITH {_SHINGLE_CTE},
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id_a, id_b,
+           common * 1.0 / (sa.n + sb.n - common) AS jaccard
+    FROM pairs
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE common * 1.0 / (sa.n + sb.n - common) >= 0.2
+    """,
+)
+def q_ngram_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pedsnetdcc_spark.datapipe.dedup import ngram_jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.2)
+
+
+@query(
+    "doc_fingerprint",
+    oracle=f"""
+    WITH {_SHINGLE_CTE}
+    SELECT doc_id, MIN(md5(shingle)) AS fingerprint FROM sh GROUP BY doc_id
+    """,
+)
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pedsnetdcc_spark.datapipe.text import doc_fingerprint
+
+    docs = _t(spark, sf_dir, "documents")
+    return doc_fingerprint(docs, "doc_id", "text", n=3)
+
+
+@query(
+    "ann_cosine_topk",
+    oracle="""
+    WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+               FROM embeddings WHERE vec_id < 8),
+    c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+    sims AS (
+        SELECT query_id, neighbor_id,
+               list_dot_product(qv, cv)
+               / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS cosine
+        FROM q, c WHERE neighbor_id <> query_id
+    )
+    SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, cosine
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY cosine DESC, neighbor_id) AS rank
+          FROM sims)
+    WHERE rank <= 5
+    """,
+)
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pedsnetdcc_spark.datapipe.similarity import cosine_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 8)
+    return cosine_topk(emb, queries_df, "vec_id", "embedding", k=5)
+
+
+# --- rows-only entries (no SQL-expressible oracle; the driver records a
+# weaker rows-only check — their correctness is pinned by unit tests
+# against the exact/oracle-checked counterparts) ---
+
+
+@query("minhash_lsh_dedup")
+def q_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pedsnetdcc_spark.datapipe.dedup import minhash_dedup_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_dedup_pairs(
+        docs, "doc_id", "text", n=3, num_hashes=16, num_bands=4, threshold=0.2
+    )
+
+
+@query("simhash_signatures")
+def q_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pedsnetdcc_spark.datapipe.dedup import simhash64
+
+    docs = _t(spark, sf_dir, "documents")
+    return simhash64(docs, "doc_id", "text")
+
+
+@query("ann_lsh_topk")
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pedsnetdcc_spark.datapipe.similarity import lsh_bucketed_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 8)
+    return lsh_bucketed_topk(emb, queries_df, "vec_id", "embedding", k=5, bits=4, tables=8)
+
+
+@query("multimodal_features")
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pedsnetdcc_spark.datapipe.multimodal import (
+        extract_media_features,
+        with_binary_payload,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    media = with_binary_payload(docs, "text")
+    return extract_media_features(media, "doc_id")

@@ -1,0 +1,149 @@
+"""Datapipe extension tests: approximate operators verified against
+their exact counterparts, and multimodal plumbing shape checks."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pedsnetdcc_spark.datapipe.dedup import (
+    exact_dedup_groups,
+    hamming64,
+    lsh_candidate_pairs,
+    minhash_dedup_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash64,
+)
+from pedsnetdcc_spark.datapipe.multimodal import (
+    extract_media_features,
+    sample_frames,
+    with_binary_payload,
+)
+from pedsnetdcc_spark.datapipe.similarity import cosine_topk, lsh_bucketed_topk
+from pedsnetdcc_spark.sources.io import read_table
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return read_table(spark, sf_dir, "documents").select("doc_id", "text").cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return read_table(spark, sf_dir, "embeddings").cache()
+
+
+def test_minhash_lsh_recall_vs_exact(spark, docs):
+    """LSH candidates must recover the high-similarity pairs: every
+    exact pair with jaccard ≥ 0.5 should survive the banded filter
+    (16 hashes / 4 bands ⇒ ~(j^4 per band) — j=0.5 gives ≥23% per band,
+    ~65% per pair; the planted near-dups in the corpus are ≥0.8 where
+    recall is ≈ 1)."""
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.8).collect()
+    }
+    approx = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_dedup_pairs(
+            docs, "doc_id", "text", num_hashes=16, num_bands=4, threshold=0.8
+        ).collect()
+    }
+    assert approx <= exact  # verification step removes false positives
+    if exact:
+        recall = len(approx & exact) / len(exact)
+        assert recall >= 0.9, (recall, len(exact))
+
+
+def test_minhash_similarity_estimate(spark):
+    """Signature agreement rate estimates Jaccard for near-identical docs."""
+    a = "the quick brown fox jumps over the lazy dog again and again today"
+    b = "the quick brown fox jumps over the lazy dog again and again tomorrow"
+    df = spark.createDataFrame([(1, a), (2, b)], "doc_id long, text string")
+    sigs = {r["doc_id"]: r["sig"] for r in minhash_signatures(df, "doc_id", "text", num_hashes=32).collect()}
+    agree = sum(x == y for x, y in zip(sigs[1], sigs[2])) / 32
+    assert agree > 0.5  # true jaccard ≈ 10/14
+
+
+def test_simhash_identical_and_different(spark, docs):
+    df = docs.limit(0).sparkSession.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "alpha beta gamma delta epsilon zeta"),
+            (3, "totally unrelated words appear here now"),
+        ],
+        "doc_id long, text string",
+    )
+    sigs = {r["doc_id"]: r["simhash"] for r in simhash64(df, "doc_id", "text").collect()}
+    assert sigs[1] == sigs[2]
+    d = df.sparkSession.createDataFrame(
+        [(sigs[1], sigs[3])], "a long, b long"
+    ).select(hamming64(F.col("a"), F.col("b")).alias("h"))
+    assert d.collect()[0]["h"] > 10
+
+
+def test_exact_dedup_no_dups_in_corpus(spark, docs):
+    out = exact_dedup_groups(docs, "doc_id", "text")
+    assert out.count() == docs.count()  # corpus has no exact dups
+    assert out.agg(F.sum("dup_count")).collect()[0][0] == docs.count()
+
+
+def test_lsh_topk_recall_at_rank1(spark, emb):
+    """Multi-table bucketed ANN recall on NEAR-RANDOM vectors (the
+    synthetic embeddings' rank-1 cosine averages only ~0.36, θ≈69°, so
+    per-bit agreement p≈0.62): expected recall with 8 tables × 4 bits +
+    Hamming-1 probing is ~0.7-0.8; assert a floor of 0.5.  Clustered
+    real-world embeddings sit far above this."""
+    q = emb.filter(F.col("vec_id") < 20)
+    exact = {
+        r["query_id"]: r["neighbor_id"]
+        for r in cosine_topk(emb, q, k=1).collect()
+    }
+    approx = {
+        r["query_id"]: r["neighbor_id"]
+        for r in lsh_bucketed_topk(emb, q, k=1, bits=4, tables=8).collect()
+    }
+    hits = sum(approx.get(k) == v for k, v in exact.items())
+    assert hits / len(exact) >= 0.5, (hits, len(exact))
+
+
+def test_cosine_topk_values(spark):
+    rows = [
+        (1, [1.0, 0.0]),
+        (2, [1.0, 0.0]),
+        (3, [0.0, 1.0]),
+        (4, [0.7071067811865476, 0.7071067811865476]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = cosine_topk(df, df.filter(F.col("vec_id") == 1), k=3)
+    got = [(r["rank"], r["neighbor_id"], round(r["cosine"], 6)) for r in out.collect()]
+    assert got == [(1, 2, 1.0), (2, 4, 0.707107), (3, 3, 0.0)]
+
+
+def test_multimodal_plumbing(spark, docs):
+    media = with_binary_payload(docs.limit(20), "text")
+    assert dict(media.dtypes)["payload"] == "binary"
+    feats = extract_media_features(media, "doc_id")
+    rows = feats.collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert len(r["features"]) == 16
+        assert abs(sum(r["features"]) - 1.0) < 1e-9
+        assert r["width"] >= 1 and r["height"] >= 1
+
+
+def test_multimodal_decode_stub_raises():
+    from pedsnetdcc_spark.datapipe.multimodal import decode_image
+
+    with pytest.raises(NotImplementedError):
+        decode_image(b"xx", fake=False)
+
+
+def test_frame_sampling(spark, docs):
+    media = with_binary_payload(docs.limit(5), "text")
+    frames = sample_frames(media, "doc_id", every_n_bytes=64)
+    per_doc = {r["doc_id"]: r["cnt"] for r in frames.groupBy("doc_id").agg(F.count("*").alias("cnt")).collect()}
+    lens = {r["doc_id"]: r["n_bytes"] for r in media.collect()}
+    for d, n in lens.items():
+        assert per_doc[d] == max(1, n // 64)
