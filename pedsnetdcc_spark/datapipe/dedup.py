@@ -103,32 +103,37 @@ def lsh_candidate_pairs(
     id_col: str,
     num_bands: int = 4,
     sig_col: str = "sig",
+    sig_len: int | None = None,
 ) -> DataFrame:
     """Band the signatures and self-join on (band, band-hash): documents
     agreeing on any full band become a candidate pair ``(id_a, id_b)``.
 
     The band join is the scale path: candidates ≈ true near-dups +
     controllable false positives, versus the all-pairs n² blowup.
+
+    All bands are computed in ONE pass over the signatures (array of
+    (band, bucket) structs, exploded) — a union of per-band selects
+    would re-evaluate the upstream signature aggregation once per band
+    per join side.
     """
-    # rows per band: slice the signature array into num_bands chunks
-    first = signatures.select(F.size(sig_col).alias("n")).first()
-    total = first["n"] if first else 0
-    rows_per_band = max(total // num_bands, 1)
-    bands = []
+    if sig_len is None:
+        first = signatures.select(F.size(sig_col).alias("n")).first()
+        sig_len = first["n"] if first else num_bands
+    rows_per_band = max(sig_len // num_bands, 1)
+    entries = []
     for b in range(num_bands):
         chunk = F.slice(F.col(sig_col), b * rows_per_band + 1, rows_per_band)
-        bands.append(
-            signatures.select(
-                F.col(id_col),
+        entries.append(
+            F.struct(
                 F.lit(b).alias("band"),
-                F.xxhash64(F.concat_ws(",", *[chunk[i] for i in range(rows_per_band)])).alias(
-                    "bucket"
-                ),
+                F.xxhash64(
+                    F.concat_ws(",", *[chunk[i] for i in range(rows_per_band)])
+                ).alias("bucket"),
             )
         )
-    banded = bands[0]
-    for b in bands[1:]:
-        banded = banded.unionByName(b)
+    banded = signatures.select(
+        F.col(id_col), F.explode(F.array(*entries)).alias("__bb")
+    ).select(id_col, F.col("__bb.band").alias("band"), F.col("__bb.bucket").alias("bucket"))
     a = banded.select(F.col(id_col).alias("id_a"), "band", "bucket")
     b2 = banded.select(F.col(id_col).alias("id_b"), "band", "bucket")
     return (
@@ -149,11 +154,37 @@ def minhash_dedup_pairs(
     threshold: float = 0.5,
 ) -> DataFrame:
     """Full MinHash-LSH pipeline: signatures → banded candidates →
-    exact-Jaccard verification of candidates only."""
-    sigs = minhash_signatures(df, id_col, text_col, n=n, num_hashes=num_hashes)
-    cands = lsh_candidate_pairs(sigs, id_col, num_bands=num_bands)
-    exact = ngram_jaccard_pairs(df, id_col, text_col, n=n, threshold=threshold)
-    return cands.join(exact, ["id_a", "id_b"], "inner")
+    exact-Jaccard verification of the CANDIDATES ONLY (per-candidate
+    shingle-set intersection, not the all-pairs inverted-index join —
+    that's the whole point of LSH at scale: verification cost is
+    O(candidates), not O(co-occurring pairs))."""
+    sh = shingle_ngrams(df, id_col, text_col, n=n).cache()
+    mins = [
+        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    sigs = sh.groupBy(id_col).agg(*mins)
+    sigs = sigs.select(
+        id_col, F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig")
+    )
+    cands = lsh_candidate_pairs(
+        sigs, id_col, num_bands=num_bands, sig_len=num_hashes
+    )
+    sets = sh.groupBy(id_col).agg(F.collect_set("shingle").alias("sh_set"))
+    sa = sets.select(F.col(id_col).alias("id_a"), F.col("sh_set").alias("__sa"))
+    sb = sets.select(F.col(id_col).alias("id_b"), F.col("sh_set").alias("__sb"))
+    verified = (
+        cands.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("__common", F.size(F.array_intersect("__sa", "__sb")))
+        .withColumn(
+            "jaccard",
+            F.col("__common").cast("double")
+            / (F.size("__sa") + F.size("__sb") - F.col("__common")),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+    return verified.select("id_a", "id_b", "jaccard")
 
 
 def simhash64(

@@ -20,6 +20,9 @@ hash buckets with k-means centroids (same join shape).
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -80,21 +83,32 @@ def cosine_topk(
     )
 
 
-def hyperplane_sketch(vec: Column, bits: int = 8, seed: int = 0) -> Column:
-    """Deterministic sign sketch: bit i = sign of Σ_j s(i,j)·v[j] with
-    s(i,j) ∈ {−1, +1} derived from xxhash64(seed, i, j) — a seeded
-    random-hyperplane projection with no RNG state, reproducible across
-    runs and engines."""
+def _plane_signs(seed: int, bit: int, dim: int) -> list[float]:
+    """Deterministic ±1 hyperplane, derived from a cryptographic hash of
+    (seed, bit, j) at plan-build time — no RNG state, reproducible
+    across runs, engines, and partitionings."""
+    import hashlib
+
+    return [
+        1.0
+        if hashlib.blake2b(f"{seed}:{bit}:{j}".encode(), digest_size=8).digest()[0] & 1
+        else -1.0
+        for j in range(dim)
+    ]
+
+
+def hyperplane_sketch(vec: Column, bits: int = 8, seed: int = 0, dim: int = 64) -> Column:
+    """Deterministic sign sketch: bit i = sign of ⟨plane(seed,i), v⟩.
+
+    The planes are CONSTANT array literals baked into the plan, so the
+    per-row work is ``bits`` fused zip_with/aggregate folds — no hashing
+    in the data path (hashing per element per row costs ~bits×dim hash
+    calls per row and dominated early profiles)."""
     sig = None
     for i in range(bits):
+        plane = F.array(*[F.lit(s) for s in _plane_signs(seed, i, dim)])
         proj = F.aggregate(
-            F.zip_with(
-                vec,
-                F.transform(F.sequence(F.lit(0), F.size(vec) - 1), lambda j: j),
-                lambda v, j: F.when(
-                    F.xxhash64(F.lit(seed * 1024 + i), j).bitwiseAND(F.lit(1)) == 1, v
-                ).otherwise(-v),
-            ),
+            F.zip_with(vec, plane, lambda v, s: v * s),
             F.lit(0.0),
             lambda acc, v: acc + v,
         )
@@ -102,6 +116,35 @@ def hyperplane_sketch(vec: Column, bits: int = 8, seed: int = 0) -> Column:
         term = F.shiftleft(bit, i)
         sig = term if sig is None else sig.bitwiseOR(term)
     return sig
+
+
+def hyperplane_sketches_batch(bits: int, tables: int, dim: int):
+    """Arrow-batched Pandas UDF computing ALL table buckets in one
+    vectorized matmul: ``(n, dim) @ (dim, tables*bits)`` → sign bits →
+    per-table bucket ids (array<long> of length ``tables``).
+
+    The expression-tree formulation (:func:`hyperplane_sketch`) runs as
+    interpreted ArrayAggregate folds — ~0.5 s per table per 2k rows;
+    the batched matmul does all 32 projections in one BLAS call per
+    Arrow batch.  Planes are identical (same ``_plane_signs``), but
+    float summation order differs, so near-zero projections may flip —
+    fine for an approximate bucketing, not for oracle-checked paths.
+    """
+    from pyspark.sql.types import ArrayType, LongType
+
+    planes = np.array(
+        [_plane_signs(t, i, dim) for t in range(tables) for i in range(bits)]
+    )  # (tables*bits, dim)
+    weights = np.array([1 << i for i in range(bits)], dtype=np.int64)
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def sketches(v: pd.Series) -> pd.Series:
+        X = np.stack(v.values).astype(np.float64)  # (n, dim)
+        signs = (X @ planes.T) > 0  # (n, tables*bits)
+        b = signs.reshape(len(X), tables, bits).astype(np.int64) @ weights  # (n, tables)
+        return pd.Series(list(b))
+
+    return sketches
 
 
 def lsh_bucketed_topk(
@@ -131,40 +174,42 @@ def lsh_bucketed_topk(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("__qv"),
     )
-    c_tagged = []
-    q_tagged = []
+    first = q.select(F.size("__qv").alias("d")).first()
+    dim = first["d"] if first else 64
+
+    # one vectorized pass per side computes every table's bucket
+    sk = hyperplane_sketches_batch(bits, tables, dim)
+    c = c.withColumn("__sks", sk(F.col("__cv")))
+    q = q.withColumn("__sks", sk(F.col("__qv")))
+    c_all = c.select(
+        "neighbor_id",
+        "__cv",
+        F.posexplode("__sks").alias("tbl", "bucket"),
+    )
+    q_probe_entries = []
     for t in range(tables):
-        sk_c = hyperplane_sketch(F.col("__cv"), bits, seed=t)
-        sk_q = hyperplane_sketch(F.col("__qv"), bits, seed=t)
-        c_tagged.append(
-            c.select("neighbor_id", "__cv", F.lit(t).alias("tbl"), sk_c.alias("bucket"))
+        sk_q = F.col("__sks")[t]
+        probes = [sk_q] + (
+            [sk_q.bitwiseXOR(F.lit(1 << i)) for i in range(bits)] if probe_hamming1 else []
         )
-        if probe_hamming1:
-            probes = F.array(sk_q, *[sk_q.bitwiseXOR(F.lit(1 << i)) for i in range(bits)])
-        else:
-            probes = F.array(sk_q)
-        q_tagged.append(
-            q.select(
-                "query_id",
-                "__qv",
-                F.lit(t).alias("tbl"),
-                F.explode(probes).alias("bucket"),
-            )
+        q_probe_entries.extend(
+            F.struct(F.lit(t).alias("tbl"), p.alias("bucket")) for p in probes
         )
-    c_all = c_tagged[0]
-    for x in c_tagged[1:]:
-        c_all = c_all.unionByName(x)
-    q_all = q_tagged[0]
-    for x in q_tagged[1:]:
-        q_all = q_all.unionByName(x)
+    q_all = q.withColumn("__tb", F.explode(F.array(*q_probe_entries))).select(
+        "query_id", "__qv", F.col("__tb.tbl").alias("tbl"), F.col("__tb.bucket").alias("bucket")
+    )
     pairs = c_all.join(F.broadcast(q_all), ["tbl", "bucket"]).where(
         F.col("neighbor_id") != F.col("query_id")
     )
+    # dedupe candidate hits BEFORE the cosine fold — a pair surfaces in
+    # up to tables×(1+bits) probe buckets and the fold is the expensive
+    # part of the pipeline
+    pairs = pairs.dropDuplicates(["query_id", "neighbor_id"])
     sims = pairs.select(
         "query_id",
         "neighbor_id",
         cosine_similarity(F.col("__qv"), F.col("__cv")).alias("cosine"),
-    ).dropDuplicates(["query_id", "neighbor_id"])
+    )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
     )
