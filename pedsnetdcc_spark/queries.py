@@ -774,6 +774,53 @@ def q_lms_z_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Constraint validation (PK/NOT NULL as checking ops — SURVEY §1 mapping;
+# FK probes are covered by integrity_counts above).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "pk_violations",
+    oracle="""
+    SELECT user_id, event_type, CAST(ts AS DATE) AS event_day,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM events GROUP BY user_id, event_type, CAST(ts AS DATE)
+    HAVING COUNT(*) > 1
+    """,
+)
+def q_pk_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pedsnetdcc_spark.operators.constraints import pk_violations
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.col("ts").cast("date").alias("event_day")
+    )
+    return pk_violations(ev, ["user_id", "event_type", "event_day"])
+
+
+@query(
+    "not_null_audit",
+    oracle="""
+    SELECT CAST('o_custkey' AS VARCHAR) AS column,
+           CAST(COUNT(CASE WHEN o_custkey IS NULL THEN 1 END) AS BIGINT) AS null_count
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderdate', CAST(COUNT(CASE WHEN o_orderdate IS NULL THEN 1 END) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice', CAST(COUNT(CASE WHEN o_totalprice IS NULL THEN 1 END) AS BIGINT)
+    FROM orders
+    """,
+)
+def q_not_null_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pedsnetdcc_spark.operators.constraints import not_null_violation_counts
+
+    orders = _t(spark, sf_dir, "orders")
+    return not_null_violation_counts(
+        orders, ["o_custkey", "o_orderdate", "o_totalprice"]
+    )
+
+
 # ===========================================================================
 # Datapipe extensions (BASELINE.json north star): text analysis, dedup,
 # similarity search, multimodal plumbing.

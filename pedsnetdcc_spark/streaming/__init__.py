@@ -1,0 +1,5 @@
+from pedsnetdcc_spark.streaming.incremental import (  # noqa: F401
+    streaming_eras,
+    streaming_event_counts,
+    streaming_interval_summary,
+)
