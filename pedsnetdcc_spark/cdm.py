@@ -1,0 +1,163 @@
+"""The PEDSnet CDM configuration layer: the reference's per-table
+transform configuration applied through the generic operators.
+
+The generic operators (operators/*) are schema-parameterized; this
+module carries the CDM-specific wiring so a pedsnetdcc user gets the
+same ``transform`` pipeline shape: per non-vocab table,
+Age → ConceptName → SiteName (→ IDMapping) applied as one composed
+DataFrame chain (reference: pedsnetdcc/transform_runner.py:38-99 runs
+the same chain over every table).
+
+Configuration provenance:
+- age columns per table: pedsnetdcc/age_transform.py:51-60
+  ``AgeTransform.columns_by_table``
+- concept-name convention: every ``*_concept_id`` column gains a
+  ``*_concept_name`` via an aliased LEFT JOIN to ``concept``
+  (pedsnetdcc/concept_name_transform.py:46-56)
+- site tag column: pedsnetdcc/site_name_transform.py:30-32
+- era configs: 30-day gap for condition & drug eras
+  (pedsnetdcc/era.py:35,66-69,161,192-195), drug end-date fallback
+  ``COALESCE(end, start + days_supply, start + 1 day)`` (era.py:146),
+  RxNorm Ingredient / Clinical Drug Form rollups (era.py:148-153,
+  276-281)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pedsnetdcc_spark.operators.eras import derive_eras, rollup_hierarchy
+from pedsnetdcc_spark.operators.transforms import (
+    DimensionLookup,
+    with_dimension_names,
+    with_interval_months,
+    with_literal_column,
+)
+
+# AgeTransform.columns_by_table (age_transform.py:51-60)
+AGE_COLUMNS_BY_TABLE: dict[str, tuple[str, ...]] = {
+    "condition_occurrence": ("condition_start_datetime",),
+    "death": ("death_datetime",),
+    "device_exposure": ("device_exposure_start_datetime",),
+    "drug_exposure": ("drug_exposure_start_datetime",),
+    "measurement": ("measurement_datetime", "measurement_result_datetime"),
+    "procedure_occurrence": ("procedure_datetime",),
+    "visit_occurrence": ("visit_start_datetime",),
+    "observation": ("observation_datetime",),
+}
+
+AGE_SUFFIX = "_age_in_months"  # age_transform.py appends this suffix
+SITE_COLUMN = "site"
+
+
+def with_cdm_ages(
+    df: DataFrame, table_name: str, person: DataFrame
+) -> DataFrame:
+    """Apply the AgeTransform for a CDM table: inner join ``person`` and
+    add ``<col>_age_in_months`` per configured datetime column."""
+    cols = [c for c in AGE_COLUMNS_BY_TABLE.get(table_name, ()) if c in df.columns]
+    if not cols:
+        return df
+    anchor = person.select("person_id", "birth_datetime")
+    return with_interval_months(
+        df, anchor, key="person_id", anchor_col="birth_datetime",
+        event_cols=cols, suffix=AGE_SUFFIX,
+    )
+
+
+def with_cdm_concept_names(df: DataFrame, concept: DataFrame) -> DataFrame:
+    """Apply the ConceptNameTransform: one broadcast left join per
+    ``*_concept_id`` column adding ``*_concept_name``."""
+    lookups = [
+        DimensionLookup(c, "concept_name", c.replace("_concept_id", "_concept_name"))
+        for c in df.columns
+        if c.endswith("_concept_id")
+    ]
+    if not lookups:
+        return df
+    return with_dimension_names(df, concept, "concept_id", lookups)
+
+
+def transform_cdm_table(
+    df: DataFrame,
+    table_name: str,
+    person: DataFrame,
+    concept: DataFrame,
+    site: str,
+) -> DataFrame:
+    """The flagship transform chain for one table
+    (transform_runner.py:434-99 order: Age, ConceptName, SiteName)."""
+    out = with_cdm_ages(df, table_name, person)
+    out = with_cdm_concept_names(out, concept)
+    return with_literal_column(out, SITE_COLUMN, site)
+
+
+# --- era configurations (era.py) ---
+
+CONDITION_ERA_GAP_DAYS = 30
+DRUG_ERA_GAP_DAYS = 30
+
+
+def derive_condition_era(condition_occurrence: DataFrame) -> DataFrame:
+    """condition_era: end falls back to start + 1 day (era.py:25)."""
+    co = condition_occurrence.withColumn(
+        "__end",
+        F.coalesce(
+            F.col("condition_end_date"), F.date_add(F.col("condition_start_date"), 1)
+        ),
+    )
+    return derive_eras(
+        co,
+        partition_keys=["person_id", "condition_concept_id"],
+        start_col="condition_start_date",
+        end_col="__end",
+        gap_days=CONDITION_ERA_GAP_DAYS,
+        era_start_name="condition_era_start_date",
+        era_end_name="condition_era_end_date",
+        count_name="condition_occurrence_count",
+    )
+
+
+def derive_drug_era(
+    drug_exposure: DataFrame,
+    concept: DataFrame,
+    concept_ancestor: DataFrame,
+    concept_class: str = "Ingredient",
+) -> DataFrame:
+    """drug_era: RxNorm rollup (Ingredient, or 'Clinical Drug Form' for
+    the SCDF variant — era.py:148-153, 276-281), end-date fallback chain
+    (era.py:146), 30-day gap."""
+    rolled = rollup_hierarchy(
+        drug_exposure,
+        fk_col="drug_concept_id",
+        ancestor=concept_ancestor,
+        descendant_col="descendant_concept_id",
+        ancestor_col="ancestor_concept_id",
+        dim=concept,
+        dim_key="concept_id",
+        dim_filter=(F.col("vocabulary_id") == "RxNorm")
+        & (F.col("concept_class_id") == concept_class),
+        out_col="ingredient_concept_id",
+    )
+    rolled = rolled.withColumn(
+        "__end",
+        F.coalesce(
+            F.col("drug_exposure_end_date"),
+            F.expr("date_add(drug_exposure_start_date, days_supply)"),
+            F.date_add(F.col("drug_exposure_start_date"), 1),
+        ),
+    )
+    out = derive_eras(
+        rolled,
+        partition_keys=["person_id", "ingredient_concept_id"],
+        start_col="drug_exposure_start_date",
+        end_col="__end",
+        gap_days=DRUG_ERA_GAP_DAYS,
+        era_start_name="drug_era_start_date",
+        era_end_name="drug_era_end_date",
+        count_name="drug_exposure_count",
+    )
+    return out.withColumn("gap_days", F.lit(DRUG_ERA_GAP_DAYS)).withColumnRenamed(
+        "ingredient_concept_id", "drug_concept_id"
+    )
