@@ -55,8 +55,12 @@ def ngram_jaccard_pairs(
     Inverted-index join: explode distinct shingles, self-join on the
     shingle, count common shingles per pair, then
     ``jaccard = common / (|A| + |B| - common)``.
+
+    The shingle stream is cached: it feeds the size aggregate and both
+    join sides, and without a trailing exchange Catalyst has nothing to
+    reuse across those references (observed 4× recompute).
     """
-    sh = shingle_ngrams(df, id_col, text_col, n=n)
+    sh = shingle_ngrams(df, id_col, text_col, n=n).cache()
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")
     b = sh.select(F.col(id_col).alias("id_b"), "shingle")
@@ -193,6 +197,9 @@ def simhash64(
     """64-bit SimHash over the token stream: token hashed with xxhash64;
     each bit votes ±(term frequency); signature bit = sign of the vote
     sum.  Near-duplicates have small Hamming distance."""
+    from pedsnetdcc_spark.util import ensure_parallelism
+
+    df = ensure_parallelism(df)  # small files scan as one split
     toks = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("tok"))
     tf = toks.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("w"))
     h = F.xxhash64(F.col("tok"))

@@ -100,7 +100,10 @@ def extract_media_features(
                 }
             )
 
-    return df.select(id_col, payload_col).mapInPandas(op, schema=schema)
+    from pedsnetdcc_spark.util import ensure_parallelism
+
+    src = ensure_parallelism(df.select(id_col, payload_col))
+    return src.mapInPandas(op, schema=schema)
 
 
 def sample_frames(

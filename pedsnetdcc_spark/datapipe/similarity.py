@@ -57,13 +57,17 @@ def cosine_topk(
     Cast to double before the fold so accumulation is in float64 on
     every engine.
     """
+    from pedsnetdcc_spark.util import ensure_parallelism
+
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("__qv"),
     )
-    c = candidates.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).cast("array<double>").alias("__cv"),
+    c = ensure_parallelism(
+        candidates.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).cast("array<double>").alias("__cv"),
+        )
     )
     pairs = c.crossJoin(F.broadcast(q))
     if not include_self:

@@ -111,17 +111,25 @@ def shingle_ngrams(
 ) -> DataFrame:
     """Distinct word n-gram shingles per document: ``(id, shingle)``.
 
-    Relational formulation (posexplode + window leads) so the DuckDB
-    oracle can compute the identical shingles; at very large scale the
-    same shape runs fine — the window is per-document and the explode is
-    pipelined (no shuffle until the downstream distinct).
+    Pure higher-order-function formulation: the shingle array is built
+    per row with ``transform`` over an index sequence and deduped with
+    ``array_distinct`` BEFORE the explode — no shuffle at all for
+    shingle generation (an earlier posexplode + window-lead version
+    forced a hash exchange on the document id).  Downstream aggregations
+    shuffle the (id, shingle) stream as before.
     """
-    toks = df.select(F.col(id_col), F.posexplode(tokens(text_col)).alias("pos", "tok"))
-    w = Window.partitionBy(id_col).orderBy("pos")
-    leads = {f"__l{i}": F.lead("tok", i).over(w) for i in range(1, n)}
-    sh = toks.withColumns(leads).where(F.col(f"__l{n-1}").isNotNull())
-    parts = [F.col("tok")] + [F.col(f"__l{i}") for i in range(1, n)]
-    return sh.withColumn(out_col, F.concat_ws(" ", *parts)).select(id_col, out_col).distinct()
+    from pedsnetdcc_spark.util import ensure_parallelism
+
+    df = ensure_parallelism(df)  # small files scan as one split
+    toks = tokens(text_col)
+    idx = F.sequence(F.lit(0), F.size(toks) - n)  # inclusive upper bound
+    gram = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(toks, i + j + 1) for j in range(n)]
+    )
+    sh_arr = F.when(F.size(toks) >= n, F.array_distinct(F.transform(idx, gram))).otherwise(
+        F.array().cast("array<string>")
+    )
+    return df.select(F.col(id_col), F.explode(sh_arr).alias(out_col))
 
 
 def doc_fingerprint(
