@@ -58,6 +58,24 @@ def run_parallel(jobs: Sequence[Job], pool_size: int = 25) -> list[Job]:
         return list(ex.map(Job.run, jobs))
 
 
+def check_jobs(
+    jobs: Sequence[Job],
+    force: bool = False,
+    benign: tuple[type[BaseException], ...] = (FileExistsError, FileNotFoundError),
+) -> None:
+    """Raise the first captured error — unless ``force`` and the error
+    is benign (the reference's force mode ignores DUPLICATE_TABLE /
+    UNDEFINED_OBJECT-class errors so idempotent re-runs succeed:
+    indexes.py:89-124, merge_site_data.py:43-78, utils.py:391-406)."""
+    for j in jobs:
+        if j.error is None:
+            continue
+        if force and isinstance(j.error, benign):
+            logger.info("ignoring benign error", extra={"job": j.name, "err": repr(j.error)})
+            continue
+        raise j.error
+
+
 def run_serial(jobs: Sequence[Job], stop_on_error: bool = True) -> list[Job]:
     """Ordered execution (``StatementList.serial_execute``, db.py:372-456)."""
     done: list[Job] = []

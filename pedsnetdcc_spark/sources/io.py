@@ -67,6 +67,24 @@ def read_tables(spark: SparkSession, sf_dir: str, names: list[str]) -> dict[str,
     return {n: read_table(spark, sf_dir, n) for n in names}
 
 
+def delete_rows(df: DataFrame, condition) -> DataFrame:
+    """DELETE-analog: the retained rows (the caller rewrites the table —
+    reference: ``DELETE FROM observation_period``
+    sync_observation_period.py:62-64; z-score NaN deletes
+    z_score.py:428-485).  With a table format this maps to a real
+    ``DELETE WHERE``; on plain parquet it is filter + rewrite."""
+    return df.filter(~condition)
+
+
+def prep_namespace(spark: SparkSession, names: list[str]) -> None:
+    """DB/schema bootstrap — the ``prepdb`` analog (reference:
+    pedsnetdcc/prepdb.py:97-241 creates the database plus one schema per
+    site; schema.py:16 ``CREATE SCHEMA IF NOT EXISTS``).  Namespaces are
+    catalog databases here."""
+    for n in names:
+        spark.sql(f"CREATE DATABASE IF NOT EXISTS {n}")
+
+
 @dataclass
 class TableStore:
     """A writable namespace of parquet tables with atomic publish/undo.
@@ -119,6 +137,22 @@ class TableStore:
         if os.path.exists(self.current_dir):
             os.rename(self.current_dir, self.backup_dir)
         os.rename(self.staging_dir, self.current_dir)
+
+    def truncate(self, name: str) -> None:
+        """TRUNCATE analog (era.py:16 ``TRUNCATE {0}.condition_era``):
+        replace the published table with an empty one, preserving
+        nothing (callers wanting the schema should stage an empty
+        DataFrame instead)."""
+        path = os.path.join(self.current_dir, name)
+        if os.path.exists(path):
+            shutil.rmtree(path)
+        os.makedirs(path, exist_ok=True)
+
+    def drop(self, name: str) -> None:
+        """DROP TABLE analog (transform_runner.py:735)."""
+        path = os.path.join(self.current_dir, name)
+        if os.path.exists(path):
+            shutil.rmtree(path)
 
     def undo(self) -> None:
         """Restore the previous generation (reference:

@@ -1,0 +1,79 @@
+"""Job orchestration, force mode, package-runner hook, namespace
+bootstrap, delete/truncate analogs, view registration."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pedsnetdcc_spark.plans.packages import (
+    dataframe_package,
+    register_package,
+    run_package,
+)
+from pedsnetdcc_spark.plans.pipeline import Job, check_jobs, run_parallel, run_serial
+from pedsnetdcc_spark.sources.io import TableStore, delete_rows, prep_namespace, read_table
+from pedsnetdcc_spark.sources.views import register_views
+
+
+def test_run_parallel_captures_results_and_errors():
+    def boom():
+        raise FileExistsError("exists")
+
+    jobs = [Job("a", lambda: 1), Job("b", boom), Job("c", lambda: 3)]
+    done = run_parallel(jobs, pool_size=3)
+    assert [j.result for j in done] == [1, None, 3]
+    assert isinstance(done[1].error, FileExistsError)
+    check_jobs(done, force=True)  # benign under force
+    with pytest.raises(FileExistsError):
+        check_jobs(done, force=False)
+
+
+def test_run_serial_stops_on_error():
+    calls = []
+    jobs = [
+        Job("a", lambda: calls.append("a")),
+        Job("b", lambda: (_ for _ in ()).throw(ValueError("x"))),
+        Job("c", lambda: calls.append("c")),
+    ]
+    done = run_serial(jobs)
+    assert calls == ["a"]
+    assert len(done) == 2
+    with pytest.raises(ValueError):
+        check_jobs(done, force=True)  # ValueError is not benign
+
+
+def test_package_runner_hook(spark, sf_dir):
+    def derive(spark, sf_dir, limit):
+        return read_table(spark, sf_dir, "nation").limit(limit)
+
+    register_package("nation_slice", dataframe_package(derive))
+    out = run_package(spark, "nation_slice", {"sf_dir": sf_dir, "limit": 3})
+    assert out.count() == 3
+    with pytest.raises(KeyError):
+        run_package(spark, "nope", {})
+
+
+def test_prep_namespace_and_views(spark, sf_dir):
+    prep_namespace(spark, ["site_a_pedsnet", "dcc_pedsnet"])
+    dbs = {r.namespace for r in spark.sql("SHOW DATABASES").collect()}
+    assert {"site_a_pedsnet", "dcc_pedsnet"} <= dbs
+    prep_namespace(spark, ["site_a_pedsnet"])  # idempotent
+
+    nation = read_table(spark, sf_dir, "nation")
+    register_views({"nation": nation})
+    assert spark.sql("SELECT count(*) c FROM v_nation").collect()[0]["c"] == 25
+
+
+def test_delete_rows_and_truncate(spark, sf_dir, tmp_path):
+    nation = read_table(spark, sf_dir, "nation")
+    kept = delete_rows(nation, F.col("n_regionkey") == 0)
+    assert kept.count() == nation.filter(F.col("n_regionkey") != 0).count()
+
+    st = TableStore(str(tmp_path / "store"))
+    st.stage(nation, "nation")
+    st.publish()
+    st.drop("nation")
+    import os
+
+    assert not os.path.exists(os.path.join(st.current_dir, "nation"))
