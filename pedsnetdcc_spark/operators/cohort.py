@@ -52,3 +52,29 @@ def subset_by_cohort(
     ck = cohort_key or key
     c = cohort.select(F.col(ck).alias(key)).distinct()
     return df.join(F.broadcast(c), key, "left_semi")
+
+
+def subset_polymorphic(
+    fact: DataFrame,
+    domain_col: str,
+    fact_id_col: str,
+    domains: Sequence[tuple[int, DataFrame, str]],
+) -> DataFrame:
+    """fact_relationship subset: keep rows whose (domain, fact id)
+    EXISTS in the corresponding already-subsetted domain table — the
+    reference ORs one EXISTS per domain over fact_id_1
+    (subset_by_cohort.py:197-205: visit 8, drug 13, measurement 21,
+    observation 27); rows of unchecked domains drop out.
+
+    ``domains``: sequence of ``(domain_code, subsetted_table, pk_col)``.
+    Spark shape: per-domain left-semi join of the domain's slice, then
+    union — each semi join probes only that domain's rows.
+    """
+    parts = []
+    for code, tbl, pk in domains:
+        sl = fact.filter(F.col(domain_col) == code)
+        keys = tbl.select(F.col(pk).alias("__pk")).distinct()
+        parts.append(
+            sl.join(keys, sl[fact_id_col] == keys["__pk"], "left_semi")
+        )
+    return reduce(DataFrame.unionByName, parts)

@@ -84,6 +84,21 @@ class IdAllocator:
         return base
 
 
+# derived-record ids count up from the negative range so they never
+# collide with site-assigned positive ids (era.py:726-733:
+# ``START WITH -2147483647 … MAXVALUE 0``)
+NEGATIVE_ID_START = -2_147_483_648
+
+
+def reserve_negative(allocator: IdAllocator, name: str, n: int) -> int:
+    """Reserve from the negative-id sequence (ids ``base+1 … base+n``,
+    all ≤ 0 until the 2^31 range is exhausted)."""
+    base = allocator.reserve(name, n, start=NEGATIVE_ID_START)
+    if base + n > 0:
+        raise OverflowError(f"negative id range exhausted for {name!r}")
+    return base
+
+
 def assign_surrogate_ids(
     df: DataFrame,
     id_name: str,

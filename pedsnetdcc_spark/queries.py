@@ -775,6 +775,60 @@ def q_lms_z_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Polymorphic subset (P6): fact_relationship kept only where the
+# referenced fact survives its domain's subset — EXISTS OR'd per domain.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "subset_polymorphic",
+    oracle="""
+    WITH fr AS (
+        SELECT l_orderkey AS rel_id,
+               CASE l_linenumber % 3 WHEN 0 THEN 8 WHEN 1 THEN 13 ELSE 21 END AS domain_concept_id_1,
+               CASE l_linenumber % 3 WHEN 0 THEN l_orderkey WHEN 1 THEN l_partkey ELSE l_suppkey END AS fact_id_1
+        FROM lineitem
+    )
+    SELECT * FROM fr t
+    WHERE EXISTS (SELECT 1 FROM orders v
+                  WHERE t.domain_concept_id_1 = 8 AND t.fact_id_1 = v.o_orderkey
+                    AND v.o_orderstatus = 'O')
+       OR EXISTS (SELECT 1 FROM part p
+                  WHERE t.domain_concept_id_1 = 13 AND t.fact_id_1 = p.p_partkey
+                    AND p.p_size < 25)
+       OR EXISTS (SELECT 1 FROM supplier s
+                  WHERE t.domain_concept_id_1 = 21 AND t.fact_id_1 = s.s_suppkey
+                    AND s.s_nationkey < 13)
+    """,
+)
+def q_subset_polymorphic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pedsnetdcc_spark.operators.cohort import subset_polymorphic
+
+    li = _t(spark, sf_dir, "lineitem")
+    fr = li.select(
+        F.col("l_orderkey").alias("rel_id"),
+        F.when(F.col("l_linenumber") % 3 == 0, F.lit(8))
+        .when(F.col("l_linenumber") % 3 == 1, F.lit(13))
+        .otherwise(F.lit(21))
+        .alias("domain_concept_id_1"),
+        F.when(F.col("l_linenumber") % 3 == 0, F.col("l_orderkey"))
+        .when(F.col("l_linenumber") % 3 == 1, F.col("l_partkey"))
+        .otherwise(F.col("l_suppkey"))
+        .alias("fact_id_1"),
+    )
+    return subset_polymorphic(
+        fr,
+        "domain_concept_id_1",
+        "fact_id_1",
+        [
+            (8, _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O"), "o_orderkey"),
+            (13, _t(spark, sf_dir, "part").filter(F.col("p_size") < 25), "p_partkey"),
+            (21, _t(spark, sf_dir, "supplier").filter(F.col("s_nationkey") < 13), "s_suppkey"),
+        ],
+    )
+
+
+# ---------------------------------------------------------------------------
 # Constraint validation (PK/NOT NULL as checking ops — SURVEY §1 mapping;
 # FK probes are covered by integrity_counts above).
 # ---------------------------------------------------------------------------
