@@ -101,6 +101,106 @@ def _plane_signs(seed: int, bit: int, dim: int) -> list[float]:
     ]
 
 
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Exact embedding-cosine near-duplicate pairs: ``(id_a, id_b,
+    cosine)`` with id_a < id_b and cosine ≥ threshold.
+
+    Brute-force verifier (all pairs, one broadcast self-join).  The
+    scale path is :func:`lsh_bucketed_topk`-style bucketing first —
+    run this only on LSH candidate pairs at corpus scale.
+    """
+    a = df.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).cast("array<double>").alias("__a")
+    )
+    b = df.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).cast("array<double>").alias("__b")
+    )
+    from pedsnetdcc_spark.util import ensure_parallelism
+
+    pairs = ensure_parallelism(a).crossJoin(F.broadcast(b)).where(
+        F.col("id_a") < F.col("id_b")
+    )
+    sims = pairs.select(
+        "id_a", "id_b", cosine_similarity(F.col("__a"), F.col("__b")).alias("cosine")
+    )
+    return sims.where(F.col("cosine") >= threshold)
+
+
+def ivf_topk(
+    candidates: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+) -> DataFrame:
+    """IVF-style approximate top-k: deterministic centroids (the first
+    ``n_centroids`` vectors by id — a real deployment trains k-means;
+    the partition/probe shape is identical), each vector assigned to its
+    nearest centroid, each query probing its ``nprobe`` nearest
+    centroid cells.
+
+    Scale: the centroid table broadcasts; candidate assignment is one
+    scan; the probe join is cell-local, bounding per-query comparisons
+    to ~``nprobe/n_centroids`` of the corpus.
+    """
+    cents = (
+        candidates.orderBy(id_col)
+        .limit(n_centroids)
+        .select(
+            F.col(id_col).alias("centroid_id"),
+            F.col(vec_col).cast("array<double>").alias("__cent"),
+        )
+    )
+    c = candidates.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("__cv"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("__qv"),
+    )
+    # assign candidates to their single nearest centroid
+    ca = c.crossJoin(F.broadcast(cents)).select(
+        "neighbor_id", "__cv", "centroid_id",
+        cosine_similarity(F.col("__cv"), F.col("__cent")).alias("__cs"),
+    )
+    w = Window.partitionBy("neighbor_id").orderBy(F.col("__cs").desc(), "centroid_id")
+    ca = ca.withColumn("__r", F.row_number().over(w)).where(F.col("__r") == 1).select(
+        "neighbor_id", "__cv", "centroid_id"
+    )
+    # queries probe their nprobe nearest cells
+    qa = q.crossJoin(F.broadcast(cents)).select(
+        "query_id", "__qv", "centroid_id",
+        cosine_similarity(F.col("__qv"), F.col("__cent")).alias("__qs"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.col("__qs").desc(), "centroid_id")
+    qa = qa.withColumn("__r", F.row_number().over(wq)).where(
+        F.col("__r") <= nprobe
+    ).select("query_id", "__qv", "centroid_id")
+    pairs = ca.join(F.broadcast(qa), "centroid_id").where(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    sims = pairs.select(
+        "query_id", "neighbor_id",
+        cosine_similarity(F.col("__qv"), F.col("__cv")).alias("cosine"),
+    ).dropDuplicates(["query_id", "neighbor_id"])
+    wk = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        sims.withColumn("rank", F.row_number().over(wk))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cosine")
+    )
+
+
 def hyperplane_sketch(vec: Column, bits: int = 8, seed: int = 0, dim: int = 64) -> Column:
     """Deterministic sign sketch: bit i = sign of ⟨plane(seed,i), v⟩.
 

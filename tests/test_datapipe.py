@@ -108,6 +108,32 @@ def test_lsh_topk_recall_at_rank1(spark, emb):
     assert hits / len(exact) >= 0.5, (hits, len(exact))
 
 
+def test_ivf_topk_recall(spark, emb):
+    """IVF probing (16 cells, nprobe=4) must place the true nearest
+    neighbor at rank 1 for a reasonable share of queries even on
+    near-random vectors (≈ nprobe/n_centroids baseline 25% for random
+    probing; nearest-cell probing should beat it comfortably)."""
+    from pedsnetdcc_spark.datapipe.similarity import ivf_topk
+
+    q = emb.filter(F.col("vec_id") < 20)
+    exact = {r["query_id"]: r["neighbor_id"] for r in cosine_topk(emb, q, k=1).collect()}
+    approx = {
+        r["query_id"]: r["neighbor_id"]
+        for r in ivf_topk(emb, q, k=1, n_centroids=16, nprobe=4).collect()
+    }
+    hits = sum(approx.get(k) == v for k, v in exact.items())
+    assert hits / len(exact) >= 0.4, (hits, len(exact))
+
+
+def test_embedding_near_dup_symmetric_and_thresholded(spark, emb):
+    from pedsnetdcc_spark.datapipe.similarity import embedding_near_dup_pairs
+
+    pairs = embedding_near_dup_pairs(emb, threshold=0.45).collect()
+    for r in pairs:
+        assert r["id_a"] < r["id_b"]
+        assert r["cosine"] >= 0.45
+
+
 def test_cosine_topk_values(spark):
     rows = [
         (1, [1.0, 0.0]),
