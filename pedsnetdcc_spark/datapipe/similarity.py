@@ -43,6 +43,29 @@ def cosine_similarity(a: Column, b: Column) -> Column:
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+_COSINE_BATCH_UDF = None
+
+
+def _cosine_batch(a: Column, b: Column) -> Column:
+    """Vectorized cosine for the APPROXIMATE paths only: numpy summation
+    order differs from the sequential fold, so oracle-checked operators
+    keep :func:`cosine_similarity` (bit-identical to DuckDB).  The UDF
+    is built lazily — decorating at import time needs a live session."""
+    global _COSINE_BATCH_UDF
+    if _COSINE_BATCH_UDF is None:
+
+        @F.pandas_udf("double")
+        def cosine_batch(x: pd.Series, y: pd.Series) -> pd.Series:
+            A = np.stack(x.values)
+            B = np.stack(y.values)
+            num = np.einsum("ij,ij->i", A, B)
+            den = np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1)
+            return pd.Series(num / den)
+
+        _COSINE_BATCH_UDF = cosine_batch
+    return _COSINE_BATCH_UDF(a, b)
+
+
 def cosine_topk(
     candidates: DataFrame,
     queries: DataFrame,
@@ -169,7 +192,7 @@ def ivf_topk(
     # assign candidates to their single nearest centroid
     ca = c.crossJoin(F.broadcast(cents)).select(
         "neighbor_id", "__cv", "centroid_id",
-        cosine_similarity(F.col("__cv"), F.col("__cent")).alias("__cs"),
+        _cosine_batch(F.col("__cv"), F.col("__cent")).alias("__cs"),
     )
     w = Window.partitionBy("neighbor_id").orderBy(F.col("__cs").desc(), "centroid_id")
     ca = ca.withColumn("__r", F.row_number().over(w)).where(F.col("__r") == 1).select(
@@ -178,7 +201,7 @@ def ivf_topk(
     # queries probe their nprobe nearest cells
     qa = q.crossJoin(F.broadcast(cents)).select(
         "query_id", "__qv", "centroid_id",
-        cosine_similarity(F.col("__qv"), F.col("__cent")).alias("__qs"),
+        _cosine_batch(F.col("__qv"), F.col("__cent")).alias("__qs"),
     )
     wq = Window.partitionBy("query_id").orderBy(F.col("__qs").desc(), "centroid_id")
     qa = qa.withColumn("__r", F.row_number().over(wq)).where(
@@ -187,10 +210,10 @@ def ivf_topk(
     pairs = ca.join(F.broadcast(qa), "centroid_id").where(
         F.col("neighbor_id") != F.col("query_id")
     )
-    sims = pairs.select(
+    sims = pairs.dropDuplicates(["query_id", "neighbor_id"]).select(
         "query_id", "neighbor_id",
-        cosine_similarity(F.col("__qv"), F.col("__cv")).alias("cosine"),
-    ).dropDuplicates(["query_id", "neighbor_id"])
+        _cosine_batch(F.col("__qv"), F.col("__cv")).alias("cosine"),
+    )
     wk = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
     )
@@ -312,7 +335,7 @@ def lsh_bucketed_topk(
     sims = pairs.select(
         "query_id",
         "neighbor_id",
-        cosine_similarity(F.col("__qv"), F.col("__cv")).alias("cosine"),
+        _cosine_batch(F.col("__qv"), F.col("__cv")).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
