@@ -76,6 +76,27 @@ def delete_rows(df: DataFrame, condition) -> DataFrame:
     return df.filter(~condition)
 
 
+def copy_table(spark: SparkSession, src_dir: str, dst_dir: str, name: str) -> None:
+    """Cross-namespace bulk copy — the pg_dump/pg_restore id-map copy
+    (reference: pedsnetdcc/id_maps.py:88-167, ``-j 8 -Z 9``): in Spark a
+    parquet read + write, parallel by partition, compressed by codec."""
+    read_table(spark, src_dir, name).write.mode("overwrite").parquet(
+        os.path.join(dst_dir, name)
+    )
+
+
+def analyze_table(spark: SparkSession, table: str, columns: list[str] | None = None) -> None:
+    """Planner statistics — the VACUUM ANALYZE analog (reference:
+    pedsnetdcc/utils.py:343-388): feeds Spark CBO/AQE for catalog
+    tables."""
+    if columns:
+        spark.sql(
+            f"ANALYZE TABLE {table} COMPUTE STATISTICS FOR COLUMNS {', '.join(columns)}"
+        )
+    else:
+        spark.sql(f"ANALYZE TABLE {table} COMPUTE STATISTICS")
+
+
 def prep_namespace(spark: SparkSession, names: list[str]) -> None:
     """DB/schema bootstrap — the ``prepdb`` analog (reference:
     pedsnetdcc/prepdb.py:97-241 creates the database plus one schema per

@@ -65,6 +65,43 @@ def test_prep_namespace_and_views(spark, sf_dir):
     assert spark.sql("SELECT count(*) c FROM v_nation").collect()[0]["c"] == 25
 
 
+def test_copy_table_and_analyze(spark, sf_dir, tmp_path):
+    from pedsnetdcc_spark.sources.io import analyze_table, copy_table
+
+    dst = str(tmp_path / "dst")
+    copy_table(spark, sf_dir, dst, "nation")
+    assert read_table(spark, dst, "nation").count() == 25
+
+    read_table(spark, sf_dir, "nation").write.mode("overwrite").saveAsTable("t_nation")
+    analyze_table(spark, "t_nation", ["n_nationkey"])
+    stats = spark.sql("DESCRIBE EXTENDED t_nation").collect()
+    assert any("Statistics" in r.col_name for r in stats)
+    spark.sql("DROP TABLE t_nation")
+
+
+def test_json_dict_logging(caplog):
+    import logging
+
+    from pedsnetdcc_spark.logging_util import JsonDictFormatter, timed
+
+    logger = logging.getLogger("t_json")
+    import io as _io
+
+    buf = _io.StringIO()
+    h = logging.StreamHandler(buf)
+    h.setFormatter(JsonDictFormatter())
+    logger.addHandler(h)
+    logger.setLevel(logging.INFO)
+    with timed(logger, "building table", table="nation"):
+        pass
+    import json as _json
+
+    lines = [_json.loads(x) for x in buf.getvalue().strip().splitlines()]
+    assert lines[0]["msg"] == "building table" and lines[0]["table"] == "nation"
+    assert lines[1]["msg"] == "building table done" and "elapsed" in lines[1]
+    logger.removeHandler(h)
+
+
 def test_delete_rows_and_truncate(spark, sf_dir, tmp_path):
     nation = read_table(spark, sf_dir, "nation")
     kept = delete_rows(nation, F.col("n_regionkey") == 0)
