@@ -102,6 +102,23 @@ def test_json_dict_logging(caplog):
     logger.removeHandler(h)
 
 
+def test_bucketed_join_has_no_exchange(spark, sf_dir):
+    from pedsnetdcc_spark.sources.bucketed import bucketed_join, write_bucketed
+
+    orders = read_table(spark, sf_dir, "orders")
+    cust = read_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_name"
+    )
+    write_bucketed(orders, "b_orders", "o_custkey", num_buckets=8)
+    write_bucketed(cust, "b_cust", "o_custkey", num_buckets=8)
+    joined = bucketed_join(spark, "b_orders", "b_cust", "o_custkey")
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert joined.count() == orders.join(cust, "o_custkey").count()
+    spark.sql("DROP TABLE b_orders")
+    spark.sql("DROP TABLE b_cust")
+
+
 def test_delete_rows_and_truncate(spark, sf_dir, tmp_path):
     nation = read_table(spark, sf_dir, "nation")
     kept = delete_rows(nation, F.col("n_regionkey") == 0)
