@@ -176,3 +176,17 @@ def test_generate_view_ddl_multi(spark, sf_dir):
     ddl = generate_view_ddl({"nation": nation})
     assert ddl.startswith("CREATE OR REPLACE VIEW v_nation AS SELECT ")
     assert ddl.rstrip().endswith("FROM nation;")
+
+
+def test_salted_join_preserves_semantics(spark, sf_dir):
+    from pedsnetdcc_spark.util import salted_join
+
+    orders = read_table(spark, sf_dir, "orders")
+    cust = read_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_name", "c_nationkey"
+    )
+    plain = orders.join(cust, "o_custkey").select("o_orderkey", "c_name")
+    salted = salted_join(orders, cust, "o_custkey", salt=4).select(
+        "o_orderkey", "c_name"
+    )
+    assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
