@@ -33,9 +33,12 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name, fn in QUERIES.items():
         t0 = time.monotonic()
-        df = fn(spark, sf_dir)
-        df.count()
-        timings[name] = round(time.monotonic() - t0, 3)
+        try:
+            fn(spark, sf_dir).count()
+            timings[name] = round(time.monotonic() - t0, 3)
+        except Exception as exc:  # one broken query must not sink the run
+            print(f"bench: {name} failed: {exc!r}", file=sys.stderr)
+            timings[name] = -1.0
 
     out = {
         "metric": "pedsnetdcc_spark_total_query_time",

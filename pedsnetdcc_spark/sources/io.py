@@ -57,8 +57,16 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     flat = os.path.join(sf_dir, f"{name}.parquet")
     nested = os.path.join(sf_dir, name)
     path = flat if os.path.exists(flat) else nested
+    nanos_cols = _nanos_timestamp_cols(path)
+    if nanos_cols:
+        # runtime-settable; guards against caller sessions built without
+        # the config (e.g. the driver's own session)
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # the micros reconstruction below treats the stored value as a
+        # UTC wall clock; only a UTC session renders it back identically
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(path)
-    for c in _nanos_timestamp_cols(path):
+    for c in nanos_cols:
         df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
     return df
 
