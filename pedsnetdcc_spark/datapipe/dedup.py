@@ -85,15 +85,44 @@ def ngram_jaccard_pairs(
     return out.select("id_a", "id_b", "jaccard")
 
 
+def portable_hash64(col: Column, seed: int) -> Column:
+    """60-bit seeded hash computable identically by DuckDB
+    (``('0x' || substr(md5(seed || ':' || x), 1, 15))::BIGINT``) — used
+    when a MinHash pipeline must be oracle-checkable across engines.
+    Slower than xxhash64 (md5 + string ops); production paths default to
+    xxhash64."""
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"{seed}:"), col)), 1, 15), 16, 10
+    ).cast("long")
+
+
+def portable_hash64_sql(expr: str, seed: int) -> str:
+    """DuckDB rendering of :func:`portable_hash64`."""
+    return f"(('0x' || substr(md5('{seed}:' || {expr}), 1, 15))::BIGINT)"
+
+
+def _seeded_hash(col: Column, seed: int, family: str) -> Column:
+    if family == "xxhash64":
+        return F.xxhash64(col, F.lit(seed))
+    if family == "portable":
+        return portable_hash64(col, seed)
+    raise ValueError(f"unknown hash family {family!r}")
+
+
 def minhash_signatures(
-    df: DataFrame, id_col: str, text_col: str, n: int = 3, num_hashes: int = 16
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 16,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """Per-document MinHash signature: ``(id, sig array<long>)`` where
-    ``sig[i] = min over shingles of xxhash64(shingle, seed=i)``.
+    ``sig[i] = min over shingles of hash(shingle, seed=i)``.
     Deterministic (seeded hash family), one explode + one groupBy."""
     sh = shingle_ngrams(df, id_col, text_col, n=n)
     mins = [
-        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
+        F.min(_seeded_hash(F.col("shingle"), i, hash_family)).alias(f"h{i}")
         for i in range(num_hashes)
     ]
     sig = sh.groupBy(id_col).agg(*mins)
@@ -108,6 +137,7 @@ def lsh_candidate_pairs(
     num_bands: int = 4,
     sig_col: str = "sig",
     sig_len: int | None = None,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """Band the signatures and self-join on (band, band-hash): documents
     agreeing on any full band become a candidate pair ``(id_a, id_b)``.
@@ -127,14 +157,11 @@ def lsh_candidate_pairs(
     entries = []
     for b in range(num_bands):
         chunk = F.slice(F.col(sig_col), b * rows_per_band + 1, rows_per_band)
-        entries.append(
-            F.struct(
-                F.lit(b).alias("band"),
-                F.xxhash64(
-                    F.concat_ws(",", *[chunk[i] for i in range(rows_per_band)])
-                ).alias("bucket"),
-            )
+        joined = F.concat_ws(",", *[chunk[i].cast("string") for i in range(rows_per_band)])
+        bucket = (
+            portable_hash64(joined, b) if hash_family == "portable" else F.xxhash64(joined)
         )
+        entries.append(F.struct(F.lit(b).alias("band"), bucket.alias("bucket")))
     banded = signatures.select(
         F.col(id_col), F.explode(F.array(*entries)).alias("__bb")
     ).select(id_col, F.col("__bb.band").alias("band"), F.col("__bb.bucket").alias("bucket"))
@@ -156,6 +183,7 @@ def minhash_dedup_pairs(
     num_hashes: int = 16,
     num_bands: int = 4,
     threshold: float = 0.5,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """Full MinHash-LSH pipeline: signatures → banded candidates →
     exact-Jaccard verification of the CANDIDATES ONLY (per-candidate
@@ -164,7 +192,7 @@ def minhash_dedup_pairs(
     O(candidates), not O(co-occurring pairs))."""
     sh = shingle_ngrams(df, id_col, text_col, n=n).cache()
     mins = [
-        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
+        F.min(_seeded_hash(F.col("shingle"), i, hash_family)).alias(f"h{i}")
         for i in range(num_hashes)
     ]
     sigs = sh.groupBy(id_col).agg(*mins)
@@ -172,7 +200,7 @@ def minhash_dedup_pairs(
         id_col, F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig")
     )
     cands = lsh_candidate_pairs(
-        sigs, id_col, num_bands=num_bands, sig_len=num_hashes
+        sigs, id_col, num_bands=num_bands, sig_len=num_hashes, hash_family=hash_family
     )
     sets = sh.groupBy(id_col).agg(F.collect_set("shingle").alias("sh_set"))
     sa = sets.select(F.col(id_col).alias("id_a"), F.col("sh_set").alias("__sa"))

@@ -1070,6 +1070,61 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, queries_df, "vec_id", "embedding", k=5)
 
 
+def _minhash_portable_oracle(num_hashes: int = 16, num_bands: int = 4, tau: float = 0.2) -> str:
+    from pedsnetdcc_spark.datapipe.dedup import portable_hash64_sql
+
+    h_cols = ", ".join(
+        f"MIN({portable_hash64_sql('shingle', i)}) AS h{i}" for i in range(num_hashes)
+    )
+    rpb = num_hashes // num_bands
+    band_selects = []
+    for b in range(num_bands):
+        joined = " || ',' || ".join(
+            f"h{b * rpb + i}::VARCHAR" for i in range(rpb)
+        )
+        band_selects.append(
+            f"SELECT doc_id, {b} AS band, {portable_hash64_sql(f'({joined})', b)} AS bucket FROM sigs"
+        )
+    banded = "\n        UNION ALL ".join(band_selects)
+    return f"""
+    WITH {_SHINGLE_CTE},
+    sigs AS (SELECT doc_id, {h_cols} FROM sh GROUP BY doc_id),
+    banded AS ({banded}),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM banded a JOIN banded b
+          ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    common AS (
+        SELECT c.id_a, c.id_b, COUNT(*) AS cnt
+        FROM cand c
+        JOIN sh sa ON sa.doc_id = c.id_a
+        JOIN sh sb ON sb.doc_id = c.id_b AND sb.shingle = sa.shingle
+        GROUP BY c.id_a, c.id_b
+    )
+    SELECT c.id_a, c.id_b, cnt * 1.0 / (sa.n + sb.n - cnt) AS jaccard
+    FROM common c
+    JOIN sizes sa ON sa.doc_id = c.id_a
+    JOIN sizes sb ON sb.doc_id = c.id_b
+    WHERE cnt * 1.0 / (sa.n + sb.n - cnt) >= {tau}
+    """
+
+
+@query("minhash_lsh_portable", oracle=_minhash_portable_oracle())
+def q_minhash_lsh_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL MinHash-LSH dedup pipeline (signatures → banded
+    candidates → candidate-local exact verification), oracle-checked end
+    to end via the engine-portable hash family."""
+    from pedsnetdcc_spark.datapipe.dedup import minhash_dedup_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_dedup_pairs(
+        docs, "doc_id", "text", n=3, num_hashes=16, num_bands=4,
+        threshold=0.2, hash_family="portable",
+    )
+
+
 @query("minhash_lsh_dedup")
 def q_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pedsnetdcc_spark.datapipe.dedup import minhash_dedup_pairs
