@@ -219,6 +219,44 @@ def minhash_dedup_pairs(
     return verified.select("id_a", "id_b", "jaccard")
 
 
+def simhash(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    out_col: str = "simhash",
+    bits: int = 64,
+    hash_family: str = "xxhash64",
+) -> DataFrame:
+    """``bits``-wide SimHash over the token stream: token hashed with the
+    chosen family; each bit votes ±(term frequency); signature bit =
+    sign of the vote sum.  Near-duplicates have small Hamming distance.
+    ``hash_family="portable"`` makes the signature oracle-computable by
+    DuckDB (md5-derived hash)."""
+    from pedsnetdcc_spark.util import ensure_parallelism
+
+    df = ensure_parallelism(df)
+    toks = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("tok"))
+    tf = toks.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("w"))
+    h = _seeded_hash(F.col("tok"), 0, hash_family) if hash_family == "portable" else F.xxhash64(F.col("tok"))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, F.col("w")).otherwise(
+                -F.col("w")
+            )
+        ).alias(f"v{i}")
+        for i in range(bits)
+    ]
+    agg = tf.groupBy(id_col).agg(*votes)
+    sig = None
+    for i in range(bits):
+        bit = F.when(F.col(f"v{i}") > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        term = F.shiftleft(bit, i)
+        sig = term if sig is None else sig.bitwiseOR(term)
+    return agg.select(F.col(id_col), sig.alias(out_col))
+
+
 def simhash64(
     df: DataFrame, id_col: str, text_col: str, out_col: str = "simhash"
 ) -> DataFrame:

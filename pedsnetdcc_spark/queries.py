@@ -1135,6 +1135,36 @@ def q_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _simhash_portable_oracle(bits: int = 16) -> str:
+    from pedsnetdcc_spark.datapipe.dedup import portable_hash64_sql
+
+    h = portable_hash64_sql("tok", 0)
+    votes = ", ".join(
+        f"SUM(CASE WHEN (({h}) >> {i}) & 1 = 1 THEN w ELSE -w END) AS v{i}"
+        for i in range(bits)
+    )
+    sig = " + ".join(f"(CASE WHEN v{i} > 0 THEN 1::BIGINT ELSE 0 END << {i})" for i in range(bits))
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ), tf AS (
+        SELECT doc_id, tok, COUNT(*) AS w FROM toks GROUP BY doc_id, tok
+    ), v AS (
+        SELECT doc_id, {votes} FROM tf GROUP BY doc_id
+    )
+    SELECT doc_id, CAST({sig} AS BIGINT) AS simhash FROM v
+    """
+
+
+@query("simhash_portable", oracle=_simhash_portable_oracle())
+def q_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit portable-hash SimHash, oracle-checked bit for bit."""
+    from pedsnetdcc_spark.datapipe.dedup import simhash
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return simhash(docs, "doc_id", "text", bits=16, hash_family="portable")
+
+
 @query("simhash_signatures")
 def q_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pedsnetdcc_spark.datapipe.dedup import simhash64
