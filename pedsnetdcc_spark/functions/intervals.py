@@ -72,6 +72,30 @@ def months_in_interval(start: Column | str, end: Column | str) -> Column:
     return (m.cast("double") + day_frac).cast("double")
 
 
+def register_sql_functions(spark) -> None:
+    """SQL-surface parity: install ``months_in_interval`` as a Spark SQL
+    scalar function (the reference installs its SQL-function family into
+    Postgres at pre-transform time, age_transform.py:10-46,72-82 —
+    SURVEY.md §4 scopes 'one registered function at most').  A pure SQL
+    function body (no UDF) — same anchor arithmetic as
+    :func:`months_in_interval`, usable from ``spark.sql`` queries."""
+    m = (
+        "(YEAR(e) - YEAR(s)) * 12 + MONTH(e) - MONTH(s)"
+        " - (CASE WHEN DAY(e) < DAY(s) THEN 1 ELSE 0 END)"
+    )
+    spark.sql(
+        f"""
+        CREATE OR REPLACE TEMPORARY FUNCTION months_in_interval(s DATE, e DATE)
+        RETURNS DOUBLE
+        RETURN (
+          CAST(({m}) AS DOUBLE)
+          + CAST(DATEDIFF(e, ADD_MONTHS(s, {m})) AS DOUBLE)
+            / CAST(DATEDIFF(ADD_MONTHS(s, ({m}) + 1), ADD_MONTHS(s, {m})) AS DOUBLE)
+        )
+        """
+    )
+
+
 def months_in_interval_sql(start_expr: str, end_expr: str) -> str:
     """ANSI-SQL rendering of :func:`months_in_interval` runnable by both
     Spark SQL and DuckDB — used to build oracle queries.  Date-granular

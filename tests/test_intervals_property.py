@@ -68,6 +68,35 @@ def test_whole_month_boundaries_exact(spark):
         assert got[i] == expect
 
 
+def test_registered_sql_function_matches_expression(spark, sf_dir):
+    from pedsnetdcc_spark.functions.intervals import register_sql_functions
+    from pedsnetdcc_spark.sources.io import read_table
+
+    register_sql_functions(spark)
+    read_table(spark, sf_dir, "orders").createOrReplaceTempView("t_orders")
+    sql_vals = {
+        r["o_orderkey"]: r["m"]
+        for r in spark.sql(
+            "SELECT o_orderkey, months_in_interval(CAST(o_orderdate AS DATE), "
+            "DATE'2002-03-07') AS m FROM t_orders"
+        ).collect()
+    }
+    import pyspark.sql.functions as F2
+
+    expr_vals = {
+        r["o_orderkey"]: r["m"]
+        for r in read_table(spark, sf_dir, "orders")
+        .select(
+            "o_orderkey",
+            months_in_interval(
+                F2.col("o_orderdate").cast("date"), F2.lit("2002-03-07").cast("date")
+            ).alias("m"),
+        )
+        .collect()
+    }
+    assert sql_vals == expr_vals
+
+
 def test_monotone_in_event_date(spark):
     start = dt.date(2010, 6, 15)
     days = [(i, start, start + dt.timedelta(i)) for i in range(0, 1200, 7)]
