@@ -107,6 +107,104 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Multi-join analytics (Catalyst join ordering / broadcast selection
+# showcase — TPC-H Q3/Q5 shapes on the harness schema).  Revenue sums in
+# DECIMAL keep ordering deterministic and engine-identical.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "top_unshipped_orders",
+    oracle="""
+    WITH rev AS (
+        SELECT l.l_orderkey, o.o_orderdate, o.o_orderpriority,
+               CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(20,6)))
+                    AS DECIMAL(30,6)) AS revenue
+        FROM customer c
+        JOIN orders o ON o.o_custkey = c.c_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE c.c_mktsegment = 'BUILDING'
+          AND o.o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+          AND l.l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+        GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    )
+    SELECT * FROM (
+        SELECT rev.*, CAST(ROW_NUMBER() OVER (ORDER BY revenue DESC, l_orderkey) AS INTEGER) AS rk
+        FROM rev
+    ) WHERE rk <= 10
+    """,
+)
+def q_top_unshipped_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp")
+    )
+    rev = (
+        c.join(o, c["c_custkey"] == o["o_custkey"])
+        .join(li, o["o_orderkey"] == li["l_orderkey"])
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(20,6)"
+                )
+            )
+            .cast("decimal(30,6)")
+            .alias("revenue")
+        )
+    )
+    w = Window.orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+    return rev.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= 10)
+
+
+@query(
+    "regional_supplier_volume",
+    oracle="""
+    SELECT n.n_name,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(20,6)))
+                AS DECIMAL(30,6)) AS revenue
+    FROM region r
+    JOIN nation n ON n.n_regionkey = r.r_regionkey
+    JOIN supplier s ON s.s_nationkey = n.n_nationkey
+    JOIN lineitem l ON l.l_suppkey = s.s_suppkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE r.r_name IN ('AMERICA', 'ASIA')
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+    GROUP BY n.n_name
+    """,
+)
+def q_regional_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name").isin("AMERICA", "ASIA"))
+    n = _t(spark, sf_dir, "nation")
+    s = _t(spark, sf_dir, "supplier")
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp")
+    )
+    return (
+        r.join(n, n["n_regionkey"] == r["r_regionkey"])
+        .join(s, s["s_nationkey"] == n["n_nationkey"])
+        .join(li, li["l_suppkey"] == s["s_suppkey"])
+        .join(o, o["o_orderkey"] == li["l_orderkey"])
+        .groupBy("n_name")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(20,6)"
+                )
+            )
+            .cast("decimal(30,6)")
+            .alias("revenue")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Transform chain: dimension-name append (J2) + literal column (P3).
 # ---------------------------------------------------------------------------
 
