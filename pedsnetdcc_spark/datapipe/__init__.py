@@ -17,7 +17,16 @@ from pedsnetdcc_spark.datapipe.dedup import (  # noqa: F401
     exact_dedup_groups,
     ngram_jaccard_pairs,
     minhash_signatures,
+    minhash_dedup_pairs,
     lsh_candidate_pairs,
+    simhash,
     simhash64,
+    hamming64,
+    portable_hash64,
 )
-from pedsnetdcc_spark.datapipe.similarity import cosine_topk  # noqa: F401
+from pedsnetdcc_spark.datapipe.similarity import (  # noqa: F401
+    cosine_topk,
+    embedding_near_dup_pairs,
+    ivf_topk,
+    lsh_bucketed_topk,
+)
