@@ -69,7 +69,17 @@ def asof_match_nearest(
         *keys,
         F.col(right_ts).alias("__ts"),
         *[F.col(c) for c in rc_src],
-    ).withColumn("__side", F.lit(1))
+    )
+    # two right events at the same instant would make the match depend
+    # on sort-tie order (nondeterministic across runs/partitionings —
+    # found by the hypothesis property test); reduce to one row per
+    # (key, ts) taking the lexicographic-min payload
+    r = (
+        r.groupBy(*keys, "__ts")
+        .agg(F.min(F.struct(*rc_src)).alias("__p"))
+        .select(*keys, "__ts", *[F.col(f"__p.{c}").alias(c) for c in rc_src])
+    )
+    r = r.withColumn("__side", F.lit(1))
 
     # align schemas for the union: left carries its full row, right only
     # the key/ts/payload; missing columns are nulled on each side

@@ -803,7 +803,7 @@ _ASOF_TOL_SEC = 259_200  # 3 days
         FROM events e
         WHERE e.event_type = 'view' AND e.user_id = p.user_id
           AND abs(epoch_us(e.ts) - epoch_us(p.ts)) <= CAST({_ASOF_TOL_SEC} AS BIGINT) * 1000000
-        ORDER BY dist, e.ts
+        ORDER BY dist, e.ts, e.value
         LIMIT 1
     ) v ON TRUE
     """,
