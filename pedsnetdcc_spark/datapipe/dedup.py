@@ -48,6 +48,7 @@ def ngram_jaccard_pairs(
     text_col: str,
     n: int = 3,
     threshold: float = 0.5,
+    max_df: int | None = 1000,
 ) -> DataFrame:
     """Exact near-duplicate pairs by word n-gram Jaccard similarity:
     ``(id_a, id_b, jaccard)`` for id_a < id_b, jaccard ≥ threshold.
@@ -56,14 +57,39 @@ def ngram_jaccard_pairs(
     shingle, count common shingles per pair, then
     ``jaccard = common / (|A| + |B| - common)``.
 
+    **Document-frequency cap (the 100 TB guard):** the self-join
+    generates Σ bucket² pairs per shingle bucket, so one shingle shared
+    by d documents costs d²/2 rows — a shingle in 1% of a web corpus is
+    a quadratic bomb.  ``max_df`` drops shingles whose document
+    frequency exceeds the cap from the ENTIRE Jaccard universe (both the
+    pair join and the per-document sizes), so the result is still an
+    exact Jaccard — over informative shingles only.  Near-ubiquitous
+    shingles carry ≈0 bits about near-duplication (they boost both
+    numerator and denominator of every pair equally), so the capped
+    measure tracks the uncapped one closely while bounding bucket size.
+    ``max_df=None`` disables the cap.
+
+    The DF is computed with a window over ``shingle`` — the same
+    partitioning the self-join shuffles on.  Shingles with df == 1 are
+    additionally pruned from the join inputs (they cannot form a pair)
+    but still count toward sizes.
+
     The shingle stream is cached: it feeds the size aggregate and both
     join sides, and without a trailing exchange Catalyst has nothing to
     reuse across those references (observed 4× recompute).
     """
-    sh = shingle_ngrams(df, id_col, text_col, n=n).cache()
+    from pyspark.sql import Window
+
+    sh = shingle_ngrams(df, id_col, text_col, n=n)
+    dfc = F.count(F.lit(1)).over(Window.partitionBy("shingle"))
+    sh = sh.withColumn("__df", dfc)
+    if max_df is not None:
+        sh = sh.where(F.col("__df") <= max_df)
+    sh = sh.cache()
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
-    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    joinable = sh.where(F.col("__df") >= 2)  # df==1 cannot form a pair
+    a = joinable.select(F.col(id_col).alias("id_a"), "shingle")
+    b = joinable.select(F.col(id_col).alias("id_b"), "shingle")
     common = (
         a.join(b, "shingle")
         .where(F.col("id_a") < F.col("id_b"))

@@ -72,8 +72,11 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # Flagship: pricing summary (scan → filter → hash aggregate; SURVEY §2.4).
-# Sums are computed in DECIMAL so Spark and the oracle agree bit-for-bit
-# (double summation is order-dependent; decimal addition is exact).
+# Sums are ACCUMULATED in DECIMAL so Spark and the oracle agree bit-for-bit
+# (double summation is order-dependent; decimal addition is exact), then the
+# final, already-exact value is cast to DOUBLE on both sides so the driver's
+# canonicalizer sees one dtype (DuckDB's client returns float64 for DECIMAL,
+# Spark returns Decimal objects — identical values, different hash).
 # ---------------------------------------------------------------------------
 
 
@@ -81,8 +84,8 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     "pricing_summary",
     oracle="""
     SELECT l_returnflag, l_linestatus,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(20,4))) AS DECIMAL(30,4)) AS sum_qty,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,4))) AS DECIMAL(30,4)) AS sum_base_price,
+           CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(20,4))) AS DECIMAL(30,4)) AS DOUBLE) AS sum_qty,
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,4))) AS DECIMAL(30,4)) AS DOUBLE) AS sum_base_price,
            CAST(COUNT(*) AS BIGINT) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -97,9 +100,11 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.sum(F.col("l_quantity").cast("decimal(20,4)"))
             .cast("decimal(30,4)")
+            .cast("double")
             .alias("sum_qty"),
             F.sum(F.col("l_extendedprice").cast("decimal(20,4)"))
             .cast("decimal(30,4)")
+            .cast("double")
             .alias("sum_base_price"),
             F.count(F.lit(1)).alias("count_order"),
         )
@@ -118,8 +123,8 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH rev AS (
         SELECT l.l_orderkey, o.o_orderdate, o.o_orderpriority,
-               CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(20,6)))
-                    AS DECIMAL(30,6)) AS revenue
+               CAST(CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(20,6)))
+                    AS DECIMAL(30,6)) AS DOUBLE) AS revenue
         FROM customer c
         JOIN orders o ON o.o_custkey = c.c_custkey
         JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -155,6 +160,7 @@ def q_top_unshipped_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             )
             .cast("decimal(30,6)")
+            .cast("double")
             .alias("revenue")
         )
     )
@@ -166,8 +172,8 @@ def q_top_unshipped_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     "regional_supplier_volume",
     oracle="""
     SELECT n.n_name,
-           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(20,6)))
-                AS DECIMAL(30,6)) AS revenue
+           CAST(CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(20,6)))
+                AS DECIMAL(30,6)) AS DOUBLE) AS revenue
     FROM region r
     JOIN nation n ON n.n_regionkey = r.r_regionkey
     JOIN supplier s ON s.s_nationkey = n.n_nationkey
@@ -199,6 +205,7 @@ def q_regional_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             )
             .cast("decimal(30,6)")
+            .cast("double")
             .alias("revenue")
         )
     )
@@ -1071,12 +1078,20 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "ngram_jaccard_dedup",
+    # Jaccard over the DF-capped shingle universe (max_df=100): shingles
+    # in >100 docs are dropped from BOTH the pair join and the sizes, so
+    # the capped measure is still an exact Jaccard the oracle replicates.
     oracle=f"""
     WITH {_SHINGLE_CTE},
-    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    dfreq AS (SELECT shingle, COUNT(*) AS dfc FROM sh GROUP BY shingle),
+    kept AS (
+        SELECT sh.doc_id, sh.shingle
+        FROM sh JOIN dfreq USING (shingle) WHERE dfreq.dfc <= 100
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM kept GROUP BY doc_id),
     pairs AS (
         SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
-        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
         GROUP BY a.doc_id, b.doc_id
     )
     SELECT id_a, id_b,
@@ -1091,7 +1106,7 @@ def q_ngram_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pedsnetdcc_spark.datapipe.dedup import ngram_jaccard_pairs
 
     docs = _t(spark, sf_dir, "documents")
-    return ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.2)
+    return ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.2, max_df=100)
 
 
 @query(
@@ -1282,11 +1297,55 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("multimodal_features")
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full multimodal pipeline on REAL PNG payloads: text → encode_png
+    (zlib, spec-conformant) → binary column → decode (chunk walk +
+    inflate + un-filter) → pixel-histogram features.  The features array
+    is serialized to a CSV string so every output column is hashable by
+    the driver's canonicalizer (arrays are not)."""
     from pedsnetdcc_spark.datapipe.multimodal import (
         extract_media_features,
-        with_binary_payload,
+        with_png_payload,
     )
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    media = with_binary_payload(docs, "text")
-    return extract_media_features(media, "doc_id")
+    media = with_png_payload(docs, "doc_id", "text")
+    feats = extract_media_features(media, "doc_id", fake_decode=False)
+    return feats.select(
+        "doc_id",
+        "fmt",
+        "width",
+        "height",
+        "bit_depth",
+        F.concat_ws(
+            ",", F.transform("features", lambda x: F.format_number(x, 6))
+        ).alias("features_csv"),
+    )
+
+
+@query(
+    "multimodal_png_meta",
+    # The oracle recomputes the harness's deterministic PNG geometry
+    # (width = 1 + n % 61, height = ceil(n / width) over the UTF-8 byte
+    # length) straight from the text — Spark's numbers instead come from
+    # PARSING THE ACTUAL PNG BYTES it encoded, so a match proves the
+    # encode→decode round-trip bit-for-bit.
+    oracle="""
+    SELECT doc_id,
+           CAST('png' AS VARCHAR) AS fmt,
+           CAST(1 + octet_length(encode(text)) % 61 AS INTEGER) AS width,
+           CAST(GREATEST(1, CEIL(octet_length(encode(text)) * 1.0
+                / (1 + octet_length(encode(text)) % 61))) AS INTEGER) AS height,
+           CAST(8 AS INTEGER) AS bit_depth
+    FROM documents
+    """,
+)
+def q_multimodal_png_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pedsnetdcc_spark.datapipe.multimodal import (
+        extract_media_features,
+        with_png_payload,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    media = with_png_payload(docs, "doc_id", "text")
+    feats = extract_media_features(media, "doc_id", fake_decode=False)
+    return feats.select("doc_id", "fmt", "width", "height", "bit_depth")
