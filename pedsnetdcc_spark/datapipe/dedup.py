@@ -69,30 +69,55 @@ def ngram_jaccard_pairs(
     measure tracks the uncapped one closely while bounding bucket size.
     ``max_df=None`` disables the cap.
 
-    The DF is computed with a window over ``shingle`` — the same
-    partitioning the self-join shuffles on.  Shingles with df == 1 are
-    additionally pruned from the join inputs (they cannot form a pair)
-    but still count toward sizes.
+    Plan shape (chosen over the naive posting-list self-join, which was
+    ~2× slower):
 
-    The shingle stream is cached: it feeds the size aggregate and both
-    join sides, and without a trailing exchange Catalyst has nothing to
-    reuse across those references (observed 4× recompute).
+    1. ``dfreq``: hash-aggregate DF per shingle (map-side partial agg);
+       filter to ``df ≤ max_df``.  COUNT FIRST, COLLECT LATER — the
+       per-shingle id lists are only materialized after the cap, so no
+       executor ever holds an unbounded bucket in memory.
+    2. join the posting stream to the surviving shingles (AQE picks a
+       broadcast when the surviving-dfreq side is small — the common
+       case; at 100 TB it degrades to a co-partitioned shuffle join on
+       the same key the aggregates below reuse).
+    3. bucket ids per shingle (``collect_list``, bounded by ``max_df``),
+       emit each bucket's C(d,2) ordered pairs with one array-HOF
+       explode — half the shuffled bytes of a self-join, no join at all.
+    4. count common shingles per pair, then attach per-doc sizes.
+
+    Shingles with df == 1 still count toward sizes (the Jaccard
+    denominator) but are pruned before pair generation — they cannot
+    form a pair.  With ``max_df=None`` step 3's buckets are unbounded;
+    only disable the cap on corpora known to have no hot shingles.
+
+    The shingle stream is cached: it feeds the DF aggregate and the
+    posting join, and without a trailing exchange Catalyst has nothing
+    to reuse across those references (observed 4× recompute).
     """
-    from pyspark.sql import Window
-
-    sh = shingle_ngrams(df, id_col, text_col, n=n)
-    dfc = F.count(F.lit(1)).over(Window.partitionBy("shingle"))
-    sh = sh.withColumn("__df", dfc)
+    sh = shingle_ngrams(df, id_col, text_col, n=n).cache()
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
     if max_df is not None:
-        sh = sh.where(F.col("__df") <= max_df)
-    sh = sh.cache()
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
-    joinable = sh.where(F.col("__df") >= 2)  # df==1 cannot form a pair
-    a = joinable.select(F.col(id_col).alias("id_a"), "shingle")
-    b = joinable.select(F.col(id_col).alias("id_b"), "shingle")
+        dfreq = dfreq.where(F.col("__df") <= max_df)
+    kept = sh.join(dfreq, "shingle")
+    sizes = kept.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    buckets = (
+        kept.where(F.col("__df") >= 2)  # df==1 cannot form a pair
+        .groupBy("shingle")
+        .agg(F.array_sort(F.collect_list(id_col)).alias("ids"))
+    )
+    ids = F.col("ids")
+    pair_structs = F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + 2, F.size(ids)),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
     common = (
-        a.join(b, "shingle")
-        .where(F.col("id_a") < F.col("id_b"))
+        buckets.select(F.explode(pair_structs).alias("p"))
+        .select("p.id_a", "p.id_b")
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("common"))
     )

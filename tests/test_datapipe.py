@@ -291,3 +291,28 @@ def test_real_png_pipeline_on_spark(spark, docs):
         assert r["height"] == max(1, -(-n // width))
         assert r["bit_depth"] == 8
         assert abs(sum(r["features"]) - 1.0) < 1e-9
+
+
+def test_ngram_df_cap_drops_ubiquitous_shingle(spark):
+    from pedsnetdcc_spark.datapipe.dedup import ngram_jaccard_pairs
+
+    # 60 docs that all share one ubiquitous trigram but are otherwise
+    # unique; 2 genuine near-duplicates.  Uncapped, the hot shingle
+    # makes every doc pair a candidate (C(60,2) = 1770 pair rows);
+    # capped, only the true near-dup pair survives shingle joins.
+    rows = [(i, f"common shingle here unique{i} word{i} tail{i}") for i in range(60)]
+    rows.append((100, "alpha beta gamma delta epsilon zeta"))
+    rows.append((101, "alpha beta gamma delta epsilon eta"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    capped = ngram_jaccard_pairs(df, "doc_id", "text", n=3, threshold=0.3, max_df=50)
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in capped.collect()}
+    assert set(got) == {(100, 101)}
+    # 4 shingles each, 3 shared (all df==2, under cap): j = 3/(4+4-3)
+    assert abs(got[(100, 101)] - 3 / 5) < 1e-12
+
+    # uncapped, the ubiquitous shingle links every pair of the 60 docs
+    # (jaccard tiny, filtered by threshold) — result identical here, but
+    # the pair stream is quadratic; cap keeps it linear.
+    uncapped = ngram_jaccard_pairs(df, "doc_id", "text", n=3, threshold=0.3, max_df=None)
+    assert {(r["id_a"], r["id_b"]) for r in uncapped.collect()} == {(100, 101)}
