@@ -282,6 +282,28 @@ def q_interval_months(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "interval_months_monthend",
+    oracle=f"""
+    SELECT o_orderkey,
+           {months_in_interval_sql("LAST_DAY(CAST(o_orderdate AS DATE))", "DATE '2003-02-28'")} AS age_months
+    FROM orders
+    """,
+)
+def q_interval_months_monthend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-end-start stress for the Postgres age() semantics: every
+    interval starts on LAST_DAY(o_orderdate), so the clamp/borrow paths
+    (start-month-length day borrow, sequentially-clamped anchors) are
+    exercised on every row."""
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    start = F.last_day(F.col("o_orderdate").cast("date"))
+    end = F.lit("2003-02-28").cast("date")
+    return orders.select(
+        "o_orderkey",
+        months_in_interval(start, end).alias("age_months"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Era derivation (W3/J7/J8/A3): window sessionization vs the reference's
 # own OHDSI 2*s-o=0 construction run verbatim by DuckDB — this oracle IS
