@@ -93,6 +93,71 @@ def transform_cdm_table(
     return with_literal_column(out, SITE_COLUMN, site)
 
 
+# --- RECOVER cohort configuration (recover_cohort.py:12-201) ---
+
+
+def build_recover_cohort(
+    measurement: DataFrame,
+    condition_occurrence: DataFrame,
+    visit_occurrence: DataFrame,
+    procedure_occurrence: DataFrame,
+    immunization: DataFrame,
+    drug_exposure: DataFrame,
+) -> DataFrame:
+    """The concrete RECOVER cohort over the six reference branches
+    (reference recover_cohort.py:12-201 RECOVER_COHORT_SQL): COVID lab
+    measurements, COVID/MIS-C/PASC diagnoses, respiratory diagnoses
+    with a visit starting on/after 2019-01-01 (the SQL's date literal —
+    its comment says 2020, the code says 2019; we follow the code),
+    vaccine procedures, CVX immunizations, and vaccine drug exposures.
+    Concept sets live in :mod:`pedsnetdcc_spark.recover_concepts`.
+
+    Scale: each branch is a filtered distinct-key projection (map-side
+    partial agg before one shuffle); the respiratory branch's visit
+    join filters visits BEFORE joining so only post-2019 visit keys
+    shuffle."""
+    from pedsnetdcc_spark import recover_concepts as rc
+    from pedsnetdcc_spark.operators.cohort import distinct_cohort
+
+    visits_2019 = visit_occurrence.where(
+        F.col("visit_start_date") >= F.lit(rc.RESP_DX_VISIT_START_MIN).cast("date")
+    ).select("visit_occurrence_id")
+    resp = condition_occurrence.where(
+        F.col("condition_concept_id").isin(list(rc.RESP_DX_CONCEPT_IDS))
+    ).join(visits_2019, "visit_occurrence_id")
+    domains = [
+        (
+            measurement,
+            "person_id",
+            F.col("measurement_concept_id").isin(list(rc.COVID_LAB_CONCEPT_IDS)),
+        ),
+        (
+            condition_occurrence,
+            "person_id",
+            F.col("condition_concept_id").isin(list(rc.COVID_DX_CONCEPT_IDS)),
+        ),
+        (resp, "person_id", None),
+        (
+            procedure_occurrence,
+            "person_id",
+            F.col("procedure_concept_id").isin(
+                list(rc.COVID_VAX_PROCEDURE_CONCEPT_IDS)
+            ),
+        ),
+        (
+            immunization,
+            "person_id",
+            F.col("immunization_concept_id").isin(list(rc.COVID_VAX_CVX_CONCEPT_IDS)),
+        ),
+        (
+            drug_exposure,
+            "person_id",
+            F.col("drug_concept_id").isin(list(rc.COVID_VAX_DRUG_CONCEPT_IDS)),
+        ),
+    ]
+    return distinct_cohort(domains)
+
+
 # --- era configurations (era.py) ---
 
 CONDITION_ERA_GAP_DAYS = 30

@@ -283,6 +283,67 @@ def q_interval_months(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "covid_post_shape",
+    # The r_obs_covid post-processing join shape on harness tables:
+    # multiple aliased LEFT joins to one dimension filling name columns
+    # (reference r_obs_covid.py:26-49) + the person join computing
+    # months_in_interval ages (:66-117).  Events stand in for the
+    # derivation output, part for concept, first-order-date for birth.
+    oracle=f"""
+    WITH derived AS (
+        SELECT event_id, user_id, CAST(ts AS DATE) AS obs_date,
+               1 + event_id % 200 AS obs_concept_id,
+               1 + event_id % 50 AS unit_concept_id
+        FROM events WHERE event_type = 'click'
+    ),
+    person AS (
+        SELECT o_custkey AS user_id, CAST(MIN(o_orderdate) AS DATE) AS birth_date
+        FROM orders GROUP BY o_custkey
+    )
+    SELECT d.event_id,
+           p1.p_name AS obs_concept_name,
+           p2.p_name AS unit_concept_name,
+           {months_in_interval_sql('pr.birth_date', 'd.obs_date')} AS obs_age_months
+    FROM derived d
+    LEFT JOIN part p1 ON p1.p_partkey = d.obs_concept_id
+    LEFT JOIN part p2 ON p2.p_partkey = d.unit_concept_id
+    JOIN person pr ON pr.user_id = d.user_id
+    """,
+)
+def q_covid_post_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pedsnetdcc_spark.plans.derivations import fill_age_in_months, fill_concept_names
+
+    ev = _t(spark, sf_dir, "events").where(F.col("event_type") == "click")
+    derived = ev.select(
+        "event_id",
+        "user_id",
+        F.col("ts").cast("date").alias("obs_date"),
+        (1 + F.col("event_id") % 200).alias("obs_concept_id"),
+        (1 + F.col("event_id") % 50).alias("unit_concept_id"),
+    )
+    part = _t(spark, sf_dir, "part")
+    person = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("user_id"))
+        .agg(F.min("o_orderdate").cast("date").alias("birth_date"))
+    )
+    named = fill_concept_names(
+        derived,
+        part,
+        {"obs_concept_id": "obs_concept_name", "unit_concept_id": "unit_concept_name"},
+        key_col="p_partkey",
+        name_col="p_name",
+    )
+    aged = fill_age_in_months(
+        named, person, "obs_date", "obs_age_months",
+        key="user_id", birth_col="birth_date", broadcast=False,
+    )
+    return aged.select(
+        "event_id", "obs_concept_name", "unit_concept_name", "obs_age_months"
+    )
+
+
+@query(
     "interval_months_monthend",
     oracle=f"""
     SELECT o_orderkey,
@@ -569,6 +630,93 @@ def q_group_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _ID_BASE = 1_000_000
+
+
+@query(
+    "id_mapping_varchar",
+    # PCORnet path (reference id_mapping_transform.py:193-196 site_id_type
+    # = String(256); subset_pcornet_by_cohort.py patid keys): the map's
+    # site_id is a VARCHAR patid.  Lexicographic numbering matches between
+    # engines because both sort strings by binary codepoint and the zero-
+    # padded patid makes that order total.
+    oracle="""
+    WITH pat AS (
+        SELECT o_orderkey, 'P' || lpad(CAST(o_custkey AS VARCHAR), 12, '0') AS patid
+        FROM orders
+    ),
+    idmap AS (
+        SELECT patid AS site_id,
+               CAST(ROW_NUMBER() OVER (ORDER BY patid) AS BIGINT) AS dcc_id
+        FROM (SELECT DISTINCT patid FROM pat)
+    )
+    SELECT p.o_orderkey, CAST(m.dcc_id AS BIGINT) AS patid,
+           p.patid AS site_patid
+    FROM pat p JOIN idmap m ON p.patid = m.site_id
+    """,
+)
+def q_id_mapping_varchar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.concat(F.lit("P"), F.lpad(F.col("o_custkey").cast("string"), 12, "0")).alias(
+            "patid"
+        ),
+    )
+    alloc = IdAllocator(tempfile.mktemp(suffix=".json"))
+    id_map = build_id_map(orders, None, "patid", alloc, "pcornet_person", mode="window")
+    out = remap_keys(orders, id_map, "patid", nullable=False, keep_site_col="site_patid")
+    return out.select(
+        "o_orderkey", F.col("patid").cast("long").alias("patid"), "site_patid"
+    )
+
+
+@query(
+    "id_map_extend_varchar",
+    # External-id mapper parity (reference external_id_mapper.py:48-155):
+    # reuse-then-allocate on VARCHAR keys.  An initial map covers the
+    # even customer patids; the extension run maps ALL patids — existing
+    # pairs must be reused untouched, new (odd) keys numbered after the
+    # old allocator high-water mark in site_id order.
+    oracle="""
+    WITH pat AS (
+        SELECT DISTINCT 'P' || lpad(CAST(c_custkey AS VARCHAR), 12, '0') AS site_id,
+               c_custkey
+        FROM customer
+    ),
+    first AS (
+        SELECT site_id,
+               CAST(ROW_NUMBER() OVER (ORDER BY site_id) AS BIGINT) AS dcc_id
+        FROM pat WHERE c_custkey % 2 = 0
+    ),
+    ext AS (
+        SELECT p.site_id,
+               (SELECT COUNT(*) FROM first)
+                 + ROW_NUMBER() OVER (ORDER BY p.site_id) AS dcc_id
+        FROM pat p LEFT JOIN first f ON p.site_id = f.site_id
+        WHERE f.site_id IS NULL
+    )
+    SELECT site_id, CAST(dcc_id AS BIGINT) AS dcc_id FROM first
+    UNION ALL
+    SELECT site_id, CAST(dcc_id AS BIGINT) AS dcc_id FROM ext
+    """,
+)
+def q_id_map_extend_varchar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    customer = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.concat(F.lit("P"), F.lpad(F.col("c_custkey").cast("string"), 12, "0")).alias(
+            "patid"
+        ),
+    )
+    alloc = IdAllocator(tempfile.mktemp(suffix=".json"))
+    first = build_id_map(
+        customer.where(F.col("c_custkey") % 2 == 0), None, "patid", alloc,
+        "pcornet_customer", mode="window",
+    )
+    full = build_id_map(customer, first, "patid", alloc, "pcornet_customer", mode="window")
+    return full.select("site_id", F.col("dcc_id").cast("long").alias("dcc_id"))
 
 
 @query(

@@ -110,3 +110,39 @@ def test_drug_era_rollup_and_days_supply(spark):
     assert str(r["drug_era_end_date"]) == "2020-01-21"
     assert r["drug_exposure_count"] == 2
     assert r["gap_days"] == 30
+
+
+def test_build_recover_cohort(spark):
+    import datetime as dt
+
+    from pedsnetdcc_spark.cdm import build_recover_cohort
+
+    meas = spark.createDataFrame(
+        [(1, 586516), (2, 9999)], "person_id long, measurement_concept_id long"
+    )
+    cond = spark.createDataFrame(
+        [(3, 320651, 100), (4, 8689, 101), (5, 8689, 102), (6, 777, 103)],
+        "person_id long, condition_concept_id long, visit_occurrence_id long",
+    )
+    visits = spark.createDataFrame(
+        [
+            (101, dt.date(2020, 5, 1)),   # resp dx, in window -> person 4
+            (102, dt.date(2018, 12, 31)), # resp dx, before window -> excluded
+            (103, dt.date(2021, 1, 1)),
+        ],
+        "visit_occurrence_id long, visit_start_date date",
+    )
+    proc = spark.createDataFrame(
+        [(7, 759428), (8, 1)], "person_id long, procedure_concept_id long"
+    )
+    imm = spark.createDataFrame(
+        [(9, 702677)], "person_id long, immunization_concept_id long"
+    )
+    drug = spark.createDataFrame(
+        [(10, 739902), (1, 739902)], "person_id long, drug_concept_id long"
+    )
+    cohort = build_recover_cohort(meas, cond, visits, proc, imm, drug)
+    got = sorted(r["person_id"] for r in cohort.collect())
+    # 1 from lab (deduped with vaccine drug), 3 covid dx, 4 resp+visit,
+    # 7 vax procedure, 9 CVX, 10 vax drug; 2/5/6/8 excluded
+    assert got == [1, 3, 4, 7, 9, 10]
