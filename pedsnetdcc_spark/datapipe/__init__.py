@@ -21,6 +21,7 @@ from pedsnetdcc_spark.datapipe.dedup import (  # noqa: F401
     lsh_candidate_pairs,
     simhash,
     simhash64,
+    simhash_near_dup_pairs,
     hamming64,
     portable_hash64,
 )
@@ -29,4 +30,5 @@ from pedsnetdcc_spark.datapipe.similarity import (  # noqa: F401
     embedding_near_dup_pairs,
     ivf_topk,
     lsh_bucketed_topk,
+    train_kmeans_centroids,
 )

@@ -342,3 +342,76 @@ def simhash64(
 def hamming64(a: Column, b: Column) -> Column:
     """Popcount of XOR — Hamming distance between two 64-bit signatures."""
     return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    bits: int = 64,
+    num_bands: int | None = None,
+    hash_family: str = "xxhash64",
+) -> DataFrame:
+    """SimHash near-duplicate pairs at scale: ``(id_a, id_b, hamming)``
+    for id_a < id_b with Hamming distance ≤ ``max_hamming``.
+
+    Block-and-band candidate generation: the ``bits``-wide signature is
+    split into ``num_bands`` contiguous blocks; by pigeonhole, two
+    signatures within Hamming distance d ≤ num_bands−1 agree EXACTLY on
+    at least one block, so a self-join on (band, block) equality finds
+    every true pair — the banding is lossless (no false negatives),
+    unlike probabilistic MinHash banding.  Candidates are then verified
+    with an exact popcount, so the result is IDENTICAL to the n²
+    all-pairs Hamming join while only ever materializing
+    Σ per-(band,block) bucket² pairs.
+
+    ``num_bands`` defaults to ``max_hamming + 1`` (the pigeonhole
+    minimum).  More bands → smaller blocks → more false-positive
+    candidates; fewer bands than ``max_hamming + 1`` would lose pairs,
+    so it is rejected.
+    """
+    if num_bands is None:
+        num_bands = max_hamming + 1
+    if num_bands < max_hamming + 1:
+        raise ValueError(
+            f"num_bands={num_bands} < max_hamming+1={max_hamming + 1}: "
+            "pigeonhole completeness needs at least max_hamming+1 bands"
+        )
+    if num_bands > bits:
+        raise ValueError(f"num_bands={num_bands} > bits={bits}")
+    sigs = simhash(df, id_col, text_col, bits=bits, hash_family=hash_family)
+    width = bits // num_bands
+    entries = []
+    for b in range(num_bands):
+        start = b * width
+        w = width if b < num_bands - 1 else bits - start
+        block = F.shiftrightunsigned(F.col("simhash"), start)
+        if w < 64:
+            block = block.bitwiseAND(F.lit((1 << w) - 1))
+        entries.append(F.struct(F.lit(b).alias("band"), block.alias("block")))
+    banded = sigs.select(
+        F.col(id_col), F.col("simhash"), F.explode(F.array(*entries)).alias("__bb")
+    ).select(
+        id_col,
+        "simhash",
+        F.col("__bb.band").alias("band"),
+        F.col("__bb.block").alias("block"),
+    )
+    a = banded.select(
+        F.col(id_col).alias("id_a"), F.col("simhash").alias("__ha"), "band", "block"
+    )
+    b2 = banded.select(
+        F.col(id_col).alias("id_b"), F.col("simhash").alias("__hb"), "band", "block"
+    )
+    cands = (
+        a.join(b2, ["band", "block"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "__ha", "__hb")
+        .distinct()  # a pair can collide in several bands
+    )
+    return (
+        cands.withColumn("hamming", hamming64(F.col("__ha"), F.col("__hb")))
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -154,6 +154,96 @@ def embedding_near_dup_pairs(
     return sims.where(F.col("cosine") >= threshold)
 
 
+def train_kmeans_centroids(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 16,
+    sample_size: int = 4096,
+    iters: int = 10,
+    seed: int = 0,
+) -> np.ndarray:
+    """Deterministic sampled spherical k-means: Lloyd iterations on a
+    bounded driver sample, cosine objective (unit-normalized points and
+    centroids, assignment by max dot product).
+
+    The sample is the ``sample_size`` rows with the smallest
+    ``xxhash64(id, seed)`` — partition-independent (same sample whatever
+    the layout), and ``orderBy(...).limit(n)`` compiles to
+    TakeOrderedAndProject: each task keeps its local top-n and the
+    driver merges, so there is no full sort and no shuffle even on a
+    100 TB table.  Init is seeded k-means++ on the sample.  Returns a
+    unit-normalized ``(k, dim)`` array.
+    """
+    rows = (
+        df.select(
+            F.col(vec_col).cast("array<double>").alias("__v"),
+            F.xxhash64(F.col(id_col), F.lit(seed)).alias("__h"),
+        )
+        .orderBy("__h")
+        .limit(sample_size)
+        .collect()
+    )
+    X = np.stack([r["__v"] for r in rows]).astype(np.float64)
+    n = np.linalg.norm(X, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    Xn = X / n
+    k = min(k, len(Xn))
+    rng = np.random.RandomState(seed)
+    # k-means++ init under cosine distance (1 - dot on unit vectors)
+    idx = [int(rng.randint(len(Xn)))]
+    for _ in range(1, k):
+        d = 1.0 - np.max(Xn @ Xn[idx].T, axis=1)
+        d = np.clip(d, 0.0, None)
+        total = d.sum()
+        if total <= 0:
+            probs = np.full(len(Xn), 1.0 / len(Xn))
+        else:
+            probs = d / total
+        idx.append(int(rng.choice(len(Xn), p=probs)))
+    C = Xn[idx].copy()
+    for _ in range(iters):
+        assign = (Xn @ C.T).argmax(axis=1)
+        for j in range(k):
+            members = Xn[assign == j]
+            if len(members):
+                C[j] = members.mean(axis=0)
+        cn = np.linalg.norm(C, axis=1, keepdims=True)
+        cn[cn == 0] = 1.0
+        C = C / cn
+    return C
+
+
+def _cell_assign_udfs(C: np.ndarray, nprobe: int):
+    """Arrow-batched assignment against a CLOSURE-CAPTURED centroid
+    matrix: one ``(batch, dim) @ (dim, k)`` matmul per Arrow batch —
+    the centroids ride to executors inside the serialized UDF (they are
+    k×dim floats, trivially broadcastable), so assignment is a
+    shuffle-free scan instead of a crossJoin + window pass.
+    Ties break toward the lowest centroid index (argmax-first /
+    stable argsort), deterministically."""
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    @F.pandas_udf("int")
+    def assign_cell(v: pd.Series) -> pd.Series:
+        X = np.stack(v.values).astype(np.float64)
+        n = np.linalg.norm(X, axis=1, keepdims=True)
+        n[n == 0] = 1.0
+        sims = (X / n) @ C.T
+        return pd.Series(sims.argmax(axis=1).astype(np.int32))
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def probe_cells(v: pd.Series) -> pd.Series:
+        X = np.stack(v.values).astype(np.float64)
+        n = np.linalg.norm(X, axis=1, keepdims=True)
+        n[n == 0] = 1.0
+        sims = (X / n) @ C.T
+        order = np.argsort(-sims, axis=1, kind="stable")[:, :nprobe]
+        return pd.Series(list(order.astype(np.int32)))
+
+    return assign_cell, probe_cells
+
+
 def ivf_topk(
     candidates: DataFrame,
     queries: DataFrame,
@@ -162,55 +252,47 @@ def ivf_topk(
     k: int = 5,
     n_centroids: int = 16,
     nprobe: int = 4,
+    sample_size: int = 4096,
+    iters: int = 10,
+    seed: int = 0,
+    centroids: np.ndarray | None = None,
 ) -> DataFrame:
-    """IVF-style approximate top-k: deterministic centroids (the first
-    ``n_centroids`` vectors by id — a real deployment trains k-means;
-    the partition/probe shape is identical), each vector assigned to its
-    nearest centroid, each query probing its ``nprobe`` nearest
-    centroid cells.
+    """IVF approximate top-k: sampled-k-means centroids
+    (:func:`train_kmeans_centroids`), each candidate assigned to its
+    single nearest cell, each query probing its ``nprobe`` nearest
+    cells; exact cosine within the probed cells.
 
-    Scale: the centroid table broadcasts; candidate assignment is one
-    scan; the probe join is cell-local, bounding per-query comparisons
-    to ~``nprobe/n_centroids`` of the corpus.
+    Scale shape: training is one TakeOrdered sample + driver Lloyd
+    (centroids are k×dim — tiny); assignment is a shuffle-free scan
+    (centroids closure-broadcast into an Arrow-batched argmax UDF);
+    the probe join is cell-local, bounding per-query comparisons to
+    ~``nprobe/n_centroids`` of the corpus.  A candidate lives in
+    exactly one cell, so no candidate-pair dedup pass is needed.
+    Pass ``centroids`` to reuse a trained codebook across calls.
     """
-    cents = (
-        candidates.orderBy(id_col)
-        .limit(n_centroids)
-        .select(
-            F.col(id_col).alias("centroid_id"),
-            F.col(vec_col).cast("array<double>").alias("__cent"),
+    if centroids is None:
+        centroids = train_kmeans_centroids(
+            candidates, id_col, vec_col, k=n_centroids,
+            sample_size=sample_size, iters=iters, seed=seed,
         )
-    )
+    C = np.asarray(centroids, dtype=np.float64)
+    assign_cell, probe_cells = _cell_assign_udfs(C, nprobe)
     c = candidates.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("__cv"),
+    ).withColumn("centroid_id", assign_cell(F.col("__cv")))
+    qa = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).cast("array<double>").alias("__qv"),
+        )
+        .withColumn("__cells", probe_cells(F.col("__qv")))
+        .select("query_id", "__qv", F.explode("__cells").alias("centroid_id"))
     )
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).cast("array<double>").alias("__qv"),
-    )
-    # assign candidates to their single nearest centroid
-    ca = c.crossJoin(F.broadcast(cents)).select(
-        "neighbor_id", "__cv", "centroid_id",
-        _cosine_batch(F.col("__cv"), F.col("__cent")).alias("__cs"),
-    )
-    w = Window.partitionBy("neighbor_id").orderBy(F.col("__cs").desc(), "centroid_id")
-    ca = ca.withColumn("__r", F.row_number().over(w)).where(F.col("__r") == 1).select(
-        "neighbor_id", "__cv", "centroid_id"
-    )
-    # queries probe their nprobe nearest cells
-    qa = q.crossJoin(F.broadcast(cents)).select(
-        "query_id", "__qv", "centroid_id",
-        _cosine_batch(F.col("__qv"), F.col("__cent")).alias("__qs"),
-    )
-    wq = Window.partitionBy("query_id").orderBy(F.col("__qs").desc(), "centroid_id")
-    qa = qa.withColumn("__r", F.row_number().over(wq)).where(
-        F.col("__r") <= nprobe
-    ).select("query_id", "__qv", "centroid_id")
-    pairs = ca.join(F.broadcast(qa), "centroid_id").where(
+    pairs = c.join(F.broadcast(qa), "centroid_id").where(
         F.col("neighbor_id") != F.col("query_id")
     )
-    sims = pairs.dropDuplicates(["query_id", "neighbor_id"]).select(
+    sims = pairs.select(
         "query_id", "neighbor_id",
         _cosine_batch(F.col("__qv"), F.col("__cv")).alias("cosine"),
     )
@@ -283,6 +365,7 @@ def lsh_bucketed_topk(
     bits: int = 4,
     tables: int = 8,
     probe_hamming1: bool = True,
+    dim: int | None = None,
 ) -> DataFrame:
     """Approximate top-k via multi-table hyperplane LSH: ``tables``
     independent sketches of ``bits`` bits each; a candidate is scored if
@@ -301,8 +384,11 @@ def lsh_bucketed_topk(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("__qv"),
     )
-    first = q.select(F.size("__qv").alias("d")).first()
-    dim = first["d"] if first else 64
+    if dim is None:
+        # fallback only — pass ``dim`` to keep plan construction
+        # action-free (a .first() here runs a driver job per call)
+        first = q.select(F.size("__qv")).first()
+        dim = first[0] if first else 64
 
     # one vectorized pass per side computes every table's bucket
     sk = hyperplane_sketches_batch(bits, tables, dim)

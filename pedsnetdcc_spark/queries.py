@@ -1456,13 +1456,54 @@ def q_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash64(docs, "doc_id", "text")
 
 
+def _simhash_near_dup_oracle(bits: int = 16, max_hamming: int = 2) -> str:
+    """Brute-force ALL-PAIRS Hamming join over SQL-computed signatures.
+    The Spark side runs the block-and-band candidate join instead —
+    hash-matching this oracle proves the banding is lossless (pigeonhole
+    completeness) AND the verification exact, end to end."""
+    sig_sql = _simhash_portable_oracle(bits)
+    return f"""
+    WITH sigs AS ({sig_sql})
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+    FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+    """
+
+
+@query("simhash_near_dup", oracle=_simhash_near_dup_oracle())
+def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs via the lossless block-and-band join,
+    oracle-checked against the n² all-pairs Hamming join (portable hash
+    family, 16-bit signatures so the oracle stays brute-forceable)."""
+    from pedsnetdcc_spark.datapipe.dedup import simhash_near_dup_pairs
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return simhash_near_dup_pairs(
+        docs, "doc_id", "text", max_hamming=2, bits=16, hash_family="portable"
+    )
+
+
+@query("simhash_near_dup_dedup")
+def q_simhash_near_dup_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production 64-bit xxhash64 SimHash near-dup path (rows-only:
+    xxhash64 is not oracle-expressible; the algorithm is pinned by the
+    oracle-checked 16-bit portable variant and unit equivalence tests)."""
+    from pedsnetdcc_spark.datapipe.dedup import simhash_near_dup_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return simhash_near_dup_pairs(docs, "doc_id", "text", max_hamming=3)
+
+
 @query("ann_lsh_topk")
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pedsnetdcc_spark.datapipe.similarity import lsh_bucketed_topk
 
     emb = _t(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") < 8)
-    return lsh_bucketed_topk(emb, queries_df, "vec_id", "embedding", k=5, bits=4, tables=8)
+    return lsh_bucketed_topk(
+        emb, queries_df, "vec_id", "embedding", k=5, bits=4, tables=8, dim=64
+    )
 
 
 @query("multimodal_features")

@@ -109,10 +109,10 @@ def test_lsh_topk_recall_at_rank1(spark, emb):
 
 
 def test_ivf_topk_recall(spark, emb):
-    """IVF probing (16 cells, nprobe=4) must place the true nearest
-    neighbor at rank 1 for a reasonable share of queries even on
+    """IVF probing (16 k-means cells, nprobe=4) must place the true
+    nearest neighbor at rank 1 for a reasonable share of queries even on
     near-random vectors (≈ nprobe/n_centroids baseline 25% for random
-    probing; nearest-cell probing should beat it comfortably)."""
+    probing; trained-cell probing should beat it comfortably)."""
     from pedsnetdcc_spark.datapipe.similarity import ivf_topk
 
     q = emb.filter(F.col("vec_id") < 20)
@@ -123,6 +123,93 @@ def test_ivf_topk_recall(spark, emb):
     }
     hits = sum(approx.get(k) == v for k, v in exact.items())
     assert hits / len(exact) >= 0.4, (hits, len(exact))
+
+
+def test_kmeans_centroids_deterministic_and_unit_norm(spark, emb):
+    """Same seed ⇒ bit-identical codebook regardless of invocation;
+    centroids come back unit-normalized (spherical k-means)."""
+    import numpy as np
+
+    from pedsnetdcc_spark.datapipe.similarity import train_kmeans_centroids
+
+    c1 = train_kmeans_centroids(emb, k=8, sample_size=256, iters=5, seed=7)
+    c2 = train_kmeans_centroids(
+        emb.repartition(13), k=8, sample_size=256, iters=5, seed=7
+    )
+    assert c1.shape == (8, 64)
+    assert np.array_equal(c1, c2)  # partition-layout independent
+    assert np.allclose(np.linalg.norm(c1, axis=1), 1.0)
+
+
+def test_kmeans_recovers_clusters(spark):
+    """On CLUSTERED vectors (the regime IVF exists for) the trained
+    codebook must recover the clusters: nprobe=2 of 8 cells — scanning
+    ~25% of the corpus — should find virtually every true rank-1
+    neighbor, because k-means cells align with the real clusters.
+    (On uniform-random vectors cell quality is unmeasurable: any
+    partition is as arbitrary as any other.)"""
+    import numpy as np
+
+    from pedsnetdcc_spark.datapipe.similarity import ivf_topk
+
+    rng = np.random.RandomState(42)
+    centers = rng.randn(8, 16) * 4.0
+    rows = []
+    for i in range(320):
+        c = i % 8
+        rows.append((i, (centers[c] + rng.randn(16) * 0.3).tolist()))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = df.filter(F.col("vec_id") < 24)
+    exact = {r["query_id"]: r["neighbor_id"] for r in cosine_topk(df, q, k=1).collect()}
+    approx = {
+        r["query_id"]: r["neighbor_id"]
+        for r in ivf_topk(
+            df, q, k=1, n_centroids=8, nprobe=2, sample_size=320, seed=1
+        ).collect()
+    }
+    hits = sum(approx.get(k) == v for k, v in exact.items())
+    assert hits / len(exact) >= 0.9, (hits, len(exact))
+
+
+def test_simhash_near_dup_matches_bruteforce(spark):
+    """The block-and-band candidate join must return EXACTLY the n²
+    all-pairs Hamming result (pigeonhole completeness + exact verify)."""
+    from pedsnetdcc_spark.datapipe.dedup import simhash64, simhash_near_dup_pairs
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (1, base),
+        (2, base + " extra"),
+        (3, base.replace("gamma", "gamme")),
+        (4, "totally different words in this one document here now"),
+        (5, base.replace("alpha", "omega").replace("zeta", "zetb")),
+        (6, "totally different words in this one document here later"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    banded = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_near_dup_pairs(df, "doc_id", "text", max_hamming=8).collect()
+    }
+    sigs = simhash64(df, "doc_id", "text")
+    a = sigs.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("ha"))
+    b = sigs.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("hb"))
+    brute = {
+        (r["id_a"], r["id_b"]): r["h"]
+        for r in a.crossJoin(b)
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", hamming64(F.col("ha"), F.col("hb")).alias("h"))
+        .where(F.col("h") <= 8)
+        .collect()
+    }
+    assert banded == brute and (1, 2) in banded
+
+
+def test_simhash_near_dup_band_validation(spark):
+    from pedsnetdcc_spark.datapipe.dedup import simhash_near_dup_pairs
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="pigeonhole"):
+        simhash_near_dup_pairs(df, "doc_id", "text", max_hamming=3, num_bands=2)
 
 
 def test_embedding_near_dup_symmetric_and_thresholded(spark, emb):
