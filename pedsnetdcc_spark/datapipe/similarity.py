@@ -82,23 +82,29 @@ def cosine_topk(
     """
     from pedsnetdcc_spark.util import ensure_parallelism
 
+    # norms are hoisted to the per-ROW side of the join: computing them
+    # inside the n×m pair stream costs 2nm folds; here it is n+m, and
+    # the cosine expression dot/(nq*nc) is arithmetically IDENTICAL
+    # (same fold shapes, same operation order) so oracle hashes hold
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("__qv"),
-    )
+    ).withColumn("__qn", _norm(F.col("__qv")))
     c = ensure_parallelism(
         candidates.select(
             F.col(id_col).alias("neighbor_id"),
             F.col(vec_col).cast("array<double>").alias("__cv"),
         )
-    )
+    ).withColumn("__cn", _norm(F.col("__cv")))
     pairs = c.crossJoin(F.broadcast(q))
     if not include_self:
         pairs = pairs.where(F.col("neighbor_id") != F.col("query_id"))
     sims = pairs.select(
         "query_id",
         "neighbor_id",
-        cosine_similarity(F.col("__qv"), F.col("__cv")).alias("cosine"),
+        (_dot(F.col("__qv"), F.col("__cv")) / (F.col("__qn") * F.col("__cn"))).alias(
+            "cosine"
+        ),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
@@ -137,19 +143,25 @@ def embedding_near_dup_pairs(
     scale path is :func:`lsh_bucketed_topk`-style bucketing first —
     run this only on LSH candidate pairs at corpus scale.
     """
+    # norms hoisted out of the O(n²) pair stream (see cosine_topk) —
+    # n + n folds instead of 2·n²/2, bit-identical cosine values
     a = df.select(
         F.col(id_col).alias("id_a"), F.col(vec_col).cast("array<double>").alias("__a")
-    )
+    ).withColumn("__na", _norm(F.col("__a")))
     b = df.select(
         F.col(id_col).alias("id_b"), F.col(vec_col).cast("array<double>").alias("__b")
-    )
+    ).withColumn("__nb", _norm(F.col("__b")))
     from pedsnetdcc_spark.util import ensure_parallelism
 
     pairs = ensure_parallelism(a).crossJoin(F.broadcast(b)).where(
         F.col("id_a") < F.col("id_b")
     )
     sims = pairs.select(
-        "id_a", "id_b", cosine_similarity(F.col("__a"), F.col("__b")).alias("cosine")
+        "id_a",
+        "id_b",
+        (_dot(F.col("__a"), F.col("__b")) / (F.col("__na") * F.col("__nb"))).alias(
+            "cosine"
+        ),
     )
     return sims.where(F.col("cosine") >= threshold)
 

@@ -71,6 +71,121 @@ def streaming_event_counts(
     )
 
 
+def streaming_interval_eras(
+    df: DataFrame,
+    keys: Sequence[str],
+    start_col: str,
+    end_col: str,
+    gap_days: int = 30,
+    watermark: str = "35 days",
+) -> DataFrame:
+    """INTERVAL-valued era derivation over a stream — the custom
+    stateful operator ``session_window`` cannot express (an event
+    contributes ``[start, end]``, not a point, so a session must stay
+    open while a long interval's end + gap is still reachable — e.g.
+    drug exposures with days-supply; batch equivalent
+    operators/eras.py:42 ``derive_eras``).
+
+    Built on ``applyInPandasWithState`` (event-time timeout):
+
+    - **state** per key = the events not yet inside a watermark-final
+      era, as two epoch-nano arrays — bounded by the watermark + gap
+      horizon, NOT by stream length: once the watermark passes an era's
+      ``end + gap`` no in-watermark event can extend it, the era is
+      emitted and its events dropped from state.
+    - **each invocation** merges the new Arrow batches into state and
+      re-derives eras over the retained horizon with the exact batch
+      semantics (sort → gap-split → min start / max end / distinct-start
+      count), so emitted rows are bit-identical to ``derive_eras`` on
+      the same finalized prefix.
+    - **timeouts** flush eras whose gap horizon expires without new
+      events for the key (set to the earliest retained ``end + gap``).
+
+    Output (append mode): ``keys + era_start_ts, era_end_ts,
+    era_count``.  Eras still inside the horizon stay in state — on an
+    unbounded stream they are not yet final by definition.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        ArrayType,
+        LongType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    keys = list(keys)
+    out_schema = StructType(
+        [df.schema[k] for k in keys]
+        + [
+            StructField("era_start_ts", TimestampType()),
+            StructField("era_end_ts", TimestampType()),
+            StructField("era_count", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("ev_starts", ArrayType(LongType())),
+            StructField("ev_ends", ArrayType(LongType())),
+        ]
+    )
+    gap_ns = gap_days * 86_400 * 10**9
+    gap_ms = gap_days * 86_400 * 1_000
+
+    def _ns(series: pd.Series) -> list[int]:
+        return series.values.astype("datetime64[ns]").astype("int64").tolist()
+
+    def fn(key, pdf_iter, state: GroupState):
+        starts: list[int] = []
+        ends: list[int] = []
+        if state.exists:
+            s0, e0 = state.get
+            starts, ends = list(s0), list(e0)
+        for pdf in pdf_iter:
+            if len(pdf):
+                starts.extend(_ns(pdf[start_col]))
+                ends.extend(_ns(pdf[end_col]))
+        wm_ns = state.getCurrentWatermarkMs() * 1_000_000
+        ev = sorted(zip(starts, ends))
+        eras: list[list] = []  # [start_ns, end_ns, distinct starts]
+        for s, e in ev:
+            e = max(e, s)
+            if eras and s <= eras[-1][1] + gap_ns:
+                eras[-1][1] = max(eras[-1][1], e)
+                eras[-1][2].add(s)
+            else:
+                eras.append([s, e, {s}])
+        # era ends strictly increase across a key's eras, so the
+        # finalized set is a prefix and the retained events a suffix
+        final = [er for er in eras if er[1] + gap_ns < wm_ns]
+        keep = eras[len(final):]
+        if keep:
+            cut = keep[0][0]
+            pairs = [(s, e) for s, e in ev if s >= cut]
+            state.update(
+                ([s for s, _ in pairs], [e for _, e in pairs])
+            )
+            state.setTimeoutTimestamp(
+                max(keep[0][1] // 10**6 + gap_ms + 1, state.getCurrentWatermarkMs() + 1)
+            )
+        else:
+            state.remove()
+        if final:
+            yield pd.DataFrame(
+                [
+                    tuple(key) + (pd.Timestamp(er[0]), pd.Timestamp(er[1]), len(er[2]))
+                    for er in final
+                ],
+                columns=keys + ["era_start_ts", "era_end_ts", "era_count"],
+            )
+
+    src = df.withWatermark(start_col, watermark) if watermark else df
+    return src.groupBy(*keys).applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.EventTimeTimeout
+    )
+
+
 def streaming_eras(
     df: DataFrame,
     keys: Sequence[str],

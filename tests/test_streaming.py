@@ -115,3 +115,113 @@ def test_streaming_eras_sessionization(spark, stream_src, sf_dir):
         spans.sort()
         for (s1, e1), (s2, e2) in zip(spans, spans[1:]):
             assert s2 > e1  # next era starts after previous closed (gap)
+
+
+def test_streaming_interval_eras_stateful_exact(spark):
+    """applyInPandasWithState interval-era operator on a fully
+    controlled dataset: exact expected emission set, including merge
+    across overlapping intervals, distinct-start counting, watermark
+    finalization, and the still-open era staying in state."""
+    import datetime as dt
+    import shutil
+    import tempfile
+
+    from pedsnetdcc_spark.streaming.incremental import streaming_interval_eras
+
+    D = dt.datetime
+    rows = [
+        (1, D(2024, 1, 1), D(2024, 1, 3)),   # era A: merges with next
+        (1, D(2024, 1, 5), D(2024, 1, 6)),   #   (Jan 5 <= Jan 3 + 7d)
+        (1, D(2024, 1, 20), D(2024, 1, 22)), # era B (Jan 20 > Jan 6 + 7d)
+        (1, D(2024, 3, 1), D(2024, 3, 3)),   # era C
+        (2, D(2024, 1, 10), D(2024, 1, 12)), # era D
+        (2, D(2024, 6, 1), D(2024, 6, 3)),   # era E: still open at horizon
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, start_ts timestamp, end_ts timestamp"
+    )
+    d = tempfile.mkdtemp()
+    try:
+        df.write.mode("overwrite").parquet(d + "/iv")
+        stream = spark.readStream.schema(df.schema).parquet(d + "/iv")
+        out = _run_stream(
+            spark,
+            streaming_interval_eras(
+                stream, ["user_id"], "start_ts", "end_ts",
+                gap_days=7, watermark="2 days",
+            ),
+            "append",
+            "t_interval_eras",
+        )
+        got = set(map(tuple, out.collect()))
+        # final watermark = Jun 1 − 2d = May 30; era E closes Jun 3 + 7d
+        expected = {
+            (1, D(2024, 1, 1), D(2024, 1, 6), 2),
+            (1, D(2024, 1, 20), D(2024, 1, 22), 1),
+            (1, D(2024, 3, 1), D(2024, 3, 3), 1),
+            (2, D(2024, 1, 10), D(2024, 1, 12), 1),
+        }
+        assert got == expected, got
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_streaming_interval_eras_matches_python_reference(spark, stream_src, sf_dir):
+    """Real event volume with genuine intervals (end = ts + 3 days,
+    gap 2 days): every emitted era must exactly match an independently
+    computed batch reference, and finalization must track the watermark
+    (margin-safe on the boundary)."""
+    import datetime as dt
+    from collections import defaultdict
+
+    from pedsnetdcc_spark.streaming.incremental import streaming_interval_eras
+
+    path, schema = stream_src
+    stream = spark.readStream.schema(schema).parquet(path)
+    sdf = stream.select(
+        "user_id",
+        F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr("INTERVAL 3 DAYS")).alias("end_ts"),
+    )
+    out = _run_stream(
+        spark,
+        streaming_interval_eras(
+            sdf, ["user_id"], "start_ts", "end_ts", gap_days=2, watermark="1 second"
+        ),
+        "append",
+        "t_interval_eras_ref",
+    )
+    got = set(map(tuple, out.collect()))
+
+    ev = read_table(spark, sf_dir, "events").select("user_id", "ts").collect()
+    per_user = defaultdict(list)
+    max_ts = None
+    for r in ev:
+        ts = r["ts"]
+        per_user[r["user_id"]].append(ts)
+        max_ts = ts if max_ts is None or ts > max_ts else max_ts
+    gap = dt.timedelta(days=2)
+    span = dt.timedelta(days=3)
+    all_eras = set()
+    for uid, tss in per_user.items():
+        tss.sort()
+        cur = None
+        for ts in tss:
+            s, e = ts, ts + span
+            if cur is not None and s <= cur[1] + gap:
+                cur[1] = max(cur[1], e)
+                cur[2].add(s)
+            else:
+                if cur is not None:
+                    all_eras.add((uid, cur[0], cur[1], len(cur[2])))
+                cur = [s, e, {s}]
+        if cur is not None:
+            all_eras.add((uid, cur[0], cur[1], len(cur[2])))
+    wm = max_ts - dt.timedelta(seconds=1)
+    margin = dt.timedelta(hours=1)
+
+    assert got <= all_eras, list(got - all_eras)[:3]
+    must_emit = {er for er in all_eras if er[2] + gap < wm - margin}
+    assert must_emit <= got, list(must_emit - got)[:3]
+    for er in got:
+        assert er[2] + gap < wm + margin  # nothing beyond the horizon emitted
