@@ -3,10 +3,10 @@
 All reference reads/writes go through psycopg2 connections built from a
 libpq conn string (reference: pedsnetdcc/db.py:120-246; conn-string
 parsing in utils.py:82-148).  In Spark the same deployment shape is
-``spark.read.jdbc`` with partitioned reads; the test harness has no
-database, so this module is a thin, untested-against-live-DB adapter
-kept at the edge of the engine (everything else operates on DataFrames
-and doesn't care where they came from).
+``spark.read.jdbc`` with partitioned reads; the adapter is exercised
+against a LIVE JDBC database in tests (embedded Derby, which ships in
+Spark's jars) — round-trip write → single read → partitioned read
+(tests/test_jdbc.py).  Postgres differs only in URL/driver string.
 
 Scale: always pass ``partition_column/num_partitions`` bounds for big
 tables — an unpartitioned JDBC read is a single connection pulling the
@@ -33,6 +33,7 @@ def read_jdbc_table(
     lower_bound: int | None = None,
     upper_bound: int | None = None,
     num_partitions: int | None = None,
+    driver: str | None = None,
 ) -> DataFrame:
     reader = (
         spark.read.format("jdbc")
@@ -41,6 +42,8 @@ def read_jdbc_table(
         .option("user", user)
         .option("password", password)
     )
+    if driver is not None:
+        reader = reader.option("driver", driver)
     if partition_column is not None:
         reader = (
             reader.option("partitionColumn", partition_column)
@@ -52,14 +55,21 @@ def read_jdbc_table(
 
 
 def write_jdbc_table(
-    df: DataFrame, url: str, table: str, user: str, password: str, mode: str = "append"
+    df: DataFrame,
+    url: str,
+    table: str,
+    user: str,
+    password: str,
+    mode: str = "append",
+    driver: str | None = None,
 ) -> None:
-    (
+    writer = (
         df.write.format("jdbc")
         .option("url", url)
         .option("dbtable", table)
         .option("user", user)
         .option("password", password)
-        .mode(mode)
-        .save()
     )
+    if driver is not None:
+        writer = writer.option("driver", driver)
+    writer.mode(mode).save()
