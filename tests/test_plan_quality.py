@@ -1,0 +1,71 @@
+"""Physical-plan regression guards for the scale-critical properties.
+
+These pin the plans we designed for — a refactor that silently
+introduces a second shuffle into era derivation, turns a broadcast dim
+join into a sort-merge join, breaks parquet pushdown, or adds a
+row-at-a-time Python UDF fails here, not at 100 TB.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pedsnetdcc_spark.queries import QUERIES
+from pedsnetdcc_spark.sources.io import read_table
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_era_derivation_is_single_shuffle(spark, sf_dir):
+    """The gaps-and-islands window and the finalizing groupBy must share
+    ONE hash exchange (the groupBy reuses the window's partitioning) —
+    the whole point of the window formulation over the reference's
+    self-join (operators/eras.py module docstring)."""
+    plan = _plan(QUERIES["eras"](spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_dimension_name_joins_broadcast_zero_shuffle(spark, sf_dir):
+    """Concept-dimension left joins must be broadcasts: no hash exchange
+    at all on the fact side (J2)."""
+    plan = _plan(QUERIES["dimension_names"](spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert plan.count("Exchange hashpartitioning") == 0, plan
+
+
+def test_cohort_subset_uses_broadcast_semi_join(spark, sf_dir):
+    plan = _plan(QUERIES["subset_by_cohort"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_parquet_scan_pushes_filters_and_prunes_columns(spark, sf_dir):
+    """Predicates and projections must reach the parquet scan: the plan
+    advertises PushedFilters and a ReadSchema restricted to the two
+    referenced columns."""
+    df = (
+        read_table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 1000.0)
+        .select("o_orderkey", "o_totalprice")
+    )
+    s = df._jdf.queryExecution().toString()
+    assert "GreaterThan(o_totalprice" in s, s
+    import re
+
+    m = re.search(r"ReadSchema: struct<([^>]*)>", s)
+    assert m, s
+    cols = {c.split(":")[0] for c in m.group(1).split(",")}
+    assert cols == {"o_orderkey", "o_totalprice"}, cols
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_no_row_at_a_time_python_udfs(spark, sf_dir, name):
+    """Fleet-wide guard: no query may plan a BatchEvalPython node (the
+    row-at-a-time Python UDF operator).  Python is allowed only in
+    Arrow-batched form (ArrowEvalPython / MapInPandas / pandas UDFs)."""
+    plan = _plan(QUERIES[name](spark, sf_dir))
+    assert "BatchEvalPython" not in plan, f"{name} plans a row-at-a-time Python UDF"
