@@ -12,7 +12,9 @@ from pedsnetdcc_spark.datapipe.text import (  # noqa: F401
     lang_id,
     shingle_ngrams,
     doc_fingerprint,
+    token_counts,
 )
+from pedsnetdcc_spark.datapipe.corpus import prepare_corpus  # noqa: F401
 from pedsnetdcc_spark.datapipe.dedup import (  # noqa: F401
     exact_dedup_groups,
     ngram_jaccard_pairs,

@@ -76,6 +76,39 @@ def text_stats(
     )
 
 
+# BPE-ish pre-tokenizer (GPT-2 style, simplified to the subset both Java
+# regex and RE2 support — no lookahead): contraction suffixes, then
+# space-prefixed letter runs, digit runs, and punctuation runs.  On a
+# lowercase single-spaced corpus this segments exactly like the GPT-2
+# pre-tokenizer minus the trailing-space lookahead rule.
+BPE_SPLIT_RE = r"'(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+"
+
+
+def token_counts(
+    df: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Append token-count columns: whitespace tokens, BPE-ish
+    pre-tokenizer segments (:data:`BPE_SPLIT_RE` — the standard proxy
+    for LLM token cost when no tokenizer vocab ships with the engine),
+    and chars-per-BPE-token (compression ratio; ~4 for English prose,
+    lower for code/punctuation-heavy text).
+
+    Pure column expressions — one scan, no UDF, no shuffle.
+    """
+    ws = F.size(tokens(text_col))
+    bpe = F.regexp_count(F.col(text_col), F.lit(BPE_SPLIT_RE))
+    return (
+        df.withColumn("ws_tokens", ws.cast("long"))
+        .withColumn("bpe_tokens", bpe.cast("long"))
+        .withColumn(
+            "chars_per_bpe_token",
+            F.when(bpe > 0, F.length(text_col).cast("double") / bpe).otherwise(
+                F.lit(0.0)
+            ),
+        )
+    )
+
+
 def lang_id(
     df: DataFrame,
     text_col: str = "text",

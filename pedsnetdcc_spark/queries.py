@@ -1231,6 +1231,88 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lang_id(docs).select("doc_id", "lang_pred")
 
 
+_BPE_RE_SQL = "''(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+"
+
+
+@query(
+    "token_counts",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, text,
+               LEN(regexp_extract_all(text, '{_BPE_RE_SQL}')) AS n_bpe
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(LEN(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+           CAST(n_bpe AS BIGINT) AS bpe_tokens,
+           CASE WHEN n_bpe > 0 THEN LENGTH(text) * 1.0 / n_bpe ELSE 0.0 END
+               AS chars_per_bpe_token
+    FROM t
+    """,
+)
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + BPE-ish-pre-tokenizer token counting — the LLM
+    token-cost proxy, oracle-checked segment for segment (Java regex and
+    RE2 agree on the lookahead-free pattern)."""
+    from pedsnetdcc_spark.datapipe.text import token_counts
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return token_counts(docs).drop("text")
+
+
+_QUALITY_SQL = f"""(CASE WHEN LEN(toks) >= 20 THEN LEAST(1.0, 400.0 / LEN(toks))
+                 ELSE LEN(toks) / 20.0 END) * 0.5
+           + LEAST(1.0, (CASE WHEN LEN(toks) > 0
+                  THEN LEN(list_filter(toks, x -> x IN ({{stop}}))) * 1.0 / LEN(toks)
+                  ELSE 0.0 END) * 4.0) * 0.25
+           + (1.0 - LEAST(1.0, (CASE WHEN LENGTH(text) > 0
+                  THEN LEN(regexp_extract_all(text, '[^a-z0-9 ]')) * 1.0 / LENGTH(text)
+                  ELSE 0.0 END) * 10.0)) * 0.25"""
+
+
+@query(
+    "corpus_prep",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
+    scored AS (
+        SELECT doc_id, text,
+               CAST(LEN(toks) AS BIGINT) AS n_tokens,
+               {_QUALITY_SQL.format(stop=_STOP_EN)} AS quality_score,
+               LEN(list_filter(toks, x -> x IN ('der','die','das','und','ist','nicht','ein'))) AS s_de,
+               LEN(list_filter(toks, x -> x IN ({_STOP_EN}))) AS s_en,
+               LEN(list_filter(toks, x -> x IN ('el','la','los','y','es','un','una'))) AS s_es,
+               LEN(list_filter(toks, x -> x IN ('le','la','les','et','est','un','une'))) AS s_fr
+        FROM t
+    ),
+    kept AS (
+        SELECT *,
+               CASE WHEN s_de = GREATEST(s_de, s_en, s_es, s_fr) THEN 'de'
+                    WHEN s_en = GREATEST(s_de, s_en, s_es, s_fr) THEN 'en'
+                    WHEN s_es = GREATEST(s_de, s_en, s_es, s_fr) THEN 'es'
+                    WHEN s_fr = GREATEST(s_de, s_en, s_es, s_fr) THEN 'fr'
+                    ELSE 'und' END AS lang_pred
+        FROM scored
+    ),
+    filt AS (
+        SELECT * FROM kept WHERE quality_score >= 0.5 AND lang_pred = 'en'
+    ),
+    canon AS (
+        SELECT md5(text) AS h, MIN(doc_id) AS cid FROM filt GROUP BY md5(text)
+    )
+    SELECT f.doc_id, f.lang_pred, f.n_tokens, f.quality_score
+    FROM filt f JOIN canon c ON md5(f.text) = c.h AND f.doc_id = c.cid
+    """,
+)
+def q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-data pipeline (quality filter → language
+    filter → exact-dedup canonicalization) end to end — fused column
+    expressions plus ONE content-hash shuffle (datapipe/corpus.py)."""
+    from pedsnetdcc_spark.datapipe.corpus import prepare_corpus
+
+    docs = _t(spark, sf_dir, "documents")
+    return prepare_corpus(docs, "doc_id", "text", min_quality=0.5, lang="en")
+
+
 @query(
     "dedup_exact",
     oracle="""

@@ -69,3 +69,11 @@ def test_no_row_at_a_time_python_udfs(spark, sf_dir, name):
     Arrow-batched form (ArrowEvalPython / MapInPandas / pandas UDFs)."""
     plan = _plan(QUERIES[name](spark, sf_dir))
     assert "BatchEvalPython" not in plan, f"{name} plans a row-at-a-time Python UDF"
+
+
+def test_corpus_prep_is_single_shuffle(spark, sf_dir):
+    """Quality scoring + language ID fuse into the scan; the only
+    exchange is the content-hash window for dedup canonicalization."""
+    plan = _plan(QUERIES["corpus_prep"](spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Join" not in plan, plan
