@@ -30,6 +30,7 @@ from pedsnetdcc_spark.datapipe.dedup import (  # noqa: F401
 from pedsnetdcc_spark.datapipe.similarity import (  # noqa: F401
     cosine_topk,
     embedding_near_dup_pairs,
+    embedding_near_dup_pairs_lsh,
     ivf_topk,
     lsh_bucketed_topk,
     train_kmeans_centroids,

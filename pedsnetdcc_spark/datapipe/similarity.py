@@ -256,6 +256,57 @@ def _cell_assign_udfs(C: np.ndarray, nprobe: int):
     return assign_cell, probe_cells
 
 
+def embedding_near_dup_pairs_lsh(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    bits: int = 4,
+    tables: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """The SCALE path for embedding near-dup: multi-table hyperplane
+    LSH buckets generate candidate pairs (two vectors are candidates iff
+    they share any table's bucket), then the exact cosine verifies —
+    per-vector work is bounded by bucket sizes, not the corpus, versus
+    the n² all-pairs verifier :func:`embedding_near_dup_pairs`.
+
+    Recall ≈ 1 − (1 − p^bits)^tables with p = 1 − θ/π per bit; tune
+    ``tables`` up / ``bits`` down for higher recall.  Deterministic
+    (seeded hyperplanes), so recall on a fixed corpus is reproducible —
+    pinned against the exact operator in tests.
+    """
+    v = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).cast("array<double>").alias("__v"),
+    )
+    sk = hyperplane_sketches_batch(bits, tables, dim)
+    banded = v.withColumn("__sks", sk(F.col("__v"))).select(
+        "__id", "__v", F.posexplode("__sks").alias("tbl", "bucket")
+    )
+    a = banded.select(
+        F.col("__id").alias("id_a"), F.col("__v").alias("__va"), "tbl", "bucket"
+    )
+    b = banded.select(
+        F.col("__id").alias("id_b"), F.col("__v").alias("__vb"), "tbl", "bucket"
+    )
+    cands = (
+        a.join(b, ["tbl", "bucket"])
+        .where(F.col("id_a") < F.col("id_b"))
+        # a pair co-buckets in up to ``tables`` tables — dedup before
+        # the (expensive) exact verification
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cands.select(
+            "id_a",
+            "id_b",
+            _cosine_batch(F.col("__va"), F.col("__vb")).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )
+
+
 def ivf_topk(
     candidates: DataFrame,
     queries: DataFrame,

@@ -1577,6 +1577,20 @@ def q_simhash_near_dup_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_dup_pairs(docs, "doc_id", "text", max_hamming=3)
 
 
+@query("embedding_near_dup_lsh")
+def q_embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale path for embedding near-dup: LSH-bucketed candidate pairs +
+    exact verify (rows-only: hyperplane signs come from a float matmul;
+    recall/precision pinned vs the oracle-checked all-pairs operator in
+    tests/test_datapipe.py)."""
+    from pedsnetdcc_spark.datapipe.similarity import embedding_near_dup_pairs_lsh
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_near_dup_pairs_lsh(
+        emb, "vec_id", "embedding", threshold=0.45, bits=3, tables=10, dim=64
+    )
+
+
 @query("ann_lsh_topk")
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pedsnetdcc_spark.datapipe.similarity import lsh_bucketed_topk

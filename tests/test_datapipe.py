@@ -212,6 +212,30 @@ def test_simhash_near_dup_band_validation(spark):
         simhash_near_dup_pairs(df, "doc_id", "text", max_hamming=3, num_bands=2)
 
 
+def test_embedding_near_dup_lsh_recall_and_precision(spark, emb):
+    """The bucketed scale path must return a SUBSET of the exact
+    all-pairs result (verification is exact, so no false positives) at
+    high recall.  Hyperplanes are seeded, so recall on this fixed corpus
+    is deterministic — 13/14 at (bits=3, tables=10)."""
+    from pedsnetdcc_spark.datapipe.similarity import (
+        embedding_near_dup_pairs,
+        embedding_near_dup_pairs_lsh,
+    )
+
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dup_pairs(emb, threshold=0.45).collect()
+    }
+    approx = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dup_pairs_lsh(
+            emb, threshold=0.45, bits=3, tables=10
+        ).collect()
+    }
+    assert approx <= exact
+    assert len(approx & exact) / len(exact) >= 0.85
+
+
 def test_embedding_near_dup_symmetric_and_thresholded(spark, emb):
     from pedsnetdcc_spark.datapipe.similarity import embedding_near_dup_pairs
 
