@@ -264,6 +264,7 @@ def embedding_near_dup_pairs_lsh(
     bits: int = 4,
     tables: int = 8,
     dim: int = 64,
+    max_bucket: int | None = 1024,
 ) -> DataFrame:
     """The SCALE path for embedding near-dup: multi-table hyperplane
     LSH buckets generate candidate pairs (two vectors are candidates iff
@@ -272,9 +273,18 @@ def embedding_near_dup_pairs_lsh(
     the n² all-pairs verifier :func:`embedding_near_dup_pairs`.
 
     Recall ≈ 1 − (1 − p^bits)^tables with p = 1 − θ/π per bit; tune
-    ``tables`` up / ``bits`` down for higher recall.  Deterministic
-    (seeded hyperplanes), so recall on a fixed corpus is reproducible —
-    pinned against the exact operator in tests.
+    ``tables`` up / ``bits`` down for higher recall.  **Size ``bits``
+    to the corpus** — a table has 2^bits buckets and the pair join
+    costs Σ bucket², so aim for 2^bits ≈ n / (desired bucket size);
+    too-few bits regenerates the n² blowup the bucketing exists to
+    avoid.  ``max_bucket`` is the skew guard: buckets above the cap are
+    dropped from pair generation (counted BEFORE any bucket is
+    materialized, same count-first shape as the n-gram DF cap) — a
+    degenerate bucket (e.g. a mass of zero/duplicate vectors) never
+    costs more than cap² pairs, and its members still pair through
+    their other ``tables−1`` sketches.  Deterministic (seeded
+    hyperplanes), so recall on a fixed corpus is reproducible — pinned
+    against the exact operator in tests.
     """
     v = df.select(
         F.col(id_col).alias("__id"),
@@ -284,6 +294,11 @@ def embedding_near_dup_pairs_lsh(
     banded = v.withColumn("__sks", sk(F.col("__v"))).select(
         "__id", "__v", F.posexplode("__sks").alias("tbl", "bucket")
     )
+    if max_bucket is not None:
+        sizes = banded.groupBy("tbl", "bucket").agg(F.count(F.lit(1)).alias("__n"))
+        banded = banded.join(
+            sizes.where(F.col("__n") <= max_bucket), ["tbl", "bucket"]
+        ).drop("__n")
     a = banded.select(
         F.col("__id").alias("id_a"), F.col("__v").alias("__va"), "tbl", "bucket"
     )

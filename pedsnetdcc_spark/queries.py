@@ -1582,12 +1582,14 @@ def q_embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale path for embedding near-dup: LSH-bucketed candidate pairs +
     exact verify (rows-only: hyperplane signs come from a float matmul;
     recall/precision pinned vs the oracle-checked all-pairs operator in
-    tests/test_datapipe.py)."""
+    tests/test_datapipe.py).  bits sized for the sf0.1 corpus
+    (2^6 buckets ≈ 5000/64 ≈ 78 per bucket); tables=16 buys recall
+    back."""
     from pedsnetdcc_spark.datapipe.similarity import embedding_near_dup_pairs_lsh
 
     emb = _t(spark, sf_dir, "embeddings")
     return embedding_near_dup_pairs_lsh(
-        emb, "vec_id", "embedding", threshold=0.45, bits=3, tables=10, dim=64
+        emb, "vec_id", "embedding", threshold=0.45, bits=6, tables=16, dim=64
     )
 
 
@@ -1656,3 +1658,46 @@ def q_multimodal_png_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = with_png_payload(docs, "doc_id", "text")
     feats = extract_media_features(media, "doc_id", fake_decode=False)
     return feats.select("doc_id", "fmt", "width", "height", "bit_depth")
+
+
+@query(
+    "audio_features",
+    # The oracle recomputes sample count / peak amplitude / zero
+    # crossings straight from the text's character codes — Spark's
+    # numbers come from DECODING THE ACTUAL WAV BYTES it encoded
+    # (RIFF chunk walk + PCM sample extraction), so a match proves the
+    # audio encode→decode round-trip.  (Empty text encodes one zero
+    # sample; ASCII corpus keeps regexp-per-char == byte-per-sample.)
+    oracle="""
+    WITH c AS (
+        SELECT doc_id,
+               list_transform(regexp_extract_all(text, '.'), ch -> ascii(ch)) AS cs
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(1 AS INTEGER) AS channels,
+           CAST(8000 AS INTEGER) AS sample_rate,
+           CAST(8 AS INTEGER) AS bit_depth,
+           CAST(CASE WHEN LEN(cs) = 0 THEN 1 ELSE LEN(cs) END AS BIGINT) AS n_samples,
+           CAST(LEN(list_filter(list_zip(cs[1:LEN(cs)-1], cs[2:]),
+                p -> (p[1] < 128) <> (p[2] < 128))) AS BIGINT) AS zero_crossings,
+           CAST(CASE WHEN LEN(cs) = 0 THEN 128
+                     ELSE list_max(list_transform(cs, x -> abs(x - 128)))
+                END AS INTEGER) AS peak
+    FROM c
+    """,
+)
+def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio pipeline on REAL PCM WAV payloads: text bytes → encode_wav
+    (RIFF container) → binary column → decode_wav (chunk walk + sample
+    extraction) → per-clip features.  RMS is excluded from the checked
+    columns only because numpy's pairwise summation is not
+    bit-comparable to sequential SQL; it is unit-tested instead."""
+    from pedsnetdcc_spark.datapipe.multimodal import (
+        extract_audio_features,
+        with_wav_payload,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    media = with_wav_payload(docs, "doc_id", "text")
+    return extract_audio_features(media, "doc_id").drop("rms")

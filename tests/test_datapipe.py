@@ -427,3 +427,66 @@ def test_ngram_df_cap_drops_ubiquitous_shingle(spark):
     # the pair stream is quadratic; cap keeps it linear.
     uncapped = ngram_jaccard_pairs(df, "doc_id", "text", n=3, threshold=0.3, max_df=None)
     assert {(r["id_a"], r["id_b"]) for r in uncapped.collect()} == {(100, 101)}
+
+
+def test_wav_roundtrip_8_and_16_bit():
+    import numpy as np
+
+    from pedsnetdcc_spark.datapipe.multimodal import decode_wav, encode_wav
+
+    data8 = bytes(range(200))
+    meta = decode_wav(encode_wav(data8, sample_rate=8000, channels=1, bits=8))
+    assert (meta["channels"], meta["sample_rate"], meta["bit_depth"]) == (1, 8000, 8)
+    assert meta["n_samples"] == 200
+    assert bytes(meta["samples"].tobytes()) == data8
+
+    s16 = np.arange(-300, 300, dtype=np.int16)
+    meta = decode_wav(encode_wav(s16.tobytes(), sample_rate=16000, channels=2, bits=16))
+    assert (meta["channels"], meta["sample_rate"], meta["bit_depth"]) == (2, 16000, 16)
+    assert meta["n_samples"] == 300  # 600 samples / 2 channels
+    assert np.array_equal(meta["samples"], s16)
+
+
+def test_audio_features_pipeline(spark, docs):
+    import numpy as np
+
+    from pedsnetdcc_spark.datapipe.multimodal import (
+        extract_audio_features,
+        with_wav_payload,
+    )
+
+    sample = docs.limit(20)
+    media = with_wav_payload(sample, "doc_id", "text")
+    feats = {r["doc_id"]: r for r in extract_audio_features(media, "doc_id").collect()}
+    texts = {r["doc_id"]: r["text"] for r in sample.collect()}
+    assert feats.keys() == texts.keys()
+    for did, row in feats.items():
+        raw = texts[did].encode("utf-8") or b"\x00"
+        s = np.frombuffer(raw, dtype=np.uint8).astype(float) - 128.0
+        assert row["n_samples"] == len(s)
+        assert row["peak"] == int(np.max(np.abs(s)))
+        assert abs(row["rms"] - float(np.sqrt(np.mean(s * s)))) < 1e-9
+
+
+def test_resize_images_real_resample(spark):
+    from pedsnetdcc_spark.datapipe.multimodal import (
+        decode_png,
+        encode_png,
+        resize_images,
+    )
+
+    # 8x4 gradient image: pixel value = x*16 + y
+    w, h = 8, 4
+    pixels = bytes((x * 16 + y) & 0xFF for y in range(h) for x in range(w))
+    df = spark.createDataFrame(
+        [(1, encode_png(w, h, pixels, channels=1)), (2, b"not an image")],
+        "media_id long, payload binary",
+    )
+    out = {r["media_id"]: r for r in resize_images(df, "media_id", out_width=4, out_height=2).collect()}
+    assert out[1]["resized"] and (out[1]["width"], out[1]["height"]) == (4, 2)
+    meta, pix = decode_png(bytes(out[1]["payload"]))
+    assert (meta["width"], meta["height"]) == (4, 2)
+    # nearest-neighbor grid: ys = [0, 2], xs = [0, 2, 4, 6]
+    expected = [[(x * 16 + y) & 0xFF for x in (0, 2, 4, 6)] for y in (0, 2)]
+    assert pix.tolist() == expected
+    assert not out[2]["resized"] and bytes(out[2]["payload"]) == b"not an image"
