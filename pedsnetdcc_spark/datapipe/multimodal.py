@@ -69,7 +69,9 @@ def encode_png(width: int, height: int, pixels: bytes, channels: int = 1) -> byt
     return (
         PNG_SIG
         + _png_chunk(b"IHDR", ihdr)
-        + _png_chunk(b"IDAT", zlib.compress(raw))
+        # level 1: the harness encodes in bulk and any conformant
+        # deflate stream is a valid PNG — decode cost is unaffected
+        + _png_chunk(b"IDAT", zlib.compress(raw, 1))
         + _png_chunk(b"IEND", b"")
     )
 

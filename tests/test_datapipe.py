@@ -490,3 +490,28 @@ def test_resize_images_real_resample(spark):
     expected = [[(x * 16 + y) & 0xFF for x in (0, 2, 4, 6)] for y in (0, 2)]
     assert pix.tolist() == expected
     assert not out[2]["resized"] and bytes(out[2]["payload"]) == b"not an image"
+
+
+def test_bpe_regex_java_matches_python(spark):
+    """The BPE-ish pre-tokenizer pattern must segment identically under
+    Java regex (Spark), RE2 (DuckDB oracle), and Python re — 300 seeded
+    random strings over the corpus alphabet, compared in one pass."""
+    import random
+    import re
+
+    from pedsnetdcc_spark.datapipe.text import BPE_SPLIT_RE, token_counts
+
+    rng = random.Random(7)
+    alphabet = "abcdefgh xyz 0123456789.,!?'-\"();:"
+    rows = [
+        (i, "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 80))))
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["bpe_tokens"]
+        for r in token_counts(df).select("doc_id", "bpe_tokens").collect()
+    }
+    pat = re.compile(BPE_SPLIT_RE)
+    for i, text in rows:
+        assert got[i] == len(pat.findall(text)), (i, text)
