@@ -29,6 +29,13 @@ def main() -> None:
     spark = build_session(app_name="pedsnetdcc_spark_bench")
     # warm the JVM/IO path once so per-query numbers measure the queries
     next(iter(QUERIES.values()))(spark, sf_dir).count()
+    # ... and the Arrow/Python UDF workers, so the first pandas-UDF
+    # query isn't charged the one-time worker spin-up
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import PandasUDFType
+
+    _warm = F.pandas_udf(lambda s: s, "long", PandasUDFType.SCALAR)
+    spark.range(32).repartition(32).select(_warm("id")).count()
 
     timings: dict[str, float] = {}
     for name, fn in QUERIES.items():

@@ -225,3 +225,68 @@ def test_streaming_interval_eras_matches_python_reference(spark, stream_src, sf_
     assert must_emit <= got, list(must_emit - got)[:3]
     for er in got:
         assert er[2] + gap < wm + margin  # nothing beyond the horizon emitted
+
+
+def test_streaming_interval_eras_checkpoint_restart(spark):
+    """State must survive a stream restart: run A sees two eras for a
+    key but finalizes nothing (watermark short of their horizon); run B
+    — same checkpoint — delivers an event that MERGES into run A's
+    state plus a far-future event that advances the watermark, flushing
+    both eras exactly once through a recoverable file sink."""
+    import datetime as dt
+    import shutil
+    import tempfile
+
+    from pedsnetdcc_spark.streaming.incremental import streaming_interval_eras
+
+    D = dt.datetime
+    root = tempfile.mkdtemp()
+    src, out, ckpt = root + "/src", root + "/out", root + "/ckpt"
+    schema = "user_id long, start_ts timestamp, end_ts timestamp"
+
+    def run_once():
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = (
+            streaming_interval_eras(
+                stream, ["user_id"], "start_ts", "end_ts",
+                gap_days=7, watermark="5 days",
+            )
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return spark.read.schema(
+            "user_id long, era_start_ts timestamp, era_end_ts timestamp, era_count long"
+        ).parquet(out)
+
+    try:
+        batch_a = spark.createDataFrame(
+            [
+                (1, D(2024, 1, 1), D(2024, 1, 2)),
+                (1, D(2024, 1, 10), D(2024, 1, 11)),
+            ],
+            schema,
+        )
+        batch_a.write.mode("append").parquet(src)
+        # watermark after run A = Jan 10 − 5d = Jan 5 < both era horizons
+        assert run_once().count() == 0
+
+        batch_b = spark.createDataFrame(
+            [
+                (1, D(2024, 1, 12), D(2024, 1, 13)),  # merges into [Jan10..] era
+                (2, D(2024, 3, 1), D(2024, 3, 2)),    # advances watermark
+            ],
+            schema,
+        )
+        batch_b.write.mode("append").parquet(src)
+        got = sorted(map(tuple, run_once().collect()))
+        assert got == [
+            (1, D(2024, 1, 1), D(2024, 1, 2), 1),
+            (1, D(2024, 1, 10), D(2024, 1, 13), 2),
+        ], got
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
