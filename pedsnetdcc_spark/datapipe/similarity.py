@@ -291,27 +291,33 @@ def embedding_near_dup_pairs_lsh(
         F.col(vec_col).cast("array<double>").alias("__v"),
     )
     sk = hyperplane_sketches_batch(bits, tables, dim)
+    # band on BARE ids: candidate generation and the cross-table pair
+    # dedup shuffle 16-byte id pairs, not id pairs with two dim-wide
+    # vectors attached (the payload-through-dedup formulation shuffled
+    # ~dim×16 bytes per candidate and dominated wall time)
     banded = v.withColumn("__sks", sk(F.col("__v"))).select(
-        "__id", "__v", F.posexplode("__sks").alias("tbl", "bucket")
+        "__id", F.posexplode("__sks").alias("tbl", "bucket")
     )
     if max_bucket is not None:
         sizes = banded.groupBy("tbl", "bucket").agg(F.count(F.lit(1)).alias("__n"))
         banded = banded.join(
             sizes.where(F.col("__n") <= max_bucket), ["tbl", "bucket"]
         ).drop("__n")
-    a = banded.select(
-        F.col("__id").alias("id_a"), F.col("__v").alias("__va"), "tbl", "bucket"
-    )
-    b = banded.select(
-        F.col("__id").alias("id_b"), F.col("__v").alias("__vb"), "tbl", "bucket"
-    )
-    cands = (
+    a = banded.select(F.col("__id").alias("id_a"), "tbl", "bucket")
+    b = banded.select(F.col("__id").alias("id_b"), "tbl", "bucket")
+    cand_ids = (
         a.join(b, ["tbl", "bucket"])
         .where(F.col("id_a") < F.col("id_b"))
         # a pair co-buckets in up to ``tables`` tables — dedup before
         # the (expensive) exact verification
         .dropDuplicates(["id_a", "id_b"])
     )
+    # re-attach vectors to the (far smaller) deduped candidate set;
+    # both joins broadcast when the corpus side fits, else they
+    # co-partition on the id
+    cands = cand_ids.join(
+        v.select(F.col("__id").alias("id_a"), F.col("__v").alias("__va")), "id_a"
+    ).join(v.select(F.col("__id").alias("id_b"), F.col("__v").alias("__vb")), "id_b")
     return (
         cands.select(
             "id_a",
