@@ -370,6 +370,15 @@ def simhash_near_dup_pairs(
     minimum).  More bands → smaller blocks → more false-positive
     candidates; fewer bands than ``max_hamming + 1`` would lose pairs,
     so it is rejected.
+
+    100 TB note: FALSE-positive bucket sizes are bounded by the block
+    width, but a mass of IDENTICAL signatures (e.g. millions of empty
+    or boilerplate docs) makes the true pair set itself quadratic — no
+    bucket cap can fix that without silently dropping exactly the
+    truest duplicates (every band of an identical pair collides).  Run
+    :func:`exact_dedup_groups` first and feed this operator canonical
+    documents only; the exact pass collapses identical content to one
+    row and is a single hash shuffle.
     """
     if num_bands is None:
         num_bands = max_hamming + 1
