@@ -340,11 +340,14 @@ def extract_media_features(
     id_col: str,
     payload_col: str = "payload",
     fake_decode: bool = True,
+    normalize: bool = True,
 ) -> DataFrame:
     """Decode metadata (real for PNG/BMP/GIF) + histogram feature vector
     per media row, as one Arrow-batched pass.  The histogram is over
     DECODED pixel samples when the pure-Python decode applies (PNG),
-    else over raw payload bytes."""
+    else over raw payload bytes.  ``normalize=False`` returns raw
+    integer bin counts (as doubles) — exact arithmetic, which is what
+    makes the pipeline oracle-checkable end to end."""
     import pandas as pd  # noqa: F401 — imported for the executor context
 
     schema = (
@@ -377,7 +380,11 @@ def extract_media_features(
                 heights.append(meta["height"])
                 depths.append(meta["bit_depth"])
                 sizes.append(len(buf))
-                feats.append((hist / total if total else hist).tolist())
+                feats.append(
+                    (hist / total if total else hist).tolist()
+                    if normalize
+                    else hist.tolist()
+                )
             yield pd.DataFrame(
                 {
                     id_col: ids,

@@ -1604,13 +1604,55 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("multimodal_features")
+def _multimodal_features_oracle() -> str:
+    """Recompute the full decode result from the text: geometry from the
+    harness's deterministic dimensions, pixel histogram from character
+    codes plus the zero-padding bin — all integer arithmetic, so the
+    entire encode → decode → histogram pipeline is hash-compared."""
+    bins = ",\n           ".join(
+        f"(LEN(list_filter(cs, x -> x % 16 = {i}))"
+        + (" + (w * h - n)" if i == 0 else "")
+        + f")::VARCHAR AS b{i}"
+        for i in range(16)
+    )
+    csv = " || ',' || ".join(f"b{i}" for i in range(16))
+    return f"""
+    WITH c AS (
+        SELECT doc_id,
+               list_transform(regexp_extract_all(text, '.'), ch -> ascii(ch)) AS cs,
+               octet_length(encode(text)) AS n
+        FROM documents
+    ),
+    g AS (
+        SELECT doc_id, cs, n,
+               1 + n % 61 AS w,
+               CAST(GREATEST(1, CEIL(n * 1.0 / (1 + n % 61))) AS INTEGER) AS h
+        FROM c
+    ),
+    bins AS (
+        SELECT doc_id, w, h,
+           {bins}
+        FROM g
+    )
+    SELECT doc_id,
+           CAST('png' AS VARCHAR) AS fmt,
+           CAST(w AS INTEGER) AS width,
+           h AS height,
+           CAST(8 AS INTEGER) AS bit_depth,
+           {csv} AS features_csv
+    FROM bins
+    """
+
+
+@query("multimodal_features", oracle=_multimodal_features_oracle())
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full multimodal pipeline on REAL PNG payloads: text → encode_png
-    (zlib, spec-conformant) → binary column → decode (chunk walk +
-    inflate + un-filter) → pixel-histogram features.  The features array
-    is serialized to a CSV string so every output column is hashable by
-    the driver's canonicalizer (arrays are not)."""
+    """Full multimodal pipeline on REAL PNG payloads, ORACLE-CHECKED end
+    to end: text → encode_png (zlib, spec-conformant) → binary column →
+    decode (chunk walk + inflate + un-filter) → pixel-histogram.  The
+    query emits raw integer bin counts (exact arithmetic — DuckDB
+    recomputes them from character codes + the padding bin) serialized
+    to CSV so every output column is hashable by the driver's
+    canonicalizer."""
     from pedsnetdcc_spark.datapipe.multimodal import (
         extract_media_features,
         with_png_payload,
@@ -1618,7 +1660,9 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     media = with_png_payload(docs, "doc_id", "text")
-    feats = extract_media_features(media, "doc_id", fake_decode=False)
+    feats = extract_media_features(
+        media, "doc_id", fake_decode=False, normalize=False
+    )
     return feats.select(
         "doc_id",
         "fmt",
@@ -1626,7 +1670,7 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "height",
         "bit_depth",
         F.concat_ws(
-            ",", F.transform("features", lambda x: F.format_number(x, 6))
+            ",", F.transform("features", lambda x: x.cast("int").cast("string"))
         ).alias("features_csv"),
     )
 
