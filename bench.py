@@ -30,12 +30,23 @@ def main() -> None:
     # warm the JVM/IO path once so per-query numbers measure the queries
     next(iter(QUERIES.values()))(spark, sf_dir).count()
     # ... and the Arrow/Python UDF workers, so the first pandas-UDF
-    # query isn't charged the one-time worker spin-up
-    from pyspark.sql import functions as F
-    from pyspark.sql.functions import PandasUDFType
+    # query isn't charged the one-time worker spin-up.  A CHAINED
+    # mapInPandas pair forks the deepest worker pipeline any query uses
+    # (2 python stages × all cores), and the imports inside pre-load
+    # numpy/pandas in every reused worker.
+    def _warm_op(batches):
+        import numpy  # noqa: F401
+        import pandas  # noqa: F401
 
-    _warm = F.pandas_udf(lambda s: s, "long", PandasUDFType.SCALAR)
-    spark.range(32).repartition(32).select(_warm("id")).count()
+        yield from batches
+
+    (
+        spark.range(64)
+        .repartition(64)
+        .mapInPandas(_warm_op, "id long")
+        .mapInPandas(_warm_op, "id long")
+        .count()
+    )
 
     timings: dict[str, float] = {}
     for name, fn in QUERIES.items():
@@ -46,6 +57,11 @@ def main() -> None:
         except Exception as exc:  # one broken query must not sink the run
             print(f"bench: {name} failed: {exc!r}", file=sys.stderr)
             timings[name] = -1.0
+        # caches are internal to a query's own execution; dropping them
+        # between queries keeps each measurement independent (cached
+        # blocks from earlier queries otherwise build heap pressure that
+        # taxes whoever runs late in the session)
+        spark.catalog.clearCache()
 
     out = {
         "metric": "pedsnetdcc_spark_total_query_time",
