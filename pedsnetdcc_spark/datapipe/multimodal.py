@@ -432,8 +432,16 @@ def resize_images(
             for rid, payload in zip(pdf[id_col], pdf[payload_col]):
                 buf = bytes(payload)
                 hdr = parse_image_header(buf)
-                if hdr is not None and hdr["format"] == "png":
-                    meta, pix = decode_png(buf)
+                decodable = hdr is not None and hdr["format"] == "png"
+                if decodable:
+                    try:
+                        meta, pix = decode_png(buf)
+                    except NotImplementedError:
+                        # 16-bit / interlaced PNG: header is readable but
+                        # the pure-Python pixel path doesn't cover it —
+                        # pass through rather than failing the task
+                        decodable = False
+                if decodable:
                     w, h, ch = meta["width"], meta["height"], meta["channels"]
                     grid = pix.reshape(h, w, ch)[:, :, 0]
                     ys = (np.arange(out_height) * h) // out_height

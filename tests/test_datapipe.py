@@ -515,3 +515,25 @@ def test_bpe_regex_java_matches_python(spark):
     pat = re.compile(BPE_SPLIT_RE)
     for i, text in rows:
         assert got[i] == len(pat.findall(text)), (i, text)
+
+
+def test_resize_passes_through_undecodable_png_variant(spark):
+    """A 16-bit PNG has a parseable header but no pure-Python pixel
+    path — resize must pass it through, not fail the task."""
+    import struct
+    import zlib
+
+    from pedsnetdcc_spark.datapipe.multimodal import PNG_SIG, _png_chunk, resize_images
+
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 16, 0, 0, 0, 0)  # 16-bit greyscale
+    raw = b"\x00" + b"\x00" * 8  # not actually decoded — header only
+    png16 = (
+        PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw))
+        + _png_chunk(b"IEND", b"")
+    )
+    df = spark.createDataFrame([(1, png16)], "media_id long, payload binary")
+    out = resize_images(df, "media_id", out_width=4, out_height=4).collect()
+    assert len(out) == 1 and not out[0]["resized"]
+    assert bytes(out[0]["payload"]) == png16
