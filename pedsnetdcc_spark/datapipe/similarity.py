@@ -196,6 +196,8 @@ def train_kmeans_centroids(
         .limit(sample_size)
         .collect()
     )
+    if not rows:
+        raise ValueError("cannot train k-means centroids on an empty table")
     X = np.stack([r["__v"] for r in rows]).astype(np.float64)
     n = np.linalg.norm(X, axis=1, keepdims=True)
     n[n == 0] = 1.0
