@@ -283,9 +283,12 @@ def simhash(
     sign of the vote sum.  Near-duplicates have small Hamming distance.
     ``hash_family="portable"`` makes the signature oracle-computable by
     DuckDB (md5-derived hash)."""
-    from pedsnetdcc_spark.util import ensure_parallelism
-
-    df = ensure_parallelism(df)
+    # cluster by document once: HashPartitioning(doc) satisfies both the
+    # (doc, tok) term-frequency aggregate and the (doc) vote aggregate,
+    # so the exploded token stream is never shuffled (one exchange of
+    # raw docs instead of two of the token stream); doubles as the
+    # small-file parallelism spread
+    df = df.repartition(F.col(id_col))
     toks = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("tok"))
     tf = toks.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("w"))
     h = _seeded_hash(F.col("tok"), 0, hash_family) if hash_family == "portable" else F.xxhash64(F.col("tok"))
@@ -314,9 +317,8 @@ def simhash64(
     """64-bit SimHash over the token stream: token hashed with xxhash64;
     each bit votes ±(term frequency); signature bit = sign of the vote
     sum.  Near-duplicates have small Hamming distance."""
-    from pedsnetdcc_spark.util import ensure_parallelism
-
-    df = ensure_parallelism(df)  # small files scan as one split
+    # single doc-keyed exchange reused by both aggregates — see simhash
+    df = df.repartition(F.col(id_col))
     toks = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("tok"))
     tf = toks.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("w"))
     h = F.xxhash64(F.col("tok"))
