@@ -240,8 +240,19 @@ def minhash_dedup_pairs(
     exact-Jaccard verification of the CANDIDATES ONLY (per-candidate
     shingle-set intersection, not the all-pairs inverted-index join —
     that's the whole point of LSH at scale: verification cost is
-    O(candidates), not O(co-occurring pairs))."""
-    sh = shingle_ngrams(df, id_col, text_col, n=n).cache()
+    O(candidates), not O(co-occurring pairs)).
+
+    The shingle stream is cached CLUSTERED BY DOCUMENT: the raw docs
+    are repartitioned on the id BEFORE shingling (explode preserves the
+    clustering, and shuffling one 2 KB row per doc beats shuffling its
+    ~100 exploded shingles), so both consumers — the signature
+    min-aggregate and the verification collect_set, each grouping on
+    the doc id — reuse that single exchange instead of re-shuffling the
+    stream once each.  Doc ids are uniform keys, so unlike a
+    shingle-keyed layout this cannot create a hot cached partition."""
+    sh = shingle_ngrams(
+        df.repartition(F.col(id_col)), id_col, text_col, n=n
+    ).cache()
     mins = [
         F.min(_seeded_hash(F.col("shingle"), i, hash_family)).alias(f"h{i}")
         for i in range(num_hashes)
