@@ -537,3 +537,39 @@ def test_resize_passes_through_undecodable_png_variant(spark):
     out = resize_images(df, "media_id", out_width=4, out_height=4).collect()
     assert len(out) == 1 and not out[0]["resized"]
     assert bytes(out[0]["payload"]) == png16
+
+
+def test_simhash_near_dup_matches_bruteforce_random_corpus(spark):
+    """Banded == brute-force on a seeded random corpus dense enough to
+    force collisions at several Hamming distances (40 docs over a tiny
+    vocabulary), across two different max_hamming settings."""
+    import random
+
+    from pedsnetdcc_spark.datapipe.dedup import simhash64, simhash_near_dup_pairs
+
+    rng = random.Random(11)
+    vocab = ["red", "blue", "green", "fish", "bird", "tree", "rock", "wind"]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(3, 12))))
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs = simhash64(df, "doc_id", "text")
+    a = sigs.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("ha"))
+    b = sigs.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("hb"))
+    for max_h in (4, 12):
+        brute = {
+            (r["id_a"], r["id_b"]): r["h"]
+            for r in a.crossJoin(b)
+            .where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", hamming64(F.col("ha"), F.col("hb")).alias("h"))
+            .where(F.col("h") <= max_h)
+            .collect()
+        }
+        banded = {
+            (r["id_a"], r["id_b"]): r["hamming"]
+            for r in simhash_near_dup_pairs(
+                df, "doc_id", "text", max_hamming=max_h
+            ).collect()
+        }
+        assert banded == brute, (max_h, len(banded), len(brute))

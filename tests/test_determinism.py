@@ -64,3 +64,18 @@ def test_simhash_layout_invariant(spark, sf_dir):
     assert _rows(simhash64(docs, "doc_id", "text")) == _rows(
         simhash64(docs.repartition(9), "doc_id", "text")
     )
+
+
+@pytest.mark.parametrize("parts", [3, 17])
+def test_embedding_near_dup_lsh_layout_invariant(spark, sf_dir, parts):
+    """Sketches are per-row functions of the vector (closure-broadcast
+    planes), so the candidate/verified pair set must not move with the
+    corpus layout."""
+    from pedsnetdcc_spark.datapipe.similarity import embedding_near_dup_pairs_lsh
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    base = embedding_near_dup_pairs_lsh(emb, threshold=0.45, bits=3, tables=10)
+    shuffled = embedding_near_dup_pairs_lsh(
+        emb.repartition(parts), threshold=0.45, bits=3, tables=10
+    )
+    assert _rows(base) == _rows(shuffled)
