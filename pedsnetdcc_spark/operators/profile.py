@@ -1,0 +1,49 @@
+"""Table profiling — the engine-side statistics pass.
+
+The reference's statistics surface is ``VACUUM ANALYZE`` after loads
+(reference: pedsnetdcc/utils.py:295-388 — planner stats only, opaque to
+the user).  Spark's cost-based stats analog is ``ANALYZE TABLE`` /
+``sources/io.analyze_table``; this operator is the *user-facing*
+profile a data pipeline wants before/after a load: per-column row,
+null, and distinct counts.
+
+Scale: ONE scan of the table.  All columns' aggregates run in a single
+``agg`` (multiple DISTINCT aggregates plan as one pass over an Expand —
+rows × columns intermediates, still one read of the data and map-side
+partial aggregation), and the single result row is unpivoted with
+``stack`` — no per-column re-scans, no driver loop over actions.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def profile_table(df: DataFrame, cols: Sequence[str] | None = None) -> DataFrame:
+    """One row per profiled column: ``(column, n_rows, n_null,
+    n_distinct)``.  ``n_distinct`` is exact and excludes nulls (SQL
+    ``COUNT(DISTINCT c)`` semantics); ``n_null = n_rows − COUNT(c)``.
+    """
+    names = list(cols) if cols is not None else list(df.columns)
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for i, c in enumerate(names):
+        aggs.append(F.count(F.col(c)).alias(f"__nn{i}"))
+        aggs.append(F.countDistinct(F.col(c)).alias(f"__nd{i}"))
+    row = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', __nn{i}, __nd{i}" for i, c in enumerate(names)
+    )
+    return row.select(
+        F.expr(
+            f"stack({len(names)}, {stack_args}) AS (column, __notnull, n_distinct)"
+        ),
+        F.col("__n"),
+    ).select(
+        "column",
+        F.col("__n").alias("n_rows"),
+        (F.col("__n") - F.col("__notnull")).alias("n_null"),
+        "n_distinct",
+    )

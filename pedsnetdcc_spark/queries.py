@@ -1231,6 +1231,40 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lang_id(docs).select("doc_id", "lang_pred")
 
 
+@query(
+    "table_profile",
+    oracle="""
+    SELECT 'o_orderkey' AS column, COUNT(*) AS n_rows,
+           COUNT(*) - COUNT(o_orderkey) AS n_null,
+           COUNT(DISTINCT o_orderkey) AS n_distinct FROM orders
+    UNION ALL
+    SELECT 'o_custkey', COUNT(*), COUNT(*) - COUNT(o_custkey),
+           COUNT(DISTINCT o_custkey) FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', COUNT(*), COUNT(*) - COUNT(o_orderstatus),
+           COUNT(DISTINCT o_orderstatus) FROM orders
+    UNION ALL
+    SELECT 'o_orderdate', COUNT(*), COUNT(*) - COUNT(o_orderdate),
+           COUNT(DISTINCT o_orderdate) FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', COUNT(*), COUNT(*) - COUNT(o_orderpriority),
+           COUNT(DISTINCT o_orderpriority) FROM orders
+    """,
+)
+def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-scan table profile (row/null/distinct counts per column) —
+    the user-facing statistics pass the reference delegates to
+    VACUUM ANALYZE (utils.py:295-388).  The oracle re-scans per column;
+    the Spark plan reads the table once."""
+    from pedsnetdcc_spark.operators.profile import profile_table
+
+    orders = _t(spark, sf_dir, "orders")
+    return profile_table(
+        orders,
+        ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate", "o_orderpriority"],
+    )
+
+
 _BPE_RE_SQL = "''(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+"
 
 

@@ -190,3 +190,17 @@ def test_salted_join_preserves_semantics(spark, sf_dir):
         "o_orderkey", "c_name"
     )
     assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
+
+
+def test_profile_table_counts_nulls_and_distincts(spark):
+    from pedsnetdcc_spark.operators.profile import profile_table
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "a"), (4, None), (5, "b")],
+        "id long, s string",
+    )
+    got = {r["column"]: r for r in profile_table(df).collect()}
+    assert got["id"]["n_rows"] == 5 and got["id"]["n_null"] == 0
+    assert got["id"]["n_distinct"] == 5
+    assert got["s"]["n_null"] == 2
+    assert got["s"]["n_distinct"] == 2  # nulls excluded, SQL semantics
