@@ -167,6 +167,53 @@ class TableStore:
             os.rename(self.current_dir, self.backup_dir)
         os.rename(self.staging_dir, self.current_dir)
 
+    def compact(
+        self,
+        spark: SparkSession,
+        name: str,
+        target_file_bytes: int = 128 * 1024 * 1024,
+    ) -> int:
+        """Small-file compaction (the OPTIMIZE analog): rewrite a
+        published table into ``ceil(bytes / target)`` files with a
+        single-table atomic swap (write aside → rename over; does not
+        consume the generation-level staged transaction, so sibling
+        tables are untouched).  Returns the output file count.
+
+        Incremental loads fragment a table into many small parquet
+        files; each costs a scan task and a footer read, so a
+        10⁶-file table wrecks scan parallelism long before data size
+        matters.  The reference never needs this (Postgres heaps don't
+        fragment this way — closest analog is VACUUM); on a lake it is
+        routine maintenance.
+        """
+        import math
+
+        path = os.path.join(self.current_dir, name)
+        total = sum(
+            os.path.getsize(os.path.join(d, f))
+            for d, _, fs in os.walk(path)
+            for f in fs
+            if f.endswith(".parquet")
+        )
+        n_files = max(1, math.ceil(total / target_file_bytes))
+        df = self.read(spark, name)
+        # coalesce avoids a shuffle when reducing the file count (the
+        # common case); a repartition would be needed only to split
+        # oversized files, where the shuffle is the point
+        cur_parts = df.rdd.getNumPartitions()
+        df = df.coalesce(n_files) if n_files <= cur_parts else df.repartition(n_files)
+        tmp = f"{path}.compact.{self._txid}"
+        df.write.mode("overwrite").parquet(tmp)
+        old = f"{path}.precompact"
+        if os.path.exists(old):
+            shutil.rmtree(old)
+        os.rename(path, old)
+        os.rename(tmp, path)
+        shutil.rmtree(old)
+        return sum(
+            1 for d, _, fs in os.walk(path) for f in fs if f.endswith(".parquet")
+        )
+
     def truncate(self, name: str) -> None:
         """TRUNCATE analog (era.py:16 ``TRUNCATE {0}.condition_era``):
         replace the published table with an empty one, preserving

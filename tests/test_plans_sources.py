@@ -131,3 +131,25 @@ def test_delete_rows_and_truncate(spark, sf_dir, tmp_path):
     import os
 
     assert not os.path.exists(os.path.join(st.current_dir, "nation"))
+
+
+def test_compact_reduces_file_count_preserves_rows(spark, sf_dir, tmp_path):
+    from pedsnetdcc_spark.sources.io import TableStore
+
+    store = TableStore(str(tmp_path / "store"))
+    nation = read_table(spark, sf_dir, "nation")
+    # fragment: 16 tiny files, plus an untouched sibling table
+    store.stage(nation.repartition(16), "nation")
+    store.stage(nation, "sibling")
+    store.publish()
+
+    before = sum(
+        1 for f in (tmp_path / "store" / "current" / "nation").rglob("*.parquet")
+    )
+    assert before == 16
+    n_out = store.compact(spark, "nation", target_file_bytes=1 << 30)
+    assert n_out == 1
+    got = store.read(spark, "nation")
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, nation.collect()))
+    # sibling table untouched by the single-table swap
+    assert store.read(spark, "sibling").count() == nation.count()
