@@ -573,3 +573,31 @@ def test_simhash_near_dup_matches_bruteforce_random_corpus(spark):
             ).collect()
         }
         assert banded == brute, (max_h, len(banded), len(brute))
+
+
+def test_ngram_dedup_scales_linearly_on_cloned_corpus(spark, docs):
+    """16× scale probe with exact expected output: every clone prefixes
+    its tokens with a clone tag, so clone-internal similarities are
+    preserved verbatim (isomorphic shingle sets) and cross-clone
+    similarity is zero.  The capped inverted-index design must therefore
+    return EXACTLY 16× the baseline pair count — any super-linear
+    candidate blowup or cap misfire shows up as extra/missing pairs."""
+    base_pairs = ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.5).count()
+    copies = spark.range(16).withColumnRenamed("id", "copy")
+    cloned = (
+        docs.crossJoin(copies)
+        .select(
+            (F.col("doc_id") * 16 + F.col("copy")).alias("doc_id"),
+            F.array_join(
+                F.transform(
+                    F.split("text", " "),
+                    lambda t: F.concat(
+                        F.lit("c"), F.col("copy").cast("string"), F.lit("_"), t
+                    ),
+                ),
+                " ",
+            ).alias("text"),
+        )
+    )
+    cloned_pairs = ngram_jaccard_pairs(cloned, "doc_id", "text", threshold=0.5).count()
+    assert cloned_pairs == 16 * base_pairs, (cloned_pairs, base_pairs)
