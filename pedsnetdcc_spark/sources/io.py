@@ -202,17 +202,29 @@ class TableStore:
         # oversized files, where the shuffle is the point
         cur_parts = df.rdd.getNumPartitions()
         df = df.coalesce(n_files) if n_files <= cur_parts else df.repartition(n_files)
-        tmp = f"{path}.compact.{self._txid}"
-        df.write.mode("overwrite").parquet(tmp)
-        old = f"{path}.precompact"
-        if os.path.exists(old):
-            shutil.rmtree(old)
-        os.rename(path, old)
-        os.rename(tmp, path)
-        shutil.rmtree(old)
+        self.replace(name, df)
+        path = os.path.join(self.current_dir, name)
         return sum(
             1 for d, _, fs in os.walk(path) for f in fs if f.endswith(".parquet")
         )
+
+    def replace(self, name: str, df: DataFrame) -> None:
+        """Atomically replace ONE published table with ``df`` (write
+        aside → rename over), leaving sibling tables and the
+        generation-level staged transaction untouched.  Safe when ``df``
+        reads from the table being replaced: the full rewrite lands in
+        the side directory before the swap."""
+        path = os.path.join(self.current_dir, name)
+        tmp = f"{path}.replace.{self._txid}"
+        df.write.mode("overwrite").parquet(tmp)
+        old = f"{path}.prereplace"
+        if os.path.exists(old):
+            shutil.rmtree(old)
+        if os.path.exists(path):
+            os.rename(path, old)
+        os.rename(tmp, path)
+        if os.path.exists(old):
+            shutil.rmtree(old)
 
     def truncate(self, name: str) -> None:
         """TRUNCATE analog (era.py:16 ``TRUNCATE {0}.condition_era``):

@@ -290,3 +290,49 @@ def test_streaming_interval_eras_checkpoint_restart(spark):
         ], got
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def test_incremental_interval_sync_matches_wholesale(spark, sf_dir):
+    """The foreachBatch sync job, fed the events in two separate
+    availableNow runs, must leave the published table identical to the
+    reference-style wholesale recomputation over all events."""
+    import shutil
+    import tempfile
+
+    from pedsnetdcc_spark.operators.interval_summary import interval_summary
+    from pedsnetdcc_spark.sources.io import TableStore
+    from pedsnetdcc_spark.streaming.sync import incremental_interval_sync
+
+    root = tempfile.mkdtemp()
+    src, ckpt = root + "/src", root + "/ckpt"
+    try:
+        ev = read_table(spark, sf_dir, "events").select("user_id", "ts")
+        first = ev.where(F.col("user_id") % 2 == 0)
+        second = ev.where(F.col("user_id") % 2 == 1)
+        store = TableStore(root + "/store")
+        schema = "user_id long, ts timestamp"
+
+        def run_once():
+            stream = spark.readStream.schema(schema).parquet(src)
+            q = (
+                incremental_interval_sync(
+                    stream, store, "observation_period", "user_id", "ts", "ts"
+                )
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+
+        first.write.mode("append").parquet(src)
+        run_once()
+        second.write.mode("append").parquet(src)
+        run_once()
+
+        got = store.read(spark, "observation_period")
+        wholesale = interval_summary([(ev, "user_id", "ts", "ts")])
+        assert sorted(map(tuple, got.collect())) == sorted(
+            map(tuple, wholesale.collect())
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
