@@ -4,3 +4,6 @@ from pedsnetdcc_spark.streaming.incremental import (  # noqa: F401
     streaming_interval_eras,
     streaming_interval_summary,
 )
+from pedsnetdcc_spark.streaming.sync import (  # noqa: F401
+    incremental_interval_sync,
+)
