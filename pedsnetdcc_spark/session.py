@@ -46,6 +46,10 @@ def build_session(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # bound Arrow batch size: multimodal pipelines carry MB-scale
+        # binary payloads per row, and the default 10k-row batches would
+        # put gigabytes in a single python-worker transfer at 100 TB
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "1024")
         .config("spark.sql.parquet.compression.codec", "zstd")
         # the harness's events table carries TIMESTAMP(NANOS) parquet
         # columns; read them as long and convert in sources.io.read_table
