@@ -158,6 +158,93 @@ def build_recover_cohort(
     return distinct_cohort(domains)
 
 
+# --- observation-period sync configuration (sync_observation_period.py:8-52) ---
+
+# table → ((start datetime, start date fallback), (end datetime, end date
+# fallback)); tables whose SQL uses the same column for min and max (procedure,
+# observation, measurement, death) repeat the start pair.
+OBS_PERIOD_DOMAINS: dict[str, tuple[tuple[str, str], tuple[str, str]]] = {
+    "visit_occurrence": (
+        ("visit_start_datetime", "visit_start_date"),
+        ("visit_end_datetime", "visit_end_date"),
+    ),
+    "procedure_occurrence": (
+        ("procedure_datetime", "procedure_date"),
+        ("procedure_datetime", "procedure_date"),
+    ),
+    "condition_occurrence": (
+        ("condition_start_datetime", "condition_start_date"),
+        ("condition_end_datetime", "condition_end_date"),
+    ),
+    "drug_exposure": (
+        ("drug_exposure_start_datetime", "drug_exposure_start_date"),
+        ("drug_exposure_end_datetime", "drug_exposure_end_date"),
+    ),
+    "observation": (
+        ("observation_datetime", "observation_date"),
+        ("observation_datetime", "observation_date"),
+    ),
+    "measurement": (
+        ("measurement_datetime", "measurement_date"),
+        ("measurement_datetime", "measurement_date"),
+    ),
+    "death": (("death_datetime", "death_date"), ("death_datetime", "death_date")),
+}
+
+OBS_PERIOD_TYPE_CONCEPT_ID = 44814724  # sync_observation_period.py:73
+
+
+def derive_observation_period(
+    tables: dict[str, DataFrame], id_mode: str = "distributed"
+) -> DataFrame:
+    """Recompute ``observation_period`` from the fact tables present —
+    the ``sync_observation_period`` derivation (reference
+    sync_observation_period.py:8-78): per-person min/max over the seven
+    domain tables' coalesced datetime/date pairs, null maxes backfilled
+    from mins, constant period type, row-numbered surrogate id.
+
+    Scale: each domain contributes a map-side partial min/max before the
+    single person-keyed shuffle (operators/interval_summary).  The id is
+    assigned in ``distributed`` mode by default (per-partition offsets);
+    pass ``id_mode="window"`` for the reference's literal global
+    ``row_number()`` ordering.
+    """
+    from pedsnetdcc_spark.operators.ids import assign_surrogate_ids
+    from pedsnetdcc_spark.operators.interval_summary import interval_summary
+
+    domains = []
+    for name, ((sdt, sd), (edt, ed)) in OBS_PERIOD_DOMAINS.items():
+        df = tables.get(name)
+        if df is None:
+            continue
+        start_cols = [F.col(c).cast("timestamp") for c in (sdt, sd) if c in df.columns]
+        end_cols = [F.col(c).cast("timestamp") for c in (edt, ed) if c in df.columns]
+        if not start_cols:
+            continue
+        domains.append(
+            (
+                df,
+                "person_id",
+                F.coalesce(*start_cols),
+                F.coalesce(*(end_cols or start_cols)),
+            )
+        )
+    if not domains:
+        raise ValueError("no observation-period domain tables present")
+    out = interval_summary(
+        domains,
+        key_name="person_id",
+        start_name="observation_period_start_date",
+        end_name="observation_period_end_date",
+    )
+    out = out.withColumn(
+        "period_type_concept_id", F.lit(OBS_PERIOD_TYPE_CONCEPT_ID)
+    )
+    return assign_surrogate_ids(
+        out, "observation_period_id", "person_id", mode=id_mode
+    )
+
+
 # --- era configurations (era.py) ---
 
 CONDITION_ERA_GAP_DAYS = 30
