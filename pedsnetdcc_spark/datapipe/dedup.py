@@ -48,7 +48,7 @@ def ngram_jaccard_pairs(
     text_col: str,
     n: int = 3,
     threshold: float = 0.5,
-    max_df: int | None = 1000,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact near-duplicate pairs by word n-gram Jaccard similarity:
     ``(id_a, id_b, jaccard)`` for id_a < id_b, jaccard ≥ threshold.
@@ -67,7 +67,10 @@ def ngram_jaccard_pairs(
     shingles carry ≈0 bits about near-duplication (they boost both
     numerator and denominator of every pair equally), so the capped
     measure tracks the uncapped one closely while bounding bucket size.
-    ``max_df=None`` disables the cap.
+    The default ``max_df=None`` keeps the fully-exact semantics (this
+    function doubles as the exact verifier); scale-sensitive call sites
+    must OPT IN to the cap explicitly — capping changes reported
+    jaccard values and can drop pairs dominated by high-DF shingles.
 
     Plan shape (chosen over the naive posting-list self-join, which was
     ~2× slower):

@@ -198,7 +198,11 @@ def decode_image(payload: bytes, fake: bool = False) -> dict:
             try:
                 meta, pixels = decode_png(bytes(payload))
                 return {**meta, "pixels": pixels}
-            except NotImplementedError:
+            except (NotImplementedError, ValueError, zlib.error, IndexError):
+                # unsupported variant OR corrupt body past a valid header
+                # (truncated IDAT → zlib.error, bad filter/short scanline
+                # → ValueError/IndexError): degrade to header-only rather
+                # than failing the whole task
                 return hdr
         return hdr
     if not fake:
@@ -436,9 +440,10 @@ def resize_images(
                 if decodable:
                     try:
                         meta, pix = decode_png(buf)
-                    except NotImplementedError:
-                        # 16-bit / interlaced PNG: header is readable but
-                        # the pure-Python pixel path doesn't cover it —
+                    except (NotImplementedError, ValueError, zlib.error, IndexError):
+                        # unsupported (16-bit / interlaced) OR corrupt
+                        # (truncated IDAT → zlib.error, bad filter byte /
+                        # wrong pixel count → ValueError/IndexError):
                         # pass through rather than failing the task
                         decodable = False
                 if decodable:

@@ -142,7 +142,24 @@ class TableStore:
         return os.path.join(self.root, f"_staged.{self._txid}")
 
     def read(self, spark: SparkSession, name: str) -> DataFrame:
+        self._recover_prereplace(name)
         return spark.read.parquet(os.path.join(self.current_dir, name))
+
+    def table_exists(self, name: str) -> bool:
+        """True when the table is published (after recovering any
+        interrupted ``replace``)."""
+        self._recover_prereplace(name)
+        return os.path.isdir(os.path.join(self.current_dir, name))
+
+    def _recover_prereplace(self, name: str) -> None:
+        """Crash recovery for ``replace``: its two renames are not one
+        atomic step, so a crash between them leaves the table missing
+        with the data stranded at ``<table>.prereplace``.  Restore it
+        before any read/existence check."""
+        path = os.path.join(self.current_dir, name)
+        old = f"{path}.prereplace"
+        if not os.path.exists(path) and os.path.exists(old):
+            os.rename(old, path)
 
     def stage(self, df: DataFrame, name: str, partition_by: list[str] | None = None) -> None:
         """Write a table into the staging area (the CTAS analog,
@@ -209,11 +226,19 @@ class TableStore:
         )
 
     def replace(self, name: str, df: DataFrame) -> None:
-        """Atomically replace ONE published table with ``df`` (write
-        aside → rename over), leaving sibling tables and the
-        generation-level staged transaction untouched.  Safe when ``df``
-        reads from the table being replaced: the full rewrite lands in
-        the side directory before the swap."""
+        """Replace ONE published table with ``df`` (write aside → rename
+        over), leaving sibling tables and the generation-level staged
+        transaction untouched.  Safe when ``df`` reads from the table
+        being replaced: the full rewrite lands in the side directory
+        before the swap.
+
+        NOT fully atomic: the swap is two renames (path →
+        ``.prereplace``, tmp → path), so a crash — or a concurrent
+        reader — in between observes a missing table.  Readers going
+        through :meth:`read` / :meth:`table_exists` self-heal via
+        :meth:`_recover_prereplace`; on a table format
+        (Delta/Iceberg ``REPLACE TABLE``) the window disappears."""
+        self._recover_prereplace(name)
         path = os.path.join(self.current_dir, name)
         tmp = f"{path}.replace.{self._txid}"
         df.write.mode("overwrite").parquet(tmp)

@@ -46,7 +46,13 @@ def incremental_interval_sync(
             F.min(start_col).alias(start_name),
             F.coalesce(F.max(end_col), F.max(start_col)).alias(end_name),
         )
-        try:
+        # Existence is checked explicitly rather than by catching read
+        # errors: the accumulated min/max history is NOT recoverable from
+        # retained events (the module's whole point is that events need
+        # not be kept), so a transient IO/schema error must fail the
+        # micro-batch — Structured Streaming then retries it — instead of
+        # being mistaken for "first batch" and wiping the table.
+        if store.table_exists(table):
             cur = store.read(spark, table)
             merged = (
                 cur.unionByName(agg)
@@ -56,7 +62,7 @@ def incremental_interval_sync(
                     F.max(end_name).alias(end_name),
                 )
             )
-        except Exception:  # first batch: table does not exist yet
+        else:  # genuinely the first batch
             merged = agg
         store.replace(table, merged)
 

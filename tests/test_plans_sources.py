@@ -153,3 +153,25 @@ def test_compact_reduces_file_count_preserves_rows(spark, sf_dir, tmp_path):
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, nation.collect()))
     # sibling table untouched by the single-table swap
     assert store.read(spark, "sibling").count() == nation.count()
+
+
+def test_replace_crash_recovery_and_table_exists(spark, sf_dir, tmp_path):
+    """An interrupted replace() (crash between its two renames) leaves the
+    data at <table>.prereplace; read()/table_exists() must self-heal."""
+    import os
+    import shutil
+
+    store = TableStore(str(tmp_path / "store"))
+    nation = read_table(spark, sf_dir, "nation")
+    store.stage(nation, "nation")
+    store.publish()
+    assert store.table_exists("nation")
+    assert not store.table_exists("missing")
+
+    # simulate the crash window: table renamed aside, tmp never landed
+    path = os.path.join(store.current_dir, "nation")
+    os.rename(path, path + ".prereplace")
+    assert not os.path.exists(path)
+    assert store.table_exists("nation")  # recovery ran
+    assert store.read(spark, "nation").count() == nation.count()
+    assert not os.path.exists(path + ".prereplace")
