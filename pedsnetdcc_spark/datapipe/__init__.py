@@ -23,9 +23,17 @@ from pedsnetdcc_spark.datapipe.dedup import (  # noqa: F401
     lsh_candidate_pairs,
     simhash,
     simhash64,
+    simhash_band_pairs,
     simhash_near_dup_pairs,
     hamming64,
     portable_hash64,
+)
+from pedsnetdcc_spark.datapipe.agreement import (  # noqa: F401
+    pair_set_agreement,
+    pair_sets_equal,
+    signature_locality,
+    topk_recall_per_query,
+    topk_recall_total,
 )
 from pedsnetdcc_spark.datapipe.similarity import (  # noqa: F401
     cosine_topk,

@@ -396,6 +396,23 @@ def simhash_near_dup_pairs(
     documents only; the exact pass collapses identical content to one
     row and is a single hash shuffle.
     """
+    sigs = simhash(df, id_col, text_col, bits=bits, hash_family=hash_family)
+    return simhash_band_pairs(
+        sigs, id_col, max_hamming=max_hamming, bits=bits, num_bands=num_bands
+    )
+
+
+def simhash_band_pairs(
+    sigs: DataFrame,
+    id_col: str,
+    sig_col: str = "simhash",
+    max_hamming: int = 3,
+    bits: int = 64,
+    num_bands: int | None = None,
+) -> DataFrame:
+    """The block-and-band join of :func:`simhash_near_dup_pairs`, over a
+    PRECOMPUTED signature table ``(id, sig_col)`` — use when signatures
+    are already materialized (or shared with another consumer)."""
     if num_bands is None:
         num_bands = max_hamming + 1
     if num_bands < max_hamming + 1:
@@ -405,7 +422,8 @@ def simhash_near_dup_pairs(
         )
     if num_bands > bits:
         raise ValueError(f"num_bands={num_bands} > bits={bits}")
-    sigs = simhash(df, id_col, text_col, bits=bits, hash_family=hash_family)
+    if sig_col != "simhash":
+        sigs = sigs.withColumnRenamed(sig_col, "simhash")
     width = bits // num_bands
     entries = []
     for b in range(num_bands):

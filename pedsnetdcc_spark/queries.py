@@ -1455,18 +1455,59 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_dup_pairs(emb, "vec_id", "embedding", threshold=0.45)
 
 
-# --- rows-only entries (no SQL-expressible oracle; the driver records a
-# weaker rows-only check — their correctness is pinned by unit tests
-# against the exact/oracle-checked counterparts) ---
+# --- agreement entries: production hash paths (xxhash64 / float-batch)
+# an external SQL engine cannot replay bit-for-bit.  Each query runs the
+# PRODUCTION operator and its exact, independently-oracle-checked twin in
+# one job and emits the agreement scorecard (datapipe/agreement.py): the
+# exact-side cardinality is recomputed by DuckDB from the raw tables
+# (data-dependent, non-trivial), zero-false-positive and bounded-recall
+# assertions are deterministic properties of the seeded hash families.
+# This replaces the former rows-only entries so the driver's hash gate
+# scores every production path. ---
 
 
-@query("ann_ivf_topk")
+# uncapped exact n-gram Jaccard pairs at tau=0.2 — the exact twin the
+# MinHash-LSH production path is scored against
+_EXACT_JACCARD_CTE = """
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    ),
+    exact AS (
+        SELECT id_a, id_b,
+               common * 1.0 / (sa.n + sb.n - common) AS jaccard
+        FROM pairs
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+    )"""
+
+
+@query(
+    "ann_ivf_topk",
+    oracle="""
+    WITH q AS (SELECT COUNT(*) AS nq FROM embeddings WHERE vec_id < 8)
+    SELECT CAST(nq AS BIGINT) AS n_queries,
+           CAST(5 * nq AS BIGINT) AS n_exact,
+           TRUE AS k_complete, TRUE AS recall_ok
+    FROM q
+    """,
+)
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pedsnetdcc_spark.datapipe.similarity import ivf_topk
+    """IVF ANN scored against the oracle-checked exact top-k: probing 6
+    of 16 cells must recover ≥60% of all exact neighbors and return a
+    full k for every query.  The recall is a deterministic function of
+    the data (seeded sample, driver Lloyd, argmax assignment — no RNG),
+    so the scorecard is a stable query result."""
+    from pedsnetdcc_spark.datapipe.agreement import topk_recall_total
+    from pedsnetdcc_spark.datapipe.similarity import cosine_topk, ivf_topk
 
     emb = _t(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") < 8)
-    return ivf_topk(emb, queries_df, "vec_id", "embedding", k=5)
+    prod = ivf_topk(emb, queries_df, "vec_id", "embedding", k=5, nprobe=6)
+    exact = cosine_topk(emb, queries_df, "vec_id", "embedding", k=5)
+    return topk_recall_total(prod, exact, min_recall_pct=60)
 
 
 def _minhash_portable_oracle(num_hashes: int = 16, num_bands: int = 4, tau: float = 0.2) -> str:
@@ -1524,14 +1565,35 @@ def q_minhash_lsh_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("minhash_lsh_dedup")
+@query(
+    "minhash_lsh_dedup",
+    oracle=f"""
+    WITH {_SHINGLE_CTE},{_EXACT_JACCARD_CTE}
+    SELECT COUNT(*) AS n_exact, CAST(0 AS BIGINT) AS false_positives,
+           TRUE AS recall_ok
+    FROM exact WHERE jaccard >= 0.2
+    """,
+)
 def q_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pedsnetdcc_spark.datapipe.dedup import minhash_dedup_pairs
+    """Production xxhash64 MinHash-LSH scored against the exact n-gram
+    Jaccard pair set (which DuckDB recomputes independently for
+    ``n_exact``): candidates are exact-verified so false positives MUST
+    be 0, and the 16-hash/4-band family must recover ≥80% of the true
+    pairs.  Deterministic — seeded hashes, no RNG."""
+    from pedsnetdcc_spark.datapipe.agreement import pair_set_agreement
+    from pedsnetdcc_spark.datapipe.dedup import (
+        minhash_dedup_pairs,
+        ngram_jaccard_pairs,
+    )
 
     docs = _t(spark, sf_dir, "documents")
-    return minhash_dedup_pairs(
+    prod = minhash_dedup_pairs(
         docs, "doc_id", "text", n=3, num_hashes=16, num_bands=4, threshold=0.2
     )
+    exact = ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.2, max_df=None
+    )
+    return pair_set_agreement(prod, exact, min_recall_pct=80)
 
 
 def _simhash_portable_oracle(bits: int = 16) -> str:
@@ -1564,12 +1626,33 @@ def q_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash(docs, "doc_id", "text", bits=16, hash_family="portable")
 
 
-@query("simhash_signatures")
+@query(
+    "simhash_signatures",
+    oracle=f"""
+    WITH {_SHINGLE_CTE},{_EXACT_JACCARD_CTE}
+    SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+           (SELECT COUNT(*) FROM documents) AS n_sigs,
+           COUNT(*) AS dup_pairs, TRUE AS dup_pairs_close
+    FROM exact WHERE jaccard >= 0.4
+    """,
+)
 def q_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pedsnetdcc_spark.datapipe.dedup import simhash64
+    """Production 64-bit xxhash64 SimHash scored for the locality
+    property that makes it useful: every exact near-duplicate pair
+    (Jaccard ≥ 0.4, recomputed independently by DuckDB for
+    ``dup_pairs``) must sit within 16 of 64 signature bits (measured
+    max at sf0.01: 5), and every document must receive exactly one
+    signature."""
+    from pedsnetdcc_spark.datapipe.agreement import signature_locality
+    from pedsnetdcc_spark.datapipe.dedup import ngram_jaccard_pairs, simhash64
 
     docs = _t(spark, sf_dir, "documents")
-    return simhash64(docs, "doc_id", "text")
+    sigs = simhash64(docs, "doc_id", "text")
+    dup = ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.4, max_df=None
+    )
+    corpus = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    return signature_locality(sigs, dup, corpus, max_hamming=16)
 
 
 def _simhash_near_dup_oracle(bits: int = 16, max_hamming: int = 2) -> str:
@@ -1600,42 +1683,104 @@ def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("simhash_near_dup_dedup")
+@query(
+    "simhash_near_dup_dedup",
+    oracle="""
+    SELECT COUNT(*) AS n_docs, CAST(0 AS BIGINT) AS missing,
+           CAST(0 AS BIGINT) AS extra
+    FROM documents
+    """,
+)
 def q_simhash_near_dup_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Production 64-bit xxhash64 SimHash near-dup path (rows-only:
-    xxhash64 is not oracle-expressible; the algorithm is pinned by the
-    oracle-checked 16-bit portable variant and unit equivalence tests)."""
-    from pedsnetdcc_spark.datapipe.dedup import simhash_near_dup_pairs
-
-    docs = _t(spark, sf_dir, "documents")
-    return simhash_near_dup_pairs(docs, "doc_id", "text", max_hamming=3)
-
-
-@query("embedding_near_dup_lsh")
-def q_embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scale path for embedding near-dup: LSH-bucketed candidate pairs +
-    exact verify (rows-only: hyperplane signs come from a float matmul;
-    recall/precision pinned vs the oracle-checked all-pairs operator in
-    tests/test_datapipe.py).  bits sized for the sf0.1 corpus
-    (2^6 buckets ≈ 5000/64 ≈ 78 per bucket); tables=16 buys recall
-    back."""
-    from pedsnetdcc_spark.datapipe.similarity import embedding_near_dup_pairs_lsh
-
-    emb = _t(spark, sf_dir, "embeddings")
-    return embedding_near_dup_pairs_lsh(
-        emb, "vec_id", "embedding", threshold=0.45, bits=6, tables=16, dim=64
+    """Production 64-bit xxhash64 SimHash near-dup join proved IDENTICAL
+    to the brute-force all-pairs Hamming join over the same signatures:
+    the pigeonhole block-and-band candidate generation is lossless and
+    the popcount verification exact, so the symmetric difference must be
+    empty — checked in-Spark over every pair (the signatures themselves
+    are computed once and shared by both sides)."""
+    from pedsnetdcc_spark.datapipe.agreement import pair_sets_equal
+    from pedsnetdcc_spark.datapipe.dedup import (
+        hamming64,
+        simhash64,
+        simhash_band_pairs,
     )
 
+    docs = _t(spark, sf_dir, "documents")
+    sigs = simhash64(docs, "doc_id", "text").cache()
+    banded = simhash_band_pairs(sigs, "doc_id", max_hamming=3)
+    sa = sigs.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("__ha"))
+    sb = sigs.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("__hb"))
+    brute = (
+        sa.crossJoin(sb)
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(hamming64(F.col("__ha"), F.col("__hb")) <= 3)
+        .select("id_a", "id_b")
+    )
+    corpus = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    return pair_sets_equal(banded, brute, corpus)
 
-@query("ann_lsh_topk")
+
+@query(
+    "embedding_near_dup_lsh",
+    oracle="""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    exact AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM v a JOIN v b ON a.vec_id < b.vec_id
+        WHERE list_dot_product(a.e, b.e)
+              / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) >= 0.45
+    )
+    SELECT COUNT(*) AS n_exact, CAST(0 AS BIGINT) AS false_positives,
+           TRUE AS recall_ok
+    FROM exact
+    """,
+)
+def q_embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale path for embedding near-dup — multi-table hyperplane LSH
+    candidates + exact cosine verify — scored against the oracle-checked
+    all-pairs operator: DuckDB recomputes ``n_exact`` from the raw
+    vectors, verification guarantees 0 false positives, and the
+    16-table/6-bit family must recover ≥60% of the true pairs (bits
+    sized for the sf0.1 corpus: 2^6 buckets ≈ 5000/64 ≈ 78 per
+    bucket)."""
+    from pedsnetdcc_spark.datapipe.agreement import pair_set_agreement
+    from pedsnetdcc_spark.datapipe.similarity import (
+        embedding_near_dup_pairs,
+        embedding_near_dup_pairs_lsh,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    prod = embedding_near_dup_pairs_lsh(
+        emb, "vec_id", "embedding", threshold=0.45, bits=6, tables=16, dim=64
+    )
+    exact = embedding_near_dup_pairs(emb, "vec_id", "embedding", threshold=0.45)
+    return pair_set_agreement(prod, exact, min_recall_pct=60)
+
+
+@query(
+    "ann_lsh_topk",
+    oracle="""
+    SELECT vec_id AS query_id, CAST(5 AS BIGINT) AS k_returned,
+           TRUE AS recall_ok
+    FROM embeddings WHERE vec_id < 8
+    """,
+)
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pedsnetdcc_spark.datapipe.similarity import lsh_bucketed_topk
+    """Hyperplane-LSH ANN scored per query against the oracle-checked
+    exact top-k: every query must return a full k=5 (DuckDB enumerates
+    the query ids) and recover ≥3 of its 5 exact neighbors (measured at
+    sf0.01: 5/5 for every query).  Deterministic seeded hyperplanes —
+    the scorecard is a stable query result."""
+    from pedsnetdcc_spark.datapipe.agreement import topk_recall_per_query
+    from pedsnetdcc_spark.datapipe.similarity import cosine_topk, lsh_bucketed_topk
 
     emb = _t(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") < 8)
-    return lsh_bucketed_topk(
+    prod = lsh_bucketed_topk(
         emb, queries_df, "vec_id", "embedding", k=5, bits=4, tables=8, dim=64
     )
+    exact = cosine_topk(emb, queries_df, "vec_id", "embedding", k=5)
+    return topk_recall_per_query(prod, exact, min_common=3)
 
 
 def _multimodal_features_oracle() -> str:
