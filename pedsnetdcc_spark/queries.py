@@ -1924,3 +1924,244 @@ def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     media = with_wav_payload(docs, "doc_id", "text")
     return extract_audio_features(media, "doc_id").drop("rms")
+
+
+# ---------------------------------------------------------------------------
+# CDM configuration layer driven end to end (cdm.py): the reference's
+# flagship `transform` chain (Age → ConceptName → SiteName,
+# transform_runner.py:38-99) and the drug-era config (rollup + end-date
+# fallback chain + 30-day gap, era.py:135-258) on CDM-shaped frames built
+# from the harness tables.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "cdm_transform",
+    oracle=f"""
+    WITH person AS (
+        SELECT o_custkey AS person_id, CAST(MIN(o_orderdate) AS DATE) AS birth_datetime
+        FROM orders GROUP BY o_custkey
+    ),
+    meas AS (
+        SELECT event_id AS measurement_id, user_id AS person_id,
+               CAST(ts AS DATE) AS measurement_datetime,
+               CAST(ts AS DATE) + 1 AS measurement_result_datetime,
+               1 + event_id % 200 AS measurement_concept_id,
+               1 + event_id % 50 AS unit_concept_id,
+               value AS value_as_number
+        FROM events
+    )
+    SELECT m.measurement_id, m.person_id, m.measurement_datetime,
+           m.measurement_concept_id, c1.p_name AS measurement_concept_name,
+           m.unit_concept_id, c2.p_name AS unit_concept_name,
+           m.value_as_number,
+           {months_in_interval_sql('p.birth_datetime', 'm.measurement_datetime')}
+               AS measurement_datetime_age_in_months,
+           {months_in_interval_sql('p.birth_datetime', 'm.measurement_result_datetime')}
+               AS measurement_result_datetime_age_in_months,
+           CAST('sitea' AS VARCHAR) AS site
+    FROM meas m
+    JOIN person p ON p.person_id = m.person_id
+    LEFT JOIN part c1 ON c1.p_partkey = m.measurement_concept_id
+    LEFT JOIN part c2 ON c2.p_partkey = m.unit_concept_id
+    """,
+)
+def q_cdm_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CDM config layer end to end: ``transform_cdm_table`` applies
+    the Age → ConceptName → SiteName chain for the ``measurement`` table
+    using the configured per-table age columns
+    (cdm.AGE_COLUMNS_BY_TABLE, reference age_transform.py:51-60), the
+    ``*_concept_id → *_concept_name`` convention
+    (concept_name_transform.py:46-56) and the literal site tag
+    (site_name_transform.py:30-32).  Events stand in for measurement,
+    part for concept, first-order-date for birth."""
+    from pedsnetdcc_spark.cdm import transform_cdm_table
+
+    ev = _t(spark, sf_dir, "events")
+    meas = ev.select(
+        F.col("event_id").alias("measurement_id"),
+        F.col("user_id").alias("person_id"),
+        F.col("ts").cast("date").alias("measurement_datetime"),
+        F.date_add(F.col("ts").cast("date"), 1).alias("measurement_result_datetime"),
+        (1 + F.col("event_id") % 200).alias("measurement_concept_id"),
+        (1 + F.col("event_id") % 50).alias("unit_concept_id"),
+        F.col("value").alias("value_as_number"),
+    )
+    person = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("person_id"))
+        .agg(F.min("o_orderdate").cast("date").alias("birth_datetime"))
+    )
+    concept = _t(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("concept_id"), F.col("p_name").alias("concept_name")
+    )
+    out = transform_cdm_table(meas, "measurement", person, concept, site="sitea")
+    return out.select(
+        "measurement_id", "person_id", "measurement_datetime",
+        "measurement_concept_id", "measurement_concept_name",
+        "unit_concept_id", "unit_concept_name", "value_as_number",
+        "measurement_datetime_age_in_months",
+        "measurement_result_datetime_age_in_months", "site",
+    )
+
+
+_CDM_DRUG_TARGET = """
+        SELECT e.user_id AS person_id,
+               ca.ancestor_concept_id AS drug_concept_id,
+               CAST(e.ts AS DATE) AS sd,
+               COALESCE(
+                   CASE WHEN e.event_id % 3 = 0 THEN CAST(e.ts AS DATE) + 5 END,
+                   CASE WHEN e.event_id % 3 = 1 THEN CAST(e.ts AS DATE) + CAST(e.event_id % 10 AS INTEGER) END,
+                   CAST(e.ts AS DATE) + 1) AS ed
+        FROM events e
+        JOIN (SELECT p_partkey AS descendant_concept_id,
+                     1 + p_partkey % 20 AS ancestor_concept_id
+              FROM part) ca
+          ON ca.descendant_concept_id = 1 + e.event_id % 200
+        JOIN (SELECT n_nationkey AS concept_id,
+                     CASE WHEN n_nationkey % 2 = 0 THEN 'Ingredient'
+                          ELSE 'Clinical Drug Form' END AS concept_class_id
+              FROM nation) c
+          ON c.concept_id = ca.ancestor_concept_id
+         AND c.concept_class_id = 'Ingredient'"""
+
+
+@query(
+    "cdm_drug_era",
+    oracle=f"""
+    SELECT person_id, drug_concept_id,
+           era_start_date AS drug_era_start_date,
+           era_end_date AS drug_era_end_date,
+           era_count AS drug_exposure_count,
+           CAST(30 AS INTEGER) AS gap_days
+    FROM ({era_oracle_sql(_CDM_DRUG_TARGET, keys=["person_id", "drug_concept_id"], gap=30)})
+    """,
+)
+def q_cdm_drug_era(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CDM drug-era config end to end (cdm.derive_drug_era): RxNorm
+    Ingredient rollup through the ancestor closure with the dimension
+    filter applied pre-broadcast (era.py:148-153), the end-date fallback
+    chain COALESCE(end, start + days_supply, start + 1) (era.py:146),
+    and the 30-day-gap era derivation — oracle-checked against the
+    reference's own 2*s−o=0 SQL construction over the identical rolled
+    target.  Events stand in for drug_exposure, part for
+    concept_ancestor, nation for concept (odd nation keys get a
+    different concept class to prove the filter drops them)."""
+    from pedsnetdcc_spark.cdm import derive_drug_era
+
+    ev = _t(spark, sf_dir, "events")
+    start = F.col("ts").cast("date")
+    drug = ev.select(
+        F.col("user_id").alias("person_id"),
+        (1 + F.col("event_id") % 200).alias("drug_concept_id"),
+        start.alias("drug_exposure_start_date"),
+        F.when(F.col("event_id") % 3 == 0, F.date_add(start, 5)).alias(
+            "drug_exposure_end_date"
+        ),
+        F.when(F.col("event_id") % 3 == 1, (F.col("event_id") % 10).cast("int")).alias(
+            "days_supply"
+        ),
+    )
+    concept_ancestor = _t(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("descendant_concept_id"),
+        (1 + F.col("p_partkey") % 20).alias("ancestor_concept_id"),
+    )
+    concept = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("concept_id"),
+        F.col("n_name").alias("concept_name"),
+        F.lit("RxNorm").alias("vocabulary_id"),
+        F.when(F.col("n_nationkey") % 2 == 0, F.lit("Ingredient"))
+        .otherwise(F.lit("Clinical Drug Form"))
+        .alias("concept_class_id"),
+    )
+    return derive_drug_era(drug, concept, concept_ancestor)
+
+
+@query(
+    "subset_pcornet",
+    oracle="""
+    WITH cohort AS (
+        SELECT DISTINCT 'P' || c_custkey AS patid FROM customer WHERE c_acctbal > 5000
+    ),
+    demographic AS (SELECT 'P' || c_custkey AS patid, c_name FROM customer),
+    encounter AS (
+        SELECT 'P' || o_custkey AS patid, 'E' || o_orderkey AS encounterid FROM orders
+    ),
+    lab_result_cm AS (
+        SELECT 'P' || user_id AS patid, 'R' || event_id AS resultid,
+               'L' || (event_id % 30) AS lab_loinc
+        FROM events
+    ),
+    lab_history AS (
+        SELECT 'L' || (p_partkey % 40) AS lab_loinc, 'H' || p_partkey AS historyid
+        FROM part
+    ),
+    harvest AS (SELECT r_name AS networkid FROM region),
+    hash_token AS (SELECT 'P' || c_custkey AS patid, 'T' || c_custkey AS token FROM customer),
+    sub_demo AS (SELECT d.* FROM demographic d JOIN cohort c ON c.patid = d.patid),
+    sub_enc AS (SELECT e.* FROM encounter e JOIN cohort c ON c.patid = e.patid),
+    sub_lab AS (SELECT l.* FROM lab_result_cm l JOIN cohort c ON c.patid = l.patid),
+    sub_labhist AS (
+        SELECT h.* FROM lab_history h
+        WHERE h.lab_loinc IN (SELECT lab_loinc FROM sub_lab)
+    )
+    SELECT 'demographic' AS tbl, patid AS id FROM sub_demo
+    UNION ALL SELECT 'encounter', encounterid FROM sub_enc
+    UNION ALL SELECT 'lab_result_cm', resultid FROM sub_lab
+    UNION ALL SELECT 'lab_history', historyid FROM sub_labhist
+    UNION ALL SELECT 'harvest', networkid FROM harvest
+    UNION ALL SELECT 'hash_token', patid FROM hash_token WHERE FALSE
+    """,
+)
+def q_subset_pcornet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PCORnet subset composition end to end (pcornet.subset_pcornet,
+    reference subset_pcornet_by_cohort.py:186-303): VARCHAR patid semi
+    joins for the select_patid tables, harvest copied whole
+    (select_all), lab_history reduced through the subsetted
+    lab_result_cm's lab_loinc keys, hash_token created empty with the
+    default ``inc_hash=False``.  Customers stand in for demographic,
+    orders for encounter, events for lab_result_cm, part for
+    lab_history, region for harvest."""
+    from pedsnetdcc_spark.pcornet import subset_pcornet
+
+    cust = _t(spark, sf_dir, "customer")
+    patid = F.concat(F.lit("P"), F.col("c_custkey")).alias("patid")
+    tables = {
+        "demographic": cust.select(patid, "c_name"),
+        "encounter": _t(spark, sf_dir, "orders").select(
+            F.concat(F.lit("P"), F.col("o_custkey")).alias("patid"),
+            F.concat(F.lit("E"), F.col("o_orderkey")).alias("encounterid"),
+        ),
+        "lab_result_cm": _t(spark, sf_dir, "events").select(
+            F.concat(F.lit("P"), F.col("user_id")).alias("patid"),
+            F.concat(F.lit("R"), F.col("event_id")).alias("resultid"),
+            F.concat(F.lit("L"), F.col("event_id") % 30).alias("lab_loinc"),
+        ),
+        "lab_history": _t(spark, sf_dir, "part").select(
+            F.concat(F.lit("L"), F.col("p_partkey") % 40).alias("lab_loinc"),
+            F.concat(F.lit("H"), F.col("p_partkey")).alias("historyid"),
+        ),
+        "harvest": _t(spark, sf_dir, "region").select(
+            F.col("r_name").alias("networkid")
+        ),
+        "hash_token": cust.select(
+            patid, F.concat(F.lit("T"), F.col("c_custkey")).alias("token")
+        ),
+    }
+    cohort = cust.where(F.col("c_acctbal") > 5000).select(patid).distinct()
+    sub = subset_pcornet(tables, cohort)
+    pick = [
+        ("demographic", "patid"),
+        ("encounter", "encounterid"),
+        ("lab_result_cm", "resultid"),
+        ("lab_history", "historyid"),
+        ("harvest", "networkid"),
+        ("hash_token", "patid"),
+    ]
+    parts = [
+        sub[t].select(F.lit(t).alias("tbl"), F.col(c).alias("id")) for t, c in pick
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

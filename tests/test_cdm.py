@@ -146,3 +146,56 @@ def test_build_recover_cohort(spark):
     # 1 from lab (deduped with vaccine drug), 3 covid dx, 4 resp+visit,
     # 7 vax procedure, 9 CVX, 10 vax drug; 2/5/6/8 excluded
     assert got == [1, 3, 4, 7, 9, 10]
+
+
+def test_subset_pcornet_composition(spark):
+    """The per-table special cases of subset_pcornet_by_cohort.py:186-303:
+    patid semi joins, select_all copy, lab_loinc / addressid chained
+    subsets, hash_token empty-vs-joined by inc_hash."""
+    from pedsnetdcc_spark.pcornet import subset_pcornet
+
+    tables = {
+        "demographic": spark.createDataFrame(
+            [("P1", "a"), ("P2", "b"), ("P3", "c")], "patid string, name string"
+        ),
+        "lab_result_cm": spark.createDataFrame(
+            [("P1", "L1"), ("P2", "L2"), ("P3", "L3")],
+            "patid string, lab_loinc string",
+        ),
+        "lab_history": spark.createDataFrame(
+            [("L1", 10), ("L2", 20), ("L3", 30), ("L9", 90)],
+            "lab_loinc string, h long",
+        ),
+        "lds_address_history": spark.createDataFrame(
+            [("P1", "A1"), ("P3", "A3")], "patid string, addressid string"
+        ),
+        "private_address_geocode": spark.createDataFrame(
+            [("A1", 1.0), ("A3", 3.0), ("A9", 9.0)], "addressid string, lat double"
+        ),
+        "harvest": spark.createDataFrame([("net",)], "networkid string"),
+        "hash_token": spark.createDataFrame(
+            [("P1", "t1"), ("P3", "t3")], "patid string, token string"
+        ),
+    }
+    cohort = spark.createDataFrame([("P1",), ("P2",)], "patid string")
+
+    sub = subset_pcornet(tables, cohort)
+    assert sorted(r["patid"] for r in sub["demographic"].collect()) == ["P1", "P2"]
+    assert sorted(r["lab_loinc"] for r in sub["lab_result_cm"].collect()) == ["L1", "L2"]
+    # lab_history reduced through SUBSETTED lab_result_cm loincs
+    assert sorted(r["lab_loinc"] for r in sub["lab_history"].collect()) == ["L1", "L2"]
+    # geocode reduced through SUBSETTED address history (P1 only)
+    assert sorted(r["addressid"] for r in sub["lds_address_history"].collect()) == ["A1"]
+    assert sorted(r["addressid"] for r in sub["private_address_geocode"].collect()) == ["A1"]
+    # select_all table copied whole; hash_token empty without inc_hash
+    assert sub["harvest"].count() == 1
+    assert sub["hash_token"].count() == 0
+    assert sub["hash_token"].columns == ["patid", "token"]
+
+    with_hash = subset_pcornet(tables, cohort, inc_hash=True)
+    assert sorted(r["patid"] for r in with_hash["hash_token"].collect()) == ["P1"]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        subset_pcornet({"lab_history": tables["lab_history"]}, cohort)
