@@ -102,24 +102,26 @@ def reserve_negative(allocator: IdAllocator, name: str, n: int) -> int:
 def assign_surrogate_ids(
     df: DataFrame,
     id_name: str,
-    order_col: str,
+    order_col: str | Sequence[str],
     base: int = 0,
     mode: str = "window",
     num_partitions: int | None = None,
 ) -> DataFrame:
     """Append a contiguous surrogate id column ``base+1 … base+count``
-    ordered by ``order_col`` (id_mapping_transform.py:28-31).
+    ordered by ``order_col`` — one column or a composite key
+    (id_mapping_transform.py:28-31).
     """
+    order_cols = [order_col] if isinstance(order_col, str) else list(order_col)
     if mode == "window":
-        w = Window.orderBy(order_col)
+        w = Window.orderBy(*order_cols)
         return df.withColumn(id_name, F.row_number().over(w) + F.lit(base))
     if mode != "distributed":
         raise ValueError(f"unknown mode {mode!r}")
 
     n_parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     ranged = (
-        df.repartitionByRange(n_parts, F.col(order_col))
-        .sortWithinPartitions(order_col)
+        df.repartitionByRange(n_parts, *[F.col(c) for c in order_cols])
+        .sortWithinPartitions(*order_cols)
         .withColumn("__pid", F.spark_partition_id())
     )
     # Pin partition ids so the count job and the numbering job see the
@@ -137,7 +139,7 @@ def assign_surrogate_ids(
             [(pid, off) for pid, off in offsets.items()], "__pid int, __offset long"
         )
     )
-    w = Window.partitionBy("__pid").orderBy(order_col)
+    w = Window.partitionBy("__pid").orderBy(*order_cols)
     out = (
         ranged.join(off_df, "__pid")
         .withColumn(id_name, F.row_number().over(w) + F.col("__offset"))

@@ -69,3 +69,33 @@ def integrity_samples(
     """Up to ``n`` exemplar bad rows per probe (the LIMIT 1 sampling,
     check_fact_relationship.py:142-248)."""
     return {p.name: missing_references(fact, p).limit(n).collect() for p in probes}
+
+
+def integrity_exemplars(
+    fact: DataFrame, probes: Sequence[IntegrityProbe], n: int = 1
+) -> DataFrame:
+    """Deterministic exemplar sampling: the ``n`` SMALLEST dangling FK
+    values per probe, as one DataFrame ``(probe, exemplar_fk)``.
+
+    The reference samples with a bare ``LIMIT 1``
+    (check_fact_relationship.py:142-248) — any bad row satisfies it, so
+    its output is whatever Postgres happens to scan first.  Min-by-key
+    over DISTINCT dangling values pins the canonical choice, making
+    exemplars reproducible across runs, engines, and partitionings and
+    showing ``n`` different violations instead of one repeated value.
+
+    Scale: each probe is its anti join, a partial-aggregating distinct,
+    then ``TakeOrdered(n)`` — per-partition top-n and a driver merge of
+    n×partitions values, no global sort; probes are independent jobs the
+    scheduler overlaps."""
+    parts = []
+    for p in probes:
+        bad = (
+            missing_references(fact, p)
+            .select(F.col(p.fk_col).alias("exemplar_fk"))
+            .distinct()
+            .orderBy("exemplar_fk")
+            .limit(n)
+        )
+        parts.append(bad.select(F.lit(p.name).alias("probe"), "exemplar_fk"))
+    return reduce(DataFrame.unionByName, parts)

@@ -2165,3 +2165,239 @@ def q_subset_pcornet(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+@query(
+    "integrity_samples",
+    oracle="""
+    SELECT CAST('orders_open' AS VARCHAR) AS probe, exemplar_fk FROM (
+        SELECT DISTINCT l_orderkey AS exemplar_fk FROM lineitem
+        WHERE l_orderkey NOT IN
+              (SELECT o_orderkey FROM orders WHERE o_orderstatus = 'O')
+        ORDER BY exemplar_fk LIMIT 3)
+    UNION ALL
+    SELECT 'supplier_lownation', exemplar_fk FROM (
+        SELECT DISTINCT l_suppkey AS exemplar_fk FROM lineitem
+        WHERE l_suppkey NOT IN
+              (SELECT s_suppkey FROM supplier WHERE s_nationkey < 13)
+        ORDER BY exemplar_fk LIMIT 3)
+    """,
+)
+def q_integrity_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic exemplar sampling (O2): min-by-key instead of the
+    reference's arbitrary LIMIT 1 (check_fact_relationship.py:142-248) —
+    the 3 smallest dangling FK values per probe, reproducible across
+    engines and partitionings (operators/integrity.integrity_exemplars)."""
+    from pedsnetdcc_spark.operators.integrity import integrity_exemplars
+
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    supplier = _t(spark, sf_dir, "supplier")
+    probes = [
+        IntegrityProbe(
+            "orders_open", "l_orderkey",
+            orders.filter(F.col("o_orderstatus") == "O"), "o_orderkey",
+        ),
+        IntegrityProbe(
+            "supplier_lownation", "l_suppkey",
+            supplier.filter(F.col("s_nationkey") < 13), "s_suppkey",
+        ),
+    ]
+    return integrity_exemplars(li, probes, n=3)
+
+
+# ---------------------------------------------------------------------------
+# Era-id end-to-end pipeline: derive → reserve negative range → assign →
+# conflict-skip copy to master (era.py:505-692 run_era composition:
+# derivation, _add_era_ids era.py:695-846 with the negative-id sequence
+# era.py:726-733, _copy_to_dcc_table era.py:421-457).
+# ---------------------------------------------------------------------------
+
+_ERA_IDS_MASTER = era_oracle_sql(
+    """
+        SELECT user_id, event_type, CAST(ts AS DATE) AS sd,
+               CAST(ts AS DATE) + 1 AS ed
+        FROM events WHERE event_type = 'click'""",
+    keys=["user_id", "event_type"],
+    gap=_ERA_GAP,
+)
+
+
+@query(
+    "era_ids_pipeline",
+    oracle=f"""
+    WITH all_eras AS ({_ERA_ORACLE}),
+    master AS (
+        SELECT user_id, event_type, era_start_date, era_end_date, era_count,
+               CAST(ROW_NUMBER() OVER (ORDER BY user_id, event_type, era_start_date)
+                    - 2147483648 AS BIGINT) AS era_id
+        FROM ({_ERA_IDS_MASTER})
+    ),
+    new_rows AS (
+        SELECT a.* FROM all_eras a
+        WHERE NOT EXISTS (SELECT 1 FROM master m
+                          WHERE m.user_id = a.user_id
+                            AND m.event_type = a.event_type
+                            AND m.era_start_date = a.era_start_date)
+    ),
+    new_ids AS (
+        SELECT user_id, event_type, era_start_date, era_end_date, era_count,
+               CAST((SELECT COUNT(*) FROM master)
+                    + ROW_NUMBER() OVER (ORDER BY user_id, event_type, era_start_date)
+                    - 2147483648 AS BIGINT) AS era_id
+        FROM new_rows
+    )
+    SELECT * FROM master UNION ALL SELECT * FROM new_ids
+    """,
+)
+def q_era_ids_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full era-id flow: a master era table (click events) holds ids
+    from the negative sequence base; the site derivation (all events) is
+    then copied in with conflict-skip on the era natural key, its NEW
+    rows getting the NEXT contiguous negative range — count → reserve →
+    assign-to-unmapped-only → insert, proving id contiguity
+    (-2147483647 … base+n with no holes) through derive_eras +
+    reserve_negative + insert_missing.  Conflicting eras keep the master
+    row (ON CONFLICT DO NOTHING), including its extent when the site
+    derivation would merge differently."""
+    import tempfile
+
+    from pedsnetdcc_spark.operators.ids import (
+        IdAllocator,
+        assign_surrogate_ids,
+        reserve_negative,
+    )
+
+    key = ["user_id", "event_type", "era_start_date"]
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.col("ts").cast("date").alias("sd")
+    )
+    ev = ev.withColumn("ed", F.date_add("sd", 1))
+
+    def eras(src: DataFrame) -> DataFrame:
+        return derive_eras(
+            src, partition_keys=["user_id", "event_type"],
+            start_col="sd", end_col="ed", gap_days=_ERA_GAP,
+        )
+
+    master = eras(ev.where(F.col("event_type") == "click"))
+    site = eras(ev)
+
+    alloc = IdAllocator(tempfile.mktemp(suffix=".json", prefix="era_ids_"))
+    n_master = master.count()
+    base = reserve_negative(alloc, "era", n_master)
+    master = assign_surrogate_ids(master, "era_id", key, base=base).withColumn(
+        "era_id", F.col("era_id").cast("long")
+    )
+
+    unmapped = site.join(master.select(*key), key, "left_anti")
+    base2 = reserve_negative(alloc, "era", unmapped.count())
+    new_rows = assign_surrogate_ids(unmapped, "era_id", key, base=base2).withColumn(
+        "era_id", F.col("era_id").cast("long")
+    )
+    return insert_missing(master, new_rows, keys=key)
+
+
+# ---------------------------------------------------------------------------
+# R-package post-step configs (X4 post-processing as oracle rows):
+# mg/kg dose correlated update (r_dose.py:19-41) and the lab_loinc
+# measurement swap (lab_loinc.py:110-120) through the TableStore.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "r_dose_update",
+    oracle="""
+    WITH de AS (
+        SELECT user_id AS person_id, event_id AS drug_exposure_id,
+               event_id % 50 AS dose_unit_concept_id,
+               value AS effective_drug_dose,
+               event_type AS dose_unit_concept_name
+        FROM events
+    ),
+    dev AS (
+        SELECT user_id AS person_id, event_id AS drug_exposure_id,
+               CAST(999 AS BIGINT) AS dose_unit_concept_id,
+               value * 2 AS effective_drug_dose,
+               CAST('mg/kg' AS VARCHAR) AS dose_unit_concept_name
+        FROM events WHERE event_type = 'purchase'
+    )
+    SELECT de.person_id, de.drug_exposure_id,
+           COALESCE(dev.dose_unit_concept_id, de.dose_unit_concept_id) AS dose_unit_concept_id,
+           COALESCE(dev.effective_drug_dose, de.effective_drug_dose) AS effective_drug_dose,
+           COALESCE(dev.dose_unit_concept_name, de.dose_unit_concept_name) AS dose_unit_concept_name
+    FROM de LEFT JOIN dev
+      ON dev.person_id = de.person_id AND dev.drug_exposure_id = de.drug_exposure_id
+    """,
+)
+def q_r_dose_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mg/kg dose post-step (plans.derivations.update_drug_exposure_doses,
+    reference r_dose.py:19-41): correlated UPDATE of the three dose
+    columns on (person_id, drug_exposure_id) — rows with a derivation
+    take its values, every other row keeps its own.  Events stand in for
+    drug_exposure; the 'purchase' slice stands in for the package's
+    derivation output."""
+    from pedsnetdcc_spark.plans.derivations import update_drug_exposure_doses
+
+    ev = _t(spark, sf_dir, "events")
+    drug_exposure = ev.select(
+        F.col("user_id").alias("person_id"),
+        F.col("event_id").alias("drug_exposure_id"),
+        (F.col("event_id") % 50).alias("dose_unit_concept_id"),
+        F.col("value").alias("effective_drug_dose"),
+        F.col("event_type").alias("dose_unit_concept_name"),
+    )
+    derivations = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("person_id"),
+        F.col("event_id").alias("drug_exposure_id"),
+        F.lit(999).cast("long").alias("dose_unit_concept_id"),
+        (F.col("value") * 2).alias("effective_drug_dose"),
+        F.lit("mg/kg").alias("dose_unit_concept_name"),
+    )
+    return update_drug_exposure_doses(drug_exposure, derivations)
+
+
+@query(
+    "lab_loinc_swap",
+    oracle="""
+    SELECT CAST('measurement' AS VARCHAR) AS tbl, event_id AS measurement_id,
+           value * 2 AS value_as_number
+    FROM events WHERE event_type = 'click'
+    UNION ALL
+    SELECT 'measurement_orig', event_id, value FROM events
+    """,
+)
+def q_lab_loinc_swap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The lab_loinc post-step (plans.derivations.publish_updated_measurement,
+    reference lab_loinc.py:110-120): one atomic publish renames
+    ``measurement`` → ``measurement_orig`` and installs
+    ``updated_measurement`` as ``measurement``, exercised through a real
+    TableStore generation swap; the result reads both tables back from
+    the published namespace.  Events stand in for measurement; the
+    'click' slice with doubled values for the package's update."""
+    import tempfile
+
+    from pedsnetdcc_spark.plans.derivations import publish_updated_measurement
+    from pedsnetdcc_spark.sources.io import TableStore
+
+    ev = _t(spark, sf_dir, "events")
+    measurement = ev.select(
+        F.col("event_id").alias("measurement_id"),
+        F.col("value").alias("value_as_number"),
+    )
+    updated = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("measurement_id"),
+        (F.col("value") * 2).alias("value_as_number"),
+    )
+    store = TableStore(tempfile.mkdtemp(prefix="lab_loinc_"))
+    store.stage(measurement, "measurement")
+    store.stage(updated, "updated_measurement")
+    store.publish()
+    publish_updated_measurement(spark, store)
+    meas = store.read(spark, "measurement").select(
+        F.lit("measurement").alias("tbl"), "measurement_id", "value_as_number"
+    )
+    orig = store.read(spark, "measurement_orig").select(
+        F.lit("measurement_orig").alias("tbl"), "measurement_id", "value_as_number"
+    )
+    return meas.unionByName(orig)
