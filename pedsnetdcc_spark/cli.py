@@ -1,0 +1,291 @@
+"""Thin CLI over the engine — the ``pedsnetdcc`` command surface mapped
+to parquet namespace directories.
+
+The reference's entire UX is a Click command tree (reference:
+pedsnetdcc/main.py:78-3102); each verb below is the Spark analog of one
+of its commands, wired straight into the library operators:
+
+| verb                     | reference command (main.py)            |
+|--------------------------|----------------------------------------|
+| transform                | transform:341                          |
+| merge                    | merge:716                              |
+| condition-era / drug-era | run_condition_era:1967, run_drug_era:1702 |
+| sync-observation-period  | sync_observation_period:131            |
+| subset-by-cohort         | subset_by_cohort:2900                  |
+| subset-pcornet           | subset_pcornet_by_cohort:2976          |
+| check-fact-relationship  | check_fact_relationship:169            |
+| undo                     | transform's undo path (transform_runner.py:1562) |
+
+A namespace is a directory of parquet tables (``<dir>/<table>/`` or the
+flat ``<dir>/<table>.parquet``); outputs go through ``TableStore``'s
+staged atomic publish, mirroring the reference's transactional schema
+swap.  Usage: ``python -m pedsnetdcc_spark.cli <verb> --help``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+from pyspark.sql import DataFrame, SparkSession
+
+VOCAB_TABLES = {"concept", "concept_ancestor", "vocabulary"}
+SYSTEM_TABLES = {"person"}
+
+
+def _session(args: argparse.Namespace) -> SparkSession:
+    from pedsnetdcc_spark.session import build_session
+
+    return build_session(app_name=f"pedsnetdcc_spark_{args.verb}")
+
+
+def _tables_in(ns: str) -> list[str]:
+    names = []
+    for entry in sorted(os.listdir(ns)):
+        path = os.path.join(ns, entry)
+        if entry.endswith(".parquet") and os.path.isfile(path):
+            names.append(entry[: -len(".parquet")])
+        elif os.path.isdir(path) and not entry.startswith("_"):
+            names.append(entry)
+    return names
+
+
+def _read(spark: SparkSession, ns: str, name: str) -> DataFrame:
+    from pedsnetdcc_spark.sources.io import read_table
+
+    return read_table(spark, ns, name)
+
+
+def _publish(spark: SparkSession, out: str, frames: dict[str, DataFrame]) -> None:
+    from pedsnetdcc_spark.sources.io import TableStore
+
+    store = TableStore(out)
+    for name, df in frames.items():
+        store.stage(df, name)
+    store.publish()
+    print(json.dumps({"published": sorted(frames), "out": store.current_dir}))
+
+
+def cmd_transform(args: argparse.Namespace) -> int:
+    """Age → ConceptName → SiteName over every non-vocab table present
+    (cdm.transform_cdm_table; reference transform_runner.py:434-99)."""
+    from pedsnetdcc_spark.cdm import transform_cdm_table
+
+    spark = _session(args)
+    person = _read(spark, args.input, "person")
+    concept = _read(spark, args.input, "concept")
+    out: dict[str, DataFrame] = {}
+    for name in _tables_in(args.input):
+        if name in VOCAB_TABLES:
+            continue
+        df = _read(spark, args.input, name)
+        if name in SYSTEM_TABLES:
+            out[name] = df
+        else:
+            out[name] = transform_cdm_table(df, name, person, concept, args.site)
+    _publish(spark, args.output, out)
+    return 0
+
+
+def cmd_merge(args: argparse.Namespace) -> int:
+    """UNION ALL of each table across site namespaces
+    (operators/merge.merge_sites; reference merge_site_data.py:81-207)."""
+    from pedsnetdcc_spark.operators.merge import merge_sites
+
+    spark = _session(args)
+    sites = dict(pair.split("=", 1) for pair in args.site)
+    tables: set[str] = set()
+    for ns in sites.values():
+        tables.update(_tables_in(ns))
+    out = {
+        t: merge_sites(
+            [(s, _read(spark, ns, t)) for s, ns in sorted(sites.items())
+             if t in _tables_in(ns)]
+        )
+        for t in sorted(tables)
+    }
+    _publish(spark, args.output, out)
+    return 0
+
+
+def cmd_condition_era(args: argparse.Namespace) -> int:
+    from pedsnetdcc_spark.cdm import derive_condition_era
+
+    spark = _session(args)
+    co = _read(spark, args.input, "condition_occurrence")
+    _publish(spark, args.output, {"condition_era": derive_condition_era(co)})
+    return 0
+
+
+def cmd_drug_era(args: argparse.Namespace) -> int:
+    from pedsnetdcc_spark.cdm import derive_drug_era
+
+    spark = _session(args)
+    era = derive_drug_era(
+        _read(spark, args.input, "drug_exposure"),
+        _read(spark, args.input, "concept"),
+        _read(spark, args.input, "concept_ancestor"),
+        concept_class="Clinical Drug Form" if args.scdf else "Ingredient",
+    )
+    name = "drug_scdf_era" if args.scdf else "drug_era"
+    _publish(spark, args.output, {name: era})
+    return 0
+
+
+def cmd_sync_observation_period(args: argparse.Namespace) -> int:
+    from pedsnetdcc_spark.cdm import OBS_PERIOD_DOMAINS, derive_observation_period
+
+    spark = _session(args)
+    present = {
+        n: _read(spark, args.input, n)
+        for n in OBS_PERIOD_DOMAINS
+        if n in _tables_in(args.input)
+    }
+    _publish(
+        spark, args.output, {"observation_period": derive_observation_period(present)}
+    )
+    return 0
+
+
+def cmd_subset_by_cohort(args: argparse.Namespace) -> int:
+    from pedsnetdcc_spark.operators.cohort import subset_by_cohort
+
+    spark = _session(args)
+    cohort = _read(spark, args.cohort_dir, args.cohort_table)
+    out = {}
+    for name in _tables_in(args.input):
+        df = _read(spark, args.input, name)
+        if name in VOCAB_TABLES or args.key not in df.columns:
+            out[name] = df  # vocab and keyless tables are copied whole
+        else:
+            out[name] = subset_by_cohort(df, cohort, args.key)
+    _publish(spark, args.output, out)
+    return 0
+
+
+def cmd_subset_pcornet(args: argparse.Namespace) -> int:
+    from pedsnetdcc_spark.pcornet import subset_pcornet
+
+    spark = _session(args)
+    tables = {n: _read(spark, args.input, n) for n in _tables_in(args.input)}
+    cohort = _read(spark, args.cohort_dir, args.cohort_table)
+    _publish(
+        spark, args.output, subset_pcornet(tables, cohort, inc_hash=args.inc_hash)
+    )
+    return 0
+
+
+def cmd_check_fact_relationship(args: argparse.Namespace) -> int:
+    """Referential-integrity counts + deterministic exemplars for the
+    polymorphic fact table, printed as JSON lines."""
+    from pyspark.sql import functions as F
+
+    from pedsnetdcc_spark.operators.integrity import (
+        IntegrityProbe,
+        integrity_exemplars,
+        referential_integrity_counts,
+    )
+
+    spark = _session(args)
+    fact = _read(spark, args.input, args.fact_table)
+    probes = []
+    for spec in args.probe:
+        name, fk, target, tk = spec.split(":")
+        dom = None
+        if "=" in name:
+            name, code = name.split("=")
+            dom = F.col(args.domain_col) == int(code)
+        probes.append(
+            IntegrityProbe(name, fk, _read(spark, args.input, target), tk, dom)
+        )
+    for row in referential_integrity_counts(fact, probes).collect():
+        print(json.dumps(row.asDict()))
+    for row in integrity_exemplars(fact, probes, n=args.samples).collect():
+        print(json.dumps(row.asDict()))
+    return 0
+
+
+def cmd_undo(args: argparse.Namespace) -> int:
+    from pedsnetdcc_spark.sources.io import TableStore
+
+    TableStore(args.output).undo()
+    print(json.dumps({"restored": args.output}))
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="pedsnetdcc-spark", description=__doc__.split("\n")[0]
+    )
+    sub = p.add_subparsers(dest="verb", required=True)
+
+    def ns(sp, output=True):
+        sp.add_argument("--input", "-i", required=True, help="input namespace dir")
+        if output:
+            sp.add_argument("--output", "-o", required=True, help="output store root")
+
+    sp = sub.add_parser("transform", help="Age/ConceptName/SiteName chain")
+    ns(sp)
+    sp.add_argument("--site", required=True)
+    sp.set_defaults(fn=cmd_transform)
+
+    sp = sub.add_parser("merge", help="multi-site UNION ALL merge")
+    sp.add_argument("--site", action="append", required=True, metavar="NAME=DIR")
+    sp.add_argument("--output", "-o", required=True)
+    sp.set_defaults(fn=cmd_merge)
+
+    sp = sub.add_parser("condition-era", help="30-day-gap condition eras")
+    ns(sp)
+    sp.set_defaults(fn=cmd_condition_era)
+
+    sp = sub.add_parser("drug-era", help="RxNorm rollup drug eras")
+    ns(sp)
+    sp.add_argument("--scdf", action="store_true", help="Clinical Drug Form rollup")
+    sp.set_defaults(fn=cmd_drug_era)
+
+    sp = sub.add_parser("sync-observation-period", help="per-person min/max periods")
+    ns(sp)
+    sp.set_defaults(fn=cmd_sync_observation_period)
+
+    sp = sub.add_parser("subset-by-cohort", help="semi-join every table to a cohort")
+    ns(sp)
+    sp.add_argument("--cohort-dir", required=True)
+    sp.add_argument("--cohort-table", default="cohort")
+    sp.add_argument("--key", default="person_id")
+    sp.set_defaults(fn=cmd_subset_by_cohort)
+
+    sp = sub.add_parser("subset-pcornet", help="PCORnet patid subset composition")
+    ns(sp)
+    sp.add_argument("--cohort-dir", required=True)
+    sp.add_argument("--cohort-table", default="cohort")
+    sp.add_argument("--inc-hash", action="store_true")
+    sp.set_defaults(fn=cmd_subset_pcornet)
+
+    sp = sub.add_parser(
+        "check-fact-relationship", help="integrity counts + exemplars (JSON lines)"
+    )
+    ns(sp, output=False)
+    sp.add_argument("--fact-table", default="fact_relationship")
+    sp.add_argument("--domain-col", default="domain_concept_id_1")
+    sp.add_argument(
+        "--probe", action="append", required=True,
+        metavar="NAME[=DOMAINCODE]:FKCOL:TARGET:TARGETKEY",
+    )
+    sp.add_argument("--samples", type=int, default=1)
+    sp.set_defaults(fn=cmd_check_fact_relationship)
+
+    sp = sub.add_parser("undo", help="restore the previous published generation")
+    sp.add_argument("--output", "-o", required=True)
+    sp.set_defaults(fn=cmd_undo)
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

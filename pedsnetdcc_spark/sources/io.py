@@ -27,8 +27,13 @@ from pyspark.sql import functions as F
 
 
 def _nanos_timestamp_cols(path: str) -> list[str]:
-    """Columns stored as parquet TIMESTAMP(NANOS), which Spark reads as
-    long (``spark.sql.legacy.parquet.nanosAsLong``)."""
+    """Columns stored as parquet INT64 TIMESTAMP(NANOS), which Spark
+    reads as long (``spark.sql.legacy.parquet.nanosAsLong``).
+
+    Checked against the PHYSICAL parquet schema: pyarrow's Arrow-level
+    schema reports legacy INT96 timestamps (Spark's own default
+    timestamp encoding) as ``timestamp[ns]`` too, and those must NOT be
+    converted — Spark already reads INT96 as a proper TimestampType."""
     try:
         import pyarrow.parquet as pq
 
@@ -39,8 +44,13 @@ def _nanos_timestamp_cols(path: str) -> list[str]:
             if not files:
                 return []
             path = files[0]
-        schema = pq.read_schema(path)
-        return [f.name for f in schema if str(f.type) == "timestamp[ns]"]
+        sch = pq.ParquetFile(path).schema
+        return [
+            c.name
+            for i in range(len(sch))
+            for c in [sch.column(i)]
+            if c.physical_type == "INT64" and "nanos" in str(c.logical_type).lower()
+        ]
     except Exception:
         return []
 

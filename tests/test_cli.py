@@ -1,0 +1,103 @@
+"""CLI surface: each verb drives the corresponding operator over a
+parquet namespace and publishes through the TableStore swap."""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+import os
+
+import pytest
+
+from pedsnetdcc_spark.cli import main
+
+
+@pytest.fixture()
+def namespace(spark, tmp_path):
+    ns = str(tmp_path / "site_a")
+    person = spark.createDataFrame(
+        [(1, dt.datetime(2010, 1, 1)), (2, dt.datetime(2011, 2, 3))],
+        "person_id long, birth_datetime timestamp",
+    )
+    concept = spark.createDataFrame(
+        [(10, "flu"), (11, "cold")], "concept_id long, concept_name string"
+    )
+    cond = spark.createDataFrame(
+        [
+            (1, 10, dt.datetime(2020, 1, 1), dt.date(2020, 1, 1), dt.date(2020, 1, 5)),
+            (1, 10, dt.datetime(2020, 1, 20), dt.date(2020, 1, 20), dt.date(2020, 1, 21)),
+            (2, 11, dt.datetime(2020, 3, 1), dt.date(2020, 3, 1), None),
+        ],
+        "person_id long, condition_concept_id long, condition_start_datetime timestamp,"
+        " condition_start_date date, condition_end_date date",
+    )
+    for name, df in [
+        ("person", person), ("concept", concept), ("condition_occurrence", cond)
+    ]:
+        df.write.parquet(os.path.join(ns, name))
+    return ns
+
+
+def test_cli_transform_and_undo(spark, namespace, tmp_path, capsys):
+    out = str(tmp_path / "transformed")
+    assert main(["transform", "-i", namespace, "-o", out, "--site", "site_a"]) == 0
+    published = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert "condition_occurrence" in published["published"]
+    got = spark.read.parquet(os.path.join(out, "current", "condition_occurrence"))
+    assert "condition_concept_name" in got.columns
+    assert "condition_start_datetime_age_in_months" in got.columns
+    assert got.filter(got.site == "site_a").count() == got.count()
+
+    # a second publish creates a backup generation; undo restores it
+    assert main(["transform", "-i", namespace, "-o", out, "--site", "site_b"]) == 0
+    assert main(["undo", "-o", out]) == 0
+    got = spark.read.parquet(os.path.join(out, "current", "condition_occurrence"))
+    assert got.filter(got.site == "site_a").count() == got.count()
+
+
+def test_cli_merge_and_condition_era(spark, namespace, tmp_path, capsys):
+    merged = str(tmp_path / "merged")
+    rc = main(
+        ["merge", "--site", f"a={namespace}", "--site", f"b={namespace}", "-o", merged]
+    )
+    assert rc == 0
+    got = spark.read.parquet(os.path.join(merged, "current", "condition_occurrence"))
+    assert got.count() == 6
+    assert set(r["site"] for r in got.select("site").distinct().collect()) == {"a", "b"}
+
+    eras = str(tmp_path / "eras")
+    assert main(["condition-era", "-i", namespace, "-o", eras]) == 0
+    got = spark.read.parquet(os.path.join(eras, "current", "condition_era"))
+    rows = {
+        (r["person_id"], r["condition_concept_id"]): r["condition_occurrence_count"]
+        for r in got.collect()
+    }
+    # person 1's two occurrences merge across the 15-day gap (< 30)
+    assert rows[(1, 10)] == 2 and rows[(2, 11)] == 1
+
+
+def test_cli_subset_and_integrity(spark, namespace, tmp_path, capsys):
+    cdir = str(tmp_path / "cohorts")
+    spark.createDataFrame([(1,)], "person_id long").write.parquet(
+        os.path.join(cdir, "cohort")
+    )
+    out = str(tmp_path / "subset")
+    rc = main([
+        "subset-by-cohort", "-i", namespace, "-o", out, "--cohort-dir", cdir
+    ])
+    assert rc == 0
+    got = spark.read.parquet(os.path.join(out, "current", "condition_occurrence"))
+    assert got.select("person_id").distinct().collect()[0][0] == 1
+    # concept has no person_id: copied whole
+    assert spark.read.parquet(os.path.join(out, "current", "concept")).count() == 2
+
+    rc = main([
+        "check-fact-relationship", "-i", namespace,
+        "--fact-table", "condition_occurrence",
+        "--probe", "concept:condition_concept_id:concept:concept_id",
+        "--probe", "person:person_id:person:person_id",
+    ])
+    assert rc == 0
+    lines = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    counts = {d["probe"]: d for d in lines if "total" in d}
+    assert counts["concept"]["bad"] == 0 and counts["person"]["bad"] == 0
