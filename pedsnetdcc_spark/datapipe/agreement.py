@@ -22,15 +22,26 @@ Three invariants are emitted:
   least the documented fraction of the exact result at the operator's
   production parameters.
 
-Scale note: the scoring is joins + single-row aggregates over the two
-result sets (tiny relative to their inputs); nothing is collected on the
-driver.
+Plan shape: each scorer is ONE full-outer join of the two (small) result
+sets followed by one aggregate — every expensive upstream pipeline is
+referenced exactly once, so nothing is recomputed per scoring branch and
+no cache is needed.  Nothing is collected on the driver.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+def _tagged_outer(
+    left: DataFrame, right: DataFrame, keys: list[str]
+) -> DataFrame:
+    """Full-outer join of two key sets with presence flags ``__l``/``__r``
+    — the single pass every scorer below aggregates over."""
+    l = left.select(*keys).withColumn("__l", F.lit(1))
+    r = right.select(*keys).withColumn("__r", F.lit(1))
+    return l.join(r, keys, "full_outer")
 
 
 def pair_set_agreement(
@@ -46,25 +57,15 @@ def pair_set_agreement(
     be 0 when the production path exact-verifies its candidates), and
     ``recall_ok`` = |prod ∩ exact| * 100 ≥ min_recall_pct * |exact|.
     """
-    ks = list(keys)
-    exact_keys = exact_pairs.select(*ks)
-    n_exact = exact_keys.agg(F.count(F.lit(1)).alias("n_exact"))
-    fp = prod_pairs.join(exact_keys, ks, "left_anti").agg(
-        F.count(F.lit(1)).alias("false_positives")
-    )
-    common = prod_pairs.join(exact_keys, ks, "left_semi").agg(
-        F.count(F.lit(1)).alias("__n_common")
-    )
-    return (
-        n_exact.crossJoin(fp)
-        .crossJoin(common)
-        .select(
-            "n_exact",
-            "false_positives",
-            (
-                F.col("__n_common") * 100 >= F.lit(min_recall_pct) * F.col("n_exact")
-            ).alias("recall_ok"),
-        )
+    both = _tagged_outer(prod_pairs, exact_pairs, list(keys))
+    return both.agg(
+        F.count("__r").alias("n_exact"),
+        F.count(F.when(F.col("__r").isNull(), 1)).alias("false_positives"),
+        (
+            F.count(F.when(F.col("__l").isNotNull() & F.col("__r").isNotNull(), 1))
+            * 100
+            >= F.lit(min_recall_pct) * F.count("__r")
+        ).alias("recall_ok"),
     )
 
 
@@ -77,26 +78,15 @@ def topk_recall_per_query(
 ) -> DataFrame:
     """Per-query recall scorecard for an approximate top-k against the
     exact top-k: one row per query ``(query_id, k_returned, recall_ok)``
-    where ``k_returned`` must equal ``k`` and ``recall_ok`` asserts
-    ≥ ``min_common`` of the exact top-k neighbors were found."""
-    hits = prod_topk.join(
-        exact_topk.select(query_col, neighbor_col),
-        [query_col, neighbor_col],
-        "left_semi",
-    )
-    per_q = prod_topk.groupBy(query_col).agg(
-        F.count(F.lit(1)).alias("k_returned")
-    )
-    per_hit = hits.groupBy(query_col).agg(F.count(F.lit(1)).alias("__common"))
-    return (
-        per_q.join(per_hit, query_col, "left")
-        .select(
-            query_col,
-            "k_returned",
-            (F.coalesce(F.col("__common"), F.lit(0)) >= F.lit(min_common)).alias(
-                "recall_ok"
-            ),
-        )
+    where ``k_returned`` counts the production rows and ``recall_ok``
+    asserts ≥ ``min_common`` of the exact top-k neighbors were found."""
+    both = _tagged_outer(prod_topk, exact_topk, [query_col, neighbor_col])
+    return both.groupBy(query_col).agg(
+        F.count("__l").alias("k_returned"),
+        (
+            F.count(F.when(F.col("__l").isNotNull() & F.col("__r").isNotNull(), 1))
+            >= F.lit(min_common)
+        ).alias("recall_ok"),
     )
 
 
@@ -108,30 +98,21 @@ def topk_recall_total(
     neighbor_col: str = "neighbor_id",
 ) -> DataFrame:
     """Aggregate recall scorecard: ONE row ``(n_queries, n_exact,
-    k_complete, recall_ok)`` — every query returned as many rows as its
-    exact counterpart (``k_complete``) and the TOTAL fraction of exact
-    neighbors recovered meets ``min_recall_pct``."""
-    ex_n = exact_topk.agg(
-        F.count_distinct(F.col(query_col)).alias("n_queries"),
-        F.count(F.lit(1)).alias("n_exact"),
-    )
-    hits = prod_topk.join(
-        exact_topk.select(query_col, neighbor_col),
-        [query_col, neighbor_col],
-        "left_semi",
-    ).agg(F.count(F.lit(1)).alias("__common"))
-    prod_n = prod_topk.agg(F.count(F.lit(1)).alias("__n_prod"))
-    return (
-        ex_n.crossJoin(hits)
-        .crossJoin(prod_n)
-        .select(
-            "n_queries",
-            "n_exact",
-            (F.col("__n_prod") == F.col("n_exact")).alias("k_complete"),
-            (
-                F.col("__common") * 100 >= F.lit(min_recall_pct) * F.col("n_exact")
-            ).alias("recall_ok"),
-        )
+    k_complete, recall_ok)`` — the production side returned as many rows
+    as the exact side in total (``k_complete``) and the TOTAL fraction
+    of exact neighbors recovered meets ``min_recall_pct``."""
+    both = _tagged_outer(prod_topk, exact_topk, [query_col, neighbor_col])
+    return both.agg(
+        F.count_distinct(F.when(F.col("__r").isNotNull(), F.col(query_col))).alias(
+            "n_queries"
+        ),
+        F.count("__r").alias("n_exact"),
+        (F.count("__l") == F.count("__r")).alias("k_complete"),
+        (
+            F.count(F.when(F.col("__l").isNotNull() & F.col("__r").isNotNull(), 1))
+            * 100
+            >= F.lit(min_recall_pct) * F.count("__r")
+        ).alias("recall_ok"),
     )
 
 
@@ -148,9 +129,13 @@ def signature_locality(
     one signature per (tokenizable) document and EVERY exact near-dup
     pair within ``max_hamming`` bits (the locality property that makes
     the signature useful).  ``corpus_count`` is a 1-row ``(n_docs)``
-    aggregate over the raw corpus, giving the oracle its anchor."""
+    aggregate over the raw corpus, giving the oracle its anchor.
+
+    The signature table feeds three branches (two pair sides + the
+    count), so it is cached — one signature computation, not three."""
     from pedsnetdcc_spark.datapipe.dedup import hamming64
 
+    signatures = signatures.cache()
     sa = signatures.select(
         F.col(id_col).alias("id_a"), F.col(sig_col).alias("__ha")
     )
@@ -185,11 +170,9 @@ def pair_sets_equal(
     extra)`` where ``missing`` = |right \\ left| and ``extra`` =
     |left \\ right| must both be 0.  ``corpus_count`` is a 1-row
     ``(n_docs)`` aggregate giving the oracle a data-dependent anchor."""
-    ks = list(keys)
-    missing = right.join(left.select(*ks), ks, "left_anti").agg(
-        F.count(F.lit(1)).alias("missing")
+    both = _tagged_outer(left, right, list(keys))
+    diff = both.agg(
+        F.count(F.when(F.col("__l").isNull(), 1)).alias("missing"),
+        F.count(F.when(F.col("__r").isNull(), 1)).alias("extra"),
     )
-    extra = left.join(right.select(*ks), ks, "left_anti").agg(
-        F.count(F.lit(1)).alias("extra")
-    )
-    return corpus_count.crossJoin(missing).crossJoin(extra)
+    return corpus_count.crossJoin(diff)

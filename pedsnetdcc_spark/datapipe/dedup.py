@@ -49,6 +49,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
     max_df: int | None = None,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Exact near-duplicate pairs by word n-gram Jaccard similarity:
     ``(id_a, id_b, jaccard)`` for id_a < id_b, jaccard ≥ threshold.
@@ -96,8 +97,16 @@ def ngram_jaccard_pairs(
     The shingle stream is cached: it feeds the DF aggregate and the
     posting join, and without a trailing exchange Catalyst has nothing
     to reuse across those references (observed 4× recompute).
+    ``shingles`` lets a caller running several shingle consumers in one
+    job (e.g. an LSH pipeline plus this exact verifier) pass one shared
+    cached ``(id, shingle)`` stream instead of each consumer scanning
+    and exploding the corpus again.
     """
-    sh = shingle_ngrams(df, id_col, text_col, n=n).cache()
+    sh = (
+        shingles
+        if shingles is not None
+        else shingle_ngrams(df, id_col, text_col, n=n).cache()
+    )
     dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
     if max_df is not None:
         dfreq = dfreq.where(F.col("__df") <= max_df)
@@ -238,6 +247,7 @@ def minhash_dedup_pairs(
     num_bands: int = 4,
     threshold: float = 0.5,
     hash_family: str = "xxhash64",
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Full MinHash-LSH pipeline: signatures → banded candidates →
     exact-Jaccard verification of the CANDIDATES ONLY (per-candidate
@@ -252,10 +262,15 @@ def minhash_dedup_pairs(
     min-aggregate and the verification collect_set, each grouping on
     the doc id — reuse that single exchange instead of re-shuffling the
     stream once each.  Doc ids are uniform keys, so unlike a
-    shingle-keyed layout this cannot create a hot cached partition."""
-    sh = shingle_ngrams(
-        df.repartition(F.col(id_col)), id_col, text_col, n=n
-    ).cache()
+    shingle-keyed layout this cannot create a hot cached partition.
+    ``shingles`` accepts that same doc-clustered cached stream from a
+    caller sharing it with other consumers (e.g. an exact verifier in
+    the same agreement job)."""
+    sh = (
+        shingles
+        if shingles is not None
+        else shingle_ngrams(df.repartition(F.col(id_col)), id_col, text_col, n=n).cache()
+    )
     mins = [
         F.min(_seeded_hash(F.col("shingle"), i, hash_family)).alias(f"h{i}")
         for i in range(num_hashes)

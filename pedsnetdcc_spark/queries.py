@@ -1466,13 +1466,23 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # scores every production path. ---
 
 
-# uncapped exact n-gram Jaccard pairs at tau=0.2 — the exact twin the
-# MinHash-LSH production path is scored against
-_EXACT_JACCARD_CTE = """
-    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+# DF-capped exact n-gram Jaccard pairs (max_df=100) — the exact twin the
+# production hash paths are scored against.  Same measure as the
+# ngram_jaccard_dedup oracle: dropping near-ubiquitous shingles from the
+# whole universe keeps the measure exact over informative shingles while
+# bounding the pair join at Σ min(df,100)² — the uncapped twin cost ~3×
+# more at sf0.1 for identical sf0.01 results (hot-shingle pairs carry no
+# near-dup signal at these thresholds).
+_CAPPED_JACCARD_CTE = """
+    dfreq AS (SELECT shingle, COUNT(*) AS dfc FROM sh GROUP BY shingle),
+    kept AS (
+        SELECT sh.doc_id, sh.shingle
+        FROM sh JOIN dfreq USING (shingle) WHERE dfreq.dfc <= 100
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM kept GROUP BY doc_id),
     pairs AS (
         SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
-        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
         GROUP BY a.doc_id, b.doc_id
     ),
     exact AS (
@@ -1568,30 +1578,39 @@ def q_minhash_lsh_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "minhash_lsh_dedup",
     oracle=f"""
-    WITH {_SHINGLE_CTE},{_EXACT_JACCARD_CTE}
+    WITH {_SHINGLE_CTE},{_CAPPED_JACCARD_CTE}
     SELECT COUNT(*) AS n_exact, CAST(0 AS BIGINT) AS false_positives,
            TRUE AS recall_ok
     FROM exact WHERE jaccard >= 0.2
     """,
 )
 def q_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Production xxhash64 MinHash-LSH scored against the exact n-gram
-    Jaccard pair set (which DuckDB recomputes independently for
-    ``n_exact``): candidates are exact-verified so false positives MUST
-    be 0, and the 16-hash/4-band family must recover ≥80% of the true
-    pairs.  Deterministic — seeded hashes, no RNG."""
+    """Production xxhash64 MinHash-LSH scored against the DF-capped
+    exact n-gram Jaccard pair set (which DuckDB recomputes independently
+    for ``n_exact``): candidates are exact-verified so false positives
+    must be 0 against the capped measure (identical to uncapped at these
+    thresholds — asserted, not assumed), and the 16-hash/4-band family
+    must recover ≥80% of the true pairs.  Deterministic — seeded hashes,
+    no RNG.  ONE cached doc-clustered shingle stream feeds the LSH
+    signatures, the LSH verification, and the exact twin (three
+    consumers, one corpus scan)."""
     from pedsnetdcc_spark.datapipe.agreement import pair_set_agreement
     from pedsnetdcc_spark.datapipe.dedup import (
         minhash_dedup_pairs,
         ngram_jaccard_pairs,
     )
+    from pedsnetdcc_spark.datapipe.text import shingle_ngrams
 
     docs = _t(spark, sf_dir, "documents")
+    sh = shingle_ngrams(
+        docs.repartition(F.col("doc_id")), "doc_id", "text", n=3
+    ).cache()
     prod = minhash_dedup_pairs(
-        docs, "doc_id", "text", n=3, num_hashes=16, num_bands=4, threshold=0.2
+        docs, "doc_id", "text", n=3, num_hashes=16, num_bands=4,
+        threshold=0.2, shingles=sh,
     )
     exact = ngram_jaccard_pairs(
-        docs, "doc_id", "text", n=3, threshold=0.2, max_df=None
+        docs, "doc_id", "text", n=3, threshold=0.2, max_df=100, shingles=sh
     )
     return pair_set_agreement(prod, exact, min_recall_pct=80)
 
@@ -1629,7 +1648,7 @@ def q_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "simhash_signatures",
     oracle=f"""
-    WITH {_SHINGLE_CTE},{_EXACT_JACCARD_CTE}
+    WITH {_SHINGLE_CTE},{_CAPPED_JACCARD_CTE}
     SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
            (SELECT COUNT(*) FROM documents) AS n_sigs,
            COUNT(*) AS dup_pairs, TRUE AS dup_pairs_close
@@ -1639,7 +1658,7 @@ def q_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Production 64-bit xxhash64 SimHash scored for the locality
     property that makes it useful: every exact near-duplicate pair
-    (Jaccard ≥ 0.4, recomputed independently by DuckDB for
+    (DF-capped Jaccard ≥ 0.4, recomputed independently by DuckDB for
     ``dup_pairs``) must sit within 16 of 64 signature bits (measured
     max at sf0.01: 5), and every document must receive exactly one
     signature."""
@@ -1649,7 +1668,7 @@ def q_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     sigs = simhash64(docs, "doc_id", "text")
     dup = ngram_jaccard_pairs(
-        docs, "doc_id", "text", n=3, threshold=0.4, max_df=None
+        docs, "doc_id", "text", n=3, threshold=0.4, max_df=100
     )
     corpus = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     return signature_locality(sigs, dup, corpus, max_hamming=16)
