@@ -1,0 +1,230 @@
+"""Deterministic sampling, splitting, mixing, packing, and shuffling —
+the corpus-assembly half of a training-data pipeline.
+
+Every operator here is **hash-deterministic**: membership / position is
+a pure function of ``(id, seed)``, never of RNG state, partitioning, or
+arrival order.  That is the property a 100 TB pipeline needs —
+
+- reruns, retries, and speculative tasks reproduce the identical
+  sample (no ``rand()`` whose value depends on task replay);
+- the sample composes: a 10% sample is a strict subset of the 20%
+  sample at the same seed, so sweeps can be nested without rereading;
+- membership is auditable by an external engine: with the ``portable``
+  hash family the bucket is renderable in ANSI SQL, so every operator
+  is oracle-checkable end to end (`portable_hash64_sql`).
+
+Scale shape: sampling / splitting / mixing are pure scan-project stages
+(no shuffle, trivially parallel, filter evaluated inside whole-stage
+codegen).  Packing and shuffling shuffle exactly once, on an explicitly
+chosen shard key, then run per-shard window passes — the global-order
+variants exist for parity testing and small corpora and say so.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from pedsnetdcc_spark.datapipe.dedup import portable_hash64, _seeded_hash
+
+
+def hash_bucket(
+    col: Column,
+    seed: int = 0,
+    buckets: int = 100,
+    hash_family: str = "portable",
+) -> Column:
+    """Deterministic bucket in ``[0, buckets)`` for a key column.
+
+    The key is cast to string first so numeric and string ids hash
+    identically to their SQL rendering (``'seed:' || id``); the
+    ``portable`` family is reproducible in DuckDB via
+    :func:`~pedsnetdcc_spark.datapipe.dedup.portable_hash64_sql`,
+    ``xxhash64`` is the cheaper JVM-only production default.
+    """
+    return F.pmod(_seeded_hash(col.cast("string"), seed, hash_family), F.lit(buckets))
+
+
+def sample_fraction(
+    df: DataFrame,
+    id_col: str,
+    pct: int,
+    seed: int = 0,
+    hash_family: str = "portable",
+) -> DataFrame:
+    """Keep a deterministic ``pct``% of rows by id-hash bucket.
+
+    Nested property: ``sample_fraction(df, id, 10, s)`` ⊆
+    ``sample_fraction(df, id, 20, s)`` — buckets are compared against
+    the threshold, not re-drawn.
+    """
+    if not 0 <= pct <= 100:
+        raise ValueError(f"pct must be in [0, 100], got {pct}")
+    return df.where(hash_bucket(F.col(id_col), seed, 100, hash_family) < pct)
+
+
+def train_val_test_split(
+    df: DataFrame,
+    id_col: str,
+    val_pct: int,
+    test_pct: int,
+    seed: int = 0,
+    split_col: str = "split",
+    hash_family: str = "portable",
+) -> DataFrame:
+    """Append a ``split`` column ∈ {train, val, test} by id-hash bucket.
+
+    Deterministic and leakage-safe: the assignment depends only on the
+    id, so re-ingesting a document (or running on a different cluster)
+    can never move it across the split boundary — the invariant
+    held-out evaluation needs.
+    """
+    if val_pct + test_pct > 100:
+        raise ValueError("val_pct + test_pct must be ≤ 100")
+    b = hash_bucket(F.col(id_col), seed, 100, hash_family)
+    split = (
+        F.when(b < test_pct, F.lit("test"))
+        .when(b < test_pct + val_pct, F.lit("val"))
+        .otherwise(F.lit("train"))
+    )
+    return df.withColumn(split_col, split)
+
+
+def stratified_sample(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    rates: Mapping[str, int],
+    default_pct: int = 0,
+    seed: int = 0,
+    hash_family: str = "portable",
+) -> DataFrame:
+    """Per-stratum deterministic sampling: keep ``rates[stratum]``% of
+    each stratum's rows (id-hash bucket < per-stratum threshold),
+    ``default_pct`` for strata not listed.
+
+    The rate lookup is a literal CASE chain — broadcast-free,
+    whole-stage-codegen'd, no join: up/down-sampling languages or
+    sources in one scan is the bread-and-butter rebalancing step of
+    corpus assembly.
+    """
+    pct: Column = F.lit(int(default_pct))
+    for stratum, rate in sorted(rates.items()):
+        pct = F.when(F.col(strata_col) == stratum, F.lit(int(rate))).otherwise(pct)
+    return df.where(hash_bucket(F.col(id_col), seed, 100, hash_family) < pct)
+
+
+def mix_corpora(
+    sources: Mapping[str, tuple[DataFrame, int]],
+    id_col: str,
+    seed: int = 0,
+    source_col: str = "mix_source",
+    hash_family: str = "portable",
+) -> DataFrame:
+    """Weighted mixture of corpora: for each ``name -> (df, pct)`` keep
+    a deterministic ``pct``% of that source and union the survivors,
+    tagged with the source name.
+
+    Each source is sampled under a distinct seed (``seed`` + stable
+    source index) so identical ids in different sources are independent
+    draws.  The union is unionByName over the shared columns — sources
+    must agree on schema (project before mixing if not).
+    """
+    parts = []
+    for i, name in enumerate(sorted(sources)):
+        src_df, pct = sources[name]
+        kept = sample_fraction(src_df, id_col, pct, seed + i, hash_family)
+        parts.append(kept.withColumn(source_col, F.lit(name)))
+    if not parts:
+        raise ValueError("mix_corpora needs at least one source")
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    ntok_col: str,
+    budget: int,
+    shards: int = 1,
+    seed: int = 0,
+    hash_family: str = "portable",
+) -> DataFrame:
+    """Assign documents to fixed-token-budget training bins
+    (concatenate-in-order-and-chop semantics): within each shard,
+    documents are laid head-to-tail in id order and the bin boundary
+    falls every ``budget`` tokens; a document belongs to the bin where
+    it STARTS.  Returns ``(id, shard, bin, bin_offset)``.
+
+    This is the streaming packing used by LLM training pipelines (docs
+    are concatenated into one token stream, then split into
+    budget-sized windows) — not bin-packing-with-search, which is
+    sequential and order-sensitive.  The layout is a pure function of
+    (id set, seed), so it reproduces across reruns.
+
+    Scale shape: ``shards`` is the parallelism unit — rows shuffle ONCE
+    on the deterministic shard hash, then one window pass per shard
+    computes the running offset.  One shard = one task's worth of
+    window state, so size ``shards`` to the cluster (e.g. 4× executors).
+    ``shards=1`` degenerates to a single global window (parity/testing
+    only; the plan warns itself via WindowExec-without-partition).
+    """
+    shard = (
+        hash_bucket(F.col(id_col), seed, shards, hash_family)
+        if shards > 1
+        else F.lit(0)
+    )
+    out = df.select(
+        F.col(id_col),
+        shard.cast("int").alias("shard"),
+        F.col(ntok_col).cast("long").alias("__ntok"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(F.sum("__ntok").over(w), F.lit(0))
+    return (
+        out.withColumn("bin", F.floor(cum_before / budget))
+        .withColumn("bin_offset", cum_before - F.col("bin") * budget)
+        .drop("__ntok")
+    )
+
+
+def global_shuffle(
+    df: DataFrame,
+    id_col: str,
+    seed: int = 0,
+    pos_col: str = "shuffle_pos",
+    mode: str = "distributed",
+    hash_family: str = "portable",
+) -> DataFrame:
+    """Deterministic pseudo-random total order for training-example
+    delivery: ``pos_col`` = 1-based rank in ``(hash(id, seed), id)``
+    order.  Same seed → same permutation on any cluster; a new seed is
+    a fresh epoch-level shuffle.
+
+    ``mode="distributed"`` (default) computes the rank without a global
+    sort task: range-partition on the hash, count per partition, then
+    per-partition row_number + broadcast prefix offsets — the same
+    prefix-sum scheme as ``ids.assign_surrogate_ids`` (the 100 TB
+    path).  ``mode="window"`` is the single-task global window kept for
+    plan parity in tests.
+    """
+    from pedsnetdcc_spark.operators.ids import assign_surrogate_ids
+
+    h = _seeded_hash(F.col(id_col).cast("string"), seed, hash_family)
+    tagged = df.withColumn("__shuffle_key", h)
+    ranked = assign_surrogate_ids(
+        tagged,
+        pos_col,
+        ["__shuffle_key", id_col],
+        base=0,
+        mode=mode,
+    )
+    return ranked.drop("__shuffle_key")

@@ -92,7 +92,12 @@ def asof_match_nearest(
     ev = l.select(*sorted(l.columns)).unionByName(r.select(*sorted(r.columns)))
 
     tol_us = int(tolerance_sec) * 1_000_000
-    ev = ev.withColumn("__tsl", F.unix_micros(F.col("__ts")))
+    # parquet writers may mark the event time as TIMESTAMP or
+    # TIMESTAMP_NTZ (isAdjustedToUTC=false); unix_micros accepts only
+    # the former.  The cast resolves NTZ in the session timezone —
+    # pinned to UTC in session.build_session — so the epoch is
+    # deterministic and identical for both encodings of the same data.
+    ev = ev.withColumn("__tsl", F.unix_micros(F.col("__ts").cast("timestamp")))
     rv = lambda c: F.when(F.col("__side") == 1, F.col(c))  # noqa: E731
 
     # right events sort before left at identical timestamps so a

@@ -2420,3 +2420,188 @@ def q_lab_loinc_swap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("measurement_orig").alias("tbl"), "measurement_id", "value_as_number"
     )
     return meas.unionByName(orig)
+
+
+# ===========================================================================
+# Corpus assembly (datapipe/sampling.py, datapipe/clusters.py): the
+# sampling / splitting / mixing / packing / shuffling / clustering half
+# of the training-data pipeline.  Membership and position are pure
+# functions of (id, seed) via the portable hash family, so every
+# operator is oracle-checked end to end.
+# ===========================================================================
+
+
+def _bucket_sql(expr: str, seed: int, buckets: int) -> str:
+    """DuckDB rendering of sampling.hash_bucket (portable family)."""
+    from pedsnetdcc_spark.datapipe.dedup import portable_hash64_sql
+
+    return f"({portable_hash64_sql(expr, seed)} % {buckets})"
+
+
+@query(
+    "sample_split",
+    oracle=f"""
+    SELECT doc_id,
+           CASE WHEN {_bucket_sql('doc_id', 0, 100)} < 10 THEN 'test'
+                WHEN {_bucket_sql('doc_id', 0, 100)} < 20 THEN 'val'
+                ELSE 'train' END AS split
+    FROM documents
+    """,
+)
+def q_sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test assignment: split is a pure function
+    of (doc_id, seed), so re-ingestion or re-clustering can never move a
+    document across the held-out boundary."""
+    from pedsnetdcc_spark.datapipe.sampling import train_val_test_split
+
+    docs = _t(spark, sf_dir, "documents")
+    return train_val_test_split(docs, "doc_id", val_pct=10, test_pct=10).select(
+        "doc_id", "split"
+    )
+
+
+@query(
+    "stratified_sample",
+    oracle=f"""
+    SELECT doc_id, lang FROM documents
+    WHERE {_bucket_sql('doc_id', 0, 100)} <
+          CASE lang WHEN 'en' THEN 80 WHEN 'de' THEN 50 WHEN 'zh' THEN 25
+                    ELSE 10 END
+    """,
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language rebalancing in one scan: keep 80% of English, 50%
+    of German, 25% of Chinese, 10% of everything else — the standard
+    corpus-mix rebalancing step, shuffle-free (literal CASE threshold
+    against the id-hash bucket, no join, no RNG)."""
+    from pedsnetdcc_spark.datapipe.sampling import stratified_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return stratified_sample(
+        docs, "doc_id", "lang", {"en": 80, "de": 50, "zh": 25}, default_pct=10
+    ).select("doc_id", "lang")
+
+
+@query(
+    "corpus_mixture",
+    # mix_corpora samples source i (sorted by name) under seed base+i:
+    # books=0, code=1, web=2.
+    oracle=f"""
+    SELECT doc_id, 'books' AS mix_source FROM documents
+    WHERE source IN ('src4','src5','src6') AND {_bucket_sql('doc_id', 0, 100)} < 50
+    UNION ALL
+    SELECT doc_id, 'code' FROM documents
+    WHERE source IN ('src7','src8','src9') AND {_bucket_sql('doc_id', 1, 100)} < 25
+    UNION ALL
+    SELECT doc_id, 'web' FROM documents
+    WHERE source IN ('src0','src1','src2','src3') AND {_bucket_sql('doc_id', 2, 100)} < 75
+    """,
+)
+def q_corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted corpus mixture: three source groups sampled at 50/25/75%
+    under independent seeds, unioned with a provenance tag — the
+    dataset-mixing step of pre-training data assembly.  Pure
+    scan-project per source; the union is free (no shuffle)."""
+    from pedsnetdcc_spark.datapipe.sampling import mix_corpora
+
+    docs = _t(spark, sf_dir, "documents")
+    groups = {
+        "web": (docs.where(F.col("source").isin("src0", "src1", "src2", "src3")), 75),
+        "books": (docs.where(F.col("source").isin("src4", "src5", "src6")), 50),
+        "code": (docs.where(F.col("source").isin("src7", "src8", "src9")), 25),
+    }
+    return mix_corpora(groups, "doc_id").select("doc_id", "mix_source")
+
+
+@query(
+    "pack_sequences",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, CAST({_bucket_sql('doc_id', 0, 8)} AS INT) AS shard,
+               len(string_split(text, ' ')) AS ntok
+        FROM documents
+    ), c AS (
+        SELECT doc_id, shard,
+               COALESCE(SUM(ntok) OVER (
+                   PARTITION BY shard ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+        FROM t
+    )
+    SELECT doc_id, shard,
+           CAST(FLOOR(cb / 512.0) AS BIGINT) AS bin,
+           CAST(cb - FLOOR(cb / 512.0) * 512 AS BIGINT) AS bin_offset
+    FROM c
+    """,
+)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-token-budget sequence packing (concatenate-and-chop, the
+    LLM-training layout): documents are sharded by id hash (the ONE
+    shuffle), laid head-to-tail per shard in id order, and assigned to
+    the 512-token bin where they start.  One window pass per shard."""
+    from pedsnetdcc_spark.datapipe.sampling import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "ntok", F.size(F.split(F.col("text"), " "))
+    )
+    return pack_sequences(docs, "doc_id", "ntok", budget=512, shards=8).select(
+        "doc_id", "shard", "bin", "bin_offset"
+    )
+
+
+def _global_shuffle_oracle() -> str:
+    from pedsnetdcc_spark.datapipe.dedup import portable_hash64_sql
+
+    h = portable_hash64_sql("doc_id", 0)
+    return f"""
+    SELECT doc_id,
+           ROW_NUMBER() OVER (ORDER BY {h}, doc_id) AS shuffle_pos
+    FROM documents
+    """
+
+
+@query("global_shuffle", oracle=_global_shuffle_oracle())
+def q_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch shuffle: rank in (hash(id, seed), id) order,
+    computed WITHOUT a global sort task — range-partition on the hash,
+    per-partition row_number, broadcast prefix offsets (the same
+    prefix-sum scheme as distributed surrogate-id assignment)."""
+    from pedsnetdcc_spark.datapipe.sampling import global_shuffle
+
+    docs = _t(spark, sf_dir, "documents")
+    return global_shuffle(docs, "doc_id", seed=0, mode="distributed").select(
+        "doc_id", "shuffle_pos"
+    )
+
+
+@query(
+    "dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_SHINGLE_CTE},{_CAPPED_JACCARD_CTE},
+    dup AS (SELECT id_a, id_b FROM exact WHERE jaccard >= 0.2),
+    e AS (SELECT id_a AS u, id_b AS v FROM dup
+          UNION ALL SELECT id_b, id_a FROM dup),
+    reach AS (
+        SELECT u AS node, u AS lbl FROM e
+        UNION
+        SELECT e.v AS node, reach.lbl AS lbl
+        FROM reach JOIN e ON e.u = reach.node
+    ),
+    comp AS (SELECT node, MIN(lbl) AS component FROM reach GROUP BY node)
+    SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS cluster_id
+    FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+    """,
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs → transitive dedup clusters: min-label propagation
+    over the capped-Jaccard pair graph (datapipe/clusters.py), every
+    document labeled with its component's min id (itself when unpaired).
+    The oracle recomputes the transitive closure with a recursive CTE —
+    the iterative Spark fixpoint is hash-checked end to end."""
+    from pedsnetdcc_spark.datapipe.clusters import assign_clusters
+    from pedsnetdcc_spark.datapipe.dedup import ngram_jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.2, max_df=100
+    )
+    return assign_clusters(docs, "doc_id", pairs).select("doc_id", "cluster_id")

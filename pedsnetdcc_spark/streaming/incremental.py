@@ -27,6 +27,19 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def _event_time(df: DataFrame, ts_col: str) -> DataFrame:
+    """Normalize the event-time column to TIMESTAMP: watermarks reject
+    TIMESTAMP_NTZ, and parquet writers mark the same instant either way
+    (isAdjustedToUTC).  The cast resolves NTZ in the session timezone —
+    pinned to UTC in session.build_session — so both encodings yield the
+    identical event time."""
+    from pyspark.sql.types import TimestampNTZType
+
+    if isinstance(df.schema[ts_col].dataType, TimestampNTZType):
+        return df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return df
+
+
 def streaming_interval_summary(
     df: DataFrame,
     key: str,
@@ -58,7 +71,7 @@ def streaming_event_counts(
     """Windowed event counts with a late-data watermark — the canonical
     watermark + windowed-agg shape; append-mode-capable, state pruned
     beyond the watermark horizon."""
-    wm = df.withWatermark(ts_col, watermark)
+    wm = _event_time(df, ts_col).withWatermark(ts_col, watermark)
     return (
         wm.groupBy(F.window(F.col(ts_col), window_duration).alias("win"), *keys)
         .agg(F.count(F.lit(1)).alias("n_events"))
@@ -180,6 +193,7 @@ def streaming_interval_eras(
                 columns=keys + ["era_start_ts", "era_end_ts", "era_count"],
             )
 
+    df = _event_time(df, start_col)
     src = df.withWatermark(start_col, watermark) if watermark else df
     return src.groupBy(*keys).applyInPandasWithState(
         fn, out_schema, state_schema, "append", GroupStateTimeout.EventTimeTimeout
@@ -203,6 +217,7 @@ def streaming_eras(
     (operators/eras.py), which streaming can host via
     ``applyInPandasWithState`` if ever needed.
     """
+    df = _event_time(df, ts_col)
     src = df.withWatermark(ts_col, watermark) if watermark else df
     return (
         src.groupBy(F.session_window(F.col(ts_col), gap).alias("sw"), *keys)
