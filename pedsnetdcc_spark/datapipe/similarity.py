@@ -451,7 +451,8 @@ def lsh_bucketed_topk(
     bits: int = 4,
     tables: int = 8,
     probe_hamming1: bool = True,
-    dim: int | None = None,
+    *,
+    dim: int,
 ) -> DataFrame:
     """Approximate top-k via multi-table hyperplane LSH: ``tables``
     independent sketches of ``bits`` bits each; a candidate is scored if
@@ -461,6 +462,10 @@ def lsh_bucketed_topk(
     tables up / bits down for higher recall at more comparisons.  The
     candidate set stays bucket-local, so per-query work is bounded by
     bucket sizes, not the corpus.
+
+    ``dim`` is required (static knowledge at every call site): inferring
+    it with a ``.first()`` would run a driver job at plan-construction
+    time — a foot-gun in composed pipelines.
     """
     c = candidates.select(
         F.col(id_col).alias("neighbor_id"),
@@ -470,12 +475,6 @@ def lsh_bucketed_topk(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("__qv"),
     )
-    if dim is None:
-        # fallback only — pass ``dim`` to keep plan construction
-        # action-free (a .first() here runs a driver job per call)
-        first = q.select(F.size("__qv")).first()
-        dim = first[0] if first else 64
-
     # one vectorized pass per side computes every table's bucket
     sk = hyperplane_sketches_batch(bits, tables, dim)
     c = c.withColumn("__sks", sk(F.col("__cv")))

@@ -102,7 +102,7 @@ def test_lsh_topk_recall_at_rank1(spark, emb):
     }
     approx = {
         r["query_id"]: r["neighbor_id"]
-        for r in lsh_bucketed_topk(emb, q, k=1, bits=4, tables=8).collect()
+        for r in lsh_bucketed_topk(emb, q, k=1, bits=4, tables=8, dim=64).collect()
     }
     hits = sum(approx.get(k) == v for k, v in exact.items())
     assert hits / len(exact) >= 0.5, (hits, len(exact))

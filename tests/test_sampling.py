@@ -1,0 +1,160 @@
+"""Unit/property tests for corpus-assembly operators
+(datapipe/sampling.py, datapipe/clusters.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pedsnetdcc_spark.datapipe.clusters import assign_clusters, connected_components
+from pedsnetdcc_spark.datapipe.sampling import (
+    global_shuffle,
+    hash_bucket,
+    mix_corpora,
+    pack_sequences,
+    sample_fraction,
+    stratified_sample,
+    train_val_test_split,
+)
+from pedsnetdcc_spark.sources.io import read_table
+
+
+def _docs(spark, sf_dir):
+    return read_table(spark, sf_dir, "documents")
+
+
+def test_sample_fraction_nested_and_deterministic(spark, sf_dir):
+    """10% ⊆ 20% at the same seed, and reruns are identical."""
+    docs = _docs(spark, sf_dir)
+    s10 = {r.doc_id for r in sample_fraction(docs, "doc_id", 10).collect()}
+    s20 = {r.doc_id for r in sample_fraction(docs, "doc_id", 20).collect()}
+    again = {r.doc_id for r in sample_fraction(docs, "doc_id", 10).collect()}
+    assert s10 <= s20
+    assert s10 == again
+    assert len(s20) > len(s10) > 0
+
+
+def test_split_partitions_whole_corpus(spark, sf_dir):
+    """Splits are exhaustive and disjoint; production xxhash64 family
+    obeys the same partition property as the portable one."""
+    docs = _docs(spark, sf_dir)
+    for family in ("portable", "xxhash64"):
+        out = train_val_test_split(
+            docs, "doc_id", val_pct=15, test_pct=5, hash_family=family
+        )
+        counts = dict(
+            out.groupBy("split").count().rdd.map(lambda r: (r["split"], r["count"])).collect()
+        )
+        assert sum(counts.values()) == docs.count()
+        assert set(counts) == {"train", "val", "test"}
+
+
+def test_stratified_sample_is_per_stratum_fraction(spark, sf_dir):
+    """Stratified output == per-stratum application of sample_fraction."""
+    docs = _docs(spark, sf_dir)
+    rates = {"en": 100, "de": 50, "zh": 0}
+    out = stratified_sample(docs, "doc_id", "lang", rates, default_pct=10)
+    got = {r.doc_id for r in out.collect()}
+    expect = set()
+    for lang in [r.lang for r in docs.select("lang").distinct().collect()]:
+        sub = docs.where(F.col("lang") == lang)
+        expect |= {
+            r.doc_id
+            for r in sample_fraction(sub, "doc_id", rates.get(lang, 10)).collect()
+        }
+    assert got == expect
+    assert not {r.doc_id for r in out.where(F.col("lang") == "zh").collect()}
+
+
+def test_mix_corpora_tags_and_respects_weights(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    groups = {
+        "a": (docs.where(F.col("doc_id") % 2 == 0), 100),
+        "b": (docs.where(F.col("doc_id") % 2 == 1), 0),
+    }
+    out = mix_corpora(groups, "doc_id")
+    tags = {r.mix_source for r in out.select("mix_source").distinct().collect()}
+    assert tags == {"a"}  # weight-0 source contributes nothing
+    assert out.count() == docs.where(F.col("doc_id") % 2 == 0).count()
+
+
+def test_pack_sequences_layout_invariants(spark, sf_dir):
+    """Offsets stay inside the budget; within a shard, (bin, offset)
+    is the running token layout in id order."""
+    budget = 64
+    docs = _docs(spark, sf_dir).withColumn(
+        "ntok", F.size(F.split(F.col("text"), " "))
+    )
+    out = pack_sequences(docs, "doc_id", "ntok", budget=budget, shards=4)
+    rows = (
+        out.join(docs.select("doc_id", "ntok"), "doc_id")
+        .orderBy("shard", "doc_id")
+        .collect()
+    )
+    assert rows
+    by_shard: dict[int, list] = {}
+    for r in rows:
+        by_shard.setdefault(r.shard, []).append(r)
+    for shard_rows in by_shard.values():
+        cum = 0
+        for r in shard_rows:
+            assert 0 <= r.bin_offset < budget
+            assert r.bin == cum // budget
+            assert r.bin_offset == cum - r.bin * budget
+            cum += r.ntok
+
+
+def test_global_shuffle_modes_agree_and_permute(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    dist = {
+        r.doc_id: r.shuffle_pos
+        for r in global_shuffle(docs, "doc_id", mode="distributed").collect()
+    }
+    win = {
+        r.doc_id: r.shuffle_pos
+        for r in global_shuffle(docs, "doc_id", mode="window").collect()
+    }
+    assert dist == win
+    n = docs.count()
+    assert sorted(dist.values()) == list(range(1, n + 1))
+    # a different seed is a different permutation
+    other = {
+        r.doc_id: r.shuffle_pos
+        for r in global_shuffle(docs, "doc_id", seed=1, mode="distributed").collect()
+    }
+    assert other != dist
+
+
+def _pairs(spark, rows):
+    return spark.createDataFrame(rows, "id_a long, id_b long")
+
+
+def test_connected_components_two_components(spark):
+    pairs = _pairs(spark, [(1, 2), (2, 3), (10, 11)])
+    comp = {r.node: r.component for r in connected_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_connected_components_chain_converges(spark):
+    """A 12-node path graph — worst case for plain propagation — still
+    converges within the default round budget."""
+    pairs = _pairs(spark, [(i, i + 1) for i in range(1, 12)])
+    comp = {r.node: r.component for r in connected_components(pairs).collect()}
+    assert set(comp.values()) == {1}
+    assert len(comp) == 12
+
+
+def test_assign_clusters_labels_singletons_with_own_id(spark):
+    df = spark.createDataFrame([(i,) for i in range(1, 7)], "doc_id long")
+    pairs = _pairs(spark, [(2, 4), (4, 6)])
+    out = {r.doc_id: r.cluster_id for r in assign_clusters(df, "doc_id", pairs).collect()}
+    assert out == {1: 1, 2: 2, 3: 3, 4: 2, 5: 5, 6: 2}
+
+
+def test_hash_bucket_families_bounded(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    for family in ("portable", "xxhash64"):
+        mm = docs.select(
+            F.min(hash_bucket(F.col("doc_id"), 0, 100, family)).alias("lo"),
+            F.max(hash_bucket(F.col("doc_id"), 0, 100, family)).alias("hi"),
+        ).collect()[0]
+        assert 0 <= mm.lo and mm.hi <= 99
