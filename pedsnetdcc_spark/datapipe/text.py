@@ -175,3 +175,92 @@ def doc_fingerprint(
     """
     sh = shingle_ngrams(df, id_col, text_col, n=n)
     return sh.groupBy(id_col).agg(F.min(F.md5(F.col("shingle"))).alias(out_col))
+
+
+def build_vocab(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 1,
+    max_size: int | None = None,
+) -> DataFrame:
+    """Corpus vocabulary with contiguous ids: ``(token, token_count,
+    vocab_id)``, ranked by frequency (desc) with the token string as the
+    deterministic tie-break — the seeding step for a BPE/word-level
+    tokenizer vocabulary.
+
+    Scale shape: one explode + one hash aggregate over the token stream
+    (map-side partial agg collapses repeats before the shuffle), then a
+    rank over the AGGREGATED vocabulary — which is bounded by
+    ``max_size`` / natural-language vocabulary growth (≪ corpus), so
+    the single-partition ranking window operates on the small side by
+    construction.  For vocabularies past ~10M entries switch the rank
+    to ``ids.assign_surrogate_ids(mode="distributed")``.
+    """
+    from pyspark.sql import Window
+
+    counts = (
+        df.select(F.explode(tokens(text_col)).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("token_count"))
+        .where(F.col("token_count") >= min_count)
+    )
+    w = Window.orderBy(F.col("token_count").desc(), F.col("token"))
+    ranked = counts.withColumn("vocab_id", F.row_number().over(w))
+    if max_size is not None:
+        ranked = ranked.where(F.col("vocab_id") <= max_size)
+    return ranked.select("token", "token_count", "vocab_id")
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    k: int = 3,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Top-``k`` characteristic terms per document by smoothed TF-IDF:
+    ``score = tf * (ln((N+1)/(df+1)) + 1)``, ties broken by token.
+    Returns ``(id, rank, token, tf, score)``.
+
+    The IDF is rounded to ``round_digits`` BEFORE ranking so the
+    ordering is reproducible across engines (ln() differs in the last
+    ulp between libm implementations; at 1e-6 granularity the ranking
+    is a stable function of the integer tf/df inputs).
+
+    Scale shape: tf aggregate (doc-keyed), df aggregate (token-keyed),
+    one broadcast of the corpus size, a broadcast-join of per-token df
+    back onto the tf stream when the vocabulary is small (AQE decides),
+    and a per-document top-k window — all hash-partitioned work, no
+    UDFs, no driver collection.
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("token"))
+    tf = toks.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = toks.groupBy("token").agg(
+        F.count_distinct(F.col(id_col)).alias("df")
+    )
+    n_docs = df.select(F.count_distinct(F.col(id_col)).alias("n"))
+    idf = F.round(
+        F.log((F.col("n") + F.lit(1.0)) / (F.col("df") + F.lit(1.0))) + F.lit(1.0),
+        round_digits,
+    )
+    scored = (
+        tf.join(dfreq, "token")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("score", F.round(F.col("tf") * idf, round_digits))
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("score").desc(), F.col("token")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col(id_col),
+            F.col("rank").cast("int").alias("rank"),
+            "token",
+            F.col("tf").cast("long").alias("tf"),
+            "score",
+        )
+    )

@@ -2605,3 +2605,61 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, "doc_id", "text", n=3, threshold=0.2, max_df=100
     )
     return assign_clusters(docs, "doc_id", pairs).select("doc_id", "cluster_id")
+
+
+@query(
+    "vocab_topk",
+    oracle="""
+    WITH c AS (
+        SELECT tok AS token, COUNT(*) AS token_count
+        FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+        GROUP BY tok
+    ), r AS (
+        SELECT token, token_count,
+               CAST(ROW_NUMBER() OVER (ORDER BY token_count DESC, token) AS INTEGER)
+                   AS vocab_id
+        FROM c
+    )
+    SELECT token, token_count, vocab_id FROM r WHERE vocab_id <= 1000
+    """,
+)
+def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary with contiguous frequency-ranked ids — the
+    tokenizer-vocabulary seeding step (datapipe/text.build_vocab)."""
+    from pedsnetdcc_spark.datapipe.text import build_vocab
+
+    docs = _t(spark, sf_dir, "documents")
+    return build_vocab(docs, "text", min_count=1, max_size=1000)
+
+
+@query(
+    "tfidf_top_terms",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    ), tf AS (
+        SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY doc_id, token
+    ), dfq AS (
+        SELECT token, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY token
+    ), n AS (SELECT COUNT(DISTINCT doc_id) AS n FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.token, tf.tf,
+               ROUND(tf.tf * ROUND(ln((n.n + 1.0) / (dfq.df + 1.0)) + 1.0, 6), 6)
+                   AS score
+        FROM tf JOIN dfq USING (token) CROSS JOIN n
+    )
+    SELECT doc_id, CAST(rank AS INTEGER) AS rank, token, tf, score
+    FROM (SELECT *, ROW_NUMBER() OVER (
+              PARTITION BY doc_id ORDER BY score DESC, token) AS rank
+          FROM scored)
+    WHERE rank <= 3
+    """,
+)
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per document by smoothed TF-IDF
+    (datapipe/text.tfidf_top_terms); the IDF is rounded before ranking
+    so the ordering is engine-reproducible."""
+    from pedsnetdcc_spark.datapipe.text import tfidf_top_terms
+
+    docs = _t(spark, sf_dir, "documents")
+    return tfidf_top_terms(docs, "doc_id", "text", k=3)

@@ -229,3 +229,39 @@ def streaming_eras(
             "era_event_count",
         )
     )
+
+
+def streaming_exact_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    ts_col: str | None = None,
+    watermark: str | None = None,
+) -> DataFrame:
+    """Streaming exact deduplication: emit only the FIRST document seen
+    for each content hash (md5 of the text) — the continuous form of
+    ``datapipe.dedup.exact_dedup_groups`` for an append-only ingest.
+
+    With ``ts_col`` + ``watermark`` the dedup state is watermark-bounded
+    (``dropDuplicatesWithinWatermark``): a repeat arriving inside the
+    horizon is dropped, state older than the horizon is pruned — the
+    practical contract for an ingest stream whose duplicates cluster in
+    time (retries, re-crawls).  Without a watermark the state holds one
+    entry per distinct content hash forever — exact global dedup, state
+    grows with distinct content (one 16-byte digest per unique doc).
+
+    State shards by the content hash with the shuffle; no skew (md5 is
+    uniform).  Batch DataFrames work too (plain dropDuplicates
+    semantics), which is how the test pins stream output to the batch
+    operator.
+    """
+    keyed = df.withColumn("__content_hash", F.md5(F.col(text_col)))
+    if ts_col is not None and watermark is not None:
+        keyed = _event_time(keyed, ts_col).withWatermark(ts_col, watermark)
+        if keyed.isStreaming:
+            out = keyed.dropDuplicatesWithinWatermark(["__content_hash"])
+        else:
+            out = keyed.dropDuplicates(["__content_hash"])
+    else:
+        out = keyed.dropDuplicates(["__content_hash"])
+    return out.drop("__content_hash")

@@ -336,3 +336,35 @@ def test_incremental_interval_sync_matches_wholesale(spark, sf_dir):
         )
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def test_streaming_exact_dedup_emits_first_per_content(spark, sf_dir):
+    """Stream a corpus with injected duplicate texts; the dedup stream
+    must emit exactly one row per distinct content, matching the batch
+    operator's group count."""
+    import shutil
+    import tempfile
+
+    from pedsnetdcc_spark.datapipe.dedup import exact_dedup_groups
+    from pedsnetdcc_spark.streaming.incremental import streaming_exact_dedup
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # inject duplicates: re-append the first 20 docs with new ids
+    dup = docs.limit(20).withColumn("doc_id", F.col("doc_id") + 1_000_000)
+    corpus = docs.unionByName(dup)
+    d = tempfile.mkdtemp()
+    try:
+        corpus.write.mode("overwrite").parquet(d + "/docs")
+        stream = spark.readStream.schema(corpus.schema).parquet(d + "/docs")
+        out = _run_stream(
+            spark,
+            streaming_exact_dedup(stream, "doc_id", "text"),
+            "append",
+            "t_dedup",
+        )
+        n_groups = exact_dedup_groups(corpus, "doc_id", "text").count()
+        assert out.count() == n_groups
+        # batch mode of the same builder agrees
+        assert streaming_exact_dedup(corpus, "doc_id", "text").count() == n_groups
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
