@@ -264,3 +264,58 @@ def tfidf_top_terms(
             "score",
         )
     )
+
+
+def normalize_text(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "norm_text",
+) -> DataFrame:
+    """Canonical text normalization for dedup/fingerprint robustness:
+    lowercase, strip everything outside ``[a-z0-9 ]``, collapse
+    whitespace runs, trim.  Pure column expressions — fuses into the
+    scan stage, no shuffle."""
+    c = F.lower(F.col(text_col))
+    c = F.regexp_replace(c, "[^a-z0-9 ]", "")
+    c = F.regexp_replace(c, " +", " ")
+    return df.withColumn(out_col, F.trim(c))
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    chunk_tokens: int = 256,
+    overlap: int = 0,
+) -> DataFrame:
+    """Split documents into fixed-token windows with optional overlap:
+    ``(id, chunk_id, chunk_text, n_chunk_tokens)`` — the
+    context-window chunking step for RAG indexing / long-document
+    training prep.  Window ``i`` starts at token ``i*(chunk-overlap)``;
+    the final window may be short; every token appears in ≥1 chunk.
+
+    Pure higher-order functions: the start-index sequence is built per
+    row and exploded — no UDF, no shuffle; chunking is embarrassingly
+    parallel and fuses with the scan.
+    """
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("need 0 <= overlap < chunk_tokens")
+    step = chunk_tokens - overlap
+    toks = tokens(text_col)
+    n = F.size(toks)
+    starts = F.filter(
+        F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(step)),
+        lambda s: s < n,
+    )
+    exploded = df.select(
+        F.col(id_col),
+        toks.alias("__toks"),
+        F.posexplode(starts).alias("chunk_id", "__start"),
+    )
+    chunk = F.slice(F.col("__toks"), F.col("__start") + 1, chunk_tokens)
+    return exploded.select(
+        F.col(id_col),
+        F.col("chunk_id").cast("int").alias("chunk_id"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+        F.size(chunk).cast("long").alias("n_chunk_tokens"),
+    )

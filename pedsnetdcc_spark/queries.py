@@ -2663,3 +2663,50 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     return tfidf_top_terms(docs, "doc_id", "text", k=3)
+
+
+@query(
+    "normalize_text",
+    oracle="""
+    SELECT doc_id,
+           TRIM(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                               ' +', ' ', 'g')) AS norm_text
+    FROM documents
+    """,
+)
+def q_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical normalization (lowercase / strip / collapse) as a pure
+    scan-stage projection (datapipe/text.normalize_text)."""
+    from pedsnetdcc_spark.datapipe.text import normalize_text
+
+    docs = _t(spark, sf_dir, "documents")
+    return normalize_text(docs, "text").select("doc_id", "norm_text")
+
+
+@query(
+    "doc_chunks",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ), s AS (
+        SELECT doc_id, toks,
+               unnest(generate_series(0, GREATEST(len(toks) - 1, 0), 24)) AS start
+        FROM t
+    )
+    SELECT doc_id,
+           CAST(start / 24 AS INTEGER) AS chunk_id,
+           array_to_string(list_slice(toks, start + 1, start + 32), ' ') AS chunk_text,
+           CAST(len(list_slice(toks, start + 1, start + 32)) AS BIGINT)
+               AS n_chunk_tokens
+    FROM s WHERE start < len(toks)
+    """,
+)
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-window chunking with overlap (32-token windows, 8-token
+    overlap → stride 24): the RAG/training context-window split,
+    entirely scan-fused higher-order functions
+    (datapipe/text.chunk_documents)."""
+    from pedsnetdcc_spark.datapipe.text import chunk_documents
+
+    docs = _t(spark, sf_dir, "documents")
+    return chunk_documents(docs, "doc_id", "text", chunk_tokens=32, overlap=8)

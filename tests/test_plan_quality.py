@@ -77,3 +77,27 @@ def test_corpus_prep_is_single_shuffle(spark, sf_dir):
     plan = _plan(QUERIES["corpus_prep"](spark, sf_dir))
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert "Join" not in plan, plan
+
+
+def test_sampling_queries_are_scan_project_only(spark, sf_dir):
+    """Sampling/splitting/mixing must not shuffle: membership is a pure
+    hash predicate evaluated inside the scan stage."""
+    for name in ("sample_split", "stratified_sample", "corpus_mixture"):
+        plan = _plan(QUERIES[name](spark, sf_dir))
+        assert "Exchange" not in plan, f"{name} shuffles:\n{plan}"
+
+
+def test_pack_sequences_single_shard_exchange(spark, sf_dir):
+    """Packing shuffles exactly once (on the shard hash) and every
+    window pass is partitioned — no global single-task window."""
+    plan = _plan(QUERIES["pack_sequences"](spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Exchange SinglePartition" not in plan, plan
+
+
+def test_global_shuffle_has_no_single_partition_window(spark, sf_dir):
+    """Distributed rank = range partition + per-partition window +
+    broadcast offsets; the plan must not collapse to one partition."""
+    plan = _plan(QUERIES["global_shuffle"](spark, sf_dir))
+    assert "Exchange rangepartitioning" in plan, plan
+    assert "Exchange SinglePartition" not in plan, plan

@@ -158,3 +158,39 @@ def test_hash_bucket_families_bounded(spark, sf_dir):
             F.max(hash_bucket(F.col("doc_id"), 0, 100, family)).alias("hi"),
         ).collect()[0]
         assert 0 <= mm.lo and mm.hi <= 99
+
+
+def test_chunk_documents_covers_all_tokens_with_overlap(spark, sf_dir):
+    from pedsnetdcc_spark.datapipe.text import chunk_documents
+
+    docs = _docs(spark, sf_dir).limit(50)
+    out = chunk_documents(docs, "doc_id", "text", chunk_tokens=16, overlap=4)
+    rows = out.orderBy("doc_id", "chunk_id").collect()
+    texts = {r.doc_id: r.text for r in docs.collect()}
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert set(by_doc) == set(texts)
+    for doc_id, chunks in by_doc.items():
+        toks = texts[doc_id].split(" ")
+        rebuilt: list[str] = []
+        for i, r in enumerate(chunks):
+            ctoks = r.chunk_text.split(" ") if r.chunk_text else [""]
+            assert r.chunk_id == i
+            assert r.n_chunk_tokens == len(ctoks) <= 16
+            start = i * 12
+            assert ctoks == toks[start : start + 16]
+            rebuilt.extend(ctoks if i == 0 else ctoks[4:])
+        # overlap-aware reassembly reproduces the document exactly
+        assert rebuilt == toks
+
+
+def test_normalize_text_idempotent(spark, sf_dir):
+    from pedsnetdcc_spark.datapipe.text import normalize_text
+
+    docs = _docs(spark, sf_dir).limit(50)
+    once = normalize_text(docs, "text")
+    twice = normalize_text(once.select(F.col("doc_id"), F.col("norm_text").alias("text")), "text")
+    a = {r.doc_id: r.norm_text for r in once.collect()}
+    b = {r.doc_id: r.norm_text for r in twice.collect()}
+    assert a == b
