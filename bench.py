@@ -52,6 +52,11 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name, fn in QUERIES.items():
         best = None
+        # collect garbage OUTSIDE the timed window: across ~70 queries
+        # the JVM otherwise amortizes old-gen collections into whichever
+        # query happens to trigger them, charging one query for the
+        # whole session's allocation history
+        spark.sparkContext._jvm.System.gc()
         try:
             # best-of-N: single-shot numbers on a shared box carry ±2-3×
             # scheduler/GC noise; the minimum is the reproducible cost

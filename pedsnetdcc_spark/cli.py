@@ -215,6 +215,69 @@ def cmd_undo(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_corpus_split(args: argparse.Namespace) -> int:
+    """Deterministic train/val/test split of a document table."""
+    from pedsnetdcc_spark.datapipe.sampling import train_val_test_split
+
+    spark = _session(args)
+    docs = _read(spark, args.input, args.table)
+    out = train_val_test_split(
+        docs, args.id_col, val_pct=args.val_pct, test_pct=args.test_pct,
+        seed=args.seed,
+    )
+    frames = {
+        split: out.where(out["split"] == split).drop("split")
+        for split in ("train", "val", "test")
+    }
+    _publish(spark, args.output, frames)
+    return 0
+
+
+def cmd_dedup_cluster(args: argparse.Namespace) -> int:
+    """Near-dup clustering: capped-Jaccard pairs → connected components
+    → one canonical document per cluster."""
+    from pyspark.sql import functions as F
+
+    from pedsnetdcc_spark.datapipe.clusters import assign_clusters
+    from pedsnetdcc_spark.datapipe.dedup import ngram_jaccard_pairs
+
+    spark = _session(args)
+    docs = _read(spark, args.input, args.table)
+    pairs = ngram_jaccard_pairs(
+        docs, args.id_col, args.text_col, n=args.ngram,
+        threshold=args.threshold, max_df=args.max_df,
+    )
+    labeled = assign_clusters(docs, args.id_col, pairs)
+    frames = {args.table: labeled}
+    if args.keep_canonical:
+        frames[args.table] = labeled.where(
+            F.col(args.id_col) == F.col("cluster_id")
+        )
+    _publish(spark, args.output, frames)
+    return 0
+
+
+def cmd_decontaminate(args: argparse.Namespace) -> int:
+    """Flag training documents near-duplicating an evaluation corpus;
+    publish the cleaned training table."""
+    from pyspark.sql import functions as F
+
+    from pedsnetdcc_spark.datapipe.dedup import cross_corpus_contamination
+
+    spark = _session(args)
+    train = _read(spark, args.input, args.table)
+    ev = _read(spark, args.eval_dir, args.eval_table)
+    hits = cross_corpus_contamination(
+        train, ev, args.id_col, args.text_col, n=args.ngram,
+        threshold=args.threshold, max_df=args.max_df,
+    )
+    flagged = hits.select(F.col("train_id").alias(args.id_col)).distinct()
+    clean = train.join(flagged, args.id_col, "left_anti")
+    _publish(spark, args.output, {args.table: clean})
+    print(json.dumps({"flagged": flagged.count()}))
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="pedsnetdcc-spark", description=__doc__.split("\n")[0]
@@ -275,6 +338,38 @@ def build_parser() -> argparse.ArgumentParser:
     )
     sp.add_argument("--samples", type=int, default=1)
     sp.set_defaults(fn=cmd_check_fact_relationship)
+
+    sp = sub.add_parser("corpus-split", help="deterministic train/val/test split")
+    ns(sp)
+    sp.add_argument("--table", default="documents")
+    sp.add_argument("--id-col", default="doc_id")
+    sp.add_argument("--val-pct", type=int, default=10)
+    sp.add_argument("--test-pct", type=int, default=10)
+    sp.add_argument("--seed", type=int, default=0)
+    sp.set_defaults(fn=cmd_corpus_split)
+
+    sp = sub.add_parser("dedup-cluster", help="near-dup clusters, optional canonical-only")
+    ns(sp)
+    sp.add_argument("--table", default="documents")
+    sp.add_argument("--id-col", default="doc_id")
+    sp.add_argument("--text-col", default="text")
+    sp.add_argument("--ngram", type=int, default=3)
+    sp.add_argument("--threshold", type=float, default=0.5)
+    sp.add_argument("--max-df", type=int, default=10000)
+    sp.add_argument("--keep-canonical", action="store_true")
+    sp.set_defaults(fn=cmd_dedup_cluster)
+
+    sp = sub.add_parser("decontaminate", help="drop train docs near-duplicating an eval corpus")
+    ns(sp)
+    sp.add_argument("--table", default="documents")
+    sp.add_argument("--eval-dir", required=True)
+    sp.add_argument("--eval-table", default="documents")
+    sp.add_argument("--id-col", default="doc_id")
+    sp.add_argument("--text-col", default="text")
+    sp.add_argument("--ngram", type=int, default=3)
+    sp.add_argument("--threshold", type=float, default=0.5)
+    sp.add_argument("--max-df", type=int, default=10000)
+    sp.set_defaults(fn=cmd_decontaminate)
 
     sp = sub.add_parser("undo", help="restore the previous published generation")
     sp.add_argument("--output", "-o", required=True)

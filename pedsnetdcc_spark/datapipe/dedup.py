@@ -473,3 +473,61 @@ def simhash_band_pairs(
         .where(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def cross_corpus_contamination(
+    train: DataFrame,
+    evaluation: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Benchmark-decontamination join: near-duplicate pairs ACROSS two
+    corpora — ``(train_id, eval_id, jaccard)`` for every evaluation
+    document whose n-gram Jaccard against some training document
+    reaches ``threshold``.  Dropping the flagged train docs (or eval
+    rows) is the standard leakage remedy before pre-training.
+
+    Same inverted-index + DF-cap design as :func:`ngram_jaccard_pairs`,
+    but the pair join is STRICTLY cross-side (train postings ⋈ eval
+    postings on the shingle): same-side pairs are never generated, so
+    the candidate volume is Σ df_train·df_eval per shingle — typically
+    far below the within-corpus Σ df² — and the document-frequency cap
+    (computed over the COMBINED universe, applied to both sides'
+    postings and sizes) bounds the hot-shingle blowup exactly as in the
+    within-corpus operator.
+    """
+    from pedsnetdcc_spark.datapipe.text import shingle_ngrams
+
+    sh_t = shingle_ngrams(train, id_col, text_col, n=n)
+    sh_e = shingle_ngrams(evaluation, id_col, text_col, n=n)
+    combined = sh_t.select("shingle").unionByName(sh_e.select("shingle"))
+    dfreq = combined.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
+    if max_df is not None:
+        dfreq = dfreq.where(F.col("__df") <= max_df)
+    kept_t = sh_t.join(dfreq, "shingle").select(
+        F.col(id_col).alias("train_id"), "shingle"
+    )
+    kept_e = sh_e.join(dfreq, "shingle").select(
+        F.col(id_col).alias("eval_id"), "shingle"
+    )
+    sizes_t = kept_t.groupBy("train_id").agg(F.count(F.lit(1)).alias("n_t"))
+    sizes_e = kept_e.groupBy("eval_id").agg(F.count(F.lit(1)).alias("n_e"))
+    common = (
+        kept_t.join(kept_e, "shingle")
+        .groupBy("train_id", "eval_id")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    return (
+        common.join(sizes_t, "train_id")
+        .join(sizes_e, "eval_id")
+        .withColumn(
+            "jaccard",
+            F.col("common").cast("double")
+            / (F.col("n_t") + F.col("n_e") - F.col("common")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("train_id", "eval_id", "jaccard")
+    )

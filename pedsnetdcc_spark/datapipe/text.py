@@ -319,3 +319,70 @@ def chunk_documents(
         F.array_join(chunk, " ").alias("chunk_text"),
         F.size(chunk).cast("long").alias("n_chunk_tokens"),
     )
+
+
+# RE2-safe PII patterns (no lookarounds — portable across Java regex,
+# RE2, and DuckDB's regexp engine); public-knowledge shapes only
+PII_PATTERNS: list[tuple[str, str]] = [
+    (r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}", "<EMAIL>"),
+    (r"\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b", "<PHONE>"),
+    (r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b", "<SSN>"),
+]
+
+
+def redact_pii(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "redacted_text",
+    patterns: Sequence[tuple[str, str]] = tuple(PII_PATTERNS),
+) -> DataFrame:
+    """Replace PII-shaped substrings (email / phone / SSN) with typed
+    placeholder tokens — the scrubbing pass of corpus preparation.
+    Chained ``regexp_replace`` column expressions: scan-fused, no UDF,
+    no shuffle; patterns are RE2-safe so the operation is reproducible
+    across engines."""
+    c = F.col(text_col)
+    for pat, repl in patterns:
+        c = F.regexp_replace(c, pat, repl)
+    return df.withColumn(out_col, c)
+
+
+def repetition_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    max_n: int = 3,
+) -> DataFrame:
+    """Per-document duplicate-n-gram fractions for n = 1..``max_n``:
+    ``dup_frac_n = 1 − distinct_ngrams/total_ngrams`` — the repetition
+    signals behind public web-corpus quality filters (heavily repeated
+    n-grams mark boilerplate/spam/degenerate text).
+
+    Entirely per-row array expressions (build the n-gram array, compare
+    its size against ``array_distinct``): one scan, no explode, no
+    shuffle — at 100 TB this fuses into the projection like the other
+    quality signals."""
+    toks = tokens(text_col)
+
+    def _gram_fn(k: int):
+        # single-parameter lambda: F.transform treats two-parameter
+        # lambdas (incl. defaulted ones) as the (element, index) form
+        return lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, i + j + 1) for j in range(k)]
+        )
+
+    out = df
+    for n in range(1, max_n + 1):
+        if n == 1:
+            grams = toks
+        else:
+            idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(-1)))
+            grams = F.when(
+                F.size(toks) >= n, F.transform(idx, _gram_fn(n))
+            ).otherwise(F.array().cast("array<string>"))
+        total = F.size(grams)
+        dup = F.when(
+            total > 0,
+            1.0 - F.size(F.array_distinct(grams)).cast("double") / total,
+        ).otherwise(F.lit(0.0))
+        out = out.withColumn(f"dup_frac_{n}", dup)
+    return out

@@ -2710,3 +2710,135 @@ def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     return chunk_documents(docs, "doc_id", "text", chunk_tokens=32, overlap=8)
+
+
+_TRAIN_SRC = "'src0','src1','src2','src3','src4'"
+_EVAL_SRC = "'src5','src6','src7','src8','src9'"
+
+
+def _side_shingles_sql(alias: str, srcs: str) -> str:
+    return f"""
+    tok_{alias} AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+               generate_subscripts(string_split(text, ' '), 1) AS pos
+        FROM documents WHERE source IN ({srcs})
+    ), led_{alias} AS (
+        SELECT doc_id, tok, lead(tok, 1) OVER w AS l1, lead(tok, 2) OVER w AS l2
+        FROM tok_{alias} WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ), sh_{alias} AS (
+        SELECT DISTINCT doc_id, tok || ' ' || l1 || ' ' || l2 AS shingle
+        FROM led_{alias} WHERE l2 IS NOT NULL
+    )"""
+
+
+@query(
+    "decontaminate",
+    oracle=f"""
+    WITH {_side_shingles_sql('t', _TRAIN_SRC)}, {_side_shingles_sql('e', _EVAL_SRC)},
+    cmb AS (SELECT shingle FROM sh_t UNION ALL SELECT shingle FROM sh_e),
+    dfreq AS (SELECT shingle, COUNT(*) AS dfc FROM cmb GROUP BY shingle),
+    kt AS (SELECT sh_t.doc_id AS train_id, sh_t.shingle
+           FROM sh_t JOIN dfreq USING (shingle) WHERE dfc <= 100),
+    ke AS (SELECT sh_e.doc_id AS eval_id, sh_e.shingle
+           FROM sh_e JOIN dfreq USING (shingle) WHERE dfc <= 100),
+    st AS (SELECT train_id, COUNT(*) AS n_t FROM kt GROUP BY train_id),
+    se AS (SELECT eval_id, COUNT(*) AS n_e FROM ke GROUP BY eval_id),
+    cm AS (SELECT train_id, eval_id, COUNT(*) AS common
+           FROM kt JOIN ke USING (shingle) GROUP BY train_id, eval_id)
+    SELECT train_id, eval_id,
+           common * 1.0 / (n_t + n_e - common) AS jaccard
+    FROM cm JOIN st USING (train_id) JOIN se USING (eval_id)
+    WHERE common * 1.0 / (n_t + n_e - common) >= 0.2
+    """,
+)
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: cross-corpus near-dup join between a
+    'training' half and an 'evaluation' half of the corpus (sources
+    src0-4 vs src5-9) — strictly cross-side candidate generation, DF
+    cap over the combined shingle universe
+    (datapipe/dedup.cross_corpus_contamination)."""
+    from pedsnetdcc_spark.datapipe.dedup import cross_corpus_contamination
+
+    docs = _t(spark, sf_dir, "documents")
+    train = docs.where(F.col("source").isin("src0", "src1", "src2", "src3", "src4"))
+    ev = docs.where(F.col("source").isin("src5", "src6", "src7", "src8", "src9"))
+    return cross_corpus_contamination(
+        train, ev, "doc_id", "text", n=3, threshold=0.2, max_df=100
+    )
+
+
+@query(
+    "pii_redaction",
+    oracle=r"""
+    WITH t AS (
+        SELECT doc_id,
+               text || ' contact user' || doc_id ||
+               '@example.com or 555-123-4567 ssn 123-45-6789' AS text2
+        FROM documents
+    )
+    SELECT doc_id,
+           regexp_replace(
+               regexp_replace(
+                   regexp_replace(text2,
+                       '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+                   '\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b', '<PHONE>', 'g'),
+               '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b', '<SSN>', 'g') AS redacted_text
+    FROM t
+    """,
+)
+def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (datapipe/text.redact_pii) over text with injected
+    synthetic email/phone/SSN — RE2-safe patterns so Spark and the
+    oracle replace identically."""
+    from pedsnetdcc_spark.datapipe.text import redact_pii
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or 555-123-4567 ssn 123-45-6789"),
+        ).alias("text2"),
+    )
+    return redact_pii(docs, "text2").select("doc_id", "redacted_text")
+
+
+@query(
+    "repetition_stats",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    g AS (
+        SELECT doc_id, toks,
+               CASE WHEN len(toks) >= 2 THEN list_transform(
+                   range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
+               ELSE []::VARCHAR[] END AS g2,
+               CASE WHEN len(toks) >= 3 THEN list_transform(
+                   range(1, len(toks) - 1),
+                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+               ELSE []::VARCHAR[] END AS g3
+        FROM t
+    )
+    SELECT doc_id,
+           CASE WHEN len(toks) > 0
+                THEN 1.0 - len(list_distinct(toks)) * 1.0 / len(toks)
+                ELSE 0.0 END AS dup_frac_1,
+           CASE WHEN len(g2) > 0
+                THEN 1.0 - len(list_distinct(g2)) * 1.0 / len(g2)
+                ELSE 0.0 END AS dup_frac_2,
+           CASE WHEN len(g3) > 0
+                THEN 1.0 - len(list_distinct(g3)) * 1.0 / len(g3)
+                ELSE 0.0 END AS dup_frac_3
+    FROM g
+    """,
+)
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-n-gram fractions (n=1..3) per document — the
+    repetition quality signals of public web-corpus filters, computed
+    as per-row array expressions (datapipe/text.repetition_stats)."""
+    from pedsnetdcc_spark.datapipe.text import repetition_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    return repetition_stats(docs, "text", max_n=3).select(
+        "doc_id", "dup_frac_1", "dup_frac_2", "dup_frac_3"
+    )

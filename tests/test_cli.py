@@ -101,3 +101,43 @@ def test_cli_subset_and_integrity(spark, namespace, tmp_path, capsys):
     lines = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
     counts = {d["probe"]: d for d in lines if "total" in d}
     assert counts["concept"]["bad"] == 0 and counts["person"]["bad"] == 0
+
+
+def test_cli_corpus_split_and_dedup_cluster(spark, sf_dir, tmp_path):
+    import json
+    import shutil
+
+    from pedsnetdcc_spark.cli import main
+    from pedsnetdcc_spark.sources.io import read_table
+
+    ns = tmp_path / "ns"
+    ns.mkdir()
+    docs = read_table(spark, sf_dir, "documents")
+    docs.write.parquet(str(ns / "documents"))
+
+    out1 = tmp_path / "split_out"
+    assert main([
+        "corpus-split", "-i", str(ns), "-o", str(out1),
+        "--val-pct", "10", "--test-pct", "10",
+    ]) == 0
+    total = sum(
+        read_table(spark, str(out1 / "current"), t).count()
+        for t in ("train", "val", "test")
+    )
+    assert total == docs.count()
+
+    out2 = tmp_path / "cluster_out"
+    assert main([
+        "dedup-cluster", "-i", str(ns), "-o", str(out2),
+        "--threshold", "0.2", "--max-df", "100", "--keep-canonical",
+    ]) == 0
+    kept = read_table(spark, str(out2 / "current"), "documents")
+    assert 0 < kept.count() <= docs.count()
+    assert "cluster_id" in kept.columns
+
+    out3 = tmp_path / "decon_out"
+    assert main([
+        "decontaminate", "-i", str(ns), "-o", str(out3),
+        "--eval-dir", str(ns), "--threshold", "0.2", "--max-df", "100",
+    ]) == 0
+    shutil.rmtree(ns, ignore_errors=True)
