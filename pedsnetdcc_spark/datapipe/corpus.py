@@ -41,3 +41,28 @@ def prepare_corpus(
     return kept.where(F.col(id_col) == F.col("__canon")).select(
         id_col, "lang_pred", "n_tokens", "quality_score"
     )
+
+
+def corpus_report(
+    df: DataFrame,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """Per-group corpus accounting in ONE scan + one hash aggregate:
+    document count, total whitespace tokens, total characters, distinct
+    languages, and exact-duplicate document count (rows beyond the
+    first per content hash).  The integer-only metrics make the report
+    engine-exact; map-side partial aggregation keeps the shuffle to one
+    row per group."""
+    toks = F.size(F.split(F.col(text_col), " "))
+    return df.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(toks.cast("long")).alias("total_tokens"),
+        F.sum(F.length(text_col).cast("long")).alias("total_chars"),
+        F.count_distinct(F.col(lang_col)).alias("n_langs"),
+        (F.count(F.lit(1)) - F.count_distinct(F.md5(F.col(text_col)))).alias(
+            "dup_docs"
+        ),
+    )

@@ -2842,3 +2842,61 @@ def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_stats(docs, "text", max_n=3).select(
         "doc_id", "dup_frac_1", "dup_frac_2", "dup_frac_3"
     )
+
+
+@query(
+    "corpus_report",
+    oracle="""
+    SELECT source,
+           COUNT(*) AS n_docs,
+           SUM(len(string_split(text, ' '))) AS total_tokens,
+           SUM(length(text)) AS total_chars,
+           COUNT(DISTINCT lang) AS n_langs,
+           COUNT(*) - COUNT(DISTINCT md5(text)) AS dup_docs
+    FROM documents GROUP BY source
+    """,
+)
+def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus accounting (datapipe/corpus.corpus_report):
+    one scan, one grouped aggregate, integer-exact metrics."""
+    from pedsnetdcc_spark.datapipe.corpus import corpus_report
+
+    docs = _t(spark, sf_dir, "documents")
+    return corpus_report(docs)
+
+
+@query(
+    "embedding_dedup_clusters",
+    oracle="""
+    WITH RECURSIVE v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    dup AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM v a JOIN v b ON a.vec_id < b.vec_id
+        WHERE list_dot_product(a.e, b.e)
+              / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) >= 0.45
+    ),
+    e AS (SELECT id_a AS u, id_b AS v FROM dup
+          UNION ALL SELECT id_b, id_a FROM dup),
+    reach AS (
+        SELECT u AS node, u AS lbl FROM e
+        UNION
+        SELECT e.v AS node, reach.lbl AS lbl FROM reach JOIN e ON e.u = reach.node
+    ),
+    comp AS (SELECT node, MIN(lbl) AS component FROM reach GROUP BY node)
+    SELECT emb.vec_id, COALESCE(c.component, emb.vec_id) AS cluster_id
+    FROM embeddings emb LEFT JOIN comp c ON c.node = emb.vec_id
+    """,
+)
+def q_embedding_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space dedup groups: exact cosine near-dup pairs →
+    connected components → every vector labeled with its cluster — the
+    same graph machinery as the text path (datapipe/clusters.py),
+    composed over a different pair generator."""
+    from pedsnetdcc_spark.datapipe.clusters import assign_clusters
+    from pedsnetdcc_spark.datapipe.similarity import embedding_near_dup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = embedding_near_dup_pairs(emb, "vec_id", "embedding", threshold=0.45)
+    return assign_clusters(
+        emb.select("vec_id"), "vec_id", pairs
+    ).select("vec_id", "cluster_id")
