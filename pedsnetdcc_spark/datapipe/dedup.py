@@ -258,21 +258,22 @@ def minhash_dedup_pairs(
     that's the whole point of LSH at scale: verification cost is
     O(candidates), not O(co-occurring pairs)).
 
-    The shingle stream is cached CLUSTERED BY DOCUMENT: the raw docs
-    are repartitioned on the id BEFORE shingling (explode preserves the
-    clustering, and shuffling one 2 KB row per doc beats shuffling its
-    ~100 exploded shingles), so both consumers — the signature
-    min-aggregate and the verification collect_set, each grouping on
-    the doc id — reuse that single exchange instead of re-shuffling the
-    stream once each.  Doc ids are uniform keys, so unlike a
-    shingle-keyed layout this cannot create a hot cached partition.
-    ``shingles`` accepts that same doc-clustered cached stream from a
-    caller sharing it with other consumers (e.g. an exact verifier in
-    the same agreement job)."""
+    The shingle stream is CLUSTERED BY DOCUMENT, not cached: the raw
+    docs are repartitioned on the id BEFORE shingling (shuffling one
+    2 KB row per doc beats shuffling its ~100 exploded shingles), so
+    both doc-grouped consumers — the signature min-aggregate and the
+    verification collect_set — sit on that exchange's partitioning and
+    need no further shuffle; recomputing the cheap scan+explode per
+    consumer measured faster than caching the exploded stream (see
+    ngram_jaccard_pairs), and at 100 TB caching it is
+    memory-prohibitive.  Doc ids are uniform keys, so the layout cannot
+    create a hot partition.  ``shingles`` accepts a shared
+    doc-clustered stream from a caller composing several consumers
+    (e.g. an exact verifier in the same agreement job)."""
     sh = (
         shingles
         if shingles is not None
-        else shingle_ngrams(df.repartition(F.col(id_col)), id_col, text_col, n=n).cache()
+        else shingle_ngrams(df.repartition(F.col(id_col)), id_col, text_col, n=n)
     )
     mins = [
         F.min(_seeded_hash(F.col("shingle"), i, hash_family)).alias(f"h{i}")

@@ -1591,9 +1591,10 @@ def q_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     must be 0 against the capped measure (identical to uncapped at these
     thresholds — asserted, not assumed), and the 16-hash/4-band family
     must recover ≥80% of the true pairs.  Deterministic — seeded hashes,
-    no RNG.  ONE cached doc-clustered shingle stream feeds the LSH
-    signatures, the LSH verification, and the exact twin (three
-    consumers, one corpus scan)."""
+    no RNG.  ONE doc-clustered shingle stream (uncached — recomputing
+    the scan+explode beats caching the exploded stream, see
+    ngram_jaccard_pairs) feeds the LSH signatures, the LSH
+    verification, and the exact twin."""
     from pedsnetdcc_spark.datapipe.agreement import pair_set_agreement
     from pedsnetdcc_spark.datapipe.dedup import (
         minhash_dedup_pairs,
@@ -1604,7 +1605,7 @@ def q_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     sh = shingle_ngrams(
         docs.repartition(F.col("doc_id")), "doc_id", "text", n=3
-    ).cache()
+    )
     prod = minhash_dedup_pairs(
         docs, "doc_id", "text", n=3, num_hashes=16, num_bands=4,
         threshold=0.2, shingles=sh,
