@@ -80,10 +80,13 @@ def connected_components(
     # the driver OOMs analyzing it long before the data hurts.  The
     # checkpointed data is two slim columns — the RDD-path execution
     # cost is negligible, and the expensive upstream is already cached.
+    # Seed labels with the 1-hop neighborhood min straight from the
+    # edge list (min over {node} ∪ neighbors) — a whole propagation
+    # round folded into the init aggregate for free, so quasi-clique
+    # graphs finish after a single confirming round.
     labels = (
-        edges.select(F.col("u").alias("node"))
-        .distinct()
-        .withColumn("component", F.col("node"))
+        edges.groupBy(F.col("u").alias("node"))
+        .agg(F.least(F.min("v"), F.first("u")).alias("component"))
         .localCheckpoint(eager=True)
     )
 
@@ -107,7 +110,7 @@ def connected_components(
     n_nodes = labels.count()
     broadcast_labels = n_nodes <= 8_000_000
 
-    prev_sum = _sum(labels)
+    prev_sum = None  # first comparison always proceeds; saves one action
     for _ in range(max_iter):
         lab_u = labels.withColumnRenamed("node", "u")
         msgs = (
