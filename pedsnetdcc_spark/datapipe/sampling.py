@@ -228,3 +228,29 @@ def global_shuffle(
         mode=mode,
     )
     return ranked.drop("__shuffle_key")
+
+
+def sample_per_group(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    n_per_group: int,
+    seed: int = 0,
+    hash_family: str = "portable",
+) -> DataFrame:
+    """Deterministic fixed-size sample: the ``n_per_group`` rows per
+    group that rank first in seeded id-hash order — "N examples per
+    language/source" eval-set construction.  Unlike rate-based
+    sampling, the output size per group is exact (min(n, group size));
+    like it, membership is a pure function of (id, seed).
+
+    One window pass partitioned by the group — work shards across
+    groups with the shuffle, no global ordering anywhere.
+    """
+    h = _seeded_hash(F.col(id_col).cast("string"), seed, hash_family)
+    w = Window.partitionBy(group_col).orderBy(h, F.col(id_col))
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") <= n_per_group)
+        .drop("__rk")
+    )

@@ -2901,3 +2901,29 @@ def q_embedding_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assign_clusters(
         emb.select("vec_id"), "vec_id", pairs
     ).select("vec_id", "cluster_id")
+
+
+def _sample_per_group_oracle() -> str:
+    from pedsnetdcc_spark.datapipe.dedup import portable_hash64_sql
+
+    h = portable_hash64_sql("doc_id", 0)
+    return f"""
+    SELECT doc_id, lang FROM (
+        SELECT doc_id, lang,
+               ROW_NUMBER() OVER (PARTITION BY lang ORDER BY {h}, doc_id) AS rk
+        FROM documents
+    ) WHERE rk <= 20
+    """
+
+
+@query("sample_per_group", oracle=_sample_per_group_oracle())
+def q_sample_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-size per-stratum sampling (20 docs per language) in seeded
+    hash order — eval-set construction
+    (datapipe/sampling.sample_per_group)."""
+    from pedsnetdcc_spark.datapipe.sampling import sample_per_group
+
+    docs = _t(spark, sf_dir, "documents")
+    return sample_per_group(docs, "doc_id", "lang", n_per_group=20).select(
+        "doc_id", "lang"
+    )

@@ -194,3 +194,22 @@ def test_normalize_text_idempotent(spark, sf_dir):
     a = {r.doc_id: r.norm_text for r in once.collect()}
     b = {r.doc_id: r.norm_text for r in twice.collect()}
     assert a == b
+
+
+def test_sample_per_group_exact_sizes_and_determinism(spark, sf_dir):
+    from pedsnetdcc_spark.datapipe.sampling import sample_per_group
+
+    docs = _docs(spark, sf_dir)
+    out = sample_per_group(docs, "doc_id", "lang", n_per_group=5)
+    sizes = {
+        r["lang"]: r["n"]
+        for r in out.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    full = {
+        r["lang"]: r["n"]
+        for r in docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    for lang, n in sizes.items():
+        assert n == min(5, full[lang])
+    again = sample_per_group(docs, "doc_id", "lang", n_per_group=5)
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, again.collect()))
