@@ -22,16 +22,34 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def profile_table(df: DataFrame, cols: Sequence[str] | None = None) -> DataFrame:
+def profile_table(
+    df: DataFrame,
+    cols: Sequence[str] | None = None,
+    approx_distinct: bool = False,
+    rsd: float = 0.05,
+) -> DataFrame:
     """One row per profiled column: ``(column, n_rows, n_null,
     n_distinct)``.  ``n_distinct`` is exact and excludes nulls (SQL
     ``COUNT(DISTINCT c)`` semantics); ``n_null = n_rows − COUNT(c)``.
+
+    ``approx_distinct=True`` swaps every distinct count for
+    HyperLogLog++ (``approx_count_distinct`` at relative error ``rsd``)
+    — the 100 TB mode: k exact DISTINCTs plan as an Expand producing
+    rows × columns intermediates into the shuffle, while k HLL sketches
+    are constant-size state aggregated map-side, so the profile costs
+    one ordinary scan regardless of cardinality.  (Oracle-checked in
+    exact mode; approx mode is tolerance-tested against it.)
     """
     names = list(cols) if cols is not None else list(df.columns)
+    nd = (
+        (lambda c: F.approx_count_distinct(c, rsd=rsd))
+        if approx_distinct
+        else F.countDistinct
+    )
     aggs = [F.count(F.lit(1)).alias("__n")]
     for i, c in enumerate(names):
         aggs.append(F.count(F.col(c)).alias(f"__nn{i}"))
-        aggs.append(F.countDistinct(F.col(c)).alias(f"__nd{i}"))
+        aggs.append(nd(F.col(c)).alias(f"__nd{i}"))
     row = df.agg(*aggs)
     stack_args = ", ".join(
         f"'{c}', __nn{i}, __nd{i}" for i, c in enumerate(names)

@@ -213,3 +213,23 @@ def test_sample_per_group_exact_sizes_and_determinism(spark, sf_dir):
         assert n == min(5, full[lang])
     again = sample_per_group(docs, "doc_id", "lang", n_per_group=5)
     assert sorted(map(tuple, out.collect())) == sorted(map(tuple, again.collect()))
+
+
+def test_profile_table_approx_mode_within_tolerance(spark, sf_dir):
+    """HLL profile (the 100 TB mode) tracks the exact profile within
+    the configured relative error on every column."""
+    from pedsnetdcc_spark.operators.profile import profile_table
+
+    docs = _docs(spark, sf_dir)
+    exact = {r["column"]: r for r in profile_table(docs).collect()}
+    approx = {
+        r["column"]: r
+        for r in profile_table(docs, approx_distinct=True, rsd=0.05).collect()
+    }
+    assert set(exact) == set(approx)
+    for c, e in exact.items():
+        a = approx[c]
+        assert (a["n_rows"], a["n_null"]) == (e["n_rows"], e["n_null"])
+        if e["n_distinct"]:
+            rel = abs(a["n_distinct"] - e["n_distinct"]) / e["n_distinct"]
+            assert rel <= 0.15, (c, e["n_distinct"], a["n_distinct"])
