@@ -27,7 +27,7 @@ from collections.abc import Mapping
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from pedsnetdcc_spark.datapipe.dedup import portable_hash64, _seeded_hash
+from pedsnetdcc_spark.datapipe.dedup import _seeded_hash
 
 
 def hash_bucket(
