@@ -50,9 +50,16 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     max_df: int | None = None,
     shingles: DataFrame | None = None,
+    min_common: int = 0,
 ) -> DataFrame:
     """Exact near-duplicate pairs by word n-gram Jaccard similarity:
-    ``(id_a, id_b, jaccard)`` for id_a < id_b, jaccard ≥ threshold.
+    ``(id_a, id_b, common, jaccard)`` for id_a < id_b, jaccard ≥
+    threshold and (when ``min_common`` > 0) at least that many shared
+    distinct shingles.  The absolute-count filter is the
+    passage-plagiarism mode: with a long n (say 8) and ``threshold=0``,
+    ``min_common=k`` flags pairs sharing k verbatim 8-token spans
+    regardless of document length — ratio thresholds miss a copied
+    paragraph inside a long document.
 
     Inverted-index join: explode distinct shingles, self-join on the
     shingle, count common shingles per pair, then
@@ -146,9 +153,9 @@ def ngram_jaccard_pairs(
             F.col("common").cast("double")
             / (F.col("n_a") + F.col("n_b") - F.col("common")),
         )
-        .where(F.col("jaccard") >= threshold)
+        .where((F.col("jaccard") >= threshold) & (F.col("common") >= min_common))
     )
-    return out.select("id_a", "id_b", "jaccard")
+    return out.select("id_a", "id_b", "common", "jaccard")
 
 
 def portable_hash64(col: Column, seed: int) -> Column:

@@ -386,3 +386,52 @@ def repetition_stats(
         ).otherwise(F.lit(0.0))
         out = out.withColumn(f"dup_frac_{n}", dup)
     return out
+
+
+def vocab_coverage(
+    df: DataFrame,
+    vocab: DataFrame,
+    text_col: str = "text",
+    token_col: str = "token",
+) -> DataFrame:
+    """Corpus coverage of a vocabulary: ONE row ``(covered_tokens,
+    total_tokens, oov_types)`` — how many corpus token occurrences the
+    vocabulary covers and how many distinct out-of-vocabulary types
+    remain.  The Zipf head/tail accounting that sizes a tokenizer
+    vocabulary.
+
+    Integer-exact (counts, no ratios — divide downstream if wanted).
+    One explode + one token-keyed aggregate joined against the (small,
+    broadcast-able) vocabulary.
+    """
+    occurrences = (
+        df.select(F.explode(tokens(text_col)).alias(token_col))
+        .groupBy(token_col)
+        .agg(F.count(F.lit(1)).alias("__occ"))
+    )
+    joined = occurrences.join(
+        vocab.select(token_col).withColumn("__in", F.lit(1)), token_col, "left"
+    )
+    return joined.agg(
+        F.sum(F.when(F.col("__in").isNotNull(), F.col("__occ")).otherwise(F.lit(0)))
+        .alias("covered_tokens"),
+        F.sum("__occ").alias("total_tokens"),
+        F.count(F.when(F.col("__in").isNull(), 1)).alias("oov_types"),
+    )
+
+
+def length_buckets(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "length_bucket",
+) -> DataFrame:
+    """Power-of-two token-length bucket per document
+    (``floor(log2(n_tokens))``): the standard grouping for
+    padding-efficient batch construction — sequences in a bucket are
+    within 2× of each other, so per-batch padding waste is bounded.
+    Pure column expression; deterministic across engines (log2 of an
+    integer never lands within rounding distance of an integer except
+    at exact powers of two, where it is IEEE-exact)."""
+    n = F.size(tokens(text_col))
+    bucket = F.floor(F.log2(F.greatest(n, F.lit(1)).cast("double")))
+    return df.withColumn(out_col, bucket.cast("int"))

@@ -1380,7 +1380,7 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
         GROUP BY a.doc_id, b.doc_id
     )
-    SELECT id_a, id_b,
+    SELECT id_a, id_b, common,
            common * 1.0 / (sa.n + sb.n - common) AS jaccard
     FROM pairs
     JOIN sizes sa ON sa.doc_id = id_a
@@ -2926,4 +2926,108 @@ def q_sample_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return sample_per_group(docs, "doc_id", "lang", n_per_group=20).select(
         "doc_id", "lang"
+    )
+
+
+def _shingle8_cte() -> str:
+    leads = ", ".join(f"lead(tok, {i}) OVER w AS l{i}" for i in range(1, 8))
+    gram = " || ' ' || ".join(["tok"] + [f"l{i}" for i in range(1, 8)])
+    return f"""
+    toks8 AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+               generate_subscripts(string_split(text, ' '), 1) AS pos
+        FROM documents
+    ), led8 AS (
+        SELECT doc_id, tok, {leads}
+        FROM toks8 WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ), sh AS (
+        SELECT DISTINCT doc_id, {gram} AS shingle
+        FROM led8 WHERE l7 IS NOT NULL
+    )"""
+
+
+@query(
+    "shared_passages",
+    oracle=f"""
+    WITH {_shingle8_cte()},
+    dfreq AS (SELECT shingle, COUNT(*) AS dfc FROM sh GROUP BY shingle),
+    kept AS (SELECT sh.doc_id, sh.shingle
+             FROM sh JOIN dfreq USING (shingle) WHERE dfc <= 100),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM kept GROUP BY doc_id),
+    pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
+        FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id_a, id_b, common,
+           common * 1.0 / (sa.n + sb.n - common) AS jaccard
+    FROM pairs
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE common >= 3
+    """,
+)
+def q_shared_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Passage-level contamination: pairs sharing ≥3 verbatim 8-token
+    spans, regardless of document length — the absolute-count mode of
+    the inverted-index join (ratio thresholds miss a copied paragraph
+    inside a long document)."""
+    from pedsnetdcc_spark.datapipe.dedup import ngram_jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=8, threshold=0.0, max_df=100, min_common=3
+    )
+
+
+@query(
+    "vocab_coverage",
+    oracle="""
+    WITH c AS (
+        SELECT tok AS token, COUNT(*) AS cnt
+        FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+        GROUP BY tok
+    ), v AS (
+        SELECT token FROM (
+            SELECT token, ROW_NUMBER() OVER (ORDER BY cnt DESC, token) AS rk
+            FROM c
+        ) WHERE rk <= 500
+    )
+    SELECT SUM(CASE WHEN v.token IS NOT NULL THEN c.cnt ELSE 0 END) AS covered_tokens,
+           SUM(c.cnt) AS total_tokens,
+           COUNT(CASE WHEN v.token IS NULL THEN 1 END) AS oov_types
+    FROM c LEFT JOIN v USING (token)
+    """,
+)
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf head/tail accounting: corpus token coverage of the top-500
+    vocabulary plus the count of out-of-vocabulary types
+    (datapipe/text.vocab_coverage ∘ build_vocab) — integer-exact."""
+    from pedsnetdcc_spark.datapipe.text import build_vocab, vocab_coverage
+
+    docs = _t(spark, sf_dir, "documents")
+    vocab = build_vocab(docs, "text", max_size=500)
+    return vocab_coverage(docs, vocab)
+
+
+@query(
+    "length_buckets",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           CAST(FLOOR(log2(GREATEST(len(string_split(text, ' ')), 1))) AS INTEGER)
+               AS length_bucket
+    FROM documents
+    """,
+)
+def q_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-of-two length buckets for padding-efficient batching
+    (datapipe/text.length_buckets)."""
+    from pedsnetdcc_spark.datapipe.text import length_buckets, tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    return length_buckets(docs, "text").select(
+        "doc_id",
+        F.size(tokens("text")).cast("long").alias("n_tokens"),
+        "length_bucket",
     )
