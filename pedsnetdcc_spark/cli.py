@@ -271,10 +271,15 @@ def cmd_decontaminate(args: argparse.Namespace) -> int:
         train, ev, args.id_col, args.text_col, n=args.ngram,
         threshold=args.threshold, max_df=args.max_df,
     )
-    flagged = hits.select(F.col("train_id").alias(args.id_col)).distinct()
+    # cache + count FIRST: the anti join below re-reads the flagged set,
+    # and without materialization the expensive contamination pipeline
+    # would execute twice (once for the join, once for the count)
+    flagged = hits.select(F.col("train_id").alias(args.id_col)).distinct().cache()
+    n_flagged = flagged.count()
     clean = train.join(flagged, args.id_col, "left_anti")
     _publish(spark, args.output, {args.table: clean})
-    print(json.dumps({"flagged": flagged.count()}))
+    flagged.unpersist()
+    print(json.dumps({"flagged": n_flagged}))
     return 0
 
 

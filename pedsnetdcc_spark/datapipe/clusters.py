@@ -29,9 +29,12 @@ runtime broadcast conversions — 3× slower at sf0.1); the per-round
 label tables ARE localCheckpoint'ed, because each round references the
 previous labels twice (union + join) and without lineage truncation
 the logical plan doubles per round — the driver OOMs analyzing a
-12-round plan long before the data hurts.  Convergence costs one tiny
-aggregate per round (an action per round is inherent to any
-driver-coordinated fixpoint).
+12-round plan long before the data hurts.  Convergence costs one action
+per round (inherent to any driver-coordinated fixpoint): a monotone-sum
+aggregate for integral ids, an exact changed-rows anti-join for every
+other id type (string document ids are common — URLs, UUIDs — and
+casting them to decimal for the sum check would silently truncate the
+loop).
 """
 
 from __future__ import annotations
@@ -90,13 +93,31 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
 
-    # Convergence via the monotone-sum invariant: labels only ever
-    # DECREASE (each round takes a min over the previous labels), so
-    # Σ component strictly decreases until the fixpoint and an equal
-    # sum ⟺ no label changed (summed in decimal so huge-id corpora
-    # cannot wrap the accumulator).  One tiny aggregate per round
-    # instead of a changed-rows join — half the actions of the naive
-    # check.
+    # Convergence check, chosen by id type.  Labels only ever DECREASE
+    # (each round takes a min over the previous labels), so for
+    # INTEGRAL ids Σ component strictly decreases until the fixpoint
+    # and an equal sum ⟺ no label changed (summed in decimal(38,0) so
+    # huge-id corpora cannot wrap the accumulator) — one tiny aggregate
+    # per round.  For every other orderable id type (strings — URLs,
+    # UUIDs — dates, non-integer decimals) the cast to decimal yields
+    # NULL and the sum degenerates to None == None, which would
+    # declare convergence after ONE round and silently under-merge any
+    # component of diameter > ~3; those types use the engine-exact
+    # changed-rows test instead: new labels anti-joined against the
+    # previous round's (both sides are checkpointed 2-column tables,
+    # so the join is cheap and — bonus — can confirm convergence on
+    # the FIRST round, which the sum check never can).
+    from pyspark.sql.types import (
+        ByteType,
+        IntegerType,
+        LongType,
+        ShortType,
+    )
+
+    integral_ids = isinstance(
+        edges.schema["u"].dataType, (ByteType, ShortType, IntegerType, LongType)
+    )
+
     def _sum(lab: DataFrame):
         return lab.agg(
             F.sum(F.col("component").cast("decimal(38,0)"))
@@ -108,10 +129,14 @@ def connected_components(
     # corpus by construction), so broadcast it under the cutoff and no
     # round ever shuffles the edge table.
     n_nodes = labels.count()
+    if n_nodes == 0:  # empty pair set: nothing to propagate
+        edges.unpersist()
+        return labels
     broadcast_labels = n_nodes <= 8_000_000
 
     prev_sum = None  # first comparison always proceeds; saves one action
     for _ in range(max_iter):
+        prev = labels
         lab_u = labels.withColumnRenamed("node", "u")
         msgs = (
             edges.join(F.broadcast(lab_u) if broadcast_labels else lab_u, "u")
@@ -123,11 +148,17 @@ def connected_components(
             .agg(F.min("component").alias("component"))
             .localCheckpoint(eager=True)
         )
-        cur_sum = _sum(labels)
-        if cur_sum == prev_sum:
+        if integral_ids:
+            cur_sum = _sum(labels)
+            converged = cur_sum is not None and cur_sum == prev_sum
+            prev_sum = cur_sum
+        else:
+            converged = (
+                labels.join(prev, ["node", "component"], "left_anti").count() == 0
+            )
+        if converged:
             edges.unpersist()
             return labels
-        prev_sum = cur_sum
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} rounds — "
         "pathological chain graph; raise max_iter or switch to "

@@ -207,9 +207,9 @@ def minhash_signatures(
 def lsh_candidate_pairs(
     signatures: DataFrame,
     id_col: str,
+    sig_len: int,
     num_bands: int = 4,
     sig_col: str = "sig",
-    sig_len: int | None = None,
     hash_family: str = "xxhash64",
 ) -> DataFrame:
     """Band the signatures and self-join on (band, band-hash): documents
@@ -222,10 +222,13 @@ def lsh_candidate_pairs(
     (band, bucket) structs, exploded) — a union of per-band selects
     would re-evaluate the upstream signature aggregation once per band
     per join side.
+
+    ``sig_len`` (the signature width) is REQUIRED: callers always know
+    it (it is the ``num_hashes`` they signed with), and inferring it
+    here would cost a ``.first()`` driver action at plan-build time —
+    executing the whole upstream signature pipeline once just to read
+    an array length.
     """
-    if sig_len is None:
-        first = signatures.select(F.size(sig_col).alias("n")).first()
-        sig_len = first["n"] if first else num_bands
     rows_per_band = max(sig_len // num_bands, 1)
     entries = []
     for b in range(num_bands):
@@ -323,25 +326,34 @@ def simhash(
     sign of the vote sum.  Near-duplicates have small Hamming distance.
     ``hash_family="portable"`` makes the signature oracle-computable by
     DuckDB (md5-derived hash)."""
-    # cluster by document once (HashPartitioning(doc) satisfies the
-    # vote aggregate, so the exploded token stream is never shuffled;
-    # doubles as the small-file parallelism spread), then vote straight
-    # off the raw occurrence stream: Σ_occurrences ±1 per bit is
-    # IDENTICAL to Σ_tokens ±tf — the former skips the (doc, tok)
-    # term-frequency pre-aggregate entirely (25% faster measured,
-    # bit-equal asserted in tests)
+    # cluster by document once (HashPartitioning(doc) satisfies both
+    # aggregates below, so the exploded token stream is never shuffled;
+    # doubles as the small-file parallelism spread).  Voting formulation
+    # is chosen by hash cost: Σ_occurrences ±1 per bit is IDENTICAL to
+    # Σ_distinct_tokens ±tf (bit-equal asserted in tests), so the cheap
+    # xxhash64 family votes straight off the occurrence stream (25%
+    # faster — skips the pre-aggregate), while the md5-derived portable
+    # family pre-aggregates term frequency per (doc, tok) so the
+    # expensive hash runs once per DISTINCT token, not per occurrence.
     df = df.repartition(F.col(id_col))
     toks = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("tok"))
-    h = _seeded_hash(F.col("tok"), 0, hash_family) if hash_family == "portable" else F.xxhash64(F.col("tok"))
+    if hash_family == "portable":
+        src = toks.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("__tf"))
+        h = _seeded_hash(F.col("tok"), 0, "portable")
+        weight = F.col("__tf")
+    else:
+        src = toks
+        h = F.xxhash64(F.col("tok"))
+        weight = F.lit(1)
     votes = [
         F.sum(
-            F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, F.lit(1)).otherwise(
-                F.lit(-1)
+            F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, weight).otherwise(
+                -weight
             )
         ).alias(f"v{i}")
         for i in range(bits)
     ]
-    agg = toks.groupBy(id_col).agg(*votes)
+    agg = src.groupBy(id_col).agg(*votes)
     sig = None
     for i in range(bits):
         bit = F.when(F.col(f"v{i}") > 0, F.lit(1).cast("long")).otherwise(

@@ -18,6 +18,14 @@ Scale shape: sampling / splitting / mixing are pure scan-project stages
 codegen).  Packing and shuffling shuffle exactly once, on an explicitly
 chosen shard key, then run per-shard window passes — the global-order
 variants exist for parity testing and small corpora and say so.
+
+**Seed discipline:** all operators here share one bucket function, so
+the SAME ``(id, seed)`` yields the SAME bucket everywhere — e.g.
+``sample_fraction(df, id, 10, seed=0)`` selects exactly the ``test``
+partition of ``train_val_test_split(df, id, …, test_pct=10, seed=0)``.
+That identity is a feature within one operator (nested samples) but a
+correlation hazard across operators: give each independent decision on
+a corpus its own seed.
 """
 
 from __future__ import annotations
@@ -28,6 +36,17 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from pedsnetdcc_spark.datapipe.dedup import _seeded_hash
+
+
+def source_seed_offset(name: str) -> int:
+    """Stable per-source seed offset: the first 4 bytes of
+    ``sha256(name)`` as an int.  A pure function of the NAME (not of
+    the source set, not of ``PYTHONHASHSEED``), so a source keeps its
+    sample when sibling sources come and go, and the offset is
+    precomputable by an oracle rendering the same pipeline in SQL."""
+    import hashlib
+
+    return int.from_bytes(hashlib.sha256(name.encode()).digest()[:4], "big")
 
 
 def hash_bucket(
@@ -127,15 +146,21 @@ def mix_corpora(
     a deterministic ``pct``% of that source and union the survivors,
     tagged with the source name.
 
-    Each source is sampled under a distinct seed (``seed`` + stable
-    source index) so identical ids in different sources are independent
-    draws.  The union is unionByName over the shared columns — sources
-    must agree on schema (project before mixing if not).
+    Each source is sampled under a distinct seed derived from the
+    SOURCE NAME (``seed`` + :func:`source_seed_offset`), so identical
+    ids in different sources are independent draws AND adding or
+    removing a source never shifts any other source's seed — an
+    index-based derivation would silently resample every
+    alphabetically-later source whenever the set changes.  The union is
+    unionByName over the shared columns — sources must agree on schema
+    (project before mixing if not).
     """
     parts = []
-    for i, name in enumerate(sorted(sources)):
+    for name in sorted(sources):
         src_df, pct = sources[name]
-        kept = sample_fraction(src_df, id_col, pct, seed + i, hash_family)
+        kept = sample_fraction(
+            src_df, id_col, pct, seed + source_seed_offset(name), hash_family
+        )
         parts.append(kept.withColumn(source_col, F.lit(name)))
     if not parts:
         raise ValueError("mix_corpora needs at least one source")

@@ -67,14 +67,24 @@ def subset_polymorphic(
     observation 27); rows of unchecked domains drop out.
 
     ``domains``: sequence of ``(domain_code, subsetted_table, pk_col)``.
-    Spark shape: per-domain left-semi join of the domain's slice, then
-    union — each semi join probes only that domain's rows.
+    Spark shape: ONE scan of the fact table — the per-domain key sets
+    are tagged with their domain code, unioned into a single
+    ``(code, key)`` table, and a single composite-key left-semi join
+    keeps the matching rows; rows of unchecked domains match no key and
+    drop out.  (A per-domain filter + semi join + union reads the fact
+    table — the biggest input — once per domain; at scale that triples
+    the IO for the standard three-domain configuration.)  The key side
+    is distinct per domain (small parallel shuffles of slim
+    projections) and typically broadcasts under AQE.
     """
-    parts = []
-    for code, tbl, pk in domains:
-        sl = fact.filter(F.col(domain_col) == code)
-        keys = tbl.select(F.col(pk).alias("__pk")).distinct()
-        parts.append(
-            sl.join(keys, sl[fact_id_col] == keys["__pk"], "left_semi")
-        )
-    return reduce(DataFrame.unionByName, parts)
+    keys = reduce(
+        DataFrame.unionByName,
+        [
+            tbl.select(
+                F.lit(code).alias("__dom"), F.col(pk).alias("__pk")
+            ).distinct()
+            for code, tbl, pk in domains
+        ],
+    )
+    cond = (fact[domain_col] == keys["__dom"]) & (fact[fact_id_col] == keys["__pk"])
+    return fact.join(keys, cond, "left_semi")

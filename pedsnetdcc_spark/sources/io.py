@@ -216,19 +216,21 @@ class TableStore:
         import math
 
         path = os.path.join(self.current_dir, name)
-        total = sum(
+        sizes = [
             os.path.getsize(os.path.join(d, f))
             for d, _, fs in os.walk(path)
             for f in fs
             if f.endswith(".parquet")
-        )
+        ]
+        total = sum(sizes)
         n_files = max(1, math.ceil(total / target_file_bytes))
         df = self.read(spark, name)
         # coalesce avoids a shuffle when reducing the file count (the
         # common case); a repartition would be needed only to split
-        # oversized files, where the shuffle is the point
-        cur_parts = df.rdd.getNumPartitions()
-        df = df.coalesce(n_files) if n_files <= cur_parts else df.repartition(n_files)
+        # oversized files, where the shuffle is the point.  The current
+        # file count (already walked above) stands in for the scan's
+        # partition count — no RDD probe.
+        df = df.coalesce(n_files) if n_files <= len(sizes) else df.repartition(n_files)
         self.replace(name, df)
         path = os.path.join(self.current_dir, name)
         return sum(

@@ -6,13 +6,25 @@ from pyspark.sql import DataFrame
 
 
 def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
-    """Repartition when the input arrives with fewer partitions than the
-    cluster has slots — a small parquet file scans as ONE split, which
-    serializes every CPU-bound per-row stage after it.  At real scale
-    the scan already has ≥ slots splits and this is a no-op (the check
-    is plan-side only; no job runs)."""
-    par = min_partitions or df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < par:
+    """Repartition when the input arrives with fewer source files than
+    the cluster has slots — a small parquet file scans as ONE split,
+    which serializes every CPU-bound per-row stage after it.  At real
+    scale the scan already has ≥ slots files and this is a no-op.
+
+    The probe is ``df.inputFiles()`` — FileIndex metadata read
+    plan-side (no job, no RDD lineage analysis; the previous
+    ``df.rdd.getNumPartitions()`` probe built the physical RDD chain
+    per call).  File count over-estimates split count when many tiny
+    files pack into one split, but the guarded case — one or two files
+    feeding a CPU-bound Pandas stage — is decided identically, and a
+    non-file DataFrame (no files reported) is left untouched."""
+    spark = df.sparkSession
+    par = min_partitions or spark.sparkContext.defaultParallelism
+    try:
+        n_files = len(df.inputFiles())
+    except Exception:
+        return df
+    if 0 < n_files < par:
         return df.repartition(par)
     return df
 

@@ -81,10 +81,11 @@ def test_corpus_prep_is_single_shuffle(spark, sf_dir):
 
 def test_sampling_queries_are_scan_project_only(spark, sf_dir):
     """Sampling/splitting/mixing must not shuffle: membership is a pure
-    hash predicate evaluated inside the scan stage."""
-    for name in ("sample_split", "stratified_sample", "corpus_mixture"):
-        plan = _plan(QUERIES[name](spark, sf_dir))
-        assert "Exchange" not in plan, f"{name} shuffles:\n{plan}"
+    hash predicate evaluated inside the scan stage — the whole
+    mix → split → stratify pipeline is a union of scan-project
+    branches."""
+    plan = _plan(QUERIES["corpus_sampling"](spark, sf_dir))
+    assert "Exchange" not in plan, f"corpus_sampling shuffles:\n{plan}"
 
 
 def test_pack_sequences_single_shard_exchange(spark, sf_dir):
