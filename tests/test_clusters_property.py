@@ -60,3 +60,24 @@ def test_connected_components_matches_union_find(spark, graphs):
         r.node: r.component for r in connected_components(pairs).collect()
     }
     assert got == expected
+
+
+def test_connected_components_string_ids_long_chain(spark):
+    """String node ids (URLs/UUIDs — common document keys) must fully
+    converge.  The decimal-sum convergence check yields NULL on strings;
+    a NULL==NULL comparison would exit after ONE propagation round and
+    silently under-merge any component with diameter > ~3, so string
+    ids take the exact changed-rows path.  A 12-node chain (diameter
+    11) catches any premature exit."""
+    chain = [(f"doc-{i:02d}", f"doc-{i + 1:02d}") for i in range(11)]
+    # reversed orientation so min-label must travel the whole chain
+    pairs = spark.createDataFrame(
+        [(b, a) for a, b in chain], "id_a string, id_b string"
+    )
+    got = {r.node: r.component for r in connected_components(pairs).collect()}
+    assert got == {f"doc-{i:02d}": "doc-00" for i in range(12)}
+
+
+def test_connected_components_empty_pairs(spark):
+    pairs = spark.createDataFrame([], "id_a long, id_b long")
+    assert connected_components(pairs).collect() == []

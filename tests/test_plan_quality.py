@@ -102,3 +102,62 @@ def test_global_shuffle_has_no_single_partition_window(spark, sf_dir):
     plan = _plan(QUERIES["global_shuffle"](spark, sf_dir))
     assert "Exchange rangepartitioning" in plan, plan
     assert "Exchange SinglePartition" not in plan, plan
+
+
+def test_subset_polymorphic_scans_fact_table_once(spark, sf_dir):
+    """The polymorphic EXISTS subset must read the fact input ONCE: the
+    per-domain key sets are unioned and probed with a single
+    composite-key semi join (a per-domain filter+join+union would scan
+    the biggest table once per domain — 3× the IO at scale)."""
+    import re
+
+    plan = _plan(QUERIES["subset_polymorphic"](spark, sf_dir))
+    fact_scans = len(re.findall(r"Scan parquet[^\n]*lineitem", plan))
+    assert fact_scans == 1, plan
+
+
+def test_pure_plan_builders_run_no_jobs(spark, sf_dir):
+    """Building a plan must not execute one: a driver action at
+    plan-build time (e.g. a .first() probing a signature length) runs
+    the whole upstream pipeline before the real job — invisible at test
+    scale, a doubled multi-hour stage at 100 TB.  Excluded by design:
+    the distributed prefix-sum id assigner (and global_shuffle over it)
+    and TableStore-backed queries, which materialize counts/stage
+    tables as part of their contract."""
+    from pedsnetdcc_spark.datapipe import dedup, sampling, text
+    from pedsnetdcc_spark.sources.io import read_table as rt
+
+    docs = rt(spark, sf_dir, "documents")
+    sc = spark.sparkContext
+    group = "plan-build-guard"
+    sc.setJobGroup(group, "plan building must not run jobs")
+    try:
+        sigs = dedup.minhash_signatures(docs, "doc_id", "text", num_hashes=8)
+        dedup.lsh_candidate_pairs(sigs, "doc_id", sig_len=8)
+        dedup.minhash_dedup_pairs(docs, "doc_id", "text")
+        dedup.simhash_near_dup_pairs(docs, "doc_id", "text")
+        dedup.simhash_near_dup_pairs(docs, "doc_id", "text", hash_family="portable")
+        dedup.ngram_jaccard_pairs(docs, "doc_id", "text", max_df=50)
+        dedup.cross_corpus_contamination(docs, docs, "doc_id", "text", max_df=50)
+        dedup.exact_dedup_groups(docs, "doc_id", "text")
+        sampling.sample_fraction(docs, "doc_id", 10)
+        sampling.train_val_test_split(docs, "doc_id", 10, 10)
+        sampling.stratified_sample(docs, "doc_id", "lang", {"en": 50})
+        sampling.mix_corpora({"a": (docs, 50)}, "doc_id")
+        ntok = docs.withColumn("ntok", F.size(F.split(F.col("text"), " ")))
+        sampling.pack_sequences(ntok, "doc_id", "ntok", 512, shards=4)
+        sampling.sample_per_group(docs, "doc_id", "lang", 5)
+        text.text_stats(docs)
+        text.lang_id(docs)
+        text.token_counts(docs)
+        text.build_vocab(docs)
+        text.tfidf_top_terms(docs, "doc_id")
+        text.chunk_documents(docs, "doc_id")
+        text.normalize_text(docs)
+        text.redact_pii(docs)
+        text.repetition_stats(docs)
+        text.length_buckets(docs)
+        text.doc_fingerprint(docs, "doc_id", "text")
+    finally:
+        sc.setJobGroup("default", "")
+    assert list(sc.statusTracker().getJobIdsForGroup(group)) == []

@@ -124,6 +124,84 @@ def test_global_shuffle_modes_agree_and_permute(spark, sf_dir):
     assert other != dist
 
 
+def test_global_shuffle_rank_is_partitioning_invariant(spark, sf_dir):
+    """The distributed prefix-sum rank must be a pure function of the
+    data, not of the incoming partition layout — retries, different
+    cluster sizes, and upstream repartitions all deliver the identical
+    epoch permutation."""
+    docs = _docs(spark, sf_dir)
+    a = {
+        r.doc_id: r.shuffle_pos
+        for r in global_shuffle(docs.repartition(2), "doc_id").collect()
+    }
+    b = {
+        r.doc_id: r.shuffle_pos
+        for r in global_shuffle(docs.repartition(32), "doc_id").collect()
+    }
+    assert a == b
+
+
+def test_pack_sequences_hot_shard_and_partition_invariance(spark):
+    """Skew shape: nearly every row lands in ONE shard (plus one
+    pathologically long document).  The layout must still satisfy the
+    running-offset invariants, match an independent Python computation,
+    and be identical whichever way the input was partitioned."""
+    import hashlib
+
+    from pedsnetdcc_spark.datapipe.sampling import hash_bucket
+
+    def py_bucket(doc_id: int, seed: int, buckets: int) -> int:
+        return int(hashlib.md5(f"{seed}:{doc_id}".encode()).hexdigest()[:15], 16) % buckets
+
+    base = spark.range(4000).select(F.col("id").alias("doc_id"))
+    tagged = base.withColumn("bucket", hash_bucket(F.col("doc_id"), 0, 4))
+    # the hot shard: every bucket-0 id; a thin sprinkle of the others
+    docs = (
+        tagged.where((F.col("bucket") == 0) | (F.col("doc_id") % 200 == 0))
+        .drop("bucket")
+        .withColumn(
+            "ntok",
+            F.when(F.col("doc_id") == 0, F.lit(100_000)).otherwise(
+                F.col("doc_id") % 37 + 1
+            ),
+        )
+    )
+    budget = 128
+    out2 = sorted(
+        map(tuple, pack_sequences(docs.repartition(2), "doc_id", "ntok", budget, shards=4).collect())
+    )
+    out32 = sorted(
+        map(tuple, pack_sequences(docs.repartition(32), "doc_id", "ntok", budget, shards=4).collect())
+    )
+    assert out2 == out32
+    # independent Python layout
+    rows = sorted((r.doc_id, r.ntok) for r in docs.collect())
+    shard_rows = {s: [(d, n) for d, n in rows if py_bucket(d, 0, 4) == s] for s in range(4)}
+    assert len(shard_rows[0]) > 0.8 * len(rows)  # the shard really is hot
+    expected = []
+    for s, srows in shard_rows.items():
+        cum = 0
+        for d, n in srows:
+            expected.append((d, s, cum // budget, cum % budget))
+            cum += n
+    assert sorted(expected) == out2
+
+
+def test_mix_corpora_seeds_stable_under_source_set_changes(spark, sf_dir):
+    """Adding a source must not resample any existing source: per-source
+    seeds derive from the source NAME, not its position in the sorted
+    set."""
+    docs = _docs(spark, sf_dir)
+    two = mix_corpora({"a": (docs, 50), "c": (docs, 50)}, "doc_id")
+    three = mix_corpora({"a": (docs, 50), "b": (docs, 30), "c": (docs, 50)}, "doc_id")
+
+    def members(out, tag):
+        return {r.doc_id for r in out.where(F.col("mix_source") == tag).collect()}
+
+    assert members(two, "a") == members(three, "a")
+    assert members(two, "c") == members(three, "c")
+
+
 def _pairs(spark, rows):
     return spark.createDataFrame(rows, "id_a long, id_b long")
 
