@@ -1265,6 +1265,49 @@ def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "table_profile_approx",
+    oracle="""
+    SELECT 'o_orderkey' AS column, COUNT(*) AS n_rows,
+           COUNT(*) - COUNT(o_orderkey) AS n_null, TRUE AS hll_within_tol
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey', COUNT(*), COUNT(*) - COUNT(o_custkey), TRUE FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', COUNT(*), COUNT(*) - COUNT(o_orderstatus), TRUE FROM orders
+    UNION ALL
+    SELECT 'o_orderdate', COUNT(*), COUNT(*) - COUNT(o_orderdate), TRUE FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', COUNT(*), COUNT(*) - COUNT(o_orderpriority), TRUE FROM orders
+    """,
+)
+def q_table_profile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The HyperLogLog profiling mode (the 100 TB path: constant-size
+    sketch state instead of an Expand of rows × columns into the
+    shuffle) scored against the exact profile: row/null counts must
+    match the oracle exactly (unchanged by approx mode), and every HLL
+    distinct estimate must sit within 3× the configured 5% relative
+    error of the exact count — emitted as a per-column boolean the
+    oracle pins TRUE."""
+    from pedsnetdcc_spark.operators.profile import profile_table
+
+    orders = _t(spark, sf_dir, "orders")
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate", "o_orderpriority"]
+    exact = profile_table(orders, cols).select(
+        "column", F.col("n_distinct").alias("__exact_nd")
+    )
+    approx = profile_table(orders, cols, approx_distinct=True, rsd=0.05)
+    return approx.join(exact, "column").select(
+        "column",
+        "n_rows",
+        "n_null",
+        (
+            F.abs(F.col("n_distinct") - F.col("__exact_nd"))
+            <= F.greatest(F.col("__exact_nd") * 0.15, F.lit(2.0))
+        ).alias("hll_within_tol"),
+    )
+
+
 _BPE_RE_SQL = "''(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+"
 
 
@@ -1616,7 +1659,51 @@ def q_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pair_set_agreement(prod, exact, min_recall_pct=80)
 
 
-def _simhash_portable_oracle(bits: int = 16) -> str:
+# ---------------------------------------------------------------------------
+# Equivalence-proof universe cap.  The agreement provers below pit a
+# production candidate-generation path against a BRUTE-FORCE twin whose
+# cost is quadratic in the universe size — fine at correctness scale,
+# a bench time-bomb if the scale factor is ever raised.  Both sides
+# (and the SQL oracle) therefore run on a deterministic hash-ordered
+# top-N sample of the corpus: the proof semantics (pair-set equality /
+# recall on the SAMPLED universe) are unchanged, the cap never binds at
+# sf0.01 (500 docs < N), and past N the proof cost stays constant while
+# everything else grows linearly.  TakeOrderedAndProject computes the
+# top-N with per-partition heaps — no global sort, no full shuffle.
+# ---------------------------------------------------------------------------
+
+_PROOF_UNIVERSE_CAP = 2000
+
+
+def _capped_universe(
+    df: DataFrame, id_col: str, n: int = _PROOF_UNIVERSE_CAP, seed: int = 0
+) -> DataFrame:
+    from pedsnetdcc_spark.datapipe.dedup import portable_hash64
+
+    capped = df.orderBy(
+        portable_hash64(F.col(id_col).cast("string"), seed), F.col(id_col)
+    ).limit(n)
+    # the limit lands on ONE partition — respread by id so the
+    # downstream explode/aggregate stages parallelize (N slim rows, a
+    # trivial shuffle the doc-keyed consumers reuse).  Deliberately NOT
+    # cached: provers reference the universe from several join sides,
+    # but re-running the scan + per-partition top-N is cheap while an
+    # InMemoryRelation in the middle of the giant hyperplane/vote
+    # expressions measurably degrades their codegen (and leaks cache
+    # across bench queries).
+    return capped.repartition(F.col(id_col))
+
+
+def _capped_universe_sql(
+    table: str, id_col: str, n: int = _PROOF_UNIVERSE_CAP, seed: int = 0
+) -> str:
+    from pedsnetdcc_spark.datapipe.dedup import portable_hash64_sql
+
+    h = portable_hash64_sql(id_col, seed)
+    return f"(SELECT * FROM {table} ORDER BY {h}, {id_col} LIMIT {n})"
+
+
+def _simhash_portable_oracle(bits: int = 16, universe: str = "documents") -> str:
     from pedsnetdcc_spark.datapipe.dedup import portable_hash64_sql
 
     h = portable_hash64_sql("tok", 0)
@@ -1627,7 +1714,7 @@ def _simhash_portable_oracle(bits: int = 16) -> str:
     sig = " + ".join(f"(CASE WHEN v{i} > 0 THEN 1::BIGINT ELSE 0 END << {i})" for i in range(bits))
     return f"""
     WITH toks AS (
-        SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM {universe}
     ), tf AS (
         SELECT doc_id, tok, COUNT(*) AS w FROM toks GROUP BY doc_id, tok
     ), v AS (
@@ -1679,8 +1766,12 @@ def _simhash_near_dup_oracle(bits: int = 16, max_hamming: int = 2) -> str:
     """Brute-force ALL-PAIRS Hamming join over SQL-computed signatures.
     The Spark side runs the block-and-band candidate join instead —
     hash-matching this oracle proves the banding is lossless (pigeonhole
-    completeness) AND the verification exact, end to end."""
-    sig_sql = _simhash_portable_oracle(bits)
+    completeness) AND the verification exact, end to end.  Both sides
+    run on the capped proof universe (16-bit signatures make the TRUE
+    pair set itself quadratic past a few thousand docs)."""
+    sig_sql = _simhash_portable_oracle(
+        bits, universe=_capped_universe_sql("documents", "doc_id")
+    )
     return f"""
     WITH sigs AS ({sig_sql})
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
@@ -1694,10 +1785,13 @@ def _simhash_near_dup_oracle(bits: int = 16, max_hamming: int = 2) -> str:
 def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs via the lossless block-and-band join,
     oracle-checked against the n² all-pairs Hamming join (portable hash
-    family, 16-bit signatures so the oracle stays brute-forceable)."""
+    family, 16-bit signatures so the oracle stays brute-forceable), on
+    the capped proof universe."""
     from pedsnetdcc_spark.datapipe.dedup import simhash_near_dup_pairs
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _capped_universe(
+        _t(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id"
+    )
     return simhash_near_dup_pairs(
         docs, "doc_id", "text", max_hamming=2, bits=16, hash_family="portable"
     )
@@ -1705,10 +1799,10 @@ def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "simhash_near_dup_dedup",
-    oracle="""
+    oracle=f"""
     SELECT COUNT(*) AS n_docs, CAST(0 AS BIGINT) AS missing,
            CAST(0 AS BIGINT) AS extra
-    FROM documents
+    FROM {_capped_universe_sql("documents", "doc_id")}
     """,
 )
 def q_simhash_near_dup_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1716,8 +1810,9 @@ def q_simhash_near_dup_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     to the brute-force all-pairs Hamming join over the same signatures:
     the pigeonhole block-and-band candidate generation is lossless and
     the popcount verification exact, so the symmetric difference must be
-    empty — checked in-Spark over every pair (the signatures themselves
-    are computed once and shared by both sides)."""
+    empty — checked in-Spark over every pair of the capped proof
+    universe (the signatures themselves are computed once and shared by
+    both sides)."""
     from pedsnetdcc_spark.datapipe.agreement import pair_sets_equal
     from pedsnetdcc_spark.datapipe.dedup import (
         hamming64,
@@ -1725,7 +1820,7 @@ def q_simhash_near_dup_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         simhash_band_pairs,
     )
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _capped_universe(_t(spark, sf_dir, "documents"), "doc_id")
     sigs = simhash64(docs, "doc_id", "text").cache()
     banded = simhash_band_pairs(sigs, "doc_id", max_hamming=3)
     sa = sigs.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("__ha"))
@@ -1742,8 +1837,9 @@ def q_simhash_near_dup_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "embedding_near_dup_lsh",
-    oracle="""
-    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    oracle=f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e
+               FROM {_capped_universe_sql("embeddings", "vec_id")}),
     exact AS (
         SELECT a.vec_id AS id_a, b.vec_id AS id_b
         FROM v a JOIN v b ON a.vec_id < b.vec_id
@@ -1758,18 +1854,18 @@ def q_simhash_near_dup_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale path for embedding near-dup — multi-table hyperplane LSH
     candidates + exact cosine verify — scored against the oracle-checked
-    all-pairs operator: DuckDB recomputes ``n_exact`` from the raw
-    vectors, verification guarantees 0 false positives, and the
-    16-table/6-bit family must recover ≥60% of the true pairs (bits
-    sized for the sf0.1 corpus: 2^6 buckets ≈ 5000/64 ≈ 78 per
-    bucket)."""
+    all-pairs operator on the capped proof universe: DuckDB recomputes
+    ``n_exact`` from the raw vectors, verification guarantees 0 false
+    positives, and the 16-table/6-bit family must recover ≥60% of the
+    true pairs (bits sized for the sf0.1 corpus: 2^6 buckets ≈ 5000/64
+    ≈ 78 per bucket)."""
     from pedsnetdcc_spark.datapipe.agreement import pair_set_agreement
     from pedsnetdcc_spark.datapipe.similarity import (
         embedding_near_dup_pairs,
         embedding_near_dup_pairs_lsh,
     )
 
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _capped_universe(_t(spark, sf_dir, "embeddings"), "vec_id")
     prod = embedding_near_dup_pairs_lsh(
         emb, "vec_id", "embedding", threshold=0.45, bits=6, tables=16, dim=64
     )
@@ -3087,6 +3183,7 @@ _QUERY_ORDER = [
     "lang_id",
     "token_counts",
     "doc_fingerprint",
+    "table_profile_approx",
 ]
 
 assert set(_QUERY_ORDER) == set(QUERIES), (
