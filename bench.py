@@ -48,6 +48,11 @@ def main() -> None:
         .count()
     )
 
+    # (Measured and rejected: an untimed full pass over every query
+    # before timing.  It shaves the early-position queries' JIT warmup
+    # but consistently costs the heavy near-dup provers ~1.5 s each —
+    # 71 compiled plan shapes bloat the code cache and heap before the
+    # timed loop starts.  Best-of-N below is the variance control.)
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
     timings: dict[str, float] = {}
     for name, fn in QUERIES.items():
