@@ -571,17 +571,33 @@ def q_distinct_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "subset_by_cohort",
+    "cohort_subset",
     oracle="""
+    WITH cohort AS (
+        SELECT user_id AS person_id FROM events
+        WHERE event_type IN ('purchase', 'signup')
+        UNION
+        SELECT o_custkey FROM orders WHERE o_totalprice > 200000
+    )
     SELECT o.* FROM orders o
-    WHERE EXISTS (SELECT 1 FROM customer c
-                  WHERE c.c_custkey = o.o_custkey AND c.c_mktsegment = 'BUILDING')
+    WHERE EXISTS (SELECT 1 FROM cohort c WHERE c.person_id = o.o_custkey)
     """,
 )
-def q_subset_by_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_cohort_subset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's actual subset pipeline shape in one query: build
+    the multi-domain DISTINCT cohort (recover_cohort.py pattern), then
+    reduce the fact table to cohort members with the broadcast semi
+    join (subset_by_cohort.py:150-159) — ``distinct_cohort`` ∘
+    ``subset_by_cohort``."""
+    events = _t(spark, sf_dir, "events")
     orders = _t(spark, sf_dir, "orders")
-    cohort = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
-    return subset_by_cohort(orders, cohort, key="o_custkey", cohort_key="c_custkey")
+    cohort = distinct_cohort(
+        [
+            (events, "user_id", F.col("event_type").isin("purchase", "signup")),
+            (orders, "o_custkey", F.col("o_totalprice") > 200000),
+        ]
+    )
+    return subset_by_cohort(orders, cohort, key="o_custkey", cohort_key="person_id")
 
 
 # ---------------------------------------------------------------------------
@@ -610,19 +626,37 @@ def q_merge_sites(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Group-count summary tables (A5).
+# Group-count summary tables (A5) over the merged multi-site table — the
+# reference's post-merge shape (group counts are built on the merged DCC
+# schema, not per site).
 # ---------------------------------------------------------------------------
 
 
 @query(
     "group_counts",
     oracle="""
-    SELECT o_orderpriority, o_custkey, CAST(COUNT(o_custkey) AS BIGINT) AS cnt
-    FROM orders GROUP BY o_orderpriority, o_custkey
+    WITH merged AS (
+        SELECT c.*, CAST('site_a' AS VARCHAR) AS site FROM customer c WHERE c_nationkey < 8
+        UNION ALL
+        SELECT c.*, 'site_b' FROM customer c WHERE c_nationkey >= 8 AND c_nationkey < 16
+        UNION ALL
+        SELECT c.*, 'site_c' FROM customer c WHERE c_nationkey >= 16
+    )
+    SELECT site, c_mktsegment, CAST(COUNT(c_mktsegment) AS BIGINT) AS cnt
+    FROM merged GROUP BY site, c_mktsegment
     """,
 )
 def q_group_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return group_count_table(_t(spark, sf_dir, "orders"), "o_orderpriority", "o_custkey")
+    """Group-count table over the multi-site merge — ``merge_sites`` ∘
+    ``group_count_table`` (A5 + O1 on the U1 output), the order the
+    reference builds its index-replacement rollups in."""
+    cust = _t(spark, sf_dir, "customer")
+    frames = [
+        ("site_a", cust.filter(F.col("c_nationkey") < 8)),
+        ("site_b", cust.filter((F.col("c_nationkey") >= 8) & (F.col("c_nationkey") < 16))),
+        ("site_c", cust.filter(F.col("c_nationkey") >= 16)),
+    ]
+    return group_count_table(merge_sites(frames), "site", "c_mktsegment")
 
 
 # ---------------------------------------------------------------------------
@@ -633,51 +667,17 @@ _ID_BASE = 1_000_000
 
 
 @query(
-    "id_mapping_varchar",
-    # PCORnet path (reference id_mapping_transform.py:193-196 site_id_type
-    # = String(256); subset_pcornet_by_cohort.py patid keys): the map's
-    # site_id is a VARCHAR patid.  Lexicographic numbering matches between
-    # engines because both sort strings by binary codepoint and the zero-
-    # padded patid makes that order total.
-    oracle="""
-    WITH pat AS (
-        SELECT o_orderkey, 'P' || lpad(CAST(o_custkey AS VARCHAR), 12, '0') AS patid
-        FROM orders
-    ),
-    idmap AS (
-        SELECT patid AS site_id,
-               CAST(ROW_NUMBER() OVER (ORDER BY patid) AS BIGINT) AS dcc_id
-        FROM (SELECT DISTINCT patid FROM pat)
-    )
-    SELECT p.o_orderkey, CAST(m.dcc_id AS BIGINT) AS patid,
-           p.patid AS site_patid
-    FROM pat p JOIN idmap m ON p.patid = m.site_id
-    """,
-)
-def q_id_mapping_varchar(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
-
-    orders = _t(spark, sf_dir, "orders").select(
-        "o_orderkey",
-        F.concat(F.lit("P"), F.lpad(F.col("o_custkey").cast("string"), 12, "0")).alias(
-            "patid"
-        ),
-    )
-    alloc = IdAllocator(tempfile.mktemp(suffix=".json"))
-    id_map = build_id_map(orders, None, "patid", alloc, "pcornet_person", mode="window")
-    out = remap_keys(orders, id_map, "patid", nullable=False, keep_site_col="site_patid")
-    return out.select(
-        "o_orderkey", F.col("patid").cast("long").alias("patid"), "site_patid"
-    )
-
-
-@query(
-    "id_map_extend_varchar",
-    # External-id mapper parity (reference external_id_mapper.py:48-155):
-    # reuse-then-allocate on VARCHAR keys.  An initial map covers the
-    # even customer patids; the extension run maps ALL patids — existing
-    # pairs must be reused untouched, new (odd) keys numbered after the
-    # old allocator high-water mark in site_id order.
+    "id_map_varchar_suite",
+    # PCORnet VARCHAR-key path (reference id_mapping_transform.py:193-196
+    # site_id_type = String(256); external_id_mapper.py:48-155
+    # reuse-then-allocate), composed build → extend → remap: an initial
+    # map covers the even customer patids; the extension run maps ALL
+    # patids — existing pairs reused untouched, new (odd) keys numbered
+    # after the old allocator high-water mark in site_id order — and the
+    # customer rows are remapped through the extended map, keeping the
+    # site key aside.  Lexicographic numbering matches between engines
+    # because both sort strings by binary codepoint and the zero-padded
+    # patid makes that order total.
     oracle="""
     WITH pat AS (
         SELECT DISTINCT 'P' || lpad(CAST(c_custkey AS VARCHAR), 12, '0') AS site_id,
@@ -695,13 +695,17 @@ def q_id_mapping_varchar(spark: SparkSession, sf_dir: str) -> DataFrame:
                  + ROW_NUMBER() OVER (ORDER BY p.site_id) AS dcc_id
         FROM pat p LEFT JOIN first f ON p.site_id = f.site_id
         WHERE f.site_id IS NULL
+    ),
+    idmap AS (
+        SELECT site_id, CAST(dcc_id AS BIGINT) AS dcc_id FROM first
+        UNION ALL
+        SELECT site_id, CAST(dcc_id AS BIGINT) AS dcc_id FROM ext
     )
-    SELECT site_id, CAST(dcc_id AS BIGINT) AS dcc_id FROM first
-    UNION ALL
-    SELECT site_id, CAST(dcc_id AS BIGINT) AS dcc_id FROM ext
+    SELECT p.c_custkey, m.dcc_id AS patid, p.site_id AS site_patid
+    FROM pat p JOIN idmap m ON p.site_id = m.site_id
     """,
 )
-def q_id_map_extend_varchar(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_id_map_varchar_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     customer = _t(spark, sf_dir, "customer").select(
@@ -716,7 +720,10 @@ def q_id_map_extend_varchar(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pcornet_customer", mode="window",
     )
     full = build_id_map(customer, first, "patid", alloc, "pcornet_customer", mode="window")
-    return full.select("site_id", F.col("dcc_id").cast("long").alias("dcc_id"))
+    out = remap_keys(customer, full, "patid", nullable=False, keep_site_col="site_patid")
+    return out.select(
+        "c_custkey", F.col("patid").cast("long").alias("patid"), "site_patid"
+    )
 
 
 @query(
@@ -1170,10 +1177,24 @@ _SHINGLE_CTE = """
     )"""
 
 
+_BPE_RE_SQL = "''(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+"
+
+
 @query(
-    "text_stats",
+    "text_signals",
     oracle=f"""
-    WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents)
+    WITH t AS (
+        SELECT doc_id, text, string_split(text, ' ') AS toks,
+               LEN(regexp_extract_all(text, '{_BPE_RE_SQL}')) AS n_bpe
+        FROM documents
+    ), s AS (
+        SELECT *,
+          LEN(list_filter(toks, x -> x IN ('der','die','das','und','ist','nicht','ein'))) AS s_de,
+          LEN(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','it'))) AS s_en,
+          LEN(list_filter(toks, x -> x IN ('el','la','los','y','es','un','una'))) AS s_es,
+          LEN(list_filter(toks, x -> x IN ('le','la','les','et','est','un','une'))) AS s_fr
+        FROM t
+    )
     SELECT doc_id,
            CAST(LENGTH(text) AS BIGINT) AS n_chars_calc,
            CAST(LEN(toks) AS BIGINT) AS n_tokens,
@@ -1192,43 +1213,31 @@ _SHINGLE_CTE = """
                   ELSE 0.0 END) * 4.0) * 0.25
            + (1.0 - LEAST(1.0, (CASE WHEN LENGTH(text) > 0
                   THEN LEN(regexp_extract_all(text, '[^a-z0-9 ]')) * 1.0 / LENGTH(text)
-                  ELSE 0.0 END) * 10.0)) * 0.25 AS quality_score
-    FROM t
-    """,
-)
-def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pedsnetdcc_spark.datapipe.text import text_stats
-
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    return text_stats(docs).drop("text")
-
-
-@query(
-    "lang_id",
-    oracle="""
-    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-    s AS (
-        SELECT doc_id,
-          LEN(list_filter(toks, x -> x IN ('der','die','das','und','ist','nicht','ein'))) AS s_de,
-          LEN(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','it'))) AS s_en,
-          LEN(list_filter(toks, x -> x IN ('el','la','los','y','es','un','una'))) AS s_es,
-          LEN(list_filter(toks, x -> x IN ('le','la','les','et','est','un','une'))) AS s_fr
-        FROM t
-    )
-    SELECT doc_id,
+                  ELSE 0.0 END) * 10.0)) * 0.25 AS quality_score,
            CASE WHEN s_de = GREATEST(s_de, s_en, s_es, s_fr) THEN 'de'
                 WHEN s_en = GREATEST(s_de, s_en, s_es, s_fr) THEN 'en'
                 WHEN s_es = GREATEST(s_de, s_en, s_es, s_fr) THEN 'es'
                 WHEN s_fr = GREATEST(s_de, s_en, s_es, s_fr) THEN 'fr'
-                ELSE 'und' END AS lang_pred
+                ELSE 'und' END AS lang_pred,
+           CAST(LEN(toks) AS BIGINT) AS ws_tokens,
+           CAST(n_bpe AS BIGINT) AS bpe_tokens,
+           CASE WHEN n_bpe > 0 THEN LENGTH(text) * 1.0 / n_bpe ELSE 0.0 END
+               AS chars_per_bpe_token
     FROM s
     """,
 )
-def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pedsnetdcc_spark.datapipe.text import lang_id
+def q_text_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every per-document text signal in ONE scan-fused projection —
+    the consolidation of three single-scan appenders (each remains
+    independently unit-tested; a real pipeline fuses these scans too):
+    quality stats (datapipe/text.text_stats), stopword-profile language
+    ID (text.lang_id), and whitespace + BPE-ish token counting
+    (text.token_counts — the LLM token-cost proxy, oracle-checked
+    segment for segment on the lookahead-free pattern)."""
+    from pedsnetdcc_spark.datapipe.text import lang_id, text_stats, token_counts
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    return lang_id(docs).select("doc_id", "lang_pred")
+    return token_counts(lang_id(text_stats(docs))).drop("text")
 
 
 @query(
@@ -1306,35 +1315,6 @@ def q_table_profile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= F.greatest(F.col("__exact_nd") * 0.15, F.lit(2.0))
         ).alias("hll_within_tol"),
     )
-
-
-_BPE_RE_SQL = "''(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+"
-
-
-@query(
-    "token_counts",
-    oracle=f"""
-    WITH t AS (
-        SELECT doc_id, text,
-               LEN(regexp_extract_all(text, '{_BPE_RE_SQL}')) AS n_bpe
-        FROM documents
-    )
-    SELECT doc_id,
-           CAST(LEN(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
-           CAST(n_bpe AS BIGINT) AS bpe_tokens,
-           CASE WHEN n_bpe > 0 THEN LENGTH(text) * 1.0 / n_bpe ELSE 0.0 END
-               AS chars_per_bpe_token
-    FROM t
-    """,
-)
-def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Whitespace + BPE-ish-pre-tokenizer token counting — the LLM
-    token-cost proxy, oracle-checked segment for segment (Java regex and
-    RE2 agree on the lookahead-free pattern)."""
-    from pedsnetdcc_spark.datapipe.text import token_counts
-
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    return token_counts(docs).drop("text")
 
 
 _QUALITY_SQL = f"""(CASE WHEN LEN(toks) >= 20 THEN LEAST(1.0, 400.0 / LEN(toks))
@@ -3168,20 +3148,17 @@ _QUERY_ORDER = [
     "dimension_names",
     "interval_months",
     "distinct_cohort",
-    "subset_by_cohort",
+    "cohort_subset",
     "merge_sites",
     "group_counts",
-    "id_mapping_varchar",
-    "id_map_extend_varchar",
+    "id_map_varchar_suite",
     "polymorphic_map",
     "classify_domains",
     "value_quality",
     "insert_missing",
     "recompute_column",
     "lms_z_score",
-    "text_stats",
-    "lang_id",
-    "token_counts",
+    "text_signals",
     "doc_fingerprint",
     "table_profile_approx",
 ]

@@ -38,7 +38,7 @@ def test_dimension_name_joins_broadcast_zero_shuffle(spark, sf_dir):
 
 
 def test_cohort_subset_uses_broadcast_semi_join(spark, sf_dir):
-    plan = _plan(QUERIES["subset_by_cohort"](spark, sf_dir))
+    plan = _plan(QUERIES["cohort_subset"](spark, sf_dir))
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
     assert "SortMergeJoin" not in plan
 
