@@ -283,6 +283,57 @@ def cmd_decontaminate(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_profile(args: argparse.Namespace) -> int:
+    """Per-column row/null/distinct profile as JSON lines
+    (operators/profile.profile_table — the user-facing analog of the
+    reference's VACUUM ANALYZE pass, utils.py:295-388).  ``--approx``
+    switches cardinality to the HyperLogLog mode for 100 TB tables."""
+    from pedsnetdcc_spark.operators.profile import profile_table
+
+    spark = _session(args)
+    tables = args.table or _tables_in(args.input)
+    for name in tables:
+        df = _read(spark, args.input, name)
+        prof = profile_table(df, approx_distinct=args.approx, rsd=args.rsd)
+        for r in prof.collect():
+            print(json.dumps({"table": name, **r.asDict()}))
+    return 0
+
+
+def cmd_corpus_pack(args: argparse.Namespace) -> int:
+    """Token-count then pack documents into fixed-budget training bins
+    (datapipe/sampling.pack_sequences); publishes the input table with
+    (n_tokens, shard, bin, bin_offset) appended."""
+    from pyspark.sql import functions as F
+
+    from pedsnetdcc_spark.datapipe.sampling import pack_sequences
+
+    spark = _session(args)
+    docs = _read(spark, args.input, args.table).withColumn(
+        "n_tokens", F.size(F.split(F.col(args.text_col), " ")).cast("long")
+    )
+    packed = pack_sequences(
+        docs, args.id_col, "n_tokens",
+        budget=args.budget, shards=args.shards, seed=args.seed,
+    )
+    _publish(spark, args.output, {args.table: docs.join(packed, args.id_col)})
+    return 0
+
+
+def cmd_corpus_shuffle(args: argparse.Namespace) -> int:
+    """Deterministic epoch shuffle: append the prefix-sum delivery rank
+    (datapipe/sampling.global_shuffle); a new --seed is a fresh epoch."""
+    from pedsnetdcc_spark.datapipe.sampling import global_shuffle
+
+    spark = _session(args)
+    docs = _read(spark, args.input, args.table)
+    _publish(
+        spark, args.output,
+        {args.table: global_shuffle(docs, args.id_col, seed=args.seed)},
+    )
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="pedsnetdcc-spark", description=__doc__.split("\n")[0]
@@ -375,6 +426,30 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--threshold", type=float, default=0.5)
     sp.add_argument("--max-df", type=int, default=10000)
     sp.set_defaults(fn=cmd_decontaminate)
+
+    sp = sub.add_parser("profile", help="per-column row/null/distinct profile (JSON lines)")
+    ns(sp, output=False)
+    sp.add_argument("--table", action="append", help="repeatable; default: all tables")
+    sp.add_argument("--approx", action="store_true", help="HyperLogLog cardinality")
+    sp.add_argument("--rsd", type=float, default=0.05)
+    sp.set_defaults(fn=cmd_profile)
+
+    sp = sub.add_parser("corpus-pack", help="pack documents into fixed-token-budget bins")
+    ns(sp)
+    sp.add_argument("--table", default="documents")
+    sp.add_argument("--id-col", default="doc_id")
+    sp.add_argument("--text-col", default="text")
+    sp.add_argument("--budget", type=int, default=2048)
+    sp.add_argument("--shards", type=int, default=32)
+    sp.add_argument("--seed", type=int, default=0)
+    sp.set_defaults(fn=cmd_corpus_pack)
+
+    sp = sub.add_parser("corpus-shuffle", help="deterministic epoch-shuffle rank")
+    ns(sp)
+    sp.add_argument("--table", default="documents")
+    sp.add_argument("--id-col", default="doc_id")
+    sp.add_argument("--seed", type=int, default=0)
+    sp.set_defaults(fn=cmd_corpus_shuffle)
 
     sp = sub.add_parser("undo", help="restore the previous published generation")
     sp.add_argument("--output", "-o", required=True)

@@ -141,3 +141,39 @@ def test_cli_corpus_split_and_dedup_cluster(spark, sf_dir, tmp_path):
         "--eval-dir", str(ns), "--threshold", "0.2", "--max-df", "100",
     ]) == 0
     shutil.rmtree(ns, ignore_errors=True)
+
+
+def test_cli_profile_pack_shuffle(spark, sf_dir, tmp_path, capsys):
+    import json
+
+    from pedsnetdcc_spark.cli import main
+    from pedsnetdcc_spark.sources.io import read_table
+
+    ns = tmp_path / "ns"
+    ns.mkdir()
+    docs = read_table(spark, sf_dir, "documents")
+    docs.write.parquet(str(ns / "documents"))
+    n = docs.count()
+
+    assert main(["profile", "-i", str(ns), "--table", "documents"]) == 0
+    lines = [json.loads(line) for line in capsys.readouterr().out.strip().splitlines()]
+    by_col = {r["column"]: r for r in lines}
+    assert set(by_col) == set(docs.columns)
+    assert all(r["n_rows"] == n for r in lines)
+    assert by_col["doc_id"]["n_distinct"] == n
+
+    out1 = tmp_path / "packed"
+    assert main([
+        "corpus-pack", "-i", str(ns), "-o", str(out1),
+        "--budget", "256", "--shards", "4",
+    ]) == 0
+    packed = read_table(spark, str(out1 / "current"), "documents")
+    assert packed.count() == n
+    assert {"n_tokens", "shard", "bin", "bin_offset"} <= set(packed.columns)
+    assert packed.filter(packed.bin_offset >= 256).count() == 0
+
+    out2 = tmp_path / "shuffled"
+    assert main(["corpus-shuffle", "-i", str(ns), "-o", str(out2)]) == 0
+    shuffled = read_table(spark, str(out2 / "current"), "documents")
+    ranks = sorted(r["shuffle_pos"] for r in shuffled.select("shuffle_pos").collect())
+    assert ranks == list(range(1, n + 1))
