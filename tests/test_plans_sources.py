@@ -175,3 +175,32 @@ def test_replace_crash_recovery_and_table_exists(spark, sf_dir, tmp_path):
     assert store.table_exists("nation")  # recovery ran
     assert store.read(spark, "nation").count() == nation.count()
     assert not os.path.exists(path + ".prereplace")
+
+
+def test_clustered_write_yields_prunable_layout(spark, sf_dir, tmp_path):
+    """clustered_write must produce files whose row-group min/max
+    statistics on the leading cluster column are tight and
+    near-disjoint — the precondition for parquet row-group pruning (the
+    lake analog of the reference's per-column indexes).  Ranges come
+    from a range partitioner, so files may touch at boundaries but must
+    not nest: sorted by min, each file's max may not exceed the next
+    file's max, and total overlap must be boundary-only."""
+    from pedsnetdcc_spark.sources.clustering import (
+        clustered_write,
+        leading_column_file_ranges,
+    )
+
+    events = read_table(spark, sf_dir, "events")
+    out = str(tmp_path / "events_clustered")
+    clustered_write(events, out, ["user_id", "event_type"], num_files=8)
+
+    back = spark.read.parquet(out)
+    assert back.count() == events.count()
+
+    ranges = sorted(leading_column_file_ranges(out, "user_id"))
+    assert len(ranges) > 1
+    for (lo_a, hi_a), (lo_b, hi_b) in zip(ranges, ranges[1:]):
+        assert lo_a <= hi_a and lo_b <= hi_b
+        # next file starts at or after this file's end (same key may
+        # straddle the boundary, but ranges never nest)
+        assert lo_b >= hi_a
