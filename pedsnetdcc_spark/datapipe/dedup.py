@@ -557,3 +557,83 @@ def cross_corpus_contamination(
         .where(F.col("jaccard") >= threshold)
         .select("train_id", "eval_id", "jaccard")
     )
+
+
+def passage_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    chunk_tokens: int = 32,
+    keep: str = "first",
+) -> DataFrame:
+    """Cross-document EXACT passage dedup: split every document into
+    non-overlapping ``chunk_tokens``-token windows, drop windows whose
+    exact content also appears elsewhere in the corpus, and reassemble
+    each document from its surviving windows in order — the span-level
+    dedup step of public web-corpus pipelines (C4 removes all but one
+    occurrence of repeated three-sentence spans; RefinedWeb drops
+    duplicated lines), expressed over token windows because this corpus
+    has no line structure.  (Reference scope note: part of the
+    training-data extension surface, not a reference operator.)
+
+    ``keep="first"``: the globally-first occurrence (min ``(id,
+    chunk_id)``) of each repeated passage survives, later copies drop —
+    corpus-wide content is preserved exactly once.  ``keep="unique"``:
+    every occurrence of a repeated passage drops (boilerplate removal).
+
+    Returns ``(id, text_deduped, n_chunks, n_chunks_dropped)`` — one
+    row per input document; a document whose every window was dropped
+    keeps its row with an empty ``text_deduped``.
+
+    Scale shape: chunking is scan-fused (higher-order functions, no
+    shuffle); duplicate detection is ONE hash aggregate keyed on the
+    128-bit content digest (slim key, map-side partial combine absorbs
+    hot boilerplate passages) + a shuffle join back on the digest (AQE
+    skew-split handles a passage repeated millions of times — the
+    deliberate reason this is groupBy+join, not a window over
+    ``chunk_text``, which would funnel every copy of a hot passage
+    through one task with no skew remedy); reassembly is one
+    doc-keyed aggregate.  No UDFs, three exchanges total.
+    """
+    if keep not in ("first", "unique"):
+        raise ValueError(f"keep must be 'first' or 'unique', got {keep!r}")
+    from pedsnetdcc_spark.datapipe.text import chunk_documents
+
+    chunks = chunk_documents(
+        df, id_col, text_col, chunk_tokens=chunk_tokens, overlap=0
+    ).withColumn("__key", F.md5(F.col("chunk_text")))
+    per_key = chunks.groupBy("__key").agg(
+        F.count(F.lit(1)).alias("__df"),
+        F.min(F.struct(F.col(id_col), F.col("chunk_id"))).alias("__first"),
+    )
+    tagged = chunks.join(per_key, "__key")
+    if keep == "first":
+        survives = (F.col("__df") == 1) | (
+            F.struct(F.col(id_col), F.col("chunk_id")) == F.col("__first")
+        )
+    else:
+        survives = F.col("__df") == 1
+    return (
+        tagged.withColumn("__keep", survives)
+        .groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("__keep"),
+                                F.struct(F.col("chunk_id"), F.col("chunk_text")),
+                            )
+                        )
+                    ),
+                    lambda s: s.chunk_text,
+                ),
+                " ",
+            ).alias("text_deduped"),
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(F.when(F.col("__keep"), 0).otherwise(1)).alias(
+                "n_chunks_dropped"
+            ),
+        )
+    )

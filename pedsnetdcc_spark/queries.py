@@ -3064,6 +3064,51 @@ def q_shared_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+@query(
+    "passage_dedup",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ), s AS (
+        SELECT doc_id, toks,
+               unnest(generate_series(0, GREATEST(len(toks) - 1, 0), 32)) AS start
+        FROM t
+    ), c AS (
+        SELECT doc_id, CAST(start / 32 AS INTEGER) AS chunk_id,
+               array_to_string(list_slice(toks, start + 1, start + 32), ' ')
+                   AS chunk_text
+        FROM s WHERE start < len(toks)
+    ), r AS (
+        SELECT doc_id, chunk_id, chunk_text,
+               ROW_NUMBER() OVER (
+                   PARTITION BY chunk_text ORDER BY doc_id, chunk_id
+               ) AS rk
+        FROM c
+    )
+    SELECT doc_id,
+           COALESCE(array_to_string(
+               list(chunk_text ORDER BY chunk_id) FILTER (WHERE rk = 1), ' '
+           ), '') AS text_deduped,
+           COUNT(*) AS n_chunks,
+           CAST(SUM(CASE WHEN rk = 1 THEN 0 ELSE 1 END) AS BIGINT)
+               AS n_chunks_dropped
+    FROM r GROUP BY doc_id
+    """,
+)
+def q_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level exact dedup across the corpus (the C4/RefinedWeb
+    repeated-passage removal step): 32-token windows, globally-first
+    occurrence of each repeated window survives, documents reassembled
+    from their surviving windows in order
+    (datapipe/dedup.passage_dedup).  The oracle's window-rank
+    formulation (rk = 1 by (doc, chunk) order) is exactly the keep-first
+    rule."""
+    from pedsnetdcc_spark.datapipe.dedup import passage_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    return passage_dedup(docs, "doc_id", "text", chunk_tokens=32, keep="first")
+
+
 # ===========================================================================
 # Registry order — the driver's correctness budget.
 #
@@ -3161,6 +3206,7 @@ _QUERY_ORDER = [
     "text_signals",
     "doc_fingerprint",
     "table_profile_approx",
+    "passage_dedup",
 ]
 
 assert set(_QUERY_ORDER) == set(QUERIES), (

@@ -601,3 +601,41 @@ def test_ngram_dedup_scales_linearly_on_cloned_corpus(spark, docs):
     )
     cloned_pairs = ngram_jaccard_pairs(cloned, "doc_id", "text", threshold=0.5).count()
     assert cloned_pairs == 16 * base_pairs, (cloned_pairs, base_pairs)
+
+
+def test_passage_dedup_keep_first_and_unique(spark):
+    from pedsnetdcc_spark.datapipe.dedup import passage_dedup
+
+    # 4-token windows; docs 1 and 2 share an exact window, doc 3 is
+    # unique, doc 4 IS the shared window alone (a later third copy).
+    rows = [
+        (1, "a b c d x y z w"),          # chunks: "a b c d", "x y z w"
+        (2, "a b c d q r s t"),          # first chunk duplicates doc 1's
+        (3, "unique text only here"),
+        (4, "a b c d"),                  # whole doc duplicated
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    first = {
+        r["doc_id"]: r
+        for r in passage_dedup(df, "doc_id", "text", chunk_tokens=4).collect()
+    }
+    assert first[1]["text_deduped"] == "a b c d x y z w"   # first copy kept
+    assert first[2]["text_deduped"] == "q r s t"           # later copy dropped
+    assert first[2]["n_chunks_dropped"] == 1
+    assert first[3]["text_deduped"] == "unique text only here"
+    assert first[4]["text_deduped"] == ""                  # fully dropped
+    assert first[4]["n_chunks"] == 1 and first[4]["n_chunks_dropped"] == 1
+
+    uniq = {
+        r["doc_id"]: r
+        for r in passage_dedup(
+            df, "doc_id", "text", chunk_tokens=4, keep="unique"
+        ).collect()
+    }
+    assert uniq[1]["text_deduped"] == "x y z w"            # every copy dropped
+    assert uniq[2]["text_deduped"] == "q r s t"
+    assert uniq[3]["text_deduped"] == "unique text only here"
+
+    with pytest.raises(ValueError):
+        passage_dedup(df, "doc_id", "text", keep="bogus")
