@@ -516,3 +516,111 @@ def lsh_bucketed_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "cosine")
     )
+
+
+def semantic_cells(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 16,
+    seed: int = 0,
+) -> DataFrame:
+    """Assign every vector to the nearest of ``k`` deterministic seed
+    centroids (by cosine): ``(id, cell)``.  Centroids are the top-k
+    vectors in seeded-hash order — fully deterministic and
+    reproducible cross-engine (no RNG, no iterative training), the
+    partitioning step of cluster-then-dedup pipelines (SemDeDup, Abbas
+    et al. 2023: semantic dedup = k-means cells, then near-dup search
+    WITHIN cells only).
+
+    Scale shape: the k-row centroid table broadcasts; assignment is a
+    scan-fused broadcast nested-loop over k centroids per vector with a
+    map-side-combining argmax aggregate (no window over the n×k
+    stream); ties break toward the lower centroid id.
+    """
+    from pedsnetdcc_spark.datapipe.dedup import portable_hash64
+
+    v = df.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
+    ).withColumn("__n", _norm(F.col("__v")))
+    cents = (
+        v.orderBy(portable_hash64(F.col(id_col).cast("string"), seed), F.col(id_col))
+        .limit(k)
+        .select(
+            F.col(id_col).alias("__cent"),
+            F.col("__v").alias("__cv"),
+            F.col("__n").alias("__cn"),
+        )
+    )
+    scored = v.crossJoin(F.broadcast(cents)).select(
+        F.col(id_col),
+        F.col("__cent"),
+        (_dot(F.col("__v"), F.col("__cv")) / (F.col("__n") * F.col("__cn"))).alias(
+            "__cos"
+        ),
+    )
+    # argmax by (cosine desc, centroid id asc) via a min-struct — one
+    # hash aggregate with partial combine, not a window shuffle
+    best = scored.groupBy(id_col).agg(
+        F.min(F.struct((-F.col("__cos")).alias("nc"), F.col("__cent"))).alias("__b")
+    )
+    return best.select(F.col(id_col), F.col("__b.__cent").alias("cell"))
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 16,
+    threshold: float = 0.45,
+    seed: int = 0,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication: ``(id, cell, dup_group,
+    keep)`` for every vector.  Vectors are partitioned into ``k``
+    nearest-seed-centroid cells (:func:`semantic_cells`); exact cosine
+    near-dup pairs are generated WITHIN cells only; transitive closure
+    labels each vector's duplicate group; ``keep`` marks the canonical
+    (min-id) member.  Near-dups straddling a cell boundary are missed
+    BY DESIGN — that is the trade the technique makes to turn the n²
+    pair search into Σ cell² ≈ n²/k, and the oracle mirrors it.
+
+    Scale shape: cell assignment is broadcast + argmax (no shuffle of
+    the vectors); the pair join shuffles once on ``cell`` (bucket sizes
+    ≈ n/k; at 100 TB raise k so cells fit a task — SemDeDup used 50k
+    cells for LAION-scale); components run on the slim pair list.
+    """
+    from pedsnetdcc_spark.datapipe.clusters import assign_clusters
+
+    v = df.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
+    ).withColumn("__n", _norm(F.col("__v")))
+    cells = semantic_cells(df, id_col, vec_col, k=k, seed=seed)
+    av = v.join(cells, id_col)
+    a = av.select(
+        F.col(id_col).alias("id_a"),
+        F.col("cell"),
+        F.col("__v").alias("__va"),
+        F.col("__n").alias("__na"),
+    )
+    b = av.select(
+        F.col(id_col).alias("id_b"),
+        F.col("cell"),
+        F.col("__v").alias("__vb"),
+        F.col("__n").alias("__nb"),
+    )
+    pairs = (
+        a.join(b, "cell")
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(
+            _dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb"))
+            >= F.lit(threshold)
+        )
+        .select("id_a", "id_b")
+    )
+    labeled = assign_clusters(cells, id_col, pairs, cluster_col="dup_group")
+    return labeled.select(
+        F.col(id_col),
+        F.col("cell"),
+        F.col("dup_group"),
+        (F.col("dup_group") == F.col(id_col)).alias("keep"),
+    )

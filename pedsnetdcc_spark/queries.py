@@ -3109,6 +3109,70 @@ def q_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return passage_dedup(docs, "doc_id", "text", chunk_tokens=32, keep="first")
 
 
+def _semantic_dedup_oracle(k: int = 16, threshold: float = 0.45) -> str:
+    from pedsnetdcc_spark.datapipe.dedup import portable_hash64_sql
+
+    h = portable_hash64_sql("vec_id", 0)
+    return f"""
+    WITH RECURSIVE v AS (
+        SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+    ), cents AS (
+        SELECT vec_id AS cent_id, e AS ce FROM v ORDER BY {h}, vec_id LIMIT {k}
+    ), scored AS (
+        SELECT v.vec_id, cent_id,
+               list_dot_product(v.e, ce)
+               / (sqrt(list_dot_product(v.e, v.e))
+                  * sqrt(list_dot_product(ce, ce))) AS cos
+        FROM v CROSS JOIN cents
+    ), cell AS (
+        SELECT vec_id, cent_id AS cell FROM (
+            SELECT vec_id, cent_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY vec_id ORDER BY cos DESC, cent_id
+                   ) AS rn
+            FROM scored
+        ) WHERE rn = 1
+    ), av AS (
+        SELECT c.vec_id, c.cell, v.e FROM cell c JOIN v ON v.vec_id = c.vec_id
+    ), dup AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM av a JOIN av b ON a.cell = b.cell AND a.vec_id < b.vec_id
+        WHERE list_dot_product(a.e, b.e)
+              / (sqrt(list_dot_product(a.e, a.e))
+                 * sqrt(list_dot_product(b.e, b.e))) >= {threshold}
+    ), eg AS (
+        SELECT id_a AS u, id_b AS w FROM dup
+        UNION ALL SELECT id_b, id_a FROM dup
+    ), reach AS (
+        SELECT u AS node, u AS lbl FROM eg
+        UNION
+        SELECT eg.w AS node, reach.lbl AS lbl
+        FROM reach JOIN eg ON eg.u = reach.node
+    ), comp AS (
+        SELECT node, MIN(lbl) AS component FROM reach GROUP BY node
+    )
+    SELECT c.vec_id, c.cell,
+           COALESCE(comp.component, c.vec_id) AS dup_group,
+           (COALESCE(comp.component, c.vec_id) = c.vec_id) AS keep
+    FROM cell c LEFT JOIN comp ON comp.node = c.vec_id
+    """
+
+
+@query("semantic_dedup", oracle=_semantic_dedup_oracle())
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-then-dedup over embeddings (SemDeDup shape): every
+    vector assigned to its nearest deterministic seed centroid, exact
+    cosine near-dup pairs generated WITHIN cells only, transitive
+    closure labeling, canonical min-id keep flag
+    (datapipe/similarity.semantic_dedup) — the Σ cell² ≈ n²/k scale
+    path for embedding dedup, oracle-mirrored including the deliberate
+    cross-cell misses."""
+    from pedsnetdcc_spark.datapipe.similarity import semantic_dedup
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return semantic_dedup(emb, "vec_id", "embedding", k=16, threshold=0.45)
+
+
 # ===========================================================================
 # Registry order — the driver's correctness budget.
 #
@@ -3207,6 +3271,7 @@ _QUERY_ORDER = [
     "doc_fingerprint",
     "table_profile_approx",
     "passage_dedup",
+    "semantic_dedup",
 ]
 
 assert set(_QUERY_ORDER) == set(QUERIES), (

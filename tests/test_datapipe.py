@@ -639,3 +639,42 @@ def test_passage_dedup_keep_first_and_unique(spark):
 
     with pytest.raises(ValueError):
         passage_dedup(df, "doc_id", "text", keep="bogus")
+
+
+def test_semantic_dedup_cells_and_canonicals(spark, emb):
+    from pedsnetdcc_spark.datapipe.similarity import (
+        embedding_near_dup_pairs,
+        semantic_dedup,
+    )
+
+    out = semantic_dedup(emb, "vec_id", "embedding", k=8, threshold=0.45)
+    rows = out.collect()
+    assert len(rows) == emb.count()                      # every vector labeled
+    assert len({r["cell"] for r in rows}) <= 8
+    by_id = {r["vec_id"]: r for r in rows}
+    for r in rows:
+        assert r["keep"] == (r["dup_group"] == r["vec_id"])
+        # the group representative is a real vector in the same group
+        rep = by_id[r["dup_group"]]
+        assert rep["dup_group"] == r["dup_group"]
+        assert r["dup_group"] <= r["vec_id"]             # min-id canonical
+
+    # within-cell duplicate pairs are a SUBSET of the exact all-pairs
+    # near-dups (the deliberate cross-cell miss), and any two vectors
+    # grouped together share a cell chain — same cell for direct pairs
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dup_pairs(
+            emb, "vec_id", "embedding", threshold=0.45
+        ).collect()
+    }
+    groups: dict[int, list] = {}
+    for r in rows:
+        groups.setdefault(r["dup_group"], []).append(r)
+    for members in groups.values():
+        if len(members) > 1:
+            # every multi-member group arises from ≥1 true near-dup pair
+            ids = sorted(m["vec_id"] for m in members)
+            assert any(
+                (a, b) in exact for a in ids for b in ids if a < b
+            )
