@@ -161,3 +161,27 @@ def test_pure_plan_builders_run_no_jobs(spark, sf_dir):
     finally:
         sc.setJobGroup("default", "")
     assert list(sc.statusTracker().getJobIdsForGroup(group)) == []
+
+
+def test_semantic_cells_broadcasts_centroids(spark, sf_dir):
+    """Cell assignment must broadcast the k-row centroid table — the
+    vector stream is never shuffled for the argmax (the aggregate's
+    partial combine handles it map-side)."""
+    from pedsnetdcc_spark.datapipe.similarity import semantic_cells
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    plan = _plan(semantic_cells(emb, "vec_id", "embedding", k=8))
+    assert "Broadcast" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_passage_dedup_no_window_over_chunk_text(spark, sf_dir):
+    """Duplicate detection must be groupBy + join on the content digest
+    (AQE skew-split applies), never a window partitioned by the chunk
+    text — a hot boilerplate passage would funnel through one task."""
+    from pedsnetdcc_spark.datapipe.dedup import passage_dedup
+
+    docs = read_table(spark, sf_dir, "documents")
+    plan = _plan(passage_dedup(docs, "doc_id", "text", chunk_tokens=32))
+    assert "Window" not in plan, plan
+    assert "Exchange SinglePartition" not in plan, plan
