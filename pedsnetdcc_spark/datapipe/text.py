@@ -435,3 +435,63 @@ def length_buckets(
     n = F.size(tokens(text_col))
     bucket = F.floor(F.log2(F.greatest(n, F.lit(1)).cast("double")))
     return df.withColumn(out_col, bucket.cast("int"))
+
+
+def gopher_rules(
+    df: DataFrame,
+    text_col: str = "text",
+    min_words: int = 30,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    min_alpha_word_ratio: float = 0.8,
+    min_stopword_hits: int = 2,
+    stopwords: Sequence[str] = tuple(DEFAULT_STOPWORDS),
+) -> DataFrame:
+    """Gopher-style rule-based quality filter (the published heuristic
+    document filter of Rae et al. 2021, App. A1, reused by MassiveText
+    descendants): per-document rule signals plus a single
+    ``passes_gopher`` verdict.  Line-shape rules (bullet/ellipsis line
+    ratios) are omitted — this corpus has no line structure.
+
+    Rules: word count in [min_words, max_words]; mean word length in
+    [min, max] (computed as (chars − spaces)/words on the single-spaced
+    corpus — exact, no second pass over the tokens); symbol-to-word
+    ratio ('#' or '...' occurrences per word) ≤ cap; ≥80% of words
+    contain an alphabetic character; ≥2 stop-word hits.
+
+    Pure column arithmetic (counts and ratios, no transcendentals), so
+    the verdicts are exactly reproducible by any engine — scan-fused,
+    no shuffle, no UDF.
+    """
+    toks = tokens(text_col)
+    n = F.size(toks)
+    nd = n.cast("double")
+    mean_wl = F.when(
+        n > 0, (F.length(text_col) - (n - 1)).cast("double") / nd
+    ).otherwise(F.lit(0.0))
+    n_sym = F.regexp_count(F.col(text_col), F.lit(r"#|\.\.\.")).cast("double")
+    sym_ratio = F.when(n > 0, n_sym / nd).otherwise(F.lit(0.0))
+    n_alpha_words = F.size(F.filter(toks, lambda t: t.rlike("[a-z]")))
+    alpha_ratio = F.when(n > 0, n_alpha_words.cast("double") / nd).otherwise(
+        F.lit(0.0)
+    )
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(list(stopwords))))
+    passes = (
+        (n >= min_words)
+        & (n <= max_words)
+        & (mean_wl >= min_mean_word_len)
+        & (mean_wl <= max_mean_word_len)
+        & (sym_ratio <= max_symbol_ratio)
+        & (alpha_ratio >= min_alpha_word_ratio)
+        & (n_stop >= min_stopword_hits)
+    )
+    return (
+        df.withColumn("n_words", n.cast("long"))
+        .withColumn("mean_word_len", mean_wl)
+        .withColumn("symbol_ratio", sym_ratio)
+        .withColumn("alpha_word_ratio", alpha_ratio)
+        .withColumn("stopword_hits", n_stop.cast("long"))
+        .withColumn("passes_gopher", passes)
+    )

@@ -3173,6 +3173,59 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_dedup(emb, "vec_id", "embedding", k=16, threshold=0.45)
 
 
+@query(
+    "gopher_quality",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents
+    ), m AS (
+        SELECT doc_id, text, len(toks) AS n,
+               CASE WHEN len(toks) > 0
+                    THEN (length(text) - (len(toks) - 1)) * 1.0 / len(toks)
+                    ELSE 0.0 END AS mean_word_len,
+               CASE WHEN len(toks) > 0
+                    THEN len(regexp_extract_all(text, '#|\\.\\.\\.')) * 1.0
+                         / len(toks)
+                    ELSE 0.0 END AS symbol_ratio,
+               CASE WHEN len(toks) > 0
+                    THEN len(list_filter(toks, x -> regexp_matches(x, '[a-z]')))
+                         * 1.0 / len(toks)
+                    ELSE 0.0 END AS alpha_word_ratio,
+               len(list_filter(
+                   toks,
+                   x -> x IN ('the', 'a', 'of', 'and', 'to', 'in', 'is', 'it')
+               )) AS stopword_hits
+        FROM t
+    )
+    SELECT doc_id, CAST(n AS BIGINT) AS n_words, mean_word_len, symbol_ratio,
+           alpha_word_ratio, CAST(stopword_hits AS BIGINT) AS stopword_hits,
+           (n >= 30 AND n <= 100000
+            AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+            AND symbol_ratio <= 0.1
+            AND alpha_word_ratio >= 0.8
+            AND stopword_hits >= 2) AS passes_gopher
+    FROM m
+    """,
+)
+def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rule-based document quality filter in the published Gopher shape
+    (word-count band, mean-word-length band, symbol ratio, alpha-word
+    ratio, stop-word hits — datapipe/text.gopher_rules): integer/ratio
+    arithmetic only, so every verdict is engine-exact."""
+    from pedsnetdcc_spark.datapipe.text import gopher_rules
+
+    docs = _t(spark, sf_dir, "documents")
+    return gopher_rules(docs, "text").select(
+        "doc_id",
+        "n_words",
+        "mean_word_len",
+        "symbol_ratio",
+        "alpha_word_ratio",
+        "stopword_hits",
+        "passes_gopher",
+    )
+
+
 # ===========================================================================
 # Registry order — the driver's correctness budget.
 #
@@ -3272,6 +3325,7 @@ _QUERY_ORDER = [
     "table_profile_approx",
     "passage_dedup",
     "semantic_dedup",
+    "gopher_quality",
 ]
 
 assert set(_QUERY_ORDER) == set(QUERIES), (

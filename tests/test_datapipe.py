@@ -678,3 +678,28 @@ def test_semantic_dedup_cells_and_canonicals(spark, emb):
             assert any(
                 (a, b) in exact for a in ids for b in ids if a < b
             )
+
+
+def test_gopher_rules_edges(spark):
+    from pedsnetdcc_spark.datapipe.text import gopher_rules
+
+    rows = [
+        (1, ""),                                    # empty doc
+        (2, "the of and to in is it a " * 8),       # short repeated stopwords
+        (3, " ".join(["wordish"] * 40) + " the a"), # 42 words, 2 stop hits
+        (4, " ".join(["#"] * 40)),                  # symbols, no alpha
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in gopher_rules(
+            spark.createDataFrame(rows, ["doc_id", "text"]).withColumn(
+                "text", F.rtrim("text")
+            ),
+            "text",
+        ).collect()
+    }
+    assert out[1]["n_words"] == 1 and not out[1]["passes_gopher"]  # split('') -> ['']
+    assert out[2]["stopword_hits"] == 64
+    assert not out[2]["passes_gopher"]              # mean word len < 3
+    assert out[3]["passes_gopher"]
+    assert out[4]["alpha_word_ratio"] == 0.0 and not out[4]["passes_gopher"]
