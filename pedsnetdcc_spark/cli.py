@@ -334,6 +334,65 @@ def cmd_corpus_shuffle(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_quality_filter(args: argparse.Namespace) -> int:
+    """Gopher-rule quality filter: keep passing documents, report the
+    drop count (datapipe/text.gopher_rules)."""
+    from pyspark.sql import functions as F
+
+    from pedsnetdcc_spark.datapipe.text import gopher_rules
+
+    spark = _session(args)
+    docs = _read(spark, args.input, args.table)
+    scored = gopher_rules(
+        docs, args.text_col, min_words=args.min_words
+    ).cache()
+    n_total = scored.count()
+    kept = scored.where(F.col("passes_gopher")).drop(
+        "n_words", "mean_word_len", "symbol_ratio", "alpha_word_ratio",
+        "stopword_hits", "passes_gopher",
+    )
+    _publish(spark, args.output, {args.table: kept})
+    n_kept = kept.count()
+    scored.unpersist()
+    print(json.dumps({"total": n_total, "kept": n_kept}))
+    return 0
+
+
+def cmd_passage_dedup(args: argparse.Namespace) -> int:
+    """Span-level exact dedup: drop repeated fixed-token windows
+    corpus-wide and reassemble documents (datapipe/dedup.passage_dedup)."""
+    from pedsnetdcc_spark.datapipe.dedup import passage_dedup
+
+    spark = _session(args)
+    docs = _read(spark, args.input, args.table)
+    out = passage_dedup(
+        docs, args.id_col, args.text_col,
+        chunk_tokens=args.chunk_tokens, keep=args.keep,
+    )
+    _publish(spark, args.output, {args.table: out})
+    return 0
+
+
+def cmd_semantic_dedup(args: argparse.Namespace) -> int:
+    """SemDeDup-style embedding dedup: seed-centroid cells →
+    within-cell cosine pairs → duplicate groups; optionally keep only
+    canonical vectors (datapipe/similarity.semantic_dedup)."""
+    from pyspark.sql import functions as F
+
+    from pedsnetdcc_spark.datapipe.similarity import semantic_dedup
+
+    spark = _session(args)
+    emb = _read(spark, args.input, args.table)
+    labeled = semantic_dedup(
+        emb, args.id_col, args.vec_col, k=args.cells,
+        threshold=args.threshold, seed=args.seed,
+    )
+    if args.keep_canonical:
+        labeled = labeled.where(F.col("keep"))
+    _publish(spark, args.output, {args.table: labeled})
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="pedsnetdcc-spark", description=__doc__.split("\n")[0]
@@ -450,6 +509,33 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--id-col", default="doc_id")
     sp.add_argument("--seed", type=int, default=0)
     sp.set_defaults(fn=cmd_corpus_shuffle)
+
+    sp = sub.add_parser("quality-filter", help="Gopher-rule document quality filter")
+    ns(sp)
+    sp.add_argument("--table", default="documents")
+    sp.add_argument("--text-col", default="text")
+    sp.add_argument("--min-words", type=int, default=30)
+    sp.set_defaults(fn=cmd_quality_filter)
+
+    sp = sub.add_parser("passage-dedup", help="drop repeated token windows corpus-wide")
+    ns(sp)
+    sp.add_argument("--table", default="documents")
+    sp.add_argument("--id-col", default="doc_id")
+    sp.add_argument("--text-col", default="text")
+    sp.add_argument("--chunk-tokens", type=int, default=32)
+    sp.add_argument("--keep", choices=("first", "unique"), default="first")
+    sp.set_defaults(fn=cmd_passage_dedup)
+
+    sp = sub.add_parser("semantic-dedup", help="embedding cell dedup with canonical keep")
+    ns(sp)
+    sp.add_argument("--table", default="embeddings")
+    sp.add_argument("--id-col", default="vec_id")
+    sp.add_argument("--vec-col", default="embedding")
+    sp.add_argument("--cells", type=int, default=16)
+    sp.add_argument("--threshold", type=float, default=0.45)
+    sp.add_argument("--seed", type=int, default=0)
+    sp.add_argument("--keep-canonical", action="store_true")
+    sp.set_defaults(fn=cmd_semantic_dedup)
 
     sp = sub.add_parser("undo", help="restore the previous published generation")
     sp.add_argument("--output", "-o", required=True)

@@ -177,3 +177,45 @@ def test_cli_profile_pack_shuffle(spark, sf_dir, tmp_path, capsys):
     shuffled = read_table(spark, str(out2 / "current"), "documents")
     ranks = sorted(r["shuffle_pos"] for r in shuffled.select("shuffle_pos").collect())
     assert ranks == list(range(1, n + 1))
+
+
+def test_cli_quality_passage_semantic(spark, sf_dir, tmp_path, capsys):
+    import json
+    import shutil
+
+    from pedsnetdcc_spark.cli import main
+    from pedsnetdcc_spark.sources.io import read_table
+
+    ns = tmp_path / "ns"
+    ns.mkdir()
+    docs = read_table(spark, sf_dir, "documents")
+    docs.write.parquet(str(ns / "documents"))
+    emb = read_table(spark, sf_dir, "embeddings")
+    emb.write.parquet(str(ns / "embeddings"))
+    n_docs, n_vecs = docs.count(), emb.count()
+
+    out1 = tmp_path / "qf_out"
+    assert main(["quality-filter", "-i", str(ns), "-o", str(out1)]) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    kept = read_table(spark, str(out1 / "current"), "documents")
+    assert rep["total"] == n_docs and rep["kept"] == kept.count()
+    assert set(kept.columns) == set(docs.columns)  # signals stripped
+
+    out2 = tmp_path / "pd_out"
+    assert main([
+        "passage-dedup", "-i", str(ns), "-o", str(out2),
+        "--chunk-tokens", "16", "--keep", "first",
+    ]) == 0
+    deduped = read_table(spark, str(out2 / "current"), "documents")
+    assert deduped.count() == n_docs            # one row per input doc
+    assert "text_deduped" in deduped.columns
+
+    out3 = tmp_path / "sd_out"
+    assert main([
+        "semantic-dedup", "-i", str(ns), "-o", str(out3),
+        "--cells", "8", "--keep-canonical",
+    ]) == 0
+    canon = read_table(spark, str(out3 / "current"), "embeddings")
+    assert 0 < canon.count() <= n_vecs
+    assert {"vec_id", "cell", "dup_group", "keep"} <= set(canon.columns)
+    shutil.rmtree(ns, ignore_errors=True)
