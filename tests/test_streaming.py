@@ -368,3 +368,37 @@ def test_streaming_exact_dedup_emits_first_per_content(spark, sf_dir):
         assert streaming_exact_dedup(corpus, "doc_id", "text").count() == n_groups
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_streaming_quality_filter_matches_batch(spark, sf_dir):
+    """The scan-fused corpus operators (gopher_rules here as the
+    exemplar) apply unchanged to a readStream source — stateless
+    projections need no watermark and stream row-for-row identically
+    to their batch run (the ingest-time filtering mode of a corpus
+    pipeline)."""
+    import shutil
+    import tempfile
+
+    from pedsnetdcc_spark.datapipe.text import gopher_rules
+
+    d = tempfile.mkdtemp()
+    try:
+        docs = read_table(spark, sf_dir, "documents")
+        docs.write.mode("overwrite").parquet(d + "/documents")
+        stream = spark.readStream.schema(docs.schema).parquet(d + "/documents")
+        out = _run_stream(
+            spark,
+            gopher_rules(stream, "text").select(
+                "doc_id", "n_words", "passes_gopher"
+            ),
+            "append",
+            "t_quality",
+        )
+        batch = gopher_rules(docs, "text").select(
+            "doc_id", "n_words", "passes_gopher"
+        )
+        assert sorted(map(tuple, out.collect())) == sorted(
+            map(tuple, batch.collect())
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
