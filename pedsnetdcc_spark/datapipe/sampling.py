@@ -279,3 +279,98 @@ def sample_per_group(
         .where(F.col("__rk") <= n_per_group)
         .drop("__rk")
     )
+
+
+def source_seed_offset_col(name_col: Column) -> Column:
+    """In-plan rendering of :func:`source_seed_offset` for a source-name
+    COLUMN: first 4 bytes of sha256(name) as a BIGINT — identical to
+    the Python constant for any literal name, and reproducible in SQL
+    (``('0x' || substr(sha256(name), 1, 8))::BIGINT``)."""
+    return F.conv(F.substring(F.sha2(name_col, 256), 1, 8), 16, 10).cast("long")
+
+
+def temperature_sample(
+    df: DataFrame,
+    id_col: str,
+    source_col: str,
+    alpha: float = 0.5,
+    budget_frac: float = 0.5,
+    seed: int = 0,
+    buckets: int = 1_000_000,
+) -> DataFrame:
+    """Temperature-based mixture reweighting: sample each source at a
+    rate proportional to ``n_s^alpha`` (renormalized), the standard
+    remedy for head-heavy corpus mixes (multilingual temperature
+    sampling; alpha→1 keeps natural proportions, alpha→0 equalizes
+    sources).  Source ``s`` keeps ``min(1, budget_frac·N·q_s/n_s)`` of
+    its rows where ``q_s = n_s^alpha / Σ_t n_t^alpha`` — the expected
+    total is ≤ ``budget_frac·N`` with over-demanded small sources
+    capped at 100%.
+
+    Fully in-plan and deterministic: per-source counts are a grouped
+    aggregate (map-side combine; the counting pass prunes to one
+    column at scan time), rates broadcast back, and membership is the
+    same seeded-hash-bucket predicate as :func:`sample_fraction`
+    under a per-source seed derived from sha256 of the source NAME
+    (stable under source-set changes).  The keep threshold is an
+    INTEGER bucket cut (``floor(rate·buckets)``) so the decision is
+    engine-exact; with the default ``alpha=0.5`` the weight is
+    ``sqrt`` (IEEE correctly-rounded, bit-identical across engines) —
+    other alphas go through ``pow``, whose last-ulp rounding is
+    platform-defined, fine for production but not for cross-engine
+    hash parity.
+
+    Two scans of the corpus (count + filter); at 100 TB the count scan
+    reads one column and the filter is scan-fused behind a broadcast
+    join on the handful-of-rows rate table.
+    """
+    from pyspark.sql import Window
+
+    nd = F.col("__n").cast("double")
+    w = (
+        df.groupBy(source_col)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .withColumn(
+            "__w", F.sqrt(nd) if alpha == 0.5 else F.pow(nd, F.lit(alpha))
+        )
+    )
+    # normalization over the PER-SOURCE table — an unpartitioned window
+    # is fine here: the frame holds one row per source (a handful), not
+    # per document, and it sidesteps the self-join lineage ambiguity a
+    # crossJoin with this table's own aggregate would create
+    everything = Window.partitionBy()
+    rates = w.withColumn(
+        "__rate",
+        F.least(
+            F.lit(1.0),
+            F.lit(budget_frac)
+            * F.sum("__n").over(everything).cast("double")
+            * (F.col("__w") / F.sum("__w").over(everything))
+            / nd,
+        ),
+    )
+    cuts = rates.select(
+        source_col,
+        F.floor(F.col("__rate") * buckets).cast("long").alias("__cut"),
+    )
+    src_seed = F.lit(seed) + source_seed_offset_col(F.col(source_col))
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    src_seed.cast("string"),
+                    F.lit(":"),
+                    F.col(id_col).cast("string"),
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return (
+        df.join(F.broadcast(cuts), source_col)
+        .where(F.pmod(h, F.lit(buckets)) < F.col("__cut"))
+        .drop("__cut")
+    )

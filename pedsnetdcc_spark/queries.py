@@ -3226,6 +3226,39 @@ def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "temperature_mixture",
+    oracle="""
+    WITH n AS (SELECT source, COUNT(*) AS ns FROM documents GROUP BY source),
+    w AS (SELECT source, ns, sqrt(ns::DOUBLE) AS ws FROM n),
+    z AS (SELECT SUM(ws) AS z, SUM(ns) AS N FROM w),
+    r AS (SELECT source,
+                 LEAST(1.0, 0.5 * (N::DOUBLE) * (ws / z) / (ns::DOUBLE)) AS rate
+          FROM w CROSS JOIN z),
+    c AS (SELECT source,
+                 CAST(FLOOR(rate * 1000000) AS BIGINT) AS cut FROM r)
+    SELECT d.doc_id, d.source
+    FROM documents d JOIN c USING (source)
+    WHERE (('0x' || substr(md5(
+              (0 + (('0x' || substr(sha256(d.source), 1, 8))::BIGINT))::VARCHAR
+              || ':' || d.doc_id
+          ), 1, 15))::BIGINT) % 1000000 < cut
+    """,
+)
+def q_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based corpus reweighting (alpha = 0.5, half-budget):
+    per-source sampling rates proportional to sqrt(source size),
+    renormalized and hash-gated — head sources down-sampled, tail
+    sources kept whole (datapipe/sampling.temperature_sample).  sqrt is
+    IEEE correctly-rounded, so the integer bucket cut is engine-exact."""
+    from pedsnetdcc_spark.datapipe.sampling import temperature_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return temperature_sample(
+        docs, "doc_id", "source", alpha=0.5, budget_frac=0.5
+    ).select("doc_id", "source")
+
+
 # ===========================================================================
 # Registry order — the driver's correctness budget.
 #
@@ -3326,6 +3359,7 @@ _QUERY_ORDER = [
     "passage_dedup",
     "semantic_dedup",
     "gopher_quality",
+    "temperature_mixture",
 ]
 
 assert set(_QUERY_ORDER) == set(QUERIES), (

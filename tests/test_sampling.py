@@ -311,3 +311,28 @@ def test_profile_table_approx_mode_within_tolerance(spark, sf_dir):
         if e["n_distinct"]:
             rel = abs(a["n_distinct"] - e["n_distinct"]) / e["n_distinct"]
             assert rel <= 0.15, (c, e["n_distinct"], a["n_distinct"])
+
+
+def test_temperature_sample_reweights_head_vs_tail(spark):
+    from pedsnetdcc_spark.datapipe.sampling import temperature_sample
+
+    rows = [(i, "A") for i in range(900)] + [(900 + i, "B") for i in range(100)]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    out = temperature_sample(df, "doc_id", "source", alpha=0.5, budget_frac=0.5)
+    counts = {r["source"]: r["count"] for r in out.groupBy("source").count().collect()}
+    # rates: w_A=30, w_B=10, z=40, N=1000 → rate_A=min(1, 500·0.75/900)≈0.4167,
+    # rate_B=min(1, 500·0.25/100)=1.0 — the tail source is kept WHOLE
+    assert counts["B"] == 100
+    assert 300 <= counts["A"] <= 450          # hash-uniform around 375
+    # deterministic: same seed → identical membership
+    again = temperature_sample(df, "doc_id", "source", alpha=0.5, budget_frac=0.5)
+    assert sorted(r["doc_id"] for r in out.collect()) == sorted(
+        r["doc_id"] for r in again.collect()
+    )
+    # a different seed resamples the down-sampled source
+    other = temperature_sample(
+        df, "doc_id", "source", alpha=0.5, budget_frac=0.5, seed=7
+    )
+    assert sorted(r["doc_id"] for r in out.collect()) != sorted(
+        r["doc_id"] for r in other.collect()
+    )
