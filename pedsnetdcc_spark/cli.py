@@ -393,6 +393,40 @@ def cmd_semantic_dedup(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_corpus_export(args: argparse.Namespace) -> int:
+    """Export a namespace table as JSONL shards (sources/jsonl)."""
+    from pedsnetdcc_spark.sources.jsonl import write_jsonl
+
+    spark = _session(args)
+    df = _read(spark, args.input, args.table)
+    write_jsonl(
+        df, args.output, compression=args.compression,
+        shards=args.shards, order_col=args.order_col,
+    )
+    print(json.dumps({"exported": args.table, "out": args.output}))
+    return 0
+
+
+def cmd_corpus_import(args: argparse.Namespace) -> int:
+    """Import JSONL shards into a namespace table, quarantining
+    malformed lines instead of failing the scan."""
+    from pyspark.sql import functions as F
+
+    from pedsnetdcc_spark.sources.jsonl import read_jsonl
+
+    spark = _session(args)
+    schema = _read(spark, args.like_ns, args.table).schema
+    rows = read_jsonl(
+        spark, args.input, schema, corrupt_col="_corrupt_record"
+    ).cache()
+    good = rows.where(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
+    n_bad = rows.where(F.col("_corrupt_record").isNotNull()).count()
+    _publish(spark, args.output, {args.table: good})
+    rows.unpersist()
+    print(json.dumps({"imported": args.table, "quarantined": n_bad}))
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="pedsnetdcc-spark", description=__doc__.split("\n")[0]
@@ -536,6 +570,23 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--seed", type=int, default=0)
     sp.add_argument("--keep-canonical", action="store_true")
     sp.set_defaults(fn=cmd_semantic_dedup)
+
+    sp = sub.add_parser("corpus-export", help="export a table as JSONL shards")
+    sp.add_argument("--input", "-i", required=True, help="input namespace dir")
+    sp.add_argument("--output", "-o", required=True, help="JSONL output dir")
+    sp.add_argument("--table", default="documents")
+    sp.add_argument("--compression", default="gzip")
+    sp.add_argument("--shards", type=int, default=None)
+    sp.add_argument("--order-col", default=None)
+    sp.set_defaults(fn=cmd_corpus_export)
+
+    sp = sub.add_parser("corpus-import", help="import JSONL shards (quarantines bad lines)")
+    sp.add_argument("--input", "-i", required=True, help="JSONL input dir")
+    sp.add_argument("--output", "-o", required=True, help="output store root")
+    sp.add_argument("--like-ns", required=True,
+                    help="namespace whose table supplies the schema")
+    sp.add_argument("--table", default="documents")
+    sp.set_defaults(fn=cmd_corpus_import)
 
     sp = sub.add_parser("undo", help="restore the previous published generation")
     sp.add_argument("--output", "-o", required=True)

@@ -219,3 +219,31 @@ def test_cli_quality_passage_semantic(spark, sf_dir, tmp_path, capsys):
     assert 0 < canon.count() <= n_vecs
     assert {"vec_id", "cell", "dup_group", "keep"} <= set(canon.columns)
     shutil.rmtree(ns, ignore_errors=True)
+
+
+def test_cli_corpus_export_import(spark, sf_dir, tmp_path, capsys):
+    import json
+    import shutil
+
+    from pedsnetdcc_spark.cli import main
+    from pedsnetdcc_spark.sources.io import read_table
+
+    ns = tmp_path / "ns"
+    ns.mkdir()
+    docs = read_table(spark, sf_dir, "documents")
+    docs.write.parquet(str(ns / "documents"))
+
+    jl = tmp_path / "jl"
+    assert main([
+        "corpus-export", "-i", str(ns), "-o", str(jl), "--shards", "2",
+    ]) == 0
+    out = tmp_path / "imported"
+    assert main([
+        "corpus-import", "-i", str(jl), "-o", str(out), "--like-ns", str(ns),
+    ]) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["quarantined"] == 0
+    back = read_table(spark, str(out / "current"), "documents")
+    assert back.count() == docs.count()
+    assert back.join(docs, ["doc_id"], "left_anti").count() == 0
+    shutil.rmtree(ns, ignore_errors=True)

@@ -204,3 +204,51 @@ def test_profile_table_counts_nulls_and_distincts(spark):
     assert got["id"]["n_distinct"] == 5
     assert got["s"]["n_null"] == 2
     assert got["s"]["n_distinct"] == 2  # nulls excluded, SQL semantics
+
+
+def test_jsonl_roundtrip_and_quarantine(spark, tmp_path, sf_dir):
+    from pedsnetdcc_spark.sources.io import read_table
+    from pedsnetdcc_spark.sources.jsonl import (
+        jsonl_roundtrip_check,
+        read_jsonl,
+        write_jsonl,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    assert jsonl_roundtrip_check(spark, docs, str(tmp_path / "rt"), "doc_id")
+
+    # sharded + within-shard-ordered write: shard count respected,
+    # rows intact, each shard file locally sorted by doc_id
+    out = tmp_path / "sharded"
+    write_jsonl(docs, str(out), compression="gzip", shards=3, order_col="doc_id")
+    back = read_jsonl(spark, str(out), docs.schema)
+    assert back.count() == docs.count()
+    import glob
+    import gzip
+    import json as _json
+
+    files = glob.glob(str(out / "part-*.json.gz"))
+    assert len(files) == 3
+    for f in files:
+        with gzip.open(f, "rt") as fh:
+            ids = [_json.loads(line)["doc_id"] for line in fh]
+        assert ids == sorted(ids)
+
+    # quarantine mode: a malformed line lands in the corrupt column
+    # instead of poisoning the scan
+    bad = tmp_path / "bad"
+    bad.mkdir()
+    (bad / "part-0.jsonl").write_text(
+        '{"doc_id": 1, "text": "ok"}\n{"doc_id": oops not json\n'
+    )
+    from pyspark.sql.types import LongType, StringType, StructType
+
+    schema = StructType().add("doc_id", LongType()).add("text", StringType())
+    rows = read_jsonl(
+        spark, str(bad), schema, corrupt_col="_corrupt_record"
+    ).cache()
+    good = rows.where(F.col("_corrupt_record").isNull())
+    quarantined = rows.where(F.col("_corrupt_record").isNotNull())
+    assert good.count() == 1 and quarantined.count() == 1
+    assert quarantined.first()["doc_id"] is None
+    rows.unpersist()
