@@ -204,6 +204,75 @@ def minhash_signatures(
     )
 
 
+def band_entries(
+    sig_col: str | Column,
+    sig_len: int,
+    num_bands: int,
+    hash_family: str = "xxhash64",
+) -> Column:
+    """Array of ``(band, bucket)`` structs for a signature column — the
+    banding used by BOTH the batch candidate join and the streaming
+    near-dup operator, factored out so their buckets agree exactly."""
+    sig = F.col(sig_col) if isinstance(sig_col, str) else sig_col
+    rows_per_band = max(sig_len // num_bands, 1)
+    entries = []
+    for b in range(num_bands):
+        chunk = F.slice(sig, b * rows_per_band + 1, rows_per_band)
+        joined = F.concat_ws(
+            ",", *[chunk[i].cast("string") for i in range(rows_per_band)]
+        )
+        bucket = (
+            portable_hash64(joined, b)
+            if hash_family == "portable"
+            else F.xxhash64(joined)
+        )
+        entries.append(F.struct(F.lit(b).alias("band"), bucket.alias("bucket")))
+    return F.array(*entries)
+
+
+def fused_minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 16,
+    hash_family: str = "xxhash64",
+    sig_col: str = "sig",
+) -> DataFrame:
+    """Per-ROW MinHash signature: the shingle array is built and
+    min-hashed entirely inside one projection (higher-order functions),
+    no explode, no aggregate, NO SHUFFLE — signatures identical to
+    :func:`minhash_signatures` (equivalence-tested).
+
+    Two uses: (a) streams — a stateless projection needs no watermark
+    or output-mode negotiation, so the LSH index operator can consume
+    it directly; (b) batch pipelines that want the signature without
+    paying the doc-keyed exchange (the aggregate formulation is kept
+    for pipelines that already cluster by document and reuse that
+    exchange for shingle-set verification).  Documents with fewer than
+    ``n`` tokens have no shingles and are dropped, matching the
+    aggregate formulation.  MinHash over DISTINCT shingles equals
+    MinHash over the occurrence stream (min is idempotent), so no
+    dedup pass is needed.
+    """
+    toks = tokens(text_col)
+    sh = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+    mins = F.array(
+        *[
+            F.array_min(
+                F.transform(sh, lambda s: _seeded_hash(s, i, hash_family))
+            )
+            for i in range(num_hashes)
+        ]
+    )
+    return df.where(F.size(toks) >= n).select(
+        F.col(id_col), mins.alias(sig_col)
+    )
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame,
     id_col: str,
@@ -229,17 +298,11 @@ def lsh_candidate_pairs(
     executing the whole upstream signature pipeline once just to read
     an array length.
     """
-    rows_per_band = max(sig_len // num_bands, 1)
-    entries = []
-    for b in range(num_bands):
-        chunk = F.slice(F.col(sig_col), b * rows_per_band + 1, rows_per_band)
-        joined = F.concat_ws(",", *[chunk[i].cast("string") for i in range(rows_per_band)])
-        bucket = (
-            portable_hash64(joined, b) if hash_family == "portable" else F.xxhash64(joined)
-        )
-        entries.append(F.struct(F.lit(b).alias("band"), bucket.alias("bucket")))
     banded = signatures.select(
-        F.col(id_col), F.explode(F.array(*entries)).alias("__bb")
+        F.col(id_col),
+        F.explode(
+            band_entries(sig_col, sig_len, num_bands, hash_family)
+        ).alias("__bb"),
     ).select(id_col, F.col("__bb.band").alias("band"), F.col("__bb.bucket").alias("bucket"))
     a = banded.select(F.col(id_col).alias("id_a"), "band", "bucket")
     b2 = banded.select(F.col(id_col).alias("id_b"), "band", "bucket")

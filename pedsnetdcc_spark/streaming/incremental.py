@@ -265,3 +265,120 @@ def streaming_exact_dedup(
     else:
         out = keyed.dropDuplicates(["__content_hash"])
     return out.drop("__content_hash")
+
+
+def streaming_lsh_near_dup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 16,
+    num_bands: int = 4,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Streaming MinHash-LSH near-duplicate detection: as documents
+    arrive, each is signed, banded, and checked against the GROWING
+    per-bucket index; every bucket collision emits ``(id_a, id_b,
+    est_jaccard)`` the moment the second document lands — the
+    continuous form of ``datapipe.dedup.lsh_candidate_pairs`` for an
+    append-only ingest (crawl dedup before anything is written).
+
+    Construction: the signature is the scan-fused per-row formulation
+    (``fused_minhash_signatures`` — a stateless projection, so the
+    stream needs no pre-aggregation), bands come from the SAME
+    ``band_entries`` the batch join uses (buckets agree exactly), and
+    the index is ``applyInPandasWithState`` keyed on ``(band,
+    bucket)``: state = the ids + signatures seen in that bucket.  A
+    pair colliding in several bands is emitted once per band —
+    downstream dedup is one ``dropDuplicates([id_a, id_b])`` (batch)
+    or ``dropDuplicatesWithinWatermark`` (stream); emission order
+    within a batch pairs new arrivals against the index first, then
+    each other.
+
+    ``est_jaccard`` is the signature agreement (matching components /
+    ``num_hashes``) — the standard unbiased MinHash estimate, available
+    without re-reading either document.
+
+    State is the index: it grows with distinct signed content, exactly
+    like the exact-dedup state (one id + ``num_hashes`` longs per doc
+    per band).  ``max_bucket`` caps a bucket's stored membership —
+    arrivals beyond the cap still compare against the stored members
+    but are not added (the NeMo-style hot-bucket guard: a degenerate
+    bucket of boilerplate stops costing quadratic emission).
+    Streaming-only (applyInPandasWithState rejects batch inputs); the
+    test pins the two-micro-batch stream's emitted pair set to the
+    batch ``lsh_candidate_pairs`` join over the same corpus.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from pedsnetdcc_spark.datapipe.dedup import (
+        band_entries,
+        fused_minhash_signatures,
+    )
+
+    id_type = df.schema[id_col].dataType
+    sigs = fused_minhash_signatures(
+        df, id_col, text_col, n=n, num_hashes=num_hashes
+    )
+    banded = sigs.select(
+        F.col(id_col),
+        F.col("sig"),
+        F.explode(band_entries("sig", num_hashes, num_bands)).alias("__bb"),
+    ).select(
+        id_col,
+        "sig",
+        F.col("__bb.band").alias("band"),
+        F.col("__bb.bucket").alias("bucket"),
+    )
+    out_schema = StructType(
+        [
+            StructField("id_a", id_type),
+            StructField("id_b", id_type),
+            StructField("est_jaccard", DoubleType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("ids", ArrayType(id_type)),
+            StructField("sigs", ArrayType(LongType())),  # flat, k per id
+        ]
+    )
+    k = num_hashes
+
+    def fn(key, pdf_iter, state: GroupState):
+        ids: list = []
+        flat: list[int] = []
+        if state.exists:
+            i0, s0 = state.get
+            ids, flat = list(i0), list(s0)
+        n_stored0 = len(ids)
+        rows = []
+        for pdf in pdf_iter:
+            for rid, sig in zip(pdf[id_col], pdf["sig"]):
+                rows.append((rid, [int(x) for x in sig]))
+        out = []
+        for rid, sig in rows:
+            for j, other in enumerate(ids):
+                osig = flat[j * k : (j + 1) * k]
+                m = sum(1 for x, y in zip(sig, osig) if x == y)
+                a, b = (rid, other) if rid < other else (other, rid)
+                out.append((a, b, m / k))
+            if max_bucket is None or len(ids) < max_bucket:
+                ids.append(rid)
+                flat.extend(sig)
+        if len(ids) != n_stored0:
+            state.update((ids, flat))
+        if out:
+            yield pd.DataFrame(out, columns=["id_a", "id_b", "est_jaccard"])
+
+    return banded.groupBy("band", "bucket").applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )

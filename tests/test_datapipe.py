@@ -703,3 +703,32 @@ def test_gopher_rules_edges(spark):
     assert not out[2]["passes_gopher"]              # mean word len < 3
     assert out[3]["passes_gopher"]
     assert out[4]["alpha_word_ratio"] == 0.0 and not out[4]["passes_gopher"]
+
+
+def test_fused_minhash_matches_aggregate_formulation(spark, docs):
+    from pedsnetdcc_spark.datapipe.dedup import (
+        fused_minhash_signatures,
+        minhash_signatures,
+    )
+
+    for family, k in (("xxhash64", 16), ("portable", 4)):
+        agg = minhash_signatures(
+            docs, "doc_id", "text", num_hashes=k, hash_family=family
+        )
+        fused = fused_minhash_signatures(
+            docs, "doc_id", "text", num_hashes=k, hash_family=family
+        )
+        assert agg.count() == fused.count()
+        diffs = (
+            agg.alias("a")
+            .join(fused.alias("b"), "doc_id")
+            .where(F.col("a.sig") != F.col("b.sig"))
+            .count()
+        )
+        assert diffs == 0
+
+    # no-shuffle claim: the fused formulation plans zero exchanges
+    plan = fused_minhash_signatures(
+        docs, "doc_id", "text"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan

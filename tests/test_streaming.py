@@ -402,3 +402,63 @@ def test_streaming_quality_filter_matches_batch(spark, sf_dir):
         )
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_streaming_lsh_near_dup_matches_batch_candidates(spark, sf_dir, tmp_path):
+    """The streaming LSH index, fed the corpus in two micro-batches,
+    must emit exactly the batch candidate-join pair set (after the
+    documented cross-band dedup), with the signature-agreement
+    estimate attached."""
+    from pedsnetdcc_spark.datapipe.dedup import (
+        fused_minhash_signatures,
+        lsh_candidate_pairs,
+    )
+    from pedsnetdcc_spark.streaming.incremental import streaming_lsh_near_dup
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    d = tmp_path / "docs_stream"
+    # two files → two micro-batches under maxFilesPerTrigger=1, so
+    # cross-file pairs exercise the persisted index, not just
+    # within-invocation comparison
+    half = docs.where(F.col("doc_id") % 2 == 0)
+    other = docs.where(F.col("doc_id") % 2 == 1)
+    half.coalesce(1).write.parquet(str(d / "f0"))
+    other.coalesce(1).write.parquet(str(d / "f1"))
+    import glob
+    import shutil
+
+    merged = d / "merged"
+    merged.mkdir()
+    for i, f in enumerate(
+        glob.glob(str(d / "f*" / "part-*.parquet"))
+    ):
+        shutil.copy(f, merged / f"file{i}.parquet")
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(merged))
+    )
+    out = _run_stream(
+        spark,
+        streaming_lsh_near_dup(stream, "doc_id", "text", num_hashes=16, num_bands=4),
+        "append",
+        "t_lsh_stream",
+    ).cache()
+
+    sigs = fused_minhash_signatures(docs, "doc_id", "text", num_hashes=16)
+    batch_pairs = {
+        (r["id_a"], r["id_b"])
+        for r in lsh_candidate_pairs(sigs, "doc_id", sig_len=16).collect()
+    }
+    stream_rows = out.collect()
+    stream_pairs = {(r["id_a"], r["id_b"]) for r in stream_rows}
+    assert stream_pairs == batch_pairs
+    assert len(stream_pairs) > 0
+    # the estimate is a valid agreement fraction, and identical for
+    # every emission of the same pair (same signatures in every band)
+    by_pair: dict[tuple, set] = {}
+    for r in stream_rows:
+        by_pair.setdefault((r["id_a"], r["id_b"]), set()).add(r["est_jaccard"])
+        assert 0.0 <= r["est_jaccard"] <= 1.0
+    assert all(len(v) == 1 for v in by_pair.values())
