@@ -732,3 +732,25 @@ def test_fused_minhash_matches_aggregate_formulation(spark, docs):
         docs, "doc_id", "text"
     )._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
+
+
+def test_passage_dedup_reassembly_is_lossless_without_duplicates(spark):
+    """With all-unique windows, keep-first must reproduce every
+    document verbatim (chunk → reassemble is the identity)."""
+    import random
+
+    from pedsnetdcc_spark.datapipe.dedup import passage_dedup
+
+    rng = random.Random(5)
+    rows = [
+        (i, " ".join(f"w{i}_{rng.randrange(1_000_000)}" for _ in range(rng.randrange(1, 90))))
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: r
+        for r in passage_dedup(df, "doc_id", "text", chunk_tokens=7).collect()
+    }
+    for doc_id, text in rows:
+        assert out[doc_id]["text_deduped"] == text
+        assert out[doc_id]["n_chunks_dropped"] == 0
