@@ -3259,6 +3259,88 @@ def q_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "source")
 
 
+@query(
+    "corpus_pipeline",
+    oracle="""
+    WITH t0 AS (
+        SELECT doc_id, text, source,
+               string_split(text, ' ') AS toks FROM documents
+    ), f AS (
+        SELECT doc_id, text, source FROM t0
+        WHERE len(toks) >= 30 AND len(toks) <= 100000
+          AND (length(text) - (len(toks) - 1)) * 1.0 / len(toks) >= 3.0
+          AND (length(text) - (len(toks) - 1)) * 1.0 / len(toks) <= 10.0
+          AND len(regexp_extract_all(text, '#|\\.\\.\\.')) * 1.0 / len(toks) <= 0.1
+          AND len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) * 1.0
+              / len(toks) >= 0.8
+          AND len(list_filter(
+                  toks,
+                  x -> x IN ('the', 'a', 'of', 'and', 'to', 'in', 'is', 'it')
+              )) >= 2
+    ), tt AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM f
+    ), s AS (
+        SELECT doc_id, toks,
+               unnest(generate_series(0, GREATEST(len(toks) - 1, 0), 32)) AS start
+        FROM tt
+    ), c AS (
+        SELECT doc_id, CAST(start / 32 AS INTEGER) AS chunk_id,
+               array_to_string(list_slice(toks, start + 1, start + 32), ' ')
+                   AS chunk_text
+        FROM s WHERE start < len(toks)
+    ), r AS (
+        SELECT doc_id, chunk_id, chunk_text,
+               ROW_NUMBER() OVER (
+                   PARTITION BY chunk_text ORDER BY doc_id, chunk_id
+               ) AS rk
+        FROM c
+    ), d AS (
+        SELECT doc_id,
+               COALESCE(array_to_string(
+                   list(chunk_text ORDER BY chunk_id) FILTER (WHERE rk = 1), ' '
+               ), '') AS text_deduped,
+               COUNT(*) AS n_chunks,
+               CAST(SUM(CASE WHEN rk = 1 THEN 0 ELSE 1 END) AS BIGINT)
+                   AS n_chunks_dropped
+        FROM r GROUP BY doc_id
+    ), n AS (SELECT source, COUNT(*) AS ns FROM f GROUP BY source),
+    w AS (SELECT source, ns, sqrt(ns::DOUBLE) AS ws FROM n),
+    z AS (SELECT SUM(ws) AS z, SUM(ns) AS N FROM w),
+    rt AS (SELECT source,
+                  LEAST(1.0, 0.5 * (N::DOUBLE) * (ws / z) / (ns::DOUBLE)) AS rate
+           FROM w CROSS JOIN z),
+    cc AS (SELECT source,
+                  CAST(FLOOR(rate * 1000000) AS BIGINT) AS cut FROM rt)
+    SELECT d.doc_id, f.source, d.text_deduped, d.n_chunks, d.n_chunks_dropped
+    FROM d JOIN f ON f.doc_id = d.doc_id JOIN cc ON cc.source = f.source
+    WHERE (('0x' || substr(md5(
+              (0 + (('0x' || substr(sha256(f.source), 1, 8))::BIGINT))::VARCHAR
+              || ':' || d.doc_id
+          ), 1, 15))::BIGINT) % 1000000 < cut
+    """,
+)
+def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-5 operators composed end to end, the shape of a real
+    corpus-assembly run: Gopher-rule quality filter → span-level
+    passage dedup with reassembly → temperature-based mixture
+    reweighting over the survivors.  Every stage is integer/ratio/sqrt
+    arithmetic, so the whole three-stage pipeline is engine-exact and
+    the oracle replays it as one CTE chain."""
+    from pedsnetdcc_spark.datapipe.dedup import passage_dedup
+    from pedsnetdcc_spark.datapipe.sampling import temperature_sample
+    from pedsnetdcc_spark.datapipe.text import gopher_rules
+
+    docs = _t(spark, sf_dir, "documents")
+    filtered = gopher_rules(docs, "text").where(F.col("passes_gopher")).select(
+        "doc_id", "text", "source"
+    )
+    deduped = passage_dedup(filtered, "doc_id", "text", chunk_tokens=32)
+    joined = deduped.join(filtered.select("doc_id", "source"), "doc_id")
+    return temperature_sample(
+        joined, "doc_id", "source", alpha=0.5, budget_frac=0.5
+    ).select("doc_id", "source", "text_deduped", "n_chunks", "n_chunks_dropped")
+
+
 # ===========================================================================
 # Registry order — the driver's correctness budget.
 #
@@ -3360,6 +3442,7 @@ _QUERY_ORDER = [
     "semantic_dedup",
     "gopher_quality",
     "temperature_mixture",
+    "corpus_pipeline",
 ]
 
 assert set(_QUERY_ORDER) == set(QUERIES), (
