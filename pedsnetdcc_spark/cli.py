@@ -393,6 +393,41 @@ def cmd_semantic_dedup(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_corpus_pipeline(args: argparse.Namespace) -> int:
+    """Composed corpus assembly: Gopher quality filter → passage dedup
+    → temperature mixture, published as one table with stage counts."""
+    from pyspark.sql import functions as F
+
+    from pedsnetdcc_spark.datapipe.dedup import passage_dedup
+    from pedsnetdcc_spark.datapipe.sampling import temperature_sample
+    from pedsnetdcc_spark.datapipe.text import gopher_rules
+
+    spark = _session(args)
+    docs = _read(spark, args.input, args.table)
+    n_in = docs.count()
+    filtered = (
+        gopher_rules(docs, args.text_col, min_words=args.min_words)
+        .where(F.col("passes_gopher"))
+        .select(args.id_col, args.text_col, args.source_col)
+    ).cache()
+    n_filtered = filtered.count()
+    deduped = passage_dedup(
+        filtered, args.id_col, args.text_col, chunk_tokens=args.chunk_tokens
+    ).join(filtered.select(args.id_col, args.source_col), args.id_col)
+    # cache + count BEFORE the publish so the three-stage pipeline runs
+    # once, not once for the write and again for the report
+    out = temperature_sample(
+        deduped, args.id_col, args.source_col,
+        alpha=args.alpha, budget_frac=args.budget_frac, seed=args.seed,
+    ).cache()
+    n_out = out.count()
+    _publish(spark, args.output, {args.table: out})
+    out.unpersist()
+    filtered.unpersist()
+    print(json.dumps({"input": n_in, "filtered": n_filtered, "published": n_out}))
+    return 0
+
+
 def cmd_corpus_export(args: argparse.Namespace) -> int:
     """Export a namespace table as JSONL shards (sources/jsonl)."""
     from pedsnetdcc_spark.sources.jsonl import write_jsonl
@@ -570,6 +605,22 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--seed", type=int, default=0)
     sp.add_argument("--keep-canonical", action="store_true")
     sp.set_defaults(fn=cmd_semantic_dedup)
+
+    sp = sub.add_parser(
+        "corpus-pipeline",
+        help="quality filter -> passage dedup -> temperature mix, one publish",
+    )
+    ns(sp)
+    sp.add_argument("--table", default="documents")
+    sp.add_argument("--id-col", default="doc_id")
+    sp.add_argument("--text-col", default="text")
+    sp.add_argument("--source-col", default="source")
+    sp.add_argument("--min-words", type=int, default=30)
+    sp.add_argument("--chunk-tokens", type=int, default=32)
+    sp.add_argument("--alpha", type=float, default=0.5)
+    sp.add_argument("--budget-frac", type=float, default=0.5)
+    sp.add_argument("--seed", type=int, default=0)
+    sp.set_defaults(fn=cmd_corpus_pipeline)
 
     sp = sub.add_parser("corpus-export", help="export a table as JSONL shards")
     sp.add_argument("--input", "-i", required=True, help="input namespace dir")

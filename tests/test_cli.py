@@ -247,3 +247,26 @@ def test_cli_corpus_export_import(spark, sf_dir, tmp_path, capsys):
     assert back.count() == docs.count()
     assert back.join(docs, ["doc_id"], "left_anti").count() == 0
     shutil.rmtree(ns, ignore_errors=True)
+
+
+def test_cli_corpus_pipeline(spark, sf_dir, tmp_path, capsys):
+    import json
+    import shutil
+
+    from pedsnetdcc_spark.cli import main
+    from pedsnetdcc_spark.sources.io import read_table
+
+    ns = tmp_path / "ns"
+    ns.mkdir()
+    docs = read_table(spark, sf_dir, "documents")
+    docs.write.parquet(str(ns / "documents"))
+
+    out = tmp_path / "pipe_out"
+    assert main(["corpus-pipeline", "-i", str(ns), "-o", str(out)]) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["input"] == docs.count()
+    assert 0 < rep["published"] <= rep["filtered"] <= rep["input"]
+    published = read_table(spark, str(out / "current"), "documents")
+    assert published.count() == rep["published"]
+    assert {"doc_id", "source", "text_deduped", "n_chunks"} <= set(published.columns)
+    shutil.rmtree(ns, ignore_errors=True)
