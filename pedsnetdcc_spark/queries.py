@@ -3387,10 +3387,13 @@ _QUERY_ORDER = [
     "doc_signals",
     "doc_chunks",
     "corpus_report",
+    "passage_dedup",
+    "semantic_dedup",
+    "gopher_quality",
+    "temperature_mixture",
+    "corpus_pipeline",
     # -- 2: keep driver-green (complex / touched this round) -------------
     "pricing_summary",
-    "covid_post_shape",
-    "interval_months_monthend",
     "eras",
     "rollup_eras",
     "interval_summary",
@@ -3398,7 +3401,6 @@ _QUERY_ORDER = [
     "id_mapping",
     "subset_polymorphic",
     "pk_violations",
-    "not_null_audit",
     "asof_pair",
     "table_profile",
     "corpus_prep",
@@ -3416,10 +3418,14 @@ _QUERY_ORDER = [
     "embedding_near_dup_lsh",
     "ann_lsh_topk",
     "multimodal_features",
+    # -- 3: past the 50-entry cutoff (stable since round 1/2 — 4 rounds
+    #       of green driver verdicts; local oracle parity still
+    #       exercises every one each session) ---------------------------
+    "covid_post_shape",
+    "interval_months_monthend",
+    "not_null_audit",
     "multimodal_png_meta",
     "audio_features",
-    # -- 3: past the 50-entry cutoff (stable since round 1/2; local
-    #       oracle parity still exercises every one each session) --------
     "top_unshipped_orders",
     "regional_supplier_volume",
     "dimension_names",
@@ -3438,11 +3444,6 @@ _QUERY_ORDER = [
     "text_signals",
     "doc_fingerprint",
     "table_profile_approx",
-    "passage_dedup",
-    "semantic_dedup",
-    "gopher_quality",
-    "temperature_mixture",
-    "corpus_pipeline",
 ]
 
 assert set(_QUERY_ORDER) == set(QUERIES), (
