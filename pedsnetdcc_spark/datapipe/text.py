@@ -495,3 +495,120 @@ def gopher_rules(
         .withColumn("stopword_hits", n_stop.cast("long"))
         .withColumn("passes_gopher", passes)
     )
+
+
+def lm_score(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    model_df: DataFrame | None = None,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Bigram language-model scoring with add-one smoothing — the
+    perplexity-style quality signal of CCNet-class corpus pipelines
+    (Wenzek et al. 2020 score documents with a KenLM model; here the
+    model is an add-one-smoothed bigram LM counted from ``model_df``,
+    default the scored corpus itself, so the signal is a
+    self-perplexity: formulaic/repetitive documents score high
+    probability, outlier gibberish scores low).
+
+    Per document of tokens ``w_1..w_n`` the per-term log-probabilities
+    are ``ln((c1(w_1)+1)/(T+V))`` for the first token and
+    ``ln((c2(w_{i-1},w_i)+1)/(c1(w_{i-1})+V))`` for each following
+    token, where ``c1``/``c2`` are corpus unigram/bigram counts, ``T``
+    total tokens and ``V`` vocabulary size.  Each term is rounded to
+    ``round_digits`` and ACCUMULATED IN DECIMAL, so the per-document
+    sum is exact and order-independent (double summation is
+    associativity-sensitive; ln() differs in the last ulp across libm
+    implementations, which the rounding absorbs — same determinism
+    contract as :func:`tfidf_top_terms`).
+
+    Returns ``(id, n_tokens, sum_logp, avg_logp)``.
+
+    Scale shape: two token-keyed count aggregates (map-side partial),
+    a 1-row totals broadcast, and count→stream equi-joins on token keys
+    that AQE broadcasts while the vocabulary is small — no UDFs, no
+    windows, no driver actions.  The bigram stream is built scan-side
+    from the token array (no self-join on position).  Smoothing makes
+    every join an inner join on keys guaranteed present when the model
+    corpus covers the scored corpus; scoring a foreign corpus drops
+    unseen tokens from the stream (documented OOV behavior: use the
+    combined corpus as ``model_df`` to avoid it).
+    """
+    model = model_df if model_df is not None else df
+    toks = tokens(text_col)
+    n = F.size(toks)
+
+    def _streams(src: DataFrame, with_id: bool):
+        a = tokens(text_col)
+        cnt = F.size(a)
+        cols = [F.col(id_col)] if with_id else []
+        uni = src.select(*cols, F.explode(a).alias("w"))
+        idx = F.when(cnt >= 2, F.sequence(F.lit(2), cnt)).otherwise(
+            F.array().cast("array<int>")
+        )
+        bi = src.select(
+            *cols,
+            F.explode(
+                F.transform(
+                    idx,
+                    lambda i: F.struct(
+                        F.element_at(a, i - 1).alias("w1"),
+                        F.element_at(a, i).alias("w2"),
+                    ),
+                )
+            ).alias("p"),
+        ).select(*cols, F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        return uni, bi
+
+    m_uni, m_bi = _streams(model, with_id=False)
+    c1 = m_uni.groupBy("w").agg(F.count(F.lit(1)).alias("c1"))
+    c2 = m_bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    totals = c1.agg(
+        F.sum("c1").cast("double").alias("t"),
+        F.count(F.lit(1)).cast("double").alias("v"),
+    )
+
+    first = df.where(n >= 1).select(
+        F.col(id_col), F.element_at(toks, 1).alias("w")
+    )
+    d_uni_first = (
+        first.join(c1, "w")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            F.col(id_col),
+            F.round(
+                F.log((F.col("c1") + F.lit(1)).cast("double") / (F.col("t") + F.col("v"))),
+                round_digits,
+            ).alias("lp"),
+        )
+    )
+    _, d_bi = _streams(df, with_id=True)
+    d_bi_terms = (
+        d_bi.join(c2, ["w1", "w2"])
+        .join(c1, F.col("w1") == c1["w"])
+        .crossJoin(F.broadcast(totals))
+        .select(
+            F.col(id_col),
+            F.round(
+                F.log(
+                    (F.col("c2") + F.lit(1)).cast("double")
+                    / (F.col("c1").cast("double") + F.col("v"))
+                ),
+                round_digits,
+            ).alias("lp"),
+        )
+    )
+    dec = f"decimal(28,{round_digits})"
+    per_doc = (
+        d_uni_first.unionByName(d_bi_terms)
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum(F.col("lp").cast(dec)).cast("double").alias("sum_logp"),
+        )
+    )
+    return per_doc.withColumn(
+        "avg_logp",
+        F.round(F.col("sum_logp") / F.col("n_tokens").cast("double"), round_digits),
+    )

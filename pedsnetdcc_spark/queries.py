@@ -3227,6 +3227,56 @@ def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "lm_perplexity",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+    ),
+    stream AS (SELECT doc_id, unnest(ts) AS w FROM toks),
+    uni AS (SELECT w, COUNT(*) AS c1 FROM stream GROUP BY w),
+    tot AS (SELECT CAST(SUM(c1) AS DOUBLE) AS t,
+                   CAST(COUNT(*) AS DOUBLE) AS v FROM uni),
+    bi AS (
+        SELECT doc_id, ts[i] AS w1, ts[i + 1] AS w2
+        FROM toks, UNNEST(generate_series(1, len(ts) - 1)) AS g(i)
+        WHERE len(ts) >= 2
+    ),
+    bic AS (SELECT w1, w2, COUNT(*) AS c2 FROM bi GROUP BY w1, w2),
+    terms AS (
+        SELECT f.doc_id,
+               ROUND(LN((u.c1 + 1) / (tot.t + tot.v)), 6) AS lp
+        FROM (SELECT doc_id, ts[1] AS w FROM toks WHERE len(ts) >= 1) f
+        JOIN uni u ON f.w = u.w CROSS JOIN tot
+        UNION ALL
+        SELECT b.doc_id,
+               ROUND(LN((bc.c2 + 1) / (u.c1 + tot.v)), 6) AS lp
+        FROM bi b
+        JOIN bic bc ON b.w1 = bc.w1 AND b.w2 = bc.w2
+        JOIN uni u ON b.w1 = u.w CROSS JOIN tot
+    ),
+    agg AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               CAST(SUM(CAST(lp AS DECIMAL(28,6))) AS DOUBLE) AS sum_logp
+        FROM terms GROUP BY doc_id
+    )
+    SELECT doc_id, n_tokens, sum_logp,
+           ROUND(sum_logp / n_tokens, 6) AS avg_logp
+    FROM agg
+    """,
+)
+def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM document scoring (datapipe/text.lm_score) — the
+    CCNet-style perplexity quality signal (Wenzek et al. 2020), here
+    with an add-one-smoothed bigram model counted from the corpus
+    itself.  Per-term log-probs are rounded then summed in DECIMAL so
+    the score is engine-exact (same contract as tfidf_top_terms)."""
+    from pedsnetdcc_spark.datapipe.text import lm_score
+
+    docs = _t(spark, sf_dir, "documents")
+    return lm_score(docs, "doc_id")
+
+
+@query(
     "temperature_mixture",
     oracle="""
     WITH n AS (SELECT source, COUNT(*) AS ns FROM documents GROUP BY source),
@@ -3392,6 +3442,7 @@ _QUERY_ORDER = [
     "gopher_quality",
     "temperature_mixture",
     "corpus_pipeline",
+    "lm_perplexity",
     # -- 2: keep driver-green (complex / touched this round) -------------
     "pricing_summary",
     "eras",
@@ -3403,7 +3454,6 @@ _QUERY_ORDER = [
     "pk_violations",
     "asof_pair",
     "table_profile",
-    "corpus_prep",
     "dedup_exact",
     "ngram_jaccard_dedup",
     "ann_cosine_topk",
@@ -3424,6 +3474,7 @@ _QUERY_ORDER = [
     "covid_post_shape",
     "interval_months_monthend",
     "not_null_audit",
+    "corpus_prep",
     "multimodal_png_meta",
     "audio_features",
     "top_unshipped_orders",

@@ -754,3 +754,35 @@ def test_passage_dedup_reassembly_is_lossless_without_duplicates(spark):
     for doc_id, text in rows:
         assert out[doc_id]["text_deduped"] == text
         assert out[doc_id]["n_chunks_dropped"] == 0
+
+
+def test_lm_score_hand_computed(spark):
+    """Add-one bigram LM on a 2-doc corpus, checked against hand-derived
+    probabilities: unigrams a:3 b:2 (T=5, V=2), bigram counts
+    (a,b):2 (b,a):1."""
+    import math
+
+    from pedsnetdcc_spark.datapipe.text import lm_score
+
+    df = spark.createDataFrame([(1, "a b a"), (2, "a b")], ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in lm_score(df, "doc_id").collect()}
+    lp = lambda num, den: round(math.log(num / den), 6)
+    d1 = lp(4, 7) + lp(3, 5) + lp(2, 4)  # P(a), P(b|a), P(a|b)
+    d2 = lp(4, 7) + lp(3, 5)
+    assert out[1]["n_tokens"] == 3 and out[2]["n_tokens"] == 2
+    assert abs(out[1]["sum_logp"] - d1) < 1e-9
+    assert abs(out[2]["sum_logp"] - d2) < 1e-9
+    assert abs(out[1]["avg_logp"] - round(out[1]["sum_logp"] / 3, 6)) < 1e-12
+
+
+def test_lm_score_foreign_model_drops_oov(spark):
+    """Scoring against a model corpus that lacks a token drops that
+    token's terms from the stream (documented OOV behavior)."""
+    from pedsnetdcc_spark.datapipe.text import lm_score
+
+    model = spark.createDataFrame([(1, "a b a b")], ["doc_id", "text"])
+    scored = spark.createDataFrame([(9, "a b z a")], ["doc_id", "text"])
+    row = lm_score(scored, "doc_id", model_df=model).collect()[0]
+    # terms kept: first token 'a', bigram (a,b); (b,z) and (z,a) have no
+    # model bigram count and drop out of the inner join
+    assert row["n_tokens"] == 2
