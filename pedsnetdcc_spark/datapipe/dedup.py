@@ -622,6 +622,55 @@ def cross_corpus_contamination(
     )
 
 
+def contamination_overlap(
+    train: DataFrame,
+    evaluation: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+) -> DataFrame:
+    """Per-document contamination REPORT: for each training document,
+    the fraction of its distinct n-gram shingles that appear anywhere
+    in the evaluation corpus — ``(id, n_shingles, n_hit,
+    overlap_frac)``.  This is the eval-overlap accounting of published
+    LM reports (GPT-3 App. C / PaLM-class "percent of n-grams seen in
+    benchmarks"), complementing :func:`cross_corpus_contamination`:
+    that operator finds WHICH eval doc matches (pairwise, thresholded);
+    this one scores HOW MUCH of each train doc is contaminated, with no
+    pair blowup at all.
+
+    Scale shape: the eval side collapses to its distinct-shingle
+    universe (one aggregate), then a single shingle-keyed left join
+    marks hits and a doc-keyed aggregate counts them — candidate volume
+    is the train shingle stream itself, independent of eval document
+    count.  ``overlap_frac`` is an exact integer ratio evaluated in
+    IEEE double (single division — deterministic across engines, no
+    rounding needed).  Documents shorter than ``n`` tokens have no
+    shingles and drop out (same convention as the pair operators).
+    """
+    from pedsnetdcc_spark.datapipe.text import shingle_ngrams
+
+    sh_t = shingle_ngrams(train, id_col, text_col, n=n)
+    eval_universe = (
+        shingle_ngrams(evaluation, id_col, text_col, n=n)
+        .select("shingle")
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    return (
+        sh_t.join(eval_universe, "shingle", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shingles"),
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0))).cast("long").alias("n_hit"),
+        )
+        .withColumn(
+            "overlap_frac",
+            F.col("n_hit").cast("double") / F.col("n_shingles").cast("double"),
+        )
+    )
+
+
 def passage_dedup(
     df: DataFrame,
     id_col: str,

@@ -497,6 +497,86 @@ def gopher_rules(
     )
 
 
+def hashed_bow(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    dim: int = 512,
+    seed: int = 0,
+    hash_family: str = "portable",
+    norm: str = "l2",
+) -> DataFrame:
+    """Feature-hashing (hashing-trick) bag-of-words: each token hashes
+    to one of ``dim`` buckets; per-document bucket term frequencies,
+    optionally L2-normalized — the model-free document featurizer that
+    bridges the text operators to the embedding/ANN operators when no
+    learned embedding exists yet.  Long-form output ``(id, bucket, tf,
+    weight)``; densify with :func:`hashed_bow_dense` to feed
+    ``cosine_topk`` / LSH / IVF.
+
+    Determinism: the bucket is a pure function of (token, seed) via the
+    seeded hash family (oracle-renderable with ``portable``); the L2
+    weight is ``tf / sqrt(Σ tf²)`` — IEEE sqrt and division are
+    exactly-rounded operations, so the doubles are bit-identical across
+    engines with no rounding step (unlike ln/exp paths).
+
+    Scale shape: explode → (id, bucket) count aggregate (map-side
+    partial), one doc-keyed norm aggregate joined back on the id — two
+    shuffles total, both on high-cardinality keys, no windows, no UDFs.
+    """
+    if norm not in ("l2", "none"):
+        raise ValueError(f"unknown norm {norm!r}")
+    from pedsnetdcc_spark.datapipe.dedup import _seeded_hash
+
+    toks = df.select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("__tok")
+    )
+    tf = (
+        toks.withColumn(
+            "bucket",
+            F.pmod(_seeded_hash(F.col("__tok"), seed, hash_family), F.lit(dim)).cast(
+                "int"
+            ),
+        )
+        .groupBy(id_col, "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    if norm == "none":
+        return tf.withColumn("weight", F.col("tf").cast("double"))
+    norms = tf.groupBy(id_col).agg(F.sum(F.col("tf") * F.col("tf")).alias("__ss"))
+    return tf.join(norms, id_col).select(
+        F.col(id_col),
+        "bucket",
+        "tf",
+        (F.col("tf").cast("double") / F.sqrt(F.col("__ss").cast("double"))).alias(
+            "weight"
+        ),
+    )
+
+
+def hashed_bow_dense(
+    bow: DataFrame, id_col: str, dim: int, out_col: str = "embedding"
+) -> DataFrame:
+    """Densify :func:`hashed_bow` long-form output into a fixed-``dim``
+    ``array<float>`` per document (empty buckets 0.0) — the shape the
+    similarity operators take.  One doc-keyed aggregate building a
+    bucket→weight map, then a scan-side sequence lookup; no UDFs."""
+    entries = bow.groupBy(id_col).agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("bucket"), F.col("weight")))
+        ).alias("__m")
+    )
+    return entries.select(
+        F.col(id_col),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda i: F.coalesce(F.element_at(F.col("__m"), i), F.lit(0.0)).cast(
+                "float"
+            ),
+        ).alias(out_col),
+    )
+
+
 def lm_score(
     df: DataFrame,
     id_col: str,

@@ -65,3 +65,42 @@ def profile_table(
         (F.col("__n") - F.col("__notnull")).alias("n_null"),
         "n_distinct",
     )
+
+
+def key_skew_profile(df: DataFrame, key_col: str, k: int = 10) -> DataFrame:
+    """Heavy-hitter profile of a join/aggregation key: the ``k`` most
+    frequent key values with their exact counts and share of all rows —
+    ``(key, n, rank, share)``.  This is the pre-join skew diagnostic
+    for the salting / AQE-skew-join decision (a key holding >1% of a
+    100 TB table funnels >1 TB through one task in a plain hash join);
+    the reference's ANALYZE-driven planner stats play the same role for
+    Postgres (utils.py:343-388).
+
+    Scale shape: one partial-aggregated groupBy on the key, then a
+    distributed ``orderBy(...).limit(k)`` (TakeOrdered — no global
+    sort materialization), a 1-row total broadcast, and a rank window
+    over the ≤k surviving rows (bounded, driver-scale).  Ties break on
+    the key string so the ranking is deterministic.  ``share`` is an
+    exact integer ratio in IEEE double (single division — engine-exact).
+    """
+    from pyspark.sql import Window
+
+    counts = (
+        df.groupBy(F.col(key_col).cast("string").alias("key"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    total = counts.agg(F.sum("n").alias("__total"))
+    top = counts.orderBy(F.col("n").desc(), F.col("key")).limit(k)
+    w = Window.orderBy(F.col("n").desc(), F.col("key"))
+    return (
+        top.crossJoin(F.broadcast(total))
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .select(
+            "key",
+            F.col("n").cast("long").alias("n"),
+            "rank",
+            (F.col("n").cast("double") / F.col("__total").cast("double")).alias(
+                "share"
+            ),
+        )
+    )

@@ -1517,16 +1517,6 @@ _CAPPED_JACCARD_CTE = """
     )"""
 
 
-@query(
-    "ann_ivf_topk",
-    oracle="""
-    WITH q AS (SELECT COUNT(*) AS nq FROM embeddings WHERE vec_id < 8)
-    SELECT CAST(nq AS BIGINT) AS n_queries,
-           CAST(5 * nq AS BIGINT) AS n_exact,
-           TRUE AS k_complete, TRUE AS recall_ok
-    FROM q
-    """,
-)
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN scored against the oracle-checked exact top-k: probing 6
     of 16 cells must recover ≥60% of all exact neighbors and return a
@@ -1598,15 +1588,6 @@ def q_minhash_lsh_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "minhash_lsh_dedup",
-    oracle=f"""
-    WITH {_SHINGLE_CTE},{_CAPPED_JACCARD_CTE}
-    SELECT COUNT(*) AS n_exact, CAST(0 AS BIGINT) AS false_positives,
-           TRUE AS recall_ok
-    FROM exact WHERE jaccard >= 0.2
-    """,
-)
 def q_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Production xxhash64 MinHash-LSH scored against the DF-capped
     exact n-gram Jaccard pair set (which DuckDB recomputes independently
@@ -1713,16 +1694,6 @@ def q_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash(docs, "doc_id", "text", bits=16, hash_family="portable")
 
 
-@query(
-    "simhash_signatures",
-    oracle=f"""
-    WITH {_SHINGLE_CTE},{_CAPPED_JACCARD_CTE}
-    SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
-           (SELECT COUNT(*) FROM documents) AS n_sigs,
-           COUNT(*) AS dup_pairs, TRUE AS dup_pairs_close
-    FROM exact WHERE jaccard >= 0.4
-    """,
-)
 def q_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Production 64-bit xxhash64 SimHash scored for the locality
     property that makes it useful: every exact near-duplicate pair
@@ -1777,14 +1748,6 @@ def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "simhash_near_dup_dedup",
-    oracle=f"""
-    SELECT COUNT(*) AS n_docs, CAST(0 AS BIGINT) AS missing,
-           CAST(0 AS BIGINT) AS extra
-    FROM {_capped_universe_sql("documents", "doc_id")}
-    """,
-)
 def q_simhash_near_dup_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Production 64-bit xxhash64 SimHash near-dup join proved IDENTICAL
     to the brute-force all-pairs Hamming join over the same signatures:
@@ -1815,22 +1778,6 @@ def q_simhash_near_dup_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pair_sets_equal(banded, brute, corpus)
 
 
-@query(
-    "embedding_near_dup_lsh",
-    oracle=f"""
-    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e
-               FROM {_capped_universe_sql("embeddings", "vec_id")}),
-    exact AS (
-        SELECT a.vec_id AS id_a, b.vec_id AS id_b
-        FROM v a JOIN v b ON a.vec_id < b.vec_id
-        WHERE list_dot_product(a.e, b.e)
-              / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) >= 0.45
-    )
-    SELECT COUNT(*) AS n_exact, CAST(0 AS BIGINT) AS false_positives,
-           TRUE AS recall_ok
-    FROM exact
-    """,
-)
 def q_embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale path for embedding near-dup — multi-table hyperplane LSH
     candidates + exact cosine verify — scored against the oracle-checked
@@ -1851,6 +1798,91 @@ def q_embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     exact = embedding_near_dup_pairs(emb, "vec_id", "embedding", threshold=0.45)
     return pair_set_agreement(prod, exact, min_recall_pct=60)
+
+
+def _melt_scorecard(df: DataFrame, check: str) -> DataFrame:
+    """Unpivot a 1-row scorecard DF to ``(check, metric, value)`` long
+    form in ONE evaluation (stack is a generator — per-column selects
+    would re-run the underlying prover once per column)."""
+    exprs = ", ".join(f"'{c}', CAST({c} AS LONG)" for c in df.columns)
+    return df.select(
+        F.expr(f"stack({len(df.columns)}, {exprs}) AS (metric, value)")
+    ).select(F.lit(check).alias("check"), "metric", "value")
+
+
+@query(
+    "near_dup_scorecard",
+    oracle=f"""
+    SELECT * FROM (
+        WITH {_SHINGLE_CTE},{_CAPPED_JACCARD_CTE},
+        j AS (SELECT COUNT(*) FILTER (WHERE jaccard >= 0.2) AS n02,
+                     COUNT(*) FILTER (WHERE jaccard >= 0.4) AS n04
+              FROM exact),
+        nd AS (SELECT COUNT(*) AS n FROM documents)
+        SELECT 'minhash_lsh_dedup' AS "check", 'n_exact' AS metric,
+               CAST(n02 AS BIGINT) AS value FROM j
+        UNION ALL SELECT 'minhash_lsh_dedup', 'false_positives', 0 FROM j
+        UNION ALL SELECT 'minhash_lsh_dedup', 'recall_ok', 1 FROM j
+        UNION ALL SELECT 'simhash_signatures', 'n_docs', CAST(n AS BIGINT) FROM nd
+        UNION ALL SELECT 'simhash_signatures', 'n_sigs', CAST(n AS BIGINT) FROM nd
+        UNION ALL SELECT 'simhash_signatures', 'dup_pairs', CAST(n04 AS BIGINT) FROM j
+        UNION ALL SELECT 'simhash_signatures', 'dup_pairs_close', 1 FROM j
+    )
+    UNION ALL
+    SELECT * FROM (
+        WITH q AS (SELECT COUNT(*) AS nq FROM embeddings WHERE vec_id < 8)
+        SELECT 'ann_ivf_topk' AS "check", 'n_queries' AS metric,
+               CAST(nq AS BIGINT) AS value FROM q
+        UNION ALL SELECT 'ann_ivf_topk', 'n_exact', CAST(5 * nq AS BIGINT) FROM q
+        UNION ALL SELECT 'ann_ivf_topk', 'k_complete', 1 FROM q
+        UNION ALL SELECT 'ann_ivf_topk', 'recall_ok', 1 FROM q
+    )
+    UNION ALL
+    SELECT * FROM (
+        WITH u AS (SELECT COUNT(*) AS n
+                   FROM {_capped_universe_sql("documents", "doc_id")})
+        SELECT 'simhash_near_dup_dedup' AS "check", 'n_docs' AS metric,
+               CAST(n AS BIGINT) AS value FROM u
+        UNION ALL SELECT 'simhash_near_dup_dedup', 'missing', 0 FROM u
+        UNION ALL SELECT 'simhash_near_dup_dedup', 'extra', 0 FROM u
+    )
+    UNION ALL
+    SELECT * FROM (
+        WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e
+                   FROM {_capped_universe_sql("embeddings", "vec_id")}),
+        ex AS (
+            SELECT COUNT(*) AS n
+            FROM v a JOIN v b ON a.vec_id < b.vec_id
+            WHERE list_dot_product(a.e, b.e)
+                  / (sqrt(list_dot_product(a.e, a.e))
+                     * sqrt(list_dot_product(b.e, b.e))) >= 0.45
+        )
+        SELECT 'embedding_near_dup_lsh' AS "check", 'n_exact' AS metric,
+               CAST(n AS BIGINT) AS value FROM ex
+        UNION ALL SELECT 'embedding_near_dup_lsh', 'false_positives', 0 FROM ex
+        UNION ALL SELECT 'embedding_near_dup_lsh', 'recall_ok', 1 FROM ex
+    )
+    """,
+)
+def q_near_dup_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIVE production near-dup/ANN paths scored in one driver row set:
+    the former 1-row entries minhash_lsh_dedup / simhash_signatures /
+    simhash_near_dup_dedup / embedding_near_dup_lsh / ann_ivf_topk,
+    melted to ``(check, metric, value)`` — every underlying prover still
+    runs in full (agreement against an independently-recomputed exact
+    twin), consolidated so one driver correctness row covers all five
+    within the harness's 50-entry budget."""
+    parts = [
+        ("minhash_lsh_dedup", q_minhash_lsh_dedup(spark, sf_dir)),
+        ("simhash_signatures", q_simhash_signatures(spark, sf_dir)),
+        ("simhash_near_dup_dedup", q_simhash_near_dup_dedup(spark, sf_dir)),
+        ("embedding_near_dup_lsh", q_embedding_near_dup_lsh(spark, sf_dir)),
+        ("ann_ivf_topk", q_ann_ivf_topk(spark, sf_dir)),
+    ]
+    out = _melt_scorecard(parts[0][1], parts[0][0])
+    for check, df in parts[1:]:
+        out = out.unionByName(_melt_scorecard(df, check))
+    return out
 
 
 @query(
@@ -2929,6 +2961,95 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "contamination_report",
+    oracle=f"""
+    WITH {_side_shingles_sql('t', _TRAIN_SRC)}, {_side_shingles_sql('e', _EVAL_SRC)},
+    eu AS (SELECT DISTINCT shingle FROM sh_e)
+    SELECT sh_t.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(SUM(CASE WHEN eu.shingle IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_hit,
+           CAST(SUM(CASE WHEN eu.shingle IS NOT NULL THEN 1 ELSE 0 END)
+                AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS overlap_frac
+    FROM sh_t LEFT JOIN eu USING (shingle)
+    GROUP BY sh_t.doc_id
+    """,
+)
+def q_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document contamination accounting: fraction of each training
+    document's distinct 3-gram shingles found anywhere in the eval half
+    of the corpus (datapipe/dedup.contamination_overlap) — the
+    eval-overlap share report of published LM papers, with no pairwise
+    blowup (the eval side collapses to its distinct-shingle universe)."""
+    from pedsnetdcc_spark.datapipe.dedup import contamination_overlap
+
+    docs = _t(spark, sf_dir, "documents")
+    train = docs.where(F.col("source").isin("src0", "src1", "src2", "src3", "src4"))
+    ev = docs.where(F.col("source").isin("src5", "src6", "src7", "src8", "src9"))
+    return contamination_overlap(train, ev, "doc_id", "text", n=3)
+
+
+@query(
+    "key_skew_profile",
+    oracle="""
+    WITH c AS (
+        SELECT CAST(l_suppkey AS VARCHAR) AS key, COUNT(*) AS n
+        FROM lineitem GROUP BY 1
+    ),
+    tot AS (SELECT SUM(n) AS t FROM c),
+    r AS (SELECT key, n, ROW_NUMBER() OVER (ORDER BY n DESC, key) AS rank
+          FROM c)
+    SELECT key, CAST(n AS BIGINT) AS n, CAST(rank AS INTEGER) AS rank,
+           CAST(n AS DOUBLE) / CAST(t AS DOUBLE) AS share
+    FROM r CROSS JOIN tot WHERE rank <= 10
+    """,
+)
+def q_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter profile of a join key (operators/profile.
+    key_skew_profile): top-10 ``l_suppkey`` values by exact row count
+    with share-of-table — the pre-join skew diagnostic feeding the
+    salting / AQE-skew decision.  Distributed TakeOrdered top-k, no
+    global sort."""
+    from pedsnetdcc_spark.operators.profile import key_skew_profile
+
+    li = _t(spark, sf_dir, "lineitem")
+    return key_skew_profile(li, "l_suppkey", k=10)
+
+
+def _hashed_bow_oracle(dim: int = 64, seed: int = 0) -> str:
+    from pedsnetdcc_spark.datapipe.dedup import portable_hash64_sql
+
+    h = portable_hash64_sql("tok", seed)
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, CAST({h} % {dim} AS INTEGER) AS bucket,
+               COUNT(*) AS tfreq
+        FROM toks GROUP BY doc_id, bucket
+    ),
+    norms AS (SELECT doc_id, SUM(tfreq * tfreq) AS ss FROM tf GROUP BY doc_id)
+    SELECT tf.doc_id, bucket, CAST(tfreq AS BIGINT) AS tf,
+           CAST(tfreq AS DOUBLE) / sqrt(CAST(ss AS DOUBLE)) AS weight
+    FROM tf JOIN norms USING (doc_id)
+    """
+
+
+@query("hashed_bow", oracle=_hashed_bow_oracle())
+def q_hashed_bow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-hashing bag-of-words (datapipe/text.hashed_bow): 64
+    buckets, portable hash family, L2-normalized weights — the
+    model-free featurizer bridging text to the embedding/ANN operators.
+    The L2 weight is IEEE-exact (sqrt and division are
+    exactly-rounded), so no rounding step is needed."""
+    from pedsnetdcc_spark.datapipe.text import hashed_bow
+
+    docs = _t(spark, sf_dir, "documents")
+    return hashed_bow(docs, "doc_id", "text", dim=64, seed=0)
+
+
+@query(
     "corpus_report",
     oracle="""
     SELECT source,
@@ -3443,6 +3564,10 @@ _QUERY_ORDER = [
     "temperature_mixture",
     "corpus_pipeline",
     "lm_perplexity",
+    "contamination_report",
+    "key_skew_profile",
+    "hashed_bow",
+    "near_dup_scorecard",
     # -- 2: keep driver-green (complex / touched this round) -------------
     "pricing_summary",
     "eras",
@@ -3458,20 +3583,15 @@ _QUERY_ORDER = [
     "ngram_jaccard_dedup",
     "ann_cosine_topk",
     "embedding_near_dup",
-    "ann_ivf_topk",
     "minhash_lsh_portable",
-    "minhash_lsh_dedup",
     "simhash_portable",
-    "simhash_signatures",
     "simhash_near_dup",
-    "simhash_near_dup_dedup",
-    "embedding_near_dup_lsh",
     "ann_lsh_topk",
     "multimodal_features",
+    "covid_post_shape",
     # -- 3: past the 50-entry cutoff (stable since round 1/2 — 4 rounds
     #       of green driver verdicts; local oracle parity still
     #       exercises every one each session) ---------------------------
-    "covid_post_shape",
     "interval_months_monthend",
     "not_null_audit",
     "corpus_prep",

@@ -786,3 +786,69 @@ def test_lm_score_foreign_model_drops_oov(spark):
     # terms kept: first token 'a', bigram (a,b); (b,z) and (z,a) have no
     # model bigram count and drop out of the inner join
     assert row["n_tokens"] == 2
+
+
+def test_contamination_overlap_hand_case(spark):
+    from pedsnetdcc_spark.datapipe.dedup import contamination_overlap
+
+    train = spark.createDataFrame(
+        [(1, "a b c d"), (2, "x y z w"), (3, "a b")], ["doc_id", "text"]
+    )
+    ev = spark.createDataFrame([(9, "a b c q")], ["doc_id", "text"])
+    out = {
+        r["doc_id"]: r
+        for r in contamination_overlap(train, ev, "doc_id", "text", n=3).collect()
+    }
+    # doc1 shingles {a b c, b c d}: 'a b c' hits -> 1/2
+    assert out[1]["n_shingles"] == 2 and out[1]["n_hit"] == 1
+    assert out[1]["overlap_frac"] == 0.5
+    # doc2 shares nothing -> 0/2
+    assert out[2]["n_hit"] == 0 and out[2]["overlap_frac"] == 0.0
+    # doc3 is shorter than n=3 tokens -> no shingles, drops out
+    assert 3 not in out
+
+
+def test_key_skew_profile_ranks_and_shares(spark):
+    from pedsnetdcc_spark.operators.profile import key_skew_profile
+
+    df = spark.createDataFrame(
+        [(k,) for k in ["a"] * 5 + ["b"] * 3 + ["c"] * 3 + ["d"]], ["k"]
+    )
+    rows = key_skew_profile(df, "k", k=3).orderBy("rank").collect()
+    assert [(r["key"], r["n"], r["rank"]) for r in rows] == [
+        ("a", 5, 1),
+        ("b", 3, 2),  # tie with c broken by key string
+        ("c", 3, 3),
+    ]
+    assert rows[0]["share"] == 5 / 12
+
+
+def test_hashed_bow_dense_feeds_cosine_topk(spark):
+    """hashed_bow -> hashed_bow_dense must produce unit-norm vectors
+    the similarity operators accept: a doc's nearest neighbor by cosine
+    over the hashed features is its exact duplicate."""
+    from pedsnetdcc_spark.datapipe.similarity import cosine_topk
+    from pedsnetdcc_spark.datapipe.text import hashed_bow, hashed_bow_dense
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),
+            (2, "alpha beta gamma delta"),
+            (3, "epsilon zeta eta theta iota kappa"),
+        ],
+        ["doc_id", "text"],
+    )
+    bow = hashed_bow(docs, "doc_id", "text", dim=32, seed=0)
+    dense = hashed_bow_dense(bow, "doc_id", dim=32)
+    # L2 norm must be 1 for every doc
+    norms = dense.select(
+        "doc_id",
+        F.aggregate(
+            "embedding", F.lit(0.0), lambda acc, x: acc + x.cast("double") * x
+        ).alias("ss"),
+    ).collect()
+    for r in norms:
+        assert abs(r["ss"] - 1.0) < 1e-6
+    top = cosine_topk(dense, dense.where(F.col("doc_id") == 1), "doc_id", "embedding", k=2)
+    neighbors = {r["neighbor_id"] for r in top.collect()}
+    assert 2 in neighbors
