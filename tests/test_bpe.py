@@ -1,0 +1,91 @@
+"""BPE tokenizer: training fixpoint, greedy encoding, determinism.
+
+Training is a driver-coordinated iterative fixpoint (like connected
+components) and thus not SQL-oracle-expressible; these tests pin it to
+the published algorithm instead: the Sennrich et al. 2016 worked
+example, greedy left-to-right application, lossless segmentation, and
+partitioning-invariant merge sequences.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pedsnetdcc_spark.datapipe.bpe import (
+    bpe_encode,
+    bpe_token_counts,
+    train_bpe,
+    word_frequencies,
+)
+
+_CORPUS = ("low " * 5 + "lower " * 2 + "newest " * 6 + "widest " * 3).strip()
+
+
+def test_train_bpe_matches_published_example(spark):
+    """Sennrich et al. 2016 §3.2 corpus {low:5, lower:2, newest:6,
+    widest:3}: first merges are (e,s) [9 occurrences, beats (s,t) on
+    the lexicographic tie-break], (es,t), then (l,o) [7, beats (o,w)]."""
+    df = spark.createDataFrame([(0, _CORPUS)], ["doc_id", "text"])
+    assert train_bpe(df, "text", num_merges=3) == [
+        ("e", "s"),
+        ("es", "t"),
+        ("l", "o"),
+    ]
+
+
+def test_bpe_encode_greedy_and_lossless(spark):
+    df = spark.createDataFrame([(0, _CORPUS)], ["doc_id", "text"])
+    merges = train_bpe(df, "text", num_merges=3)
+    enc = bpe_encode(
+        spark.createDataFrame([(1, "lowest newest")], ["doc_id", "text"]),
+        "text",
+        merges,
+    )
+    toks = enc.collect()[0]["bpe_tokens"]
+    # 'lowest' is unseen; segmentation applies learned merges only
+    assert toks == ["lo", "w", "est", "n", "e", "w", "est"]
+    # lossless: concatenating tokens reproduces the text sans spaces
+    assert "".join(toks) == "lowestnewest"
+
+
+def test_bpe_encode_adjacent_merge_sites_fire_in_one_pass(spark):
+    """Greedy left-to-right: 'lll' under merge (l,l) becomes [ll, l] —
+    the separator-space lookarounds keep adjacent sites matchable."""
+    df = spark.createDataFrame([(1, "lll llll")], ["doc_id", "text"])
+    toks = bpe_encode(df, "text", [("l", "l")]).collect()[0]["bpe_tokens"]
+    assert toks == ["ll", "l", "ll", "ll"]
+
+
+def test_train_bpe_partitioning_invariant(spark):
+    df = spark.createDataFrame(
+        [(i, _CORPUS) for i in range(8)], ["doc_id", "text"]
+    )
+    assert train_bpe(df.repartition(1), "text", num_merges=4) == train_bpe(
+        df.repartition(8), "text", num_merges=4
+    )
+
+
+def test_train_bpe_min_freq_early_stop(spark):
+    """Every pair unique -> nothing reaches min_freq=2, no merges."""
+    df = spark.createDataFrame([(0, "abc def")], ["doc_id", "text"])
+    assert train_bpe(df, "text", num_merges=5, min_freq=2) == []
+
+
+def test_bpe_token_counts_on_corpus(spark, sf_dir):
+    from pedsnetdcc_spark.sources.io import read_table
+
+    docs = read_table(spark, sf_dir, "documents").limit(50)
+    merges = train_bpe(docs, "text", num_merges=8)
+    assert len(merges) == 8
+    out = bpe_token_counts(docs, "doc_id", "text", merges)
+    rows = out.collect()
+    assert len(rows) == 50
+    for r in rows:
+        assert r["n_bpe_tokens"] >= 1
+    enc = bpe_encode(docs, "text", merges)
+    glued = enc.select(
+        "doc_id",
+        (F.concat_ws("", "bpe_tokens") == F.replace(F.col("text"), F.lit(" "), F.lit("")))
+        .alias("ok"),
+    )
+    assert glued.where(~F.col("ok")).count() == 0
