@@ -624,3 +624,107 @@ def semantic_dedup(
         F.col("dup_group"),
         (F.col("dup_group") == F.col(id_col)).alias("keep"),
     )
+
+
+def quantize_embeddings(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qvec_col: str = "qvec",
+    scale_col: str = "qscale",
+) -> DataFrame:
+    """Symmetric per-vector int8 scalar quantization: ``q[i] =
+    round(v[i] * 127 / max|v|)`` plus the per-vector scale — the
+    storage/bandwidth compression step of large ANN systems (FAISS
+    ``SQ8``): 4× smaller than float32, 8× than float64, which at a
+    100 TB embedding store is the difference between shuffling 100 TB
+    and 25 TB.  Composable with IVF/LSH (quantize within cells).
+
+    Deterministic: max/round/divide on doubles (round absorbs libm-free
+    arithmetic; all ops here are IEEE-exact or half-up rounds identical
+    across engines).  Zero vectors quantize to all-zeros with scale 0.
+    """
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    scale = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    q = F.when(scale > 0, F.transform(v, lambda x: F.round(x * 127.0 / scale).cast("int"))).otherwise(
+        F.transform(v, lambda x: F.lit(0))
+    )
+    return df.select(
+        F.col(id_col),
+        q.alias(qvec_col),
+        F.coalesce(scale, F.lit(0.0)).alias(scale_col),
+    )
+
+
+def quantized_topk(
+    candidates: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    rerank_factor: int = 4,
+) -> DataFrame:
+    """Two-stage ANN: coarse top-``k*rerank_factor`` by INT8 quantized
+    dot product (exact integer arithmetic — deterministic, no floating
+    summation at all), then exact float64 cosine re-rank of the
+    survivors — the SQ-compression + re-rank pattern of production
+    vector search.  Returns ``(query_id, rank, neighbor_id, cosine)``
+    like :func:`cosine_topk`.
+
+    Scale shape: the coarse stage streams int8 arrays (4× less data
+    than the exact path) and the exact stage touches only
+    ``k*rerank_factor`` candidates per query.  Both rankings tie-break
+    on the neighbor id, so the result is a pure function of the data.
+    """
+    from pedsnetdcc_spark.util import ensure_parallelism
+
+    qq = quantize_embeddings(queries, id_col, vec_col).select(
+        F.col(id_col).alias("query_id"), F.col("qvec").alias("__qq")
+    )
+    qc = quantize_embeddings(
+        ensure_parallelism(candidates), id_col, vec_col
+    ).select(F.col(id_col).alias("neighbor_id"), F.col("qvec").alias("__qc"))
+    coarse_dot = F.aggregate(
+        F.zip_with(F.col("__qq"), F.col("__qc"), lambda a, b: (a * b).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("__coarse").desc(), F.col("neighbor_id").asc()
+    )
+    shortlist = (
+        qc.crossJoin(F.broadcast(qq))
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("__coarse", coarse_dot)
+        .withColumn("__crank", F.row_number().over(wq))
+        .where(F.col("__crank") <= k * rerank_factor)
+        .select("query_id", "neighbor_id")
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("__qv"),
+    ).withColumn("__qn", _norm(F.col("__qv")))
+    c = candidates.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("__cv"),
+    ).withColumn("__cn", _norm(F.col("__cv")))
+    sims = (
+        shortlist.join(F.broadcast(q), "query_id")
+        .join(c, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            (
+                _dot(F.col("__qv"), F.col("__cv"))
+                / (F.col("__qn") * F.col("__cn"))
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cosine")
+    )

@@ -1886,6 +1886,65 @@ def q_near_dup_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ann_quantized_topk",
+    oracle="""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    sc AS (SELECT vec_id, e,
+                  list_max(list_transform(e, x -> abs(x))) AS scale
+           FROM v),
+    qv AS (SELECT vec_id, e,
+                  CASE WHEN scale > 0
+                       THEN list_transform(e, x -> round(x * 127.0 / scale))
+                       ELSE list_transform(e, x -> 0.0)
+                  END AS q
+           FROM sc),
+    qq AS (SELECT vec_id AS query_id, q AS qup, e AS qe
+           FROM qv WHERE vec_id < 8),
+    coarse AS (
+        SELECT query_id, c.vec_id AS neighbor_id,
+               list_dot_product(qup, c.q) AS cd, qe, c.e AS ce
+        FROM qq JOIN qv c ON c.vec_id <> query_id
+    ),
+    short AS (
+        SELECT query_id, neighbor_id, qe, ce,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cd DESC, neighbor_id) AS cr
+        FROM coarse
+    ),
+    sims AS (
+        SELECT query_id, neighbor_id,
+               list_dot_product(qe, ce)
+               / (sqrt(list_dot_product(qe, qe))
+                  * sqrt(list_dot_product(ce, ce))) AS cosine
+        FROM short WHERE cr <= 20
+    )
+    SELECT query_id,
+           CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id)
+                AS INTEGER) AS rank,
+           neighbor_id, cosine
+    FROM sims
+    QUALIFY rank <= 5
+    """,
+)
+def q_ann_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar-quantized ANN with exact re-rank
+    (datapipe/similarity.quantized_topk): coarse shortlist by exact
+    integer quantized dot product (k*4), float64 cosine re-rank — the
+    SQ8-compression pattern of production vector search, oracle-checked
+    end to end (integer coarse scores are engine-exact; the int8 dot
+    of 64 dims fits doubles exactly, so DuckDB's double summation
+    agrees bit for bit)."""
+    from pedsnetdcc_spark.datapipe.similarity import quantized_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 8)
+    return quantized_topk(
+        emb, queries_df, "vec_id", "embedding", k=5, rerank_factor=4
+    )
+
+
+@query(
     "ann_lsh_topk",
     oracle="""
     SELECT vec_id AS query_id, CAST(5 AS BIGINT) AS k_returned,
@@ -3568,6 +3627,7 @@ _QUERY_ORDER = [
     "key_skew_profile",
     "hashed_bow",
     "near_dup_scorecard",
+    "ann_quantized_topk",
     # -- 2: keep driver-green (complex / touched this round) -------------
     "pricing_summary",
     "eras",
@@ -3588,10 +3648,10 @@ _QUERY_ORDER = [
     "simhash_near_dup",
     "ann_lsh_topk",
     "multimodal_features",
-    "covid_post_shape",
     # -- 3: past the 50-entry cutoff (stable since round 1/2 — 4 rounds
     #       of green driver verdicts; local oracle parity still
     #       exercises every one each session) ---------------------------
+    "covid_post_shape",
     "interval_months_monthend",
     "not_null_audit",
     "corpus_prep",

@@ -852,3 +852,38 @@ def test_hashed_bow_dense_feeds_cosine_topk(spark):
     top = cosine_topk(dense, dense.where(F.col("doc_id") == 1), "doc_id", "embedding", k=2)
     neighbors = {r["neighbor_id"] for r in top.collect()}
     assert 2 in neighbors
+
+
+def test_quantize_embeddings_bounds_and_error(spark, sf_dir):
+    from pedsnetdcc_spark.datapipe.similarity import quantize_embeddings
+
+    emb = read_table(spark, sf_dir, "embeddings").limit(100)
+    q = quantize_embeddings(emb, "vec_id", "embedding").join(
+        emb.select("vec_id", "embedding"), "vec_id"
+    )
+    rows = q.collect()
+    assert len(rows) == 100
+    for r in rows:
+        assert all(-127 <= x <= 127 for x in r["qvec"])
+        assert max(abs(v) for v in r["embedding"]) > 0
+        # dequantization error bound: |v - q*scale/127| <= scale/254
+        s = r["qscale"]
+        for v, qi in zip(r["embedding"], r["qvec"]):
+            assert abs(v - qi * s / 127.0) <= s / 254.0 + 1e-9
+
+
+def test_quantized_topk_recall_vs_exact(spark, sf_dir):
+    """int8 coarse + re-rank must recover nearly all exact neighbors
+    (SQ8 keeps ~7 significant bits; with a 4x shortlist the top-5
+    should be essentially exact on this corpus)."""
+    from pedsnetdcc_spark.datapipe.similarity import cosine_topk, quantized_topk
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 8)
+    exact = cosine_topk(emb, queries_df, "vec_id", "embedding", k=5)
+    quant = quantized_topk(emb, queries_df, "vec_id", "embedding", k=5, rerank_factor=4)
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    qs = {(r["query_id"], r["neighbor_id"]) for r in quant.collect()}
+    assert len(qs) == len(e)
+    recall = len(e & qs) / len(e)
+    assert recall >= 0.9, recall
