@@ -204,3 +204,33 @@ def test_clustered_write_yields_prunable_layout(spark, sf_dir, tmp_path):
         # next file starts at or after this file's end (same key may
         # straddle the boundary, but ranges never nest)
         assert lo_b >= hi_a
+
+
+def test_export_import_roundtrip_all_formats(spark, sf_dir, tmp_path):
+    """documents roundtrips bit-exact through every interchange format
+    (parquet/ORC self-describing; csv/json under the explicit schema)."""
+    from pedsnetdcc_spark.sources.formats import export_table, import_table
+
+    docs = read_table(spark, sf_dir, "documents").limit(100)
+    want = sorted(map(tuple, docs.collect()))
+    for fmt in ("parquet", "orc", "csv", "json"):
+        path = str(tmp_path / f"docs_{fmt}")
+        export_table(docs, path, fmt=fmt)
+        back = import_table(
+            spark, path, fmt=fmt,
+            schema=docs.schema if fmt in ("csv", "json") else None,
+        )
+        assert back.schema == docs.schema, fmt
+        assert sorted(map(tuple, back.collect())) == want, fmt
+
+
+def test_export_import_rejects_unknown_and_schemaless(spark, sf_dir, tmp_path):
+    import pytest as _pytest
+
+    from pedsnetdcc_spark.sources.formats import export_table, import_table
+
+    docs = read_table(spark, sf_dir, "documents").limit(5)
+    with _pytest.raises(ValueError):
+        export_table(docs, str(tmp_path / "x"), fmt="avro")
+    with _pytest.raises(ValueError):
+        import_table(spark, str(tmp_path / "x"), fmt="csv")
