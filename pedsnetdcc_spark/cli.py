@@ -428,6 +428,70 @@ def cmd_corpus_pipeline(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_lm_score(args: argparse.Namespace) -> int:
+    """Bigram-LM perplexity scoring: append n_tokens/sum_logp/avg_logp
+    quality signals to every document (datapipe/text.lm_score)."""
+    spark = _session(args)
+    from pedsnetdcc_spark.datapipe.text import lm_score
+
+    docs = _read(spark, args.input, args.table)
+    scores = lm_score(docs, args.id_col, args.text_col)
+    _publish(spark, args.output, {f"{args.table}_lm_scores": scores})
+    return 0
+
+
+def cmd_contamination_report(args: argparse.Namespace) -> int:
+    """Per-document eval-overlap share of a training corpus
+    (datapipe/dedup.contamination_overlap); prints the count of
+    documents above the overlap threshold."""
+    from pyspark.sql import functions as F
+
+    from pedsnetdcc_spark.datapipe.dedup import contamination_overlap
+
+    spark = _session(args)
+    train = _read(spark, args.input, args.table)
+    ev = _read(spark, args.eval_ns, args.eval_table)
+    report = contamination_overlap(
+        train, ev, args.id_col, args.text_col, n=args.ngram
+    ).cache()
+    n_flagged = report.where(F.col("overlap_frac") >= args.threshold).count()
+    _publish(spark, args.output, {f"{args.table}_contamination": report})
+    report.unpersist()
+    print(json.dumps({"flagged": n_flagged, "threshold": args.threshold}))
+    return 0
+
+
+def cmd_skew_profile(args: argparse.Namespace) -> int:
+    """Join-key heavy-hitter profile: top-k values with exact counts
+    and share (operators/profile.key_skew_profile), one JSON line per
+    key — the pre-join salting/AQE diagnostic."""
+    from pedsnetdcc_spark.operators.profile import key_skew_profile
+
+    spark = _session(args)
+    df = _read(spark, args.input, args.table)
+    for r in key_skew_profile(df, args.key_col, k=args.top).collect():
+        print(json.dumps(r.asDict()))
+    return 0
+
+
+def cmd_bpe_train(args: argparse.Namespace) -> int:
+    """Train a BPE tokenizer on the corpus and write the ordered merge
+    list as JSON; optionally publish per-document token counts under
+    the trained vocabulary (datapipe/bpe)."""
+    from pedsnetdcc_spark.datapipe.bpe import bpe_token_counts, train_bpe
+
+    spark = _session(args)
+    docs = _read(spark, args.input, args.table)
+    merges = train_bpe(docs, args.text_col, num_merges=args.merges)
+    with open(args.merges_out, "w") as f:
+        json.dump([list(m) for m in merges], f)
+    print(json.dumps({"merges": len(merges), "out": args.merges_out}))
+    if args.output:
+        counts = bpe_token_counts(docs, args.id_col, args.text_col, merges)
+        _publish(spark, args.output, {f"{args.table}_bpe_counts": counts})
+    return 0
+
+
 def cmd_corpus_export(args: argparse.Namespace) -> int:
     """Export a namespace table as JSONL shards (sources/jsonl)."""
     from pedsnetdcc_spark.sources.jsonl import write_jsonl
@@ -621,6 +685,44 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--budget-frac", type=float, default=0.5)
     sp.add_argument("--seed", type=int, default=0)
     sp.set_defaults(fn=cmd_corpus_pipeline)
+
+    sp = sub.add_parser("lm-score", help="bigram-LM perplexity quality signals")
+    ns(sp)
+    sp.add_argument("--table", default="documents")
+    sp.add_argument("--id-col", default="doc_id")
+    sp.add_argument("--text-col", default="text")
+    sp.set_defaults(fn=cmd_lm_score)
+
+    sp = sub.add_parser(
+        "contamination-report", help="per-doc eval-overlap share of a train corpus"
+    )
+    ns(sp)
+    sp.add_argument("--eval-ns", required=True, help="eval corpus namespace dir")
+    sp.add_argument("--eval-table", default="documents")
+    sp.add_argument("--table", default="documents")
+    sp.add_argument("--id-col", default="doc_id")
+    sp.add_argument("--text-col", default="text")
+    sp.add_argument("--ngram", type=int, default=3)
+    sp.add_argument("--threshold", type=float, default=0.5)
+    sp.set_defaults(fn=cmd_contamination_report)
+
+    sp = sub.add_parser("skew-profile", help="top-k heavy-hitter keys (JSON lines)")
+    ns(sp, output=False)
+    sp.add_argument("--table", required=True)
+    sp.add_argument("--key-col", required=True)
+    sp.add_argument("--top", type=int, default=10)
+    sp.set_defaults(fn=cmd_skew_profile)
+
+    sp = sub.add_parser("bpe-train", help="train a BPE tokenizer; write merges JSON")
+    sp.add_argument("--input", "-i", required=True, help="input namespace dir")
+    sp.add_argument("--output", "-o", default=None,
+                    help="optional store root for per-doc token counts")
+    sp.add_argument("--merges-out", required=True, help="merge-list JSON path")
+    sp.add_argument("--table", default="documents")
+    sp.add_argument("--id-col", default="doc_id")
+    sp.add_argument("--text-col", default="text")
+    sp.add_argument("--merges", type=int, default=32)
+    sp.set_defaults(fn=cmd_bpe_train)
 
     sp = sub.add_parser("corpus-export", help="export a table as JSONL shards")
     sp.add_argument("--input", "-i", required=True, help="input namespace dir")

@@ -270,3 +270,59 @@ def test_cli_corpus_pipeline(spark, sf_dir, tmp_path, capsys):
     assert published.count() == rep["published"]
     assert {"doc_id", "source", "text_deduped", "n_chunks"} <= set(published.columns)
     shutil.rmtree(ns, ignore_errors=True)
+
+
+def test_cli_lm_contamination_skew_bpe(spark, sf_dir, tmp_path, capsys):
+    import json
+    import shutil
+
+    from pedsnetdcc_spark.cli import main
+    from pedsnetdcc_spark.sources.io import read_table
+
+    ns = tmp_path / "ns"
+    ns.mkdir()
+    docs = read_table(spark, sf_dir, "documents")
+    docs.write.parquet(str(ns / "documents"))
+    read_table(spark, sf_dir, "lineitem").write.parquet(str(ns / "lineitem"))
+
+    out = tmp_path / "lm_out"
+    assert main(["lm-score", "-i", str(ns), "-o", str(out)]) == 0
+    scored = read_table(spark, str(out / "current"), "documents_lm_scores")
+    assert scored.count() == docs.count()
+    assert {"doc_id", "n_tokens", "sum_logp", "avg_logp"} <= set(scored.columns)
+    capsys.readouterr()
+
+    out2 = tmp_path / "contam_out"
+    assert (
+        main(
+            [
+                "contamination-report", "-i", str(ns), "-o", str(out2),
+                "--eval-ns", str(ns), "--threshold", "0.99",
+            ]
+        )
+        == 0
+    )
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    # eval corpus == train corpus: every doc fully overlaps itself
+    assert rep["flagged"] == docs.count()
+
+    assert (
+        main(["skew-profile", "-i", str(ns), "--table", "lineitem",
+              "--key-col", "l_suppkey", "--top", "5"])
+        == 0
+    )
+    lines = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert len(lines) == 5 and lines[0]["rank"] == 1
+
+    merges_path = tmp_path / "merges.json"
+    out3 = tmp_path / "bpe_out"
+    assert (
+        main(["bpe-train", "-i", str(ns), "-o", str(out3),
+              "--merges-out", str(merges_path), "--merges", "4"])
+        == 0
+    )
+    merges = json.load(open(merges_path))
+    assert len(merges) == 4 and all(len(m) == 2 for m in merges)
+    counts = read_table(spark, str(out3 / "current"), "documents_bpe_counts")
+    assert counts.count() == docs.count()
+    shutil.rmtree(ns, ignore_errors=True)
