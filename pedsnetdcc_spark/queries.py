@@ -1871,10 +1871,53 @@ def q_near_dup_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
     melted to ``(check, metric, value)`` — every underlying prover still
     runs in full (agreement against an independently-recomputed exact
     twin), consolidated so one driver correctness row covers all five
-    within the harness's 50-entry budget."""
+    within the harness's 50-entry budget.
+
+    The minhash and simhash provers SHARE one exact-Jaccard pair
+    computation (the dominant cost): pairs at τ≥0.4 are a filter of the
+    τ≥0.2 set under the same DF-capped measure, so both consumers hang
+    off the SAME DataFrame and Spark's shuffle-stage reuse computes the
+    posting-list self-join once.  Deliberately NOT cached: measured
+    14.5 s cached vs 10.6 s uncached at sf0.1 — the cache adds a
+    materialization barrier and heap pressure while shuffle reuse
+    already deduplicates the work."""
+    from pedsnetdcc_spark.datapipe.agreement import (
+        pair_set_agreement,
+        signature_locality,
+    )
+    from pedsnetdcc_spark.datapipe.dedup import (
+        minhash_dedup_pairs,
+        ngram_jaccard_pairs,
+        simhash64,
+    )
+    from pedsnetdcc_spark.datapipe.text import shingle_ngrams
+
+    docs = _t(spark, sf_dir, "documents")
+    sh = shingle_ngrams(
+        docs.repartition(F.col("doc_id")), "doc_id", "text", n=3
+    )
+    exact02 = ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.2, max_df=100, shingles=sh
+    )
+    minhash_prod = minhash_dedup_pairs(
+        docs, "doc_id", "text", n=3, num_hashes=16, num_bands=4,
+        threshold=0.2, shingles=sh,
+    )
+    corpus = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     parts = [
-        ("minhash_lsh_dedup", q_minhash_lsh_dedup(spark, sf_dir)),
-        ("simhash_signatures", q_simhash_signatures(spark, sf_dir)),
+        (
+            "minhash_lsh_dedup",
+            pair_set_agreement(minhash_prod, exact02, min_recall_pct=80),
+        ),
+        (
+            "simhash_signatures",
+            signature_locality(
+                simhash64(docs, "doc_id", "text"),
+                exact02.where(F.col("jaccard") >= 0.4),
+                corpus,
+                max_hamming=16,
+            ),
+        ),
         ("simhash_near_dup_dedup", q_simhash_near_dup_dedup(spark, sf_dir)),
         ("embedding_near_dup_lsh", q_embedding_near_dup_lsh(spark, sf_dir)),
         ("ann_ivf_topk", q_ann_ivf_topk(spark, sf_dir)),
