@@ -89,3 +89,46 @@ def test_bpe_token_counts_on_corpus(spark, sf_dir):
         .alias("ok"),
     )
     assert glued.where(~F.col("ok")).count() == 0
+
+
+def test_bpe_property_lossless_random_corpora(spark):
+    """Property (batched into one Spark pass): for random corpora, the
+    trained tokenizer's segmentation of ANY document concatenates back
+    to the original text sans spaces, and never yields empty tokens —
+    pure-Python reference segmentation agrees with the column
+    expression."""
+    import random
+
+    rng = random.Random(11)
+    alphabet = "abcde"
+    corpora = []
+    for case in range(6):
+        words = [
+            "".join(rng.choice(alphabet) for _ in range(rng.randrange(1, 8)))
+            for _ in range(rng.randrange(3, 25))
+        ]
+        corpora.append((case, " ".join(words)))
+    df = spark.createDataFrame(corpora, ["doc_id", "text"])
+    merges = train_bpe(df, "text", num_merges=6, min_freq=1)
+
+    def py_segment(word: str) -> list[str]:
+        syms = list(word)
+        for a, b in merges:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return syms
+
+    enc = {r["doc_id"]: r["bpe_tokens"] for r in bpe_encode(df, "text", merges).collect()}
+    for doc_id, text in corpora:
+        toks = enc[doc_id]
+        assert "".join(toks) == text.replace(" ", "")
+        assert all(toks), toks
+        expect = [t for w in text.split(" ") for t in py_segment(w)]
+        assert toks == expect, (doc_id, toks, expect)
