@@ -303,15 +303,27 @@ def cmd_profile(args: argparse.Namespace) -> int:
 def cmd_corpus_pack(args: argparse.Namespace) -> int:
     """Token-count then pack documents into fixed-budget training bins
     (datapipe/sampling.pack_sequences); publishes the input table with
-    (n_tokens, shard, bin, bin_offset) appended."""
+    (n_tokens, shard, bin, bin_offset) appended.  With ``--bpe-merges``
+    (a merge-list JSON from ``bpe-train``) budgets use the trained BPE
+    vocabulary instead of whitespace counts."""
     from pyspark.sql import functions as F
 
     from pedsnetdcc_spark.datapipe.sampling import pack_sequences
 
     spark = _session(args)
-    docs = _read(spark, args.input, args.table).withColumn(
-        "n_tokens", F.size(F.split(F.col(args.text_col), " ")).cast("long")
-    )
+    docs = _read(spark, args.input, args.table)
+    if args.bpe_merges:
+        from pedsnetdcc_spark.datapipe.bpe import bpe_token_counts
+
+        merges = [tuple(m) for m in json.load(open(args.bpe_merges))]
+        counts = bpe_token_counts(docs, args.id_col, args.text_col, merges)
+        docs = docs.join(
+            counts.withColumnRenamed("n_bpe_tokens", "n_tokens"), args.id_col
+        )
+    else:
+        docs = docs.withColumn(
+            "n_tokens", F.size(F.split(F.col(args.text_col), " ")).cast("long")
+        )
     packed = pack_sequences(
         docs, args.id_col, "n_tokens",
         budget=args.budget, shards=args.shards, seed=args.seed,
@@ -634,6 +646,8 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--budget", type=int, default=2048)
     sp.add_argument("--shards", type=int, default=32)
     sp.add_argument("--seed", type=int, default=0)
+    sp.add_argument("--bpe-merges", default=None,
+                    help="merge-list JSON from bpe-train: budget in BPE tokens")
     sp.set_defaults(fn=cmd_corpus_pack)
 
     sp = sub.add_parser("corpus-shuffle", help="deterministic epoch-shuffle rank")

@@ -326,3 +326,35 @@ def test_cli_lm_contamination_skew_bpe(spark, sf_dir, tmp_path, capsys):
     counts = read_table(spark, str(out3 / "current"), "documents_bpe_counts")
     assert counts.count() == docs.count()
     shutil.rmtree(ns, ignore_errors=True)
+
+
+def test_cli_corpus_pack_with_bpe_merges(spark, sf_dir, tmp_path, capsys):
+    import json
+    import shutil
+
+    from pedsnetdcc_spark.cli import main
+    from pedsnetdcc_spark.sources.io import read_table
+
+    ns = tmp_path / "ns"
+    ns.mkdir()
+    docs = read_table(spark, sf_dir, "documents")
+    docs.write.parquet(str(ns / "documents"))
+
+    merges_path = tmp_path / "merges.json"
+    assert main(["bpe-train", "-i", str(ns), "--merges-out", str(merges_path),
+                 "--merges", "4"]) == 0
+    capsys.readouterr()
+    out = tmp_path / "pack_out"
+    assert main(["corpus-pack", "-i", str(ns), "-o", str(out),
+                 "--bpe-merges", str(merges_path), "--budget", "256"]) == 0
+    packed = read_table(spark, str(out / "current"), "documents")
+    assert packed.count() == docs.count()
+    assert {"n_tokens", "shard", "bin", "bin_offset"} <= set(packed.columns)
+    # BPE merging can only reduce the whitespace-char token count
+    from pyspark.sql import functions as F
+
+    over = packed.where(
+        F.col("n_tokens") > F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+    )
+    assert over.count() == 0
+    shutil.rmtree(ns, ignore_errors=True)
