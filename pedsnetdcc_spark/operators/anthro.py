@@ -48,13 +48,19 @@ def asof_match_nearest(
     tolerance_sec: int,
     right_cols: dict[str, str],
     tie: str = "earlier",
+    direction: str = "nearest",
 ) -> DataFrame:
-    """For each left row, attach the nearest right row (by absolute
-    timestamp difference) within ``tolerance_sec``; unmatched left rows
-    keep NULLs.  ``right_cols`` maps right-side column → output name.
+    """For each left row, attach the matching right row within
+    ``tolerance_sec``; unmatched left rows keep NULLs.  ``right_cols``
+    maps right-side column → output name.  ``direction`` follows the
+    pandas ``merge_asof`` convention: ``"nearest"`` (smallest absolute
+    timestamp difference — the reference's BMI pairing), ``"backward"``
+    (latest right row at-or-before the left row — the classic as-of
+    join of trades⋈quotes / DuckDB ASOF JOIN, oracle-checked against
+    it), or ``"forward"`` (earliest right row at-or-after).
 
-    Tie on equal distance goes to the earlier right row ("earlier") or
-    the later one ("later").
+    Tie on equal nearest distance goes to the earlier right row
+    ("earlier") or the later one ("later").
 
     Implementation: union the two streams tagged by side, sort within
     key by (timestamp, side-tag); ``last(right, ignorenulls)`` over the
@@ -116,11 +122,22 @@ def asof_match_nearest(
     d_next = F.col("__next___tsl") - F.col("__tsl")
     prev_ok = F.col("__prev___tsl").isNotNull() & (d_prev <= tol_us)
     next_ok = F.col("__next___tsl").isNotNull() & (d_next <= tol_us)
-    if tie == "earlier":
-        use_prev = prev_ok & (~next_ok | (d_prev <= d_next))
+    if direction == "backward":
+        use_prev, use_next = prev_ok, F.lit(False)
+    elif direction == "forward":
+        # a same-instant right row sorts into the PREVIOUS frame (side
+        # tie-order); at-or-after must still take it, at distance 0
+        same_instant = prev_ok & (d_prev == 0)
+        use_prev = same_instant
+        use_next = next_ok & ~same_instant
+    elif direction == "nearest":
+        if tie == "earlier":
+            use_prev = prev_ok & (~next_ok | (d_prev <= d_next))
+        else:
+            use_prev = prev_ok & (~next_ok | (d_prev < d_next))
+        use_next = next_ok & ~use_prev
     else:
-        use_prev = prev_ok & (~next_ok | (d_prev < d_next))
-    use_next = next_ok & ~use_prev
+        raise ValueError(f"unknown direction {direction!r}")
 
     for src, out_name in right_cols.items():
         out = out.withColumn(

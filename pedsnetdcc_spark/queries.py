@@ -1019,6 +1019,68 @@ def q_asof_pair(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "asof_backward",
+    oracle=f"""
+    WITH l AS (SELECT event_id, user_id, ts FROM events
+               WHERE event_type = 'click'),
+    r AS (SELECT user_id, ts, event_id, value FROM events
+          WHERE event_type = 'view')
+    SELECT l.event_id, l.user_id,
+           CASE WHEN r.ts IS NOT NULL
+                     AND epoch_us(l.ts) - epoch_us(r.ts)
+                         <= CAST({_ASOF_TOL_SEC} AS BIGINT) * 1000000
+                THEN r.event_id END AS view_event_id,
+           CASE WHEN r.ts IS NOT NULL
+                     AND epoch_us(l.ts) - epoch_us(r.ts)
+                         <= CAST({_ASOF_TOL_SEC} AS BIGINT) * 1000000
+                THEN r.value END AS view_value,
+           CASE WHEN r.ts IS NOT NULL
+                     AND epoch_us(l.ts) - epoch_us(r.ts)
+                         <= CAST({_ASOF_TOL_SEC} AS BIGINT) * 1000000
+                THEN CAST(epoch_us(l.ts) - epoch_us(r.ts) AS BIGINT)
+           END AS match_dist_us
+    FROM l ASOF LEFT JOIN r
+      ON l.user_id = r.user_id AND l.ts >= r.ts
+    """,
+)
+def q_asof_backward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic backward as-of join (trades⋈quotes shape): each click
+    attaches the LATEST preceding view within the tolerance window —
+    ``asof_match_nearest(direction="backward")``, oracle-checked
+    against DuckDB's native ASOF JOIN.  Same single-shuffle union +
+    window-carry plan as the nearest-match variant."""
+    from pedsnetdcc_spark.operators.anthro import asof_match_nearest
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("__v_id"),
+        F.col("value").alias("__v_val"),
+    )
+    out = asof_match_nearest(
+        clicks,
+        views,
+        keys=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        tolerance_sec=_ASOF_TOL_SEC,
+        right_cols={"__v_id": "view_event_id", "__v_val": "view_value"},
+        direction="backward",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "view_event_id",
+        "view_value",
+        F.col("__match_dist_us").alias("match_dist_us"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # LMS z-score (X3): broadcast reference-table standardization,
 # z = ((v/M)^L - 1)/(L*S) — growth-chart method with a constant demo
@@ -3671,6 +3733,7 @@ _QUERY_ORDER = [
     "hashed_bow",
     "near_dup_scorecard",
     "ann_quantized_topk",
+    "asof_backward",
     # -- 2: keep driver-green (complex / touched this round) -------------
     "pricing_summary",
     "eras",
@@ -3682,7 +3745,6 @@ _QUERY_ORDER = [
     "pk_violations",
     "asof_pair",
     "table_profile",
-    "dedup_exact",
     "ngram_jaccard_dedup",
     "ann_cosine_topk",
     "embedding_near_dup",
@@ -3718,6 +3780,7 @@ _QUERY_ORDER = [
     "text_signals",
     "doc_fingerprint",
     "table_profile_approx",
+    "dedup_exact",
 ]
 
 assert set(_QUERY_ORDER) == set(QUERIES), (

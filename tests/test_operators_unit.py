@@ -252,3 +252,40 @@ def test_jsonl_roundtrip_and_quarantine(spark, tmp_path, sf_dir):
     assert good.count() == 1 and quarantined.count() == 1
     assert quarantined.first()["doc_id"] is None
     rows.unpersist()
+
+
+def test_asof_direction_modes(spark):
+    """backward takes the latest at-or-before, forward the earliest
+    at-or-after, nearest the closest — all within tolerance."""
+    from datetime import datetime
+
+    from pedsnetdcc_spark.operators.anthro import asof_match_nearest
+
+    t = lambda s: datetime.fromisoformat(f"2024-01-01 00:{s}")
+    left = spark.createDataFrame([(1, 1, t("10:00"))], ["event_id", "k", "ts"])
+    right = spark.createDataFrame(
+        [(1, t("09:00"), 90.0), (1, t("10:00"), 100.0), (1, t("10:30"), 103.0)],
+        ["k", "ts", "v"],
+    )
+    def run(direction, tol=3600):
+        out = asof_match_nearest(
+            left, right, ["k"], "ts", "ts", tol, {"v": "rv"}, direction=direction
+        ).collect()[0]
+        return out["rv"]
+
+    assert run("backward") == 100.0   # same-instant counts as at-or-before
+    assert run("forward") == 100.0    # ... and as at-or-after
+    assert run("nearest") == 100.0
+    # shift left to 10:10: backward -> 10:00, forward -> 10:30
+    left2 = spark.createDataFrame([(1, 1, t("10:10"))], ["event_id", "k", "ts"])
+    def run2(direction, tol=3600):
+        out = asof_match_nearest(
+            left2, right, ["k"], "ts", "ts", tol, {"v": "rv"}, direction=direction
+        ).collect()[0]
+        return out["rv"]
+
+    assert run2("backward") == 100.0
+    assert run2("forward") == 103.0
+    assert run2("nearest") == 100.0  # 10 s back beats 20 s forward
+    # tolerance excludes everything -> NULL
+    assert run2("backward", tol=5) is None
