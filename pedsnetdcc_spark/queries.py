@@ -1020,6 +1020,41 @@ def q_asof_pair(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "interval_overlap_join",
+    oracle="""
+    WITH p AS (SELECT user_id, event_id, ts AS s, ts + INTERVAL 1 HOUR AS e
+               FROM events WHERE event_type = 'purchase'),
+    v AS (SELECT user_id, event_id, ts AS s, ts + INTERVAL 1 HOUR AS e
+          FROM events WHERE event_type = 'view')
+    SELECT p.user_id, p.event_id AS l_event_id, v.event_id AS r_event_id
+    FROM p JOIN v
+      ON p.user_id = v.user_id AND p.s <= v.e AND v.s <= p.e
+    """,
+)
+def q_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generic interval-overlap join (operators/interval_join): pairs
+    of purchase/view 1-hour windows that overlap per user, via
+    time-bucket candidate generation + exact verify — the temporal-
+    binning remedy for the BroadcastNestedLoop plan a bare range
+    predicate gets; each pair is emitted exactly once (overlap-start
+    bucket rule), oracle-checked against the plain SQL range join."""
+    from pedsnetdcc_spark.operators.interval_join import interval_join
+
+    ev = _t(spark, sf_dir, "events")
+    hour = F.expr("INTERVAL 1 HOUR")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", F.col("ts").alias("s"), (F.col("ts") + hour).alias("e")
+    )
+    v = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "event_id", F.col("ts").alias("s"), (F.col("ts") + hour).alias("e")
+    )
+    out = interval_join(
+        p, v, ["user_id"], "s", "e", "s", "e", bucket_seconds=3600
+    )
+    return out.select("user_id", "l_event_id", "r_event_id")
+
+
+@query(
     "asof_backward",
     oracle=f"""
     WITH l AS (SELECT event_id, user_id, ts FROM events
@@ -3734,6 +3769,7 @@ _QUERY_ORDER = [
     "near_dup_scorecard",
     "ann_quantized_topk",
     "asof_backward",
+    "interval_overlap_join",
     # -- 2: keep driver-green (complex / touched this round) -------------
     "pricing_summary",
     "eras",
@@ -3742,7 +3778,6 @@ _QUERY_ORDER = [
     "integrity_counts",
     "id_mapping",
     "subset_polymorphic",
-    "pk_violations",
     "asof_pair",
     "table_profile",
     "ngram_jaccard_dedup",
@@ -3781,6 +3816,7 @@ _QUERY_ORDER = [
     "doc_fingerprint",
     "table_profile_approx",
     "dedup_exact",
+    "pk_violations",
 ]
 
 assert set(_QUERY_ORDER) == set(QUERIES), (

@@ -289,3 +289,38 @@ def test_asof_direction_modes(spark):
     assert run2("nearest") == 100.0  # 10 s back beats 20 s forward
     # tolerance excludes everything -> NULL
     assert run2("backward", tol=5) is None
+
+
+def test_interval_join_once_per_pair_and_semi(spark):
+    """Intervals spanning MANY buckets must still emit each overlapping
+    pair exactly once (overlap-start-bucket rule), regardless of bucket
+    width; left_semi keeps each left row once."""
+    from datetime import datetime
+
+    from pedsnetdcc_spark.operators.interval_join import interval_join
+
+    t = lambda h: datetime.fromisoformat(f"2024-01-01 {h:02d}:00")
+    left = spark.createDataFrame(
+        [(1, 10, t(0), t(12)), (1, 11, t(20), t(21)), (2, 12, t(0), t(23))],
+        ["k", "lid", "s", "e"],
+    )
+    right = spark.createDataFrame(
+        [(1, 20, t(6), t(7)), (1, 21, t(11), t(22)), (2, 22, t(1), t(2)),
+         (3, 23, t(0), t(23))],
+        ["k", "rid", "s", "e"],
+    )
+    for width in (600, 3600, 86400):
+        pairs = sorted(
+            (r["k"], r["l_lid"], r["r_rid"])
+            for r in interval_join(
+                left, right, ["k"], "s", "e", "s", "e", bucket_seconds=width
+            ).collect()
+        )
+        assert pairs == [(1, 10, 20), (1, 10, 21), (1, 11, 21), (2, 12, 22)], (
+            width, pairs,
+        )
+    semi = interval_join(
+        left, right, ["k"], "s", "e", "s", "e", bucket_seconds=3600,
+        how="left_semi",
+    )
+    assert sorted(r["l_lid"] for r in semi.collect()) == [10, 11, 12]
