@@ -240,18 +240,18 @@ def test_bucketed_join_is_shuffle_free(spark, sf_dir, tmp_path):
     """Co-bucketed tables join with NO Exchange on either side — the
     bucketing lever for recurring big-big joins (fact x id-map) where
     one avoided shuffle is the dominant cost at scale."""
-    from pedsnetdcc_spark.sources.bucketing import bucketed_join, write_bucketed
+    from pedsnetdcc_spark.sources.bucketed import bucketed_join, write_bucketed
 
     orders = read_table(spark, sf_dir, "orders")
     lineitem = read_table(spark, sf_dir, "lineitem")
     write_bucketed(
-        orders, "b_orders", ["o_orderkey"], 4, str(tmp_path / "b_orders"),
-        sort_cols=["o_orderkey"],
+        orders, "b_orders", "o_orderkey", num_buckets=4,
+        path=str(tmp_path / "b_orders"),
     )
     write_bucketed(
         lineitem.withColumnRenamed("l_orderkey", "o_orderkey"),
-        "b_lineitem", ["o_orderkey"], 4, str(tmp_path / "b_lineitem"),
-        sort_cols=["o_orderkey"],
+        "b_lineitem", "o_orderkey", num_buckets=4,
+        path=str(tmp_path / "b_lineitem"),
     )
     # disable broadcast to surface the big-big join shape the layout is
     # FOR (at sf0.001 the planner would broadcast instead — broadcasting
@@ -261,7 +261,7 @@ def test_bucketed_join_is_shuffle_free(spark, sf_dir, tmp_path):
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
     try:
-        joined = bucketed_join(spark, "b_orders", "b_lineitem", ["o_orderkey"])
+        joined = bucketed_join(spark, "b_orders", "b_lineitem", "o_orderkey")
         plan = joined._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan, plan
         assert "SortMergeJoin" in plan
@@ -281,3 +281,38 @@ def test_bucketed_join_is_shuffle_free(spark, sf_dir, tmp_path):
             spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", prev_aqe)
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_zorder_write_tightens_both_columns(spark, sf_dir, tmp_path):
+    """Z-order on (l_orderkey, l_partkey) must give BOTH columns
+    prunable per-file ranges; linear clustering on l_orderkey alone
+    leaves l_partkey files at ~full width. Compare average file-range
+    width per column across the two layouts."""
+    from pedsnetdcc_spark.sources.clustering import (
+        clustered_write,
+        leading_column_file_ranges,
+        zorder_write,
+    )
+
+    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    lin = str(tmp_path / "linear")
+    zo = str(tmp_path / "zorder")
+    clustered_write(li, lin, ["l_orderkey"], num_files=16)
+    zorder_write(li, zo, ["l_orderkey", "l_partkey"], num_files=16)
+
+    def avg_width(path, col):
+        rs = leading_column_file_ranges(path, col)
+        assert rs
+        return sum(hi - lo for lo, hi in rs) / len(rs)
+
+    def global_width(col):
+        row = li.agg(F.min(col), F.max(col)).first()
+        return row[1] - row[0]
+
+    # same row count both layouts
+    assert spark.read.parquet(zo).count() == li.count()
+    # z-order: both dimensions materially tighter than global width
+    assert avg_width(zo, "l_orderkey") < 0.5 * global_width("l_orderkey")
+    assert avg_width(zo, "l_partkey") < 0.5 * global_width("l_partkey")
+    # and on the NON-leading column, z-order beats the linear layout
+    assert avg_width(zo, "l_partkey") < 0.75 * avg_width(lin, "l_partkey")
