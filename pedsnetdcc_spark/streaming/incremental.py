@@ -382,3 +382,43 @@ def streaming_lsh_near_dup(
     return banded.groupBy("band", "bucket").applyInPandasWithState(
         fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
     )
+
+
+def streaming_time_bounded_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: Sequence[str],
+    l_ts: str,
+    r_ts: str,
+    max_lag_sec: int,
+    watermark_sec: int = 3600,
+) -> DataFrame:
+    """Stream-stream time-bounded equi-join: pairs of left/right events
+    with the same ``keys`` where the right event happened within
+    ``max_lag_sec`` AT OR BEFORE the left event (``l_ts - max_lag <=
+    r_ts <= l_ts``) — the candidate set of a backward as-of join,
+    continuously maintained.  This is Spark's native watermarked
+    stream-stream inner join: the time-interval condition plus both
+    watermarks let the engine expire buffered state (right events older
+    than ``watermark + max_lag`` can never match a future left event
+    and are dropped), so state is bounded by rate × horizon per key
+    shard.
+
+    The two timestamp columns must be distinct names (rename before
+    calling when both streams use e.g. ``ts``).  Works identically on
+    batch DataFrames — the tests pin streamed output to the batch twin.
+    """
+    keys = list(keys)
+    l = _event_time(left, l_ts).withWatermark(l_ts, f"{watermark_sec} seconds")
+    r = _event_time(right, r_ts).withWatermark(r_ts, f"{watermark_sec} seconds")
+    cond = None
+    for k in keys:
+        c = l[k] == r[k]
+        cond = c if cond is None else (cond & c)
+    time_cond = (F.col(r_ts) <= F.col(l_ts)) & (
+        F.col(r_ts) >= F.col(l_ts) - F.expr(f"INTERVAL {int(max_lag_sec)} SECONDS")
+    )
+    cond = time_cond if cond is None else (cond & time_cond)
+    joined = l.join(r, cond, "inner")
+    # drop the duplicated key columns from the right side
+    return joined.drop(*[r[k] for k in keys])

@@ -462,3 +462,40 @@ def test_streaming_lsh_near_dup_matches_batch_candidates(spark, sf_dir, tmp_path
         by_pair.setdefault((r["id_a"], r["id_b"]), set()).add(r["est_jaccard"])
         assert 0.0 <= r["est_jaccard"] <= 1.0
     assert all(len(v) == 1 for v in by_pair.values())
+
+
+def test_streaming_time_bounded_join_matches_batch(spark, stream_src, sf_dir):
+    """Watermarked stream-stream join: streamed purchase/view events
+    joined within a 1-hour backward window must produce exactly the
+    batch join's pair set (the candidate set of a backward as-of join,
+    continuously maintained)."""
+    from pedsnetdcc_spark.streaming.incremental import streaming_time_bounded_join
+
+    path, schema = stream_src
+    ev = read_table(spark, sf_dir, "events")
+
+    def split(df):
+        p = df.where(F.col("event_type") == "purchase").select(
+            "user_id", F.col("event_id").alias("p_id"), F.col("ts").alias("p_ts")
+        )
+        v = df.where(F.col("event_type") == "view").select(
+            "user_id", F.col("event_id").alias("v_id"), F.col("ts").alias("v_ts")
+        )
+        return p, v
+
+    sp, sv = split(spark.readStream.schema(schema).parquet(path))
+    out = _run_stream(
+        spark,
+        streaming_time_bounded_join(
+            sp, sv, ["user_id"], "p_ts", "v_ts", max_lag_sec=3600
+        ),
+        "append",
+        "t_ssjoin",
+    )
+    bp, bv = split(ev)
+    batch = streaming_time_bounded_join(
+        bp, bv, ["user_id"], "p_ts", "v_ts", max_lag_sec=3600
+    )
+    got = sorted((r["p_id"], r["v_id"]) for r in out.collect())
+    want = sorted((r["p_id"], r["v_id"]) for r in batch.collect())
+    assert got == want and len(want) > 0
