@@ -504,6 +504,24 @@ def cmd_bpe_train(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_explain(args: argparse.Namespace) -> int:
+    """Print the formatted physical plan of a registry query without
+    executing it — the plan-inspection loop (pushed filters, exchanges,
+    codegen spans) for any oracle-backed query by name."""
+    from pedsnetdcc_spark.queries import QUERIES
+
+    if args.query not in QUERIES:
+        print(
+            json.dumps({"error": "unknown query", "available": sorted(QUERIES)}),
+            file=sys.stderr,
+        )
+        return 2
+    spark = _session(args)
+    df = QUERIES[args.query](spark, args.input)
+    df.explain(mode=args.mode)
+    return 0
+
+
 def cmd_corpus_export(args: argparse.Namespace) -> int:
     """Export a namespace table as JSONL shards (sources/jsonl)."""
     from pedsnetdcc_spark.sources.jsonl import write_jsonl
@@ -737,6 +755,13 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--text-col", default="text")
     sp.add_argument("--merges", type=int, default=32)
     sp.set_defaults(fn=cmd_bpe_train)
+
+    sp = sub.add_parser("explain", help="print a registry query's physical plan")
+    sp.add_argument("--input", "-i", required=True, help="input namespace dir")
+    sp.add_argument("--query", "-q", required=True, help="registry query name")
+    sp.add_argument("--mode", default="formatted",
+                    choices=("simple", "extended", "formatted", "cost", "codegen"))
+    sp.set_defaults(fn=cmd_explain)
 
     sp = sub.add_parser("corpus-export", help="export a table as JSONL shards")
     sp.add_argument("--input", "-i", required=True, help="input namespace dir")

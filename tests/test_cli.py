@@ -358,3 +358,12 @@ def test_cli_corpus_pack_with_bpe_merges(spark, sf_dir, tmp_path, capsys):
     )
     assert over.count() == 0
     shutil.rmtree(ns, ignore_errors=True)
+
+
+def test_cli_explain(spark, sf_dir, capsys):
+    from pedsnetdcc_spark.cli import main
+
+    assert main(["explain", "-i", sf_dir, "-q", "pricing_summary"]) == 0
+    out = capsys.readouterr().out
+    assert "Physical Plan" in out and "HashAggregate" in out
+    assert main(["explain", "-i", sf_dir, "-q", "nope"]) == 2
