@@ -3721,7 +3721,10 @@ def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 # being an accident of file layout:
 #
 # 1. Queries that have NEVER had a driver verdict come first (the round-3
-#    CDM pipelines and round-4/5 corpus-assembly operators).
+#    CDM pipelines, the round-4/5 corpus-assembly operators, and every
+#    query added in round 5: LM scoring, contamination share, skew
+#    profile, hashed BOW, the merged prover scorecard, quantized ANN,
+#    backward as-of, interval join).
 # 2. Then the complex / recently-touched queries whose driver history we
 #    want to keep unbroken (era, id, near-dup, ANN, multimodal paths —
 #    including everything modified this round).
