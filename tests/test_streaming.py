@@ -499,3 +499,65 @@ def test_streaming_time_bounded_join_matches_batch(spark, stream_src, sf_dir):
     got = sorted((r["p_id"], r["v_id"]) for r in out.collect())
     want = sorted((r["p_id"], r["v_id"]) for r in batch.collect())
     assert got == want and len(want) > 0
+
+
+def test_streaming_time_bounded_join_checkpoint_restart(spark):
+    """Stream-stream join across a checkpointed restart: feed the left
+    and right streams in two separate runs; the second run must join
+    its new left rows against right-side STATE buffered in the
+    checkpoint from the first run — and emit each pair exactly once
+    across both runs."""
+    import datetime as dt
+    import shutil
+    import tempfile
+
+    from pedsnetdcc_spark.streaming.incremental import streaming_time_bounded_join
+
+    D = dt.datetime
+    root = tempfile.mkdtemp()
+    lsrc, rsrc, out, ckpt = (root + p for p in ("/l", "/r", "/out", "/ckpt"))
+    lschema = "k long, p_id long, p_ts timestamp"
+    rschema = "k long, v_id long, v_ts timestamp"
+
+    def run_once():
+        l = spark.readStream.schema(lschema).parquet(lsrc)
+        r = spark.readStream.schema(rschema).parquet(rsrc)
+        q = (
+            streaming_time_bounded_join(
+                l, r, ["k"], "p_ts", "v_ts", max_lag_sec=3600,
+                watermark_sec=864000,
+            )
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return spark.read.schema(
+            "k long, p_id long, p_ts timestamp, v_id long, v_ts timestamp"
+        ).parquet(out)
+
+    try:
+        # run 1: only right-side events arrive (go into join state)
+        spark.createDataFrame(
+            [(1, 20, D(2024, 1, 1, 10, 0)), (1, 21, D(2024, 1, 1, 12, 0))],
+            rschema,
+        ).write.mode("append").parquet(rsrc)
+        spark.createDataFrame([], lschema).write.mode("append").parquet(lsrc)
+        assert run_once().count() == 0
+
+        # run 2 (restart from checkpoint): left events must match the
+        # buffered right rows within the 1-hour backward window
+        spark.createDataFrame(
+            [(1, 10, D(2024, 1, 1, 10, 30)), (1, 11, D(2024, 1, 1, 12, 30))],
+            lschema,
+        ).write.mode("append").parquet(lsrc)
+        got = sorted((r["p_id"], r["v_id"]) for r in run_once().collect())
+        assert got == [(10, 20), (11, 21)], got
+
+        # run 3: nothing new -> no duplicate emissions
+        assert run_once().count() == 2
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
