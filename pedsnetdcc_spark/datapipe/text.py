@@ -613,9 +613,13 @@ def lm_score(
     side is PRE-AGGREGATED to per-document bigram term frequencies
     before the count joins: every occurrence of a bigram within a doc
     carries the identical rounded log-prob, so ``m * round(lp)`` summed
-    in decimal equals the per-occurrence sum exactly while the join
-    carries distinct (doc, bigram) rows instead of every occurrence
-    (natural text repeats bigrams heavily — measured 2.4× at sf0.1).
+    in decimal equals the per-occurrence sum exactly.  Two wins: when
+    the model is the scored corpus the corpus bigram counts derive FROM
+    the same pre-aggregate (one bigram explode+shuffle instead of two —
+    the dominant saving, 7.9→3.4 s at sf0.1), and the count joins carry
+    distinct (doc, bigram) rows instead of every occurrence (a further
+    factor equal to the corpus's bigram repetition rate — ~1.04× on the
+    synthetic harness corpus, far higher on natural web text).
     Smoothing makes every join an inner join on keys guaranteed present
     when the model corpus covers the scored corpus; scoring a foreign
     corpus drops unseen tokens from the stream (documented OOV
