@@ -132,3 +132,18 @@ def test_bpe_property_lossless_random_corpora(spark):
         assert all(toks), toks
         expect = [t for w in text.split(" ") for t in py_segment(w)]
         assert toks == expect, (doc_id, toks, expect)
+
+
+def test_bpe_handles_regex_special_symbols(spark):
+    """Tokens containing regex metacharacters (punctuation-heavy web
+    text) must train and encode correctly — merge patterns and
+    replacements are escaped."""
+    df = spark.createDataFrame(
+        [(0, "a.b a.b a.b $x$ $x$ c\\d c\\d")], ["doc_id", "text"]
+    )
+    merges = train_bpe(df, "text", num_merges=4, min_freq=2)
+    assert merges, merges
+    enc = bpe_encode(df, "text", merges).collect()[0]["bpe_tokens"]
+    assert "".join(enc) == "a.ba.ba.b$x$$x$c\\dc\\d"
+    # the most frequent pair (a, .) or (., b) must actually have merged
+    assert any("." in t and len(t) > 1 for t in enc), enc
