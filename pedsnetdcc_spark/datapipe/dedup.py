@@ -622,6 +622,123 @@ def cross_corpus_contamination(
     )
 
 
+def edit_distance_pairs(
+    df: DataFrame,
+    id_col: str,
+    str_col: str,
+    max_dist: int,
+) -> DataFrame:
+    """String-similarity self-join: ``(id_a, id_b, distance)`` for every
+    pair of rows whose strings are within Levenshtein distance
+    ``max_dist`` — the fuzzy-matching join of record linkage and typo
+    dedup, with PIGEONHOLE candidate generation (the partition scheme of
+    PassJoin, Li et al. 2011): partition every string into ``τ+1`` even
+    segments; ``τ`` edits cannot touch all of them, so any true match
+    contains at least one segment VERBATIM as a substring.  Candidates
+    are an equi-join of indexed segments against probe substrings tagged
+    with (segment index, indexed length); the exact ``levenshtein``
+    verify (JVM built-in) makes false candidates harmless — the
+    pigeonhole makes misses impossible.
+
+    Length routing keeps the pigeonhole sound: strings shorter than
+    ``τ+1`` characters cannot donate τ+1 non-empty segments, so all
+    strings of length ≤ ``2τ`` form a brute-force bucket (bounded — a
+    pair within distance τ with one short side has BOTH sides ≤ 2τ),
+    while every pair with both lengths > τ flows through the segment
+    path; overlap between the two routes is deduplicated.
+
+    Scale shape: the probe side explodes all substrings of the lengths
+    a matching segment could have — ~(2τ+1)·(τ+1)·L substrings per
+    string, scan-side; one equi-join on (segment value, index, length);
+    distinct pair set; one verify pass.  Duplicate strings amplify the
+    candidate set quadratically (they are all true distance-0 pairs) —
+    run on DISTINCT strings and expand via group membership when the
+    corpus repeats values heavily (the exact-dedup pre-pass pattern).
+    """
+    tau = int(max_dist)
+    k = tau + 1
+    L = F.length(F.col(str_col))
+    s = df.select(F.col(id_col).alias("__id"), F.col(str_col).alias("__s"), L.alias("__L"))
+
+    def seg_start(j, length):  # 0-based start of segment j for a string of `length`
+        return F.floor(F.lit(j) * length / k).cast("int")
+
+    def seg_len(j, length):
+        return (seg_start(j + 1, length) if j + 1 < k else length.cast("int")) - seg_start(j, length)
+
+    # indexed side: the tau+1 segments of every sufficiently-long string
+    long_side = s.where(F.col("__L") > tau)
+    seg_structs = F.array(
+        *[
+            F.struct(
+                F.substring(F.col("__s"), seg_start(j, F.col("__L")) + 1, seg_len(j, F.col("__L"))).alias("val"),
+                F.lit(j).alias("j"),
+                F.col("__L").cast("int").alias("li"),
+            )
+            for j in range(k)
+        ]
+    )
+    index = long_side.select(
+        F.col("__id").alias("id_b"), F.explode(seg_structs).alias("g")
+    ).select("id_b", "g.val", "g.j", "g.li")
+
+    # probe side: all substrings whose (length, segment index, indexed
+    # length) could meet an index entry of a string within distance tau
+    probe_arrays = []
+    for delta in range(-tau, tau + 1):
+        li = (F.col("__L") + delta).cast("int")
+        for j in range(k):
+            slen = seg_len(j, li)
+            positions = F.when(
+                (li > tau) & (slen >= 1) & (slen <= F.col("__L")),
+                F.sequence(F.lit(1), (F.col("__L") - slen + 1).cast("int")),
+            ).otherwise(F.array().cast("array<int>"))
+            def _mk(_j, _li, _slen):
+                return lambda p: F.struct(
+                    F.substring(F.col("__s"), p, _slen).alias("val"),
+                    F.lit(_j).alias("j"),
+                    _li.alias("li"),
+                )
+
+            probe_arrays.append(F.transform(positions, _mk(j, li, slen)))
+    probe = long_side.select(
+        F.col("__id").alias("id_a"),
+        # array_distinct: the same substring value recurs at many
+        # positions ("aaa…"); one (val, j, li) entry per row suffices
+        F.explode(F.array_distinct(F.flatten(F.array(*probe_arrays)))).alias("g"),
+    ).select("id_a", "g.val", "g.j", "g.li")
+
+    cand_long = (
+        probe.join(index, ["val", "j", "li"])
+        .where(F.col("id_a") != F.col("id_b"))
+        .select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+        )
+        .distinct()
+    )
+    # short bucket: any true pair with one side of length <= tau has
+    # both sides <= 2*tau — a bounded brute-force cross join
+    short_side = s.where(F.col("__L") <= 2 * tau)
+    sa = short_side.select(F.col("__id").alias("id_a"))
+    sb = short_side.select(F.col("__id").alias("id_b"))
+    cand_short = (
+        sa.crossJoin(sb)
+        .where(F.col("id_a") < F.col("id_b"))
+    )
+    cands = cand_long.unionByName(cand_short).distinct()
+
+    stra = s.select(F.col("__id").alias("id_a"), F.col("__s").alias("__sa"))
+    strb = s.select(F.col("__id").alias("id_b"), F.col("__s").alias("__sb"))
+    return (
+        cands.join(stra, "id_a")
+        .join(strb, "id_b")
+        .withColumn("distance", F.levenshtein(F.col("__sa"), F.col("__sb")))
+        .where(F.col("distance") <= tau)
+        .select("id_a", "id_b", F.col("distance").cast("int").alias("distance"))
+    )
+
+
 def contamination_overlap(
     train: DataFrame,
     evaluation: DataFrame,

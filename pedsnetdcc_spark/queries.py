@@ -3160,6 +3160,32 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "edit_distance_join",
+    oracle="""
+    WITH n AS (SELECT DISTINCT p_name AS name FROM part)
+    SELECT a.name AS id_a, b.name AS id_b,
+           CAST(levenshtein(a.name, b.name) AS INTEGER) AS distance
+    FROM n a JOIN n b ON a.name < b.name
+    WHERE levenshtein(a.name, b.name) <= 2
+    """,
+)
+def q_edit_distance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance similarity self-join (datapipe/dedup.
+    edit_distance_pairs): all distinct part names within Levenshtein
+    distance 2, found via PassJoin pigeonhole segment candidates +
+    exact levenshtein verify — oracle-checked against DuckDB's
+    brute-force levenshtein join.  Runs on DISTINCT names (the
+    duplicate-heavy id-level expansion is a membership join, see the
+    operator docstring)."""
+    from pedsnetdcc_spark.datapipe.dedup import edit_distance_pairs
+
+    names = (
+        _t(spark, sf_dir, "part").select(F.col("p_name").alias("name")).distinct()
+    )
+    return edit_distance_pairs(names, "name", "name", max_dist=2)
+
+
+@query(
     "contamination_report",
     oracle=f"""
     WITH {_side_shingles_sql('t', _TRAIN_SRC)}, {_side_shingles_sql('e', _EVAL_SRC)},
@@ -3773,6 +3799,7 @@ _QUERY_ORDER = [
     "ann_quantized_topk",
     "asof_backward",
     "interval_overlap_join",
+    "edit_distance_join",
     # -- 2: keep driver-green (complex / touched this round) -------------
     "pricing_summary",
     "eras",
@@ -3782,7 +3809,6 @@ _QUERY_ORDER = [
     "id_mapping",
     "subset_polymorphic",
     "asof_pair",
-    "table_profile",
     "ngram_jaccard_dedup",
     "ann_cosine_topk",
     "embedding_near_dup",
@@ -3820,6 +3846,7 @@ _QUERY_ORDER = [
     "table_profile_approx",
     "dedup_exact",
     "pk_violations",
+    "table_profile",
 ]
 
 assert set(_QUERY_ORDER) == set(QUERIES), (

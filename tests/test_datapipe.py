@@ -887,3 +887,41 @@ def test_quantized_topk_recall_vs_exact(spark, sf_dir):
     assert len(qs) == len(e)
     recall = len(e & qs) / len(e)
     assert recall >= 0.9, recall
+
+
+def test_edit_distance_pairs_matches_bruteforce_random(spark):
+    """Randomized strings incl. SHORT ones (<= 2*tau, routed to the
+    brute bucket) must match a pure-Python Levenshtein brute force —
+    the pigeonhole candidates may over-generate but can never miss."""
+    import random
+
+    from pedsnetdcc_spark.datapipe.dedup import edit_distance_pairs
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(
+                    dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb)
+                )
+        return dp[-1]
+
+    rng = random.Random(3)
+    words = list({
+        "".join(rng.choice("abc") for _ in range(rng.randrange(1, 12)))
+        for _ in range(60)
+    })
+    df = spark.createDataFrame([(w,) for w in words], ["name"])
+    for tau in (1, 2):
+        got = sorted(
+            (r["id_a"], r["id_b"], r["distance"])
+            for r in edit_distance_pairs(df, "name", "name", max_dist=tau).collect()
+        )
+        want = sorted(
+            (min(a, b), max(a, b), lev(a, b))
+            for i, a in enumerate(words)
+            for b in words[i + 1:]
+            if lev(a, b) <= tau
+        )
+        assert got == want, (tau, len(got), len(want))
