@@ -23,6 +23,40 @@ def test_query_matches_oracle(spark, sf_dir, con, name):
     assert not problems, f"{name}: " + "; ".join(problems)
 
 
+#: The only Spark↔DuckDB output-type pairs any oracle is allowed to
+#: produce.  The round-5 driver hash-failed two oracles whose final
+#: projections carried bare integer SUM()s — DuckDB types those HUGEINT
+#: (int128) while Spark returns BIGINT, and the driver's hasher is
+#: dtype-aware even though Python-side value comparison canonicalizes
+#: both to int.  This test catches that class statically: Spark's side
+#: is plan-only (no action) and DuckDB's side is a DESCRIBE.
+_ALLOWED_TYPE_PAIRS = {
+    ("bigint", "BIGINT"),
+    ("int", "INTEGER"),
+    ("double", "DOUBLE"),
+    ("string", "VARCHAR"),
+    ("date", "DATE"),
+    ("timestamp_ntz", "TIMESTAMP"),
+    ("boolean", "BOOLEAN"),
+}
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_oracle_output_types_match(spark, sf_dir, con, name):
+    spark_types = dict(QUERIES[name](spark, sf_dir).dtypes)
+    duck_desc = con.execute(f"DESCRIBE {ORACLES[name]}").fetchall()
+    bad = [
+        (col, spark_types.get(col), dtyp)
+        for col, dtyp, *_ in duck_desc
+        if (spark_types.get(col), dtyp) not in _ALLOWED_TYPE_PAIRS
+    ]
+    assert not bad, (
+        f"{name}: oracle/Spark dtype pairs outside the allowed set "
+        f"(cast the oracle's aggregate — DuckDB HUGEINT breaks the "
+        f"driver hash): {bad}"
+    )
+
+
 def test_every_query_has_callable():
     for name, fn in QUERIES.items():
         assert callable(fn), name
