@@ -114,8 +114,24 @@ def zorder_write(
     action), then one range exchange + per-partition sort, exactly like
     :func:`clustered_write`.  Columns must be numeric/date-castable;
     constant columns normalize to 0.
+
+    The interleaved key lives in a signed 64-bit long, so the highest
+    usable bit position is 62 (bit 63 is the sign — a key landing there
+    would sort negative-first and scramble the layout, and positions
+    ≥64 would silently wrap under the JVM's shift-mod-64).  ``bits`` is
+    therefore auto-reduced so ``bits * len(cluster_cols) <= 62``; e.g.
+    4 columns get 15 bits each, 8 columns get 7.  Per-column resolution
+    beyond ~2^10 buckets adds nothing to file-level skipping anyway —
+    file count, not key precision, bounds the pruning granularity.
     """
     cols = list(cluster_cols)
+    if not cols:
+        raise ValueError("zorder_write requires at least one cluster column")
+    bits = min(bits, 62 // len(cols))
+    if bits < 1:
+        raise ValueError(
+            f"too many cluster columns for a 64-bit Morton key: {len(cols)} > 62"
+        )
     row = df.agg(
         *[F.min(F.col(c).cast("double")).alias(f"mn_{i}") for i, c in enumerate(cols)],
         *[F.max(F.col(c).cast("double")).alias(f"mx_{i}") for i, c in enumerate(cols)],

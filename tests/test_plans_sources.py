@@ -316,3 +316,35 @@ def test_zorder_write_tightens_both_columns(spark, sf_dir, tmp_path):
     assert avg_width(zo, "l_partkey") < 0.5 * global_width("l_partkey")
     # and on the NON-leading column, z-order beats the linear layout
     assert avg_width(zo, "l_partkey") < 0.75 * avg_width(lin, "l_partkey")
+
+
+def test_zorder_write_four_columns_stays_in_sign_bit(spark, sf_dir, tmp_path):
+    """bits=16 with 4 columns used to place the 4th column's top
+    quantization bit at position 63 — the long's sign bit — so rows in
+    the upper half of that column's range got NEGATIVE Morton keys and
+    range-partitioned before everything else, scrambling the layout
+    (and 5+ columns wrapped shifts mod 64 into silent collisions).
+    bits must auto-reduce so the key stays in [0, 2^62); verify the
+    4-column layout still tightens EVERY listed column's file ranges."""
+    from pedsnetdcc_spark.sources.clustering import (
+        leading_column_file_ranges,
+        zorder_write,
+    )
+
+    cols = ["l_orderkey", "l_partkey", "l_suppkey", "l_quantity"]
+    li = read_table(spark, sf_dir, "lineitem").select(*cols)
+    zo = str(tmp_path / "zorder4")
+    zorder_write(li, zo, cols, num_files=16, bits=16)
+
+    assert spark.read.parquet(zo).count() == li.count()
+    for c in ["l_orderkey", "l_partkey", "l_suppkey"]:
+        ranges = leading_column_file_ranges(zo, c)
+        assert ranges
+        row = li.agg(F.min(c), F.max(c)).first()
+        avg = sum(hi - lo for lo, hi in ranges) / len(ranges)
+        # every dimension materially tighter than the global width —
+        # impossible if sign-flipped keys scrambled the range partition
+        assert avg < 0.8 * (row[1] - row[0]), c
+
+    with pytest.raises(ValueError):
+        zorder_write(li, str(tmp_path / "zbad"), ["l_orderkey"] * 63, bits=16)
