@@ -23,6 +23,7 @@ from pedsnetdcc_spark.cdm import transform_cdm_table
 from pedsnetdcc_spark.operators.constraints import validate_table
 from pedsnetdcc_spark.plans.pipeline import Job, check_jobs, run_parallel
 from pedsnetdcc_spark.schema_registry import VOCAB_TABLES, stock_schemas
+from pedsnetdcc_spark.sources.clustering import CLUSTER_SPECS
 from pedsnetdcc_spark.sources.io import TableStore
 
 
@@ -37,19 +38,31 @@ def run_transformation(
     pool_size: int = 25,
     validate: bool = True,
     model_version: str = "2.3.0",
+    cluster_specs: dict[str, list[str]] | None = None,
+    cluster_files: int | None = None,
 ) -> dict[str, dict[str, int]]:
     """Transform every non-vocab table, stage, and atomically publish.
+
+    Each staged table whose name appears in ``cluster_specs`` (default:
+    sources/clustering.CLUSTER_SPECS — the reference's post-load index
+    column lists, reference indexes.py:202-317) is written CLUSTERED on
+    those columns: range-partitioned + sorted so person_id/concept-id
+    predicates prune files via parquet min/max statistics, the lake
+    analog of the reference rebuilding its b-tree indexes after every
+    load.  Pass ``cluster_specs={}`` to disable.
 
     Returns the per-table constraint-validation report (empty when
     ``validate=False``).  The prior generation stays in ``_backup`` —
     ``store.undo()`` is the reference's ``undo`` command.
     """
+    specs = CLUSTER_SPECS if cluster_specs is None else cluster_specs
     work = {n: df for n, df in tables.items() if n not in VOCAB_TABLES}
 
     def build(name: str, df: DataFrame) -> Callable[[], object]:
         def job():
             out = transform(df, name, person, concept, site)
-            store.stage(out, name)
+            spec = [c for c in specs.get(name, []) if c in out.columns]
+            store.stage(out, name, cluster_by=spec or None, cluster_files=cluster_files)
             return out
 
         return job

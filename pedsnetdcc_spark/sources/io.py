@@ -171,13 +171,38 @@ class TableStore:
         if not os.path.exists(path) and os.path.exists(old):
             os.rename(old, path)
 
-    def stage(self, df: DataFrame, name: str, partition_by: list[str] | None = None) -> None:
+    def stage(
+        self,
+        df: DataFrame,
+        name: str,
+        partition_by: list[str] | None = None,
+        cluster_by: list[str] | None = None,
+        cluster_files: int | None = None,
+    ) -> None:
         """Write a table into the staging area (the CTAS analog,
-        reference: pedsnetdcc/transform_runner.py:89-94)."""
+        reference: pedsnetdcc/transform_runner.py:89-94).
+
+        ``cluster_by`` lays the files out range-partitioned + sorted on
+        the given columns (sources/clustering.clustered_write) — the
+        lake analog of the reference's post-load per-column index
+        builds (reference indexes.py:202-317): the same columns its
+        DBA indexed for point lookups become parquet min/max pruning
+        ranges here.  Mutually exclusive with ``partition_by`` (hive
+        partitioning already groups by value; clustering within
+        partitions would need a per-partition sort spec).
+        """
+        if partition_by and cluster_by:
+            raise ValueError("partition_by and cluster_by are mutually exclusive")
+        path = os.path.join(self.staging_dir, name)
+        if cluster_by:
+            from pedsnetdcc_spark.sources.clustering import clustered_write
+
+            clustered_write(df, path, cluster_by, num_files=cluster_files)
+            return
         writer = df.write.mode("overwrite")
         if partition_by:
             writer = writer.partitionBy(*partition_by)
-        writer.parquet(os.path.join(self.staging_dir, name))
+        writer.parquet(path)
 
     def publish(self) -> None:
         """Atomically cut the staged build over to ``current``.

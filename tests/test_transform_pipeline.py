@@ -72,6 +72,52 @@ def test_run_transformation_end_to_end(spark, tmp_path, cdm_frames):
     assert store2.read(spark, "visit_occurrence").count() == 2
 
 
+def test_publish_applies_cluster_specs(spark, tmp_path, cdm_frames):
+    """The transform pipeline must lay published CDM tables out
+    CLUSTERED on their reference index columns (CLUSTER_SPECS — the
+    lake analog of the reference rebuilding per-column b-tree indexes
+    after every load, reference indexes.py:202-317): person_id
+    predicates then prune files via parquet min/max footers."""
+    import datetime as dt
+
+    from pedsnetdcc_spark.sources.clustering import leading_column_file_ranges
+
+    person_rows = [
+        (p, dt.datetime(2010, 1, 1) + dt.timedelta(days=p % 365), 8507)
+        for p in range(1, 501)
+    ]
+    person = spark.createDataFrame(
+        person_rows, "person_id long, birth_datetime timestamp, gender_concept_id int"
+    )
+    _, concept, _ = cdm_frames
+    visit_rows = [
+        (v, (v * 131) % 500 + 1, dt.date(2020, 1, 1), dt.datetime(2020, 1, 1), 9201)
+        for v in range(2000)
+    ]
+    visits = spark.createDataFrame(
+        visit_rows,
+        "visit_occurrence_id long, person_id long, visit_start_date date, "
+        "visit_start_datetime timestamp, visit_concept_id int",
+    )
+    store = TableStore(str(tmp_path / "clustered_site"))
+    run_transformation(
+        spark, store, {"visit_occurrence": visits}, person, concept,
+        site="site_a", validate=False, cluster_files=8,
+    )
+    ranges = leading_column_file_ranges(
+        str(tmp_path / "clustered_site/current/visit_occurrence"), "person_id"
+    )
+    assert len(ranges) > 1
+    # clustered layout: per-file person_id spans are narrow slices of
+    # the 1..500 global range...
+    avg_width = sum(hi - lo for lo, hi in ranges) / len(ranges)
+    assert avg_width < 0.5 * (500 - 1)
+    # ...and files are range-disjoint (equal keys land in one file), so
+    # an equality predicate prunes all but one file
+    ordered = sorted(ranges)
+    assert all(ordered[i][1] <= ordered[i + 1][0] for i in range(len(ordered) - 1))
+
+
 def test_negative_era_ids(spark, tmp_path):
     alloc = IdAllocator(str(tmp_path / "a.json"))
     base = reserve_negative(alloc, "condition_era", 5)
