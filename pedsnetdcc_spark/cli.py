@@ -504,6 +504,23 @@ def cmd_bpe_train(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_run_package(args: argparse.Namespace) -> int:
+    """Run a registered external-package derivation from a
+    reference-shaped JSON config file — the ``run_r_query`` command
+    path (reference r_query.py:62-128 / main.py run_r_query): config
+    in, derived table out, optional copy-to-output publish."""
+    from pedsnetdcc_spark.plans.packages import run_package_from_config
+
+    spark = _session(args)
+    try:
+        result = run_package_from_config(spark, args.config)
+    except KeyError as e:
+        print(json.dumps({"error": str(e)}), file=sys.stderr)
+        return 2
+    print(json.dumps({"rows": result.count()}))
+    return 0
+
+
 def cmd_explain(args: argparse.Namespace) -> int:
     """Print the formatted physical plan of a registry query without
     executing it — the plan-inspection loop (pushed filters, exchanges,
@@ -755,6 +772,12 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--text-col", default="text")
     sp.add_argument("--merges", type=int, default=32)
     sp.set_defaults(fn=cmd_bpe_train)
+
+    sp = sub.add_parser(
+        "run-package", help="run a registered package from a JSON config file"
+    )
+    sp.add_argument("--config", "-c", required=True, help="package config JSON path")
+    sp.set_defaults(fn=cmd_run_package)
 
     sp = sub.add_parser("explain", help="print a registry query's physical plan")
     sp.add_argument("--input", "-i", required=True, help="input namespace dir")

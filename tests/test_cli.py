@@ -367,3 +367,34 @@ def test_cli_explain(spark, sf_dir, capsys):
     out = capsys.readouterr().out
     assert "Physical Plan" in out and "HashAggregate" in out
     assert main(["explain", "-i", sf_dir, "-q", "nope"]) == 2
+
+
+def test_cli_run_package(spark, sf_dir, tmp_path, capsys):
+    """run-package: the run_r_query CLI path — registered package +
+    reference-shaped config file in, derived table published out."""
+    from pedsnetdcc_spark.plans.packages import dataframe_package, register_package
+    from pedsnetdcc_spark.sources.io import read_table
+
+    def derive(spark, namespace, site, top, **_):
+        return read_table(spark, namespace, "region").limit(top)
+
+    register_package("region_slice", dataframe_package(derive))
+    out_ns = str(tmp_path / "pkg_out")
+    cfg = tmp_path / "cfg.json"
+    cfg.write_text(json.dumps({
+        "package": "region_slice",
+        "site": "site_a",
+        "src": {"namespace": sf_dir},
+        "output": out_ns,
+        "copy": True,
+        "result_table": "region_top",
+        "options": {"top": 2},
+    }))
+    assert main(["run-package", "-c", str(cfg)]) == 0
+    assert json.loads(capsys.readouterr().out.strip().splitlines()[-1]) == {"rows": 2}
+    published = read_table(spark, os.path.join(out_ns, "current"), "region_top")
+    assert published.count() == 2
+
+    bad = tmp_path / "bad.json"
+    bad.write_text(json.dumps({"package": "not_registered"}))
+    assert main(["run-package", "-c", str(bad)]) == 2

@@ -3,6 +3,8 @@ bootstrap, delete/truncate analogs, view registration."""
 
 from __future__ import annotations
 
+import os
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -52,6 +54,57 @@ def test_package_runner_hook(spark, sf_dir):
     assert out.count() == 3
     with pytest.raises(KeyError):
         run_package(spark, "nope", {})
+
+
+def test_package_config_front_end(spark, sf_dir, tmp_path):
+    """run_package_from_config: reference-shaped JSON config in
+    (r_query.py:62-128 — package name, site, src namespace, Argos-style
+    templating, copy-to-output), derived table dispatched and published
+    out."""
+    import json
+
+    from pedsnetdcc_spark.plans.packages import (
+        load_package_config,
+        run_package_from_config,
+    )
+
+    def derive(spark, namespace, site, n, **_):
+        return (
+            read_table(spark, namespace, "nation")
+            .limit(n)
+            .withColumn("site", F.lit(site))
+        )
+
+    register_package("nation_cfg", dataframe_package(derive))
+    out_ns = str(tmp_path / "derived")
+    cfg_path = str(tmp_path / "pkg.json")
+    with open(cfg_path, "w") as f:
+        json.dump(
+            {
+                "package": "nation_cfg",
+                "site": "site_x",
+                "src": {"namespace": sf_dir},
+                "output": out_ns,
+                "copy": True,
+                "options": {"n": 4, "tag": "run for <SITE> on <SCHEMA>"},
+            },
+            f,
+        )
+    cfg = load_package_config(cfg_path)
+    # <SITE>/<SCHEMA> templating — the reference's site_info.R rewrite
+    assert cfg["options"]["tag"] == f"run for site_x on {sf_dir}"
+
+    result = run_package_from_config(spark, cfg_path)
+    assert result.count() == 4
+    assert result.select("site").distinct().collect()[0][0] == "site_x"
+    # copy=true published the result table to the output namespace
+    published = spark.read.parquet(os.path.join(out_ns, "current", "nation_cfg"))
+    assert published.count() == 4
+
+    with open(str(tmp_path / "bad.json"), "w") as f:
+        json.dump({"site": "s"}, f)
+    with pytest.raises(ValueError):
+        load_package_config(str(tmp_path / "bad.json"))
 
 
 def test_prep_namespace_and_views(spark, sf_dir):
