@@ -215,6 +215,42 @@ def cmd_undo(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_optimize(args: argparse.Namespace) -> int:
+    """Lake maintenance on a published table: small-file compaction
+    (``TableStore.compact`` — the OPTIMIZE analog) and, with
+    ``--cluster-by`` / ``--zorder-by``, a clustered or Z-ordered
+    layout rewrite (the ``OPTIMIZE ZORDER`` / post-load index-build
+    analog, reference indexes.py:202-317) through the same
+    single-table atomic swap."""
+    from pedsnetdcc_spark.sources.clustering import clustered_write, zorder_write
+    from pedsnetdcc_spark.sources.io import TableStore
+
+    spark = _session(args)
+    store = TableStore(args.output)
+    if args.cluster_by or args.zorder_by:
+        df = store.read(spark, args.table)
+        if args.zorder_by:
+            store.rewrite(
+                args.table,
+                lambda p: zorder_write(df, p, args.zorder_by, num_files=args.files),
+            )
+        else:
+            store.rewrite(
+                args.table,
+                lambda p: clustered_write(df, p, args.cluster_by, num_files=args.files),
+            )
+        layout = {"zorder": args.zorder_by} if args.zorder_by else {
+            "clustered": args.cluster_by
+        }
+    else:
+        n = store.compact(
+            spark, args.table, target_file_bytes=args.target_mb * 1024 * 1024
+        )
+        layout = {"compacted_files": n}
+    print(json.dumps({"table": args.table, **layout}))
+    return 0
+
+
 def cmd_corpus_split(args: argparse.Namespace) -> int:
     """Deterministic train/val/test split of a document table."""
     from pedsnetdcc_spark.datapipe.sampling import train_val_test_split
@@ -772,6 +808,21 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--text-col", default="text")
     sp.add_argument("--merges", type=int, default=32)
     sp.set_defaults(fn=cmd_bpe_train)
+
+    sp = sub.add_parser(
+        "optimize", help="compact or re-cluster a published table"
+    )
+    sp.add_argument("--output", "-o", required=True, help="TableStore root dir")
+    sp.add_argument("--table", "-t", required=True)
+    sp.add_argument("--target-mb", type=int, default=128,
+                    help="compaction target file size (MB)")
+    sp.add_argument("--cluster-by", nargs="+", default=None,
+                    help="rewrite range-clustered on these columns")
+    sp.add_argument("--zorder-by", nargs="+", default=None,
+                    help="rewrite Z-ordered on these columns")
+    sp.add_argument("--files", type=int, default=None,
+                    help="output file count for layout rewrites")
+    sp.set_defaults(fn=cmd_optimize)
 
     sp = sub.add_parser(
         "run-package", help="run a registered package from a JSON config file"

@@ -170,3 +170,33 @@ def assign_clusters(
         .withColumn(cluster_col, F.coalesce(F.col("component"), F.col(id_col)))
         .drop("component")
     )
+
+
+def select_survivors(
+    df: DataFrame,
+    cluster_col: str,
+    order_by: list,
+    keep_col: str = "is_survivor",
+) -> DataFrame:
+    """Flag ONE canonical row per dedup cluster — the quality-ranked
+    survivor selection step that turns cluster labels into a deduped
+    corpus (``filter(is_survivor)``).  ``order_by`` ranks rows within a
+    cluster best-first (e.g. ``[F.col("quality").desc(), F.col("id")]``
+    — always end with a unique id so the choice is deterministic).
+
+    The min-id convention (``id == cluster_id``) keeps an ARBITRARY
+    member; real curation keeps the best one (longest, highest quality
+    score, most recent crawl) — the "keep best document per cluster"
+    step of published dedup pipelines.
+
+    Scale shape: one window over ``cluster_col`` (a single hash
+    exchange on the cluster key; clusters are near-dup families, so
+    partitions are small and skew-free).  The flag column keeps the
+    non-survivors addressable (for lineage/reporting); a caller that
+    only wants the deduped corpus can instead filter
+    ``row_number() = 1`` directly, which Spark 4 rewrites to
+    WindowGroupLimit (per-partition top-1)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(cluster_col).orderBy(*order_by)
+    return df.withColumn(keep_col, F.row_number().over(w) == F.lit(1))

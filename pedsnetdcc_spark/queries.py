@@ -2910,6 +2910,52 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_survivors",
+    oracle=f"""
+    WITH RECURSIVE {_SHINGLE_CTE},{_CAPPED_JACCARD_CTE},
+    dup AS (SELECT id_a, id_b FROM exact WHERE jaccard >= 0.2),
+    e AS (SELECT id_a AS u, id_b AS v FROM dup
+          UNION ALL SELECT id_b, id_a FROM dup),
+    reach AS (
+        SELECT u AS node, u AS lbl FROM e
+        UNION
+        SELECT e.v AS node, reach.lbl AS lbl
+        FROM reach JOIN e ON e.u = reach.node
+    ),
+    comp AS (SELECT node, MIN(lbl) AS component FROM reach GROUP BY node),
+    lab AS (
+        SELECT d.doc_id, d.n_chars,
+               COALESCE(c.component, d.doc_id) AS cluster_id
+        FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+    )
+    SELECT doc_id, cluster_id,
+           ROW_NUMBER() OVER (
+               PARTITION BY cluster_id ORDER BY n_chars DESC, doc_id
+           ) = 1 AS is_survivor
+    FROM lab
+    """,
+)
+def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-ranked survivor selection after near-dup clustering
+    (datapipe/clusters.select_survivors): the full curation step —
+    pairs → transitive clusters → keep the BEST document per cluster
+    (longest text, id tiebreak), not an arbitrary member.
+    ``filter(is_survivor)`` is the deduped corpus.  One window over the
+    cluster key on top of the clustering pipeline."""
+    from pedsnetdcc_spark.datapipe.clusters import assign_clusters, select_survivors
+    from pedsnetdcc_spark.datapipe.dedup import ngram_jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.2, max_df=100
+    )
+    labeled = assign_clusters(docs, "doc_id", pairs)
+    return select_survivors(
+        labeled, "cluster_id", [F.col("n_chars").desc(), F.col("doc_id")]
+    ).select("doc_id", "cluster_id", "is_survivor")
+
+
+@query(
     "vocab_stats",
     oracle="""
     WITH c AS (
@@ -3893,6 +3939,7 @@ _QUERY_ORDER = [
     "table_profile",
     # -- 1c: new in round 6 (never scored) --------------------------------
     "bpe_encode",
+    "dedup_survivors",
     # -- 2: keep driver-green (complex pipelines whose verdicts we want
     #       current; all green in round 5) --------------------------------
     "eras",

@@ -275,10 +275,19 @@ class TableStore:
         through :meth:`read` / :meth:`table_exists` self-heal via
         :meth:`_recover_prereplace`; on a table format
         (Delta/Iceberg ``REPLACE TABLE``) the window disappears."""
+        self.rewrite(name, lambda tmp: df.write.mode("overwrite").parquet(tmp))
+
+    def rewrite(self, name: str, write_fn) -> None:
+        """:meth:`replace` with a custom layout writer: ``write_fn``
+        receives the side-directory path and must produce the new table
+        files there (e.g. ``clustered_write`` / ``zorder_write`` — a
+        plain read-back-and-replace would let the scan coalesce the
+        carefully-ranged files and scramble the layout).  Same
+        two-rename swap and crash-recovery contract as ``replace``."""
         self._recover_prereplace(name)
         path = os.path.join(self.current_dir, name)
         tmp = f"{path}.replace.{self._txid}"
-        df.write.mode("overwrite").parquet(tmp)
+        write_fn(tmp)
         old = f"{path}.prereplace"
         if os.path.exists(old):
             shutil.rmtree(old)

@@ -398,3 +398,32 @@ def test_cli_run_package(spark, sf_dir, tmp_path, capsys):
     bad = tmp_path / "bad.json"
     bad.write_text(json.dumps({"package": "not_registered"}))
     assert main(["run-package", "-c", str(bad)]) == 2
+
+
+def test_cli_optimize(spark, sf_dir, tmp_path, capsys):
+    """optimize: compaction shrinks the file count; --cluster-by
+    rewrites the layout with prunable leading-column ranges — both
+    through the single-table atomic swap."""
+    from pedsnetdcc_spark.sources.clustering import leading_column_file_ranges
+    from pedsnetdcc_spark.sources.io import TableStore, read_table
+
+    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    store = TableStore(str(tmp_path / "lake"))
+    store.stage(li.repartition(24), "lineitem")
+    store.publish()
+    n0 = li.count()
+
+    assert main(["optimize", "-o", str(tmp_path / "lake"), "-t", "lineitem"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["compacted_files"] < 24
+    assert store.read(spark, "lineitem").count() == n0
+
+    assert main(["optimize", "-o", str(tmp_path / "lake"), "-t", "lineitem",
+                 "--cluster-by", "l_orderkey", "--files", "8"]) == 0
+    ranges = leading_column_file_ranges(
+        str(tmp_path / "lake" / "current" / "lineitem"), "l_orderkey"
+    )
+    assert len(ranges) > 1
+    ordered = sorted(ranges)
+    assert all(ordered[i][1] <= ordered[i + 1][0] for i in range(len(ordered) - 1))
+    assert store.read(spark, "lineitem").count() == n0

@@ -925,3 +925,23 @@ def test_edit_distance_pairs_matches_bruteforce_random(spark):
             if lev(a, b) <= tau
         )
         assert got == want, (tau, len(got), len(want))
+
+
+def test_select_survivors_keeps_best_per_cluster(spark):
+    from pyspark.sql import functions as F
+
+    from pedsnetdcc_spark.datapipe.clusters import select_survivors
+
+    rows = [
+        # cluster 1: quality ranks c > a (tie with b broken by id)
+        ("a", 1, 10), ("b", 1, 30), ("c", 1, 30),
+        # singleton cluster
+        ("d", 4, 5),
+    ]
+    df = spark.createDataFrame(rows, "id string, cluster_id int, quality int")
+    out = select_survivors(
+        df, "cluster_id", [F.col("quality").desc(), F.col("id")]
+    )
+    kept = {r["id"] for r in out.where("is_survivor").collect()}
+    assert kept == {"b", "d"}
+    assert out.count() == 4  # non-survivors retained, flagged false
