@@ -545,15 +545,29 @@ def cmd_run_package(args: argparse.Namespace) -> int:
     reference-shaped JSON config file — the ``run_r_query`` command
     path (reference r_query.py:62-128 / main.py run_r_query): config
     in, derived table out, optional copy-to-output publish."""
-    from pedsnetdcc_spark.plans.packages import run_package_from_config
+    from pedsnetdcc_spark.plans.packages import (
+        load_package_config,
+        run_package_from_config,
+    )
 
     spark = _session(args)
     try:
-        result = run_package_from_config(spark, args.config)
-    except KeyError as e:
+        cfg = load_package_config(args.config)
+        result = run_package_from_config(spark, cfg)
+    except (KeyError, ValueError, OSError, json.JSONDecodeError) as e:
         print(json.dumps({"error": str(e)}), file=sys.stderr)
         return 2
-    print(json.dumps({"rows": result.count()}))
+    if cfg.get("copy") and cfg.get("output"):
+        # count the just-published parquet — counting `result` would
+        # re-run the whole derivation a second time
+        published = _read(
+            spark,
+            os.path.join(cfg["output"], "current"),
+            cfg.get("result_table", cfg["package"]),
+        )
+        print(json.dumps({"rows": published.count()}))
+    else:
+        print(json.dumps({"rows": result.count()}))
     return 0
 
 
@@ -816,10 +830,11 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--table", "-t", required=True)
     sp.add_argument("--target-mb", type=int, default=128,
                     help="compaction target file size (MB)")
-    sp.add_argument("--cluster-by", nargs="+", default=None,
-                    help="rewrite range-clustered on these columns")
-    sp.add_argument("--zorder-by", nargs="+", default=None,
-                    help="rewrite Z-ordered on these columns")
+    grp = sp.add_mutually_exclusive_group()
+    grp.add_argument("--cluster-by", nargs="+", default=None,
+                     help="rewrite range-clustered on these columns")
+    grp.add_argument("--zorder-by", nargs="+", default=None,
+                     help="rewrite Z-ordered on these columns")
     sp.add_argument("--files", type=int, default=None,
                     help="output file count for layout rewrites")
     sp.set_defaults(fn=cmd_optimize)

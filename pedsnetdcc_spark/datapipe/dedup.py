@@ -702,12 +702,15 @@ def _pj_probe(side, tau: int, keys: list[str]) -> DataFrame:
                 )
 
             arrays.append(F.transform(positions, _mk(j, li, slen)))
+    # (no array_distinct: entries carry their position p, so they are
+    # unique by construction — same-value substrings at different
+    # window positions must each survive for the hot route's splice)
     return side.select(
         *keys,
         "id_a",
         "__sa",
         "__s",
-        F.explode(F.array_distinct(F.flatten(F.array(*arrays)))).alias("g"),
+        F.explode(F.flatten(F.array(*arrays))).alias("g"),
     ).select(*keys, "id_a", "__sa", "__s", "g.val", "g.j", "g.li", "g.p", "g.slen")
 
 
@@ -784,11 +787,16 @@ def edit_distance_pairs(
     (the exact-dedup pre-pass pattern).
     """
     tau = int(max_dist)
-    # the slim (id, string, length) relation is consumed up to 6 times
+    # The slim (id, string, length) relation is consumed up to 6 times
     # (index/probe × cold/hot + short bucket + the adaptive hot probe);
     # it is vocabulary-bounded (the operator contract is DISTINCT
     # strings), so cache it once instead of recomputing the upstream
-    # per consumer — measured 4.6 s → 1.5 s at bench scale
+    # per consumer — measured 4.6 s → 1.5 s at bench scale.  The entry
+    # cannot be unpersisted here (the result is lazy and consumed
+    # later); repeat calls on the same input re-use the one entry (the
+    # CacheManager matches canonicalized plans), and Spark's unified
+    # memory manager evicts cold cache blocks under pressure, so the
+    # residue degrades to a recompute, never an OOM.
     s = df.select(
         F.col(id_col).alias("__id"),
         F.col(str_col).alias("__s"),

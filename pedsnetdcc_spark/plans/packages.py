@@ -111,9 +111,11 @@ def run_package_from_config(
     if cfg.get("copy") and cfg.get("output"):
         from pedsnetdcc_spark.sources.io import TableStore
 
+        # single-table swap, NOT the generation-level publish: two
+        # packages sharing an output namespace must not wipe each
+        # other's published result tables
         store = TableStore(cfg["output"])
-        store.stage(result, cfg.get("result_table", cfg["package"]))
-        store.publish()
+        store.replace(cfg.get("result_table", cfg["package"]), result)
     return result
 
 

@@ -3386,13 +3386,20 @@ def _bpe_oracle(num_merges: int = _BPE_MERGES) -> str:
         ) ORDER BY cnt DESC, a, b LIMIT 1
     ),
     s{r} AS (
+        -- LEFT JOIN ON TRUE, not CROSS JOIN: when the corpus exhausts
+        -- mergeable pairs before the merge budget, b{r} is empty and a
+        -- cross join would silently empty every later CTE; the null
+        -- branch leaves the vocabulary unchanged instead (matching
+        -- train_bpe's early stop)
         SELECT word, freq,
-               trim(replace(
-                   replace('  ' || replace(repr, ' ', '  ') || '  ',
-                           ' ' || b{r}.a || '  ' || b{r}.b || ' ',
-                           ' ' || b{r}.a || b{r}.b || ' '),
-                   '  ', ' ')) AS repr
-        FROM s{p} CROSS JOIN b{r}
+               CASE WHEN b{r}.a IS NULL THEN repr ELSE
+                   trim(replace(
+                       replace('  ' || replace(repr, ' ', '  ') || '  ',
+                               ' ' || b{r}.a || '  ' || b{r}.b || ' ',
+                               ' ' || b{r}.a || b{r}.b || ' '),
+                       '  ', ' '))
+               END AS repr
+        FROM s{p} LEFT JOIN b{r} ON TRUE
     )"""
         )
     final = f"""
@@ -3961,12 +3968,12 @@ _QUERY_ORDER = [
     "ann_quantized_topk",
     "asof_backward",
     "interval_overlap_join",
-    "decontaminate",
-    "temperature_mixture",
     # -- 3: past the 50-entry cutoff — every entry below was driver-green
     #       in round 5 (or earlier) and still runs through the IDENTICAL
     #       DuckDB row/schema/hash compare in tests/test_oracle_parity.py
     #       every session -------------------------------------------------
+    "decontaminate",
+    "temperature_mixture",
     "pricing_summary",
     "integrity_counts",
     "integrity_samples",

@@ -285,6 +285,7 @@ class TableStore:
         carefully-ranged files and scramble the layout).  Same
         two-rename swap and crash-recovery contract as ``replace``."""
         self._recover_prereplace(name)
+        os.makedirs(self.current_dir, exist_ok=True)  # fresh namespace
         path = os.path.join(self.current_dir, name)
         tmp = f"{path}.replace.{self._txid}"
         write_fn(tmp)

@@ -147,3 +147,31 @@ def test_bpe_handles_regex_special_symbols(spark):
     assert "".join(enc) == "a.ba.ba.b$x$$x$c\\dc\\d"
     # the most frequent pair (a, .) or (., b) must actually have merged
     assert any("." in t and len(t) > 1 for t in enc), enc
+
+
+def test_bpe_oracle_survives_merge_exhaustion(spark, tmp_path):
+    """A corpus that runs out of mergeable pairs before the merge
+    budget must NOT zero out the unrolled DuckDB oracle: the empty
+    argmax rounds leave the vocabulary unchanged (LEFT JOIN ON TRUE),
+    matching train_bpe's early stop — both engines still agree on
+    every document."""
+    import duckdb
+
+    from pedsnetdcc_spark.queries import ORACLES, QUERIES
+    from tests.oracle import compare
+
+    docs = spark.createDataFrame(
+        [(1, "ab ab"), (2, "ab"), (3, "ab ab ab")],
+        "doc_id long, text string",
+    )
+    docs.coalesce(1).write.parquet(str(tmp_path / "documents"))
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents/*.parquet')"
+    )
+    # 'ab' merges once (a,b) then exhausts — 7 of the 8 rounds are empty
+    problems = compare(
+        QUERIES["bpe_encode"](spark, str(tmp_path)), con, ORACLES["bpe_encode"]
+    )
+    assert not problems, problems

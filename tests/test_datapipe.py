@@ -927,6 +927,56 @@ def test_edit_distance_pairs_matches_bruteforce_random(spark):
         assert got == want, (tau, len(got), len(want))
 
 
+def test_edit_distance_pairs_hot_bucket_recursion_exact(spark):
+    """The hot-bucket remainder recursion must stay EXACT: a shared
+    fixed vocabulary packs whole name families into the same segment
+    bucket, and with a tiny hot_threshold every family routes through
+    the level-2 splice path — which emits NO direct pairs, so any
+    soundness bug in the splice/routing silently DROPS true pairs.
+    Compare against brute force at several thresholds (None = flat
+    path, 4 = everything hot, 64 = adaptive probe finds nothing hot)."""
+    import random
+
+    from pedsnetdcc_spark.datapipe.dedup import edit_distance_pairs
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(
+                    dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb)
+                )
+        return dp[-1]
+
+    rng = random.Random(11)
+    vocab = ["hot", "cold", "big"]
+    names = set()
+    while len(names) < 80:
+        base = (
+            f"{rng.choice(vocab)} {rng.choice(vocab)} "
+            f"{''.join(rng.choice('xyz') for _ in range(rng.randrange(1, 5)))}"
+        )
+        names.add(base)
+    names = sorted(names)
+    df = spark.createDataFrame([(w,) for w in names], ["name"])
+    want = sorted(
+        (a, b, lev(a, b))
+        for i, a in enumerate(names)
+        for b in names[i + 1:]
+        if lev(a, b) <= 2
+    )
+    assert want, "fixture must contain true pairs"
+    for hot in (None, 4, 64):
+        got = sorted(
+            (r["id_a"], r["id_b"], r["distance"])
+            for r in edit_distance_pairs(
+                df, "name", "name", max_dist=2, hot_threshold=hot
+            ).collect()
+        )
+        assert got == want, (hot, len(got), len(want))
+
+
 def test_select_survivors_keeps_best_per_cluster(spark):
     from pyspark.sql import functions as F
 
