@@ -14,11 +14,15 @@ its neighbors' labels; fixpoint = components.  Rounds needed = graph
 diameter, and near-dup graphs are short-diameter by construction
 (clusters are quasi-cliques of mutually-similar documents), so the loop
 converges in a handful of rounds.  For adversarial long-chain graphs
-the literature's alternating large-star/small-star rounds (Kiveris et
-al., "Connected Components in MapReduce and Beyond") bound rounds at
-O(log n); the simple propagation is preferred here because the dedup
-graphs it serves never exhibit those chains and each round is one
-join + one aggregate.
+(e.g. drift chains of noised near-copies, each member similar only to
+its neighbors — surfaced by the round-6 scaling probe) propagation
+would need diameter rounds, so when the round budget is exhausted the
+loop switches to the literature's alternating large-star/small-star
+rounds (:func:`_star_components`, Kiveris et al., "Connected
+Components in MapReduce and Beyond"), which converge in O(log n)
+rounds on ANY graph; the simple propagation stays the fast path
+because the quasi-clique graphs dedup actually produces finish it in
+a handful of one-join-one-aggregate rounds.
 
 Scale shape per round: one shuffle join (labels ⋈ edges on node) + one
 hash aggregate (min label per node).  Two materialization mechanisms,
@@ -142,10 +146,94 @@ def connected_components(
         if changed == 0:
             edges.unpersist()
             return labels
+    # Diameter exceeded the round budget — a long-chain graph (e.g.
+    # drift chains of noised near-copies, each member similar only to
+    # its neighbors).  Switch to the O(log n)-round alternating-star
+    # algorithm instead of failing; the quasi-clique fast path above
+    # stays untouched for the graphs dedup actually produces.
+    labels = _star_components(edges)
+    edges.unpersist()
+    return labels
+
+
+def _star_components(edges: DataFrame, max_rounds: int = 64) -> DataFrame:
+    """Alternating large-star/small-star rounds (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond") — converges in
+    O(log n) rounds on ANY graph, including paths, where plain
+    min-label propagation needs diameter rounds.
+
+    ``edges`` must contain BOTH orientations of every undirected edge.
+    Each round: large-star points every neighbor larger than ``u`` at
+    ``u``'s neighborhood minimum, small-star does the same for the
+    smaller neighbors (operating on larger→smaller oriented edges);
+    the fixpoint is a star forest, read out as (node, component).
+
+    Round cost is the same shape as a propagation round (one aggregate
+    + one join over the edge set), and the per-round edge tables are
+    lineage-truncated exactly like the label tables above.
+    """
+
+    def canonical(e: DataFrame) -> DataFrame:
+        return e.select(
+            F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
+        ).where(F.col("u") != F.col("v")).distinct()
+
+    def symmetric(e: DataFrame) -> DataFrame:
+        both = F.explode(
+            F.array(
+                F.struct(F.col("u").alias("u"), F.col("v").alias("v")),
+                F.struct(F.col("v").alias("u"), F.col("u").alias("v")),
+            )
+        )
+        return e.select(both.alias("__e")).select("__e.u", "__e.v")
+
+    cur = canonical(edges).localCheckpoint(eager=False)
+    for _ in range(max_rounds):
+        # large-star: for each u over the symmetric view, attach every
+        # LARGER neighbor to m = min({u} ∪ Γ(u))
+        sym = symmetric(cur)
+        mins = sym.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+        large = (
+            sym.join(mins, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        )
+        # small-star: orient larger→smaller; attach u and its smaller
+        # neighbors to the minimum of that in-neighborhood
+        lo = canonical(large).localCheckpoint(eager=False)
+        directed = lo.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        mins2 = directed.groupBy("u").agg(F.min("v").alias("m"))
+        small = (
+            directed.join(mins2, "u")
+            .select(
+                F.explode(
+                    F.array(
+                        F.struct(F.col("v").alias("u"), F.col("m").alias("v")),
+                        F.struct(F.col("u").alias("u"), F.col("m").alias("v")),
+                    )
+                ).alias("__e")
+            )
+            .select("__e.u", "__e.v")
+        )
+        nxt = canonical(small).localCheckpoint(eager=False)
+        same_size = nxt.count() == lo.count() == cur.count()
+        if same_size and nxt.join(cur, ["u", "v"], "left_anti").count() == 0:
+            # fixpoint: a star forest with the component MINIMUM as the
+            # center — in canonical (u=least, v=greatest) orientation
+            # the root is u; leaves label u, the root labels itself
+            return (
+                nxt.select(F.col("v").alias("node"), F.col("u").alias("component"))
+                .unionByName(
+                    nxt.select(F.col("u").alias("node"), F.col("u").alias("component"))
+                )
+                .groupBy("node")
+                .agg(F.min("component").alias("component"))
+            )
+        cur = nxt
     raise RuntimeError(
-        f"connected_components did not converge in {max_iter} rounds — "
-        "pathological chain graph; raise max_iter or switch to "
-        "large-star/small-star rounds"
+        f"alternating-star rounds did not converge in {max_rounds} rounds"
     )
 
 

@@ -1556,10 +1556,55 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(emb, queries_df, "vec_id", "embedding", k=5)
 
 
+# ---------------------------------------------------------------------------
+# Equivalence-proof universe cap.  The verifier-tier queries pit a
+# production candidate-generation path against a BRUTE-FORCE twin whose
+# cost is quadratic in the universe size — fine at correctness scale,
+# a bench time-bomb if the scale factor is ever raised.  Both sides
+# (and the SQL oracle) therefore run on a deterministic hash-ordered
+# top-N sample of the corpus: the proof semantics (pair-set equality /
+# recall on the SAMPLED universe) are unchanged, the cap never binds at
+# sf0.01 (500 docs < N), and past N the proof cost stays constant while
+# everything else grows linearly.  TakeOrderedAndProject computes the
+# top-N with per-partition heaps — no global sort, no full shuffle.
+# ---------------------------------------------------------------------------
+
+_PROOF_UNIVERSE_CAP = 2000
+
+
+def _capped_universe(
+    df: DataFrame, id_col: str, n: int = _PROOF_UNIVERSE_CAP, seed: int = 0
+) -> DataFrame:
+    from pedsnetdcc_spark.datapipe.dedup import portable_hash64
+
+    capped = df.orderBy(
+        portable_hash64(F.col(id_col).cast("string"), seed), F.col(id_col)
+    ).limit(n)
+    # the limit lands on ONE partition — respread by id so the
+    # downstream explode/aggregate stages parallelize (N slim rows, a
+    # trivial shuffle the doc-keyed consumers reuse).  Deliberately NOT
+    # cached: provers reference the universe from several join sides,
+    # but re-running the scan + per-partition top-N is cheap while an
+    # InMemoryRelation in the middle of the giant hyperplane/vote
+    # expressions measurably degrades their codegen (and leaks cache
+    # across bench queries).
+    return capped.repartition(F.col(id_col))
+
+
+def _capped_universe_sql(
+    table: str, id_col: str, n: int = _PROOF_UNIVERSE_CAP, seed: int = 0
+) -> str:
+    from pedsnetdcc_spark.datapipe.dedup import portable_hash64_sql
+
+    h = portable_hash64_sql(id_col, seed)
+    return f"(SELECT * FROM {table} ORDER BY {h}, {id_col} LIMIT {n})"
+
+
 @query(
     "embedding_near_dup",
-    oracle="""
-    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
+    oracle=f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e
+               FROM {_capped_universe_sql("embeddings", "vec_id")})
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
            list_dot_product(a.e, b.e)
            / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) AS cosine
@@ -1569,9 +1614,15 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine near-dup pairs — the VERIFIER-tier all-pairs twin
+    of the LSH/cell scale paths, so its universe is hash-capped like
+    every other prover (uncapped it was the one production query whose
+    cost grew quadratically in the round-6 scaling probe; the scale
+    representatives are `semantic_dedup` and the LSH agreement rows in
+    `near_dup_scorecard`)."""
     from pedsnetdcc_spark.datapipe.similarity import embedding_near_dup_pairs
 
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _capped_universe(_t(spark, sf_dir, "embeddings"), "vec_id")
     return embedding_near_dup_pairs(emb, "vec_id", "embedding", threshold=0.45)
 
 
@@ -1715,50 +1766,6 @@ def q_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, "doc_id", "text", n=3, threshold=0.2, max_df=100, shingles=sh
     )
     return pair_set_agreement(prod, exact, min_recall_pct=80)
-
-
-# ---------------------------------------------------------------------------
-# Equivalence-proof universe cap.  The agreement provers below pit a
-# production candidate-generation path against a BRUTE-FORCE twin whose
-# cost is quadratic in the universe size — fine at correctness scale,
-# a bench time-bomb if the scale factor is ever raised.  Both sides
-# (and the SQL oracle) therefore run on a deterministic hash-ordered
-# top-N sample of the corpus: the proof semantics (pair-set equality /
-# recall on the SAMPLED universe) are unchanged, the cap never binds at
-# sf0.01 (500 docs < N), and past N the proof cost stays constant while
-# everything else grows linearly.  TakeOrderedAndProject computes the
-# top-N with per-partition heaps — no global sort, no full shuffle.
-# ---------------------------------------------------------------------------
-
-_PROOF_UNIVERSE_CAP = 2000
-
-
-def _capped_universe(
-    df: DataFrame, id_col: str, n: int = _PROOF_UNIVERSE_CAP, seed: int = 0
-) -> DataFrame:
-    from pedsnetdcc_spark.datapipe.dedup import portable_hash64
-
-    capped = df.orderBy(
-        portable_hash64(F.col(id_col).cast("string"), seed), F.col(id_col)
-    ).limit(n)
-    # the limit lands on ONE partition — respread by id so the
-    # downstream explode/aggregate stages parallelize (N slim rows, a
-    # trivial shuffle the doc-keyed consumers reuse).  Deliberately NOT
-    # cached: provers reference the universe from several join sides,
-    # but re-running the scan + per-partition top-N is cheap while an
-    # InMemoryRelation in the middle of the giant hyperplane/vote
-    # expressions measurably degrades their codegen (and leaks cache
-    # across bench queries).
-    return capped.repartition(F.col(id_col))
-
-
-def _capped_universe_sql(
-    table: str, id_col: str, n: int = _PROOF_UNIVERSE_CAP, seed: int = 0
-) -> str:
-    from pedsnetdcc_spark.datapipe.dedup import portable_hash64_sql
-
-    h = portable_hash64_sql(id_col, seed)
-    return f"(SELECT * FROM {table} ORDER BY {h}, {id_col} LIMIT {n})"
 
 
 def _simhash_portable_oracle(bits: int = 16, universe: str = "documents") -> str:
@@ -3442,8 +3449,9 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "embedding_dedup_clusters",
-    oracle="""
-    WITH RECURSIVE v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    oracle=f"""
+    WITH RECURSIVE uni AS (SELECT * FROM {_capped_universe_sql("embeddings", "vec_id")}),
+    v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM uni),
     dup AS (
         SELECT a.vec_id AS id_a, b.vec_id AS id_b
         FROM v a JOIN v b ON a.vec_id < b.vec_id
@@ -3458,19 +3466,22 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT e.v AS node, reach.lbl AS lbl FROM reach JOIN e ON e.u = reach.node
     ),
     comp AS (SELECT node, MIN(lbl) AS component FROM reach GROUP BY node)
-    SELECT emb.vec_id, COALESCE(c.component, emb.vec_id) AS cluster_id
-    FROM embeddings emb LEFT JOIN comp c ON c.node = emb.vec_id
+    SELECT uni.vec_id, COALESCE(c.component, uni.vec_id) AS cluster_id
+    FROM uni LEFT JOIN comp c ON c.node = uni.vec_id
     """,
 )
 def q_embedding_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-space dedup groups: exact cosine near-dup pairs →
     connected components → every vector labeled with its cluster — the
     same graph machinery as the text path (datapipe/clusters.py),
-    composed over a different pair generator."""
+    composed over a different pair generator.  The exact all-pairs
+    generator is verifier-tier, so the universe is hash-capped like
+    every other prover (see `embedding_near_dup`); the uncapped scale
+    paths are `semantic_dedup` (cells) and LSH candidates."""
     from pedsnetdcc_spark.datapipe.clusters import assign_clusters
     from pedsnetdcc_spark.datapipe.similarity import embedding_near_dup_pairs
 
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _capped_universe(_t(spark, sf_dir, "embeddings"), "vec_id")
     pairs = embedding_near_dup_pairs(emb, "vec_id", "embedding", threshold=0.45)
     return assign_clusters(
         emb.select("vec_id"), "vec_id", pairs

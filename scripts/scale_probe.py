@@ -57,6 +57,11 @@ QUERIES_TO_PROBE = [
     "semantic_dedup",
     "edit_distance_join",
     "near_dup_scorecard",
+    "ngram_jaccard_dedup",
+    "passage_dedup",
+    "lm_perplexity",
+    "corpus_pipeline",
+    "embedding_dedup_clusters",
 ]
 
 
@@ -117,12 +122,22 @@ def gen_documents(n: int, seed: int, path: str) -> None:
 
 
 def gen_embeddings(n: int, seed: int, path: str) -> None:
+    """10% of vectors are noised copies of a BASE vector (never of
+    another copy): copy-of-copy chains build long-diameter path graphs
+    in the near-dup pair graph — a different regime than corpus dedup
+    (the star-rounds fallback in clusters.py handles it, but the probe
+    measures the production quasi-clique shape)."""
     rng = np.random.default_rng(seed)
     v = rng.standard_normal((n, 64)).astype(np.float32)
-    for i in range(n):
-        if i >= 1 and rng.random() < 0.10:
-            j = int(rng.integers(max(0, i - 100), i))
-            v[i] = v[j] + 0.05 * rng.standard_normal(64).astype(np.float32)
+    is_base = np.ones(n, dtype=bool)
+    for i in range(1, n):
+        if rng.random() < 0.10:
+            lo = max(0, i - 100)
+            base_ids = [j for j in range(lo, i) if is_base[j]]
+            if base_ids:
+                j = base_ids[int(rng.integers(0, len(base_ids)))]
+                v[i] = v[j] + 0.05 * rng.standard_normal(64).astype(np.float32)
+                is_base[i] = False
     v /= np.linalg.norm(v, axis=1, keepdims=True)
     tbl = pa.table(
         {

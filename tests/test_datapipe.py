@@ -995,3 +995,61 @@ def test_select_survivors_keeps_best_per_cluster(spark):
     kept = {r["id"] for r in out.where("is_survivor").collect()}
     assert kept == {"b", "d"}
     assert out.count() == 4  # non-survivors retained, flagged false
+
+
+def test_connected_components_star_fallback_on_long_chain(spark):
+    """A path graph's diameter exceeds any fixed propagation budget;
+    the alternating-star fallback must still produce exact components
+    (min-id labels) instead of raising — with correct star orientation
+    (root = component minimum)."""
+    from pedsnetdcc_spark.datapipe.clusters import connected_components
+
+    # chain 0-1-...-120 plus a disjoint triangle {500,501,502}
+    pairs = [(i, i + 1) for i in range(120)] + [(500, 501), (501, 502), (500, 502)]
+    df = spark.createDataFrame(pairs, "id_a long, id_b long")
+    out = {
+        r["node"]: r["component"]
+        for r in connected_components(df, max_iter=5).collect()
+    }
+    assert len(out) == 124
+    assert all(out[i] == 0 for i in range(121))
+    assert all(out[i] == 500 for i in (500, 501, 502))
+
+
+def test_star_components_random_equivalence(spark):
+    """_star_components must agree with a Python union-find on random
+    graphs (both orientations fed, as connected_components does)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from pedsnetdcc_spark.datapipe.clusters import _star_components
+
+    rng = random.Random(5)
+    n = 60
+    pairs = {(rng.randrange(n), rng.randrange(n)) for _ in range(70)}
+    pairs = [(a, b) for a, b in pairs if a != b]
+
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {}
+    for a, b in pairs:
+        for x in (a, b):
+            want[x] = find(x)
+
+    df = spark.createDataFrame(pairs, "u long, v long")
+    sym = df.unionByName(df.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    got = {
+        r["node"]: r["component"] for r in _star_components(sym).collect()
+    }
+    assert got == want
