@@ -185,3 +185,22 @@ def test_passage_dedup_no_window_over_chunk_text(spark, sf_dir):
     plan = _plan(passage_dedup(docs, "doc_id", "text", chunk_tokens=32))
     assert "Window" not in plan, plan
     assert "Exchange SinglePartition" not in plan, plan
+
+
+def test_edit_distance_adaptive_probe_keeps_flat_plan(spark, sf_dir):
+    """On a benign corpus (no segment bucket above the hot threshold)
+    the adaptive probe must pick the FLAT single-join plan: no level-2
+    remainder machinery (its k1v bucket key) and exactly one join
+    between probe and index candidate streams plus the verify joins —
+    the ~4s of empty hot-route exchanges measured at bench scale must
+    not come back."""
+    from pedsnetdcc_spark.datapipe.dedup import edit_distance_pairs
+
+    names = (
+        read_table(spark, sf_dir, "part")
+        .select(F.col("p_name").alias("name"))
+        .distinct()
+    )
+    out = edit_distance_pairs(names, "name", "name", max_dist=2)
+    plan = _plan(out)
+    assert "k1v" not in plan, "hot-route level-2 machinery planned on benign corpus"
