@@ -47,7 +47,13 @@ def _tables_in(ns: str) -> list[str]:
         path = os.path.join(ns, entry)
         if entry.endswith(".parquet") and os.path.isfile(path):
             names.append(entry[: -len(".parquet")])
-        elif os.path.isdir(path) and not entry.startswith("_"):
+        elif (
+            os.path.isdir(path)
+            and not entry.startswith("_")
+            # TableStore swap-in-progress artifacts, not tables
+            and ".replace." not in entry
+            and not entry.endswith(".prereplace")
+        ):
             names.append(entry)
     return names
 
@@ -225,6 +231,21 @@ def cmd_optimize(args: argparse.Namespace) -> int:
     from pedsnetdcc_spark.sources.clustering import clustered_write, zorder_write
     from pedsnetdcc_spark.sources.io import TableStore
 
+    layout_requested = bool(args.cluster_by or args.zorder_by)
+    if layout_requested and args.target_mb != 128:
+        print(
+            json.dumps({"error": "--target-mb applies only to compaction "
+                                 "(omit --cluster-by/--zorder-by)"}),
+            file=sys.stderr,
+        )
+        return 2
+    if args.files is not None and not layout_requested:
+        print(
+            json.dumps({"error": "--files applies only to layout rewrites "
+                                 "(use --target-mb for compaction)"}),
+            file=sys.stderr,
+        )
+        return 2
     spark = _session(args)
     store = TableStore(args.output)
     if args.cluster_by or args.zorder_by:
@@ -547,16 +568,31 @@ def cmd_run_package(args: argparse.Namespace) -> int:
     in, derived table out, optional copy-to-output publish."""
     from pedsnetdcc_spark.plans.packages import (
         load_package_config,
+        registered_packages,
         run_package_from_config,
     )
 
-    spark = _session(args)
+    # only CONFIG problems get the error-contract treatment; failures
+    # inside the runner or the publish keep their traceback (masking a
+    # half-completed publish as a config error helps nobody)
     try:
         cfg = load_package_config(args.config)
-        result = run_package_from_config(spark, cfg)
-    except (KeyError, ValueError, OSError, json.JSONDecodeError) as e:
+    except (ValueError, OSError, json.JSONDecodeError) as e:
         print(json.dumps({"error": str(e)}), file=sys.stderr)
         return 2
+    if cfg["package"] not in registered_packages():
+        print(
+            json.dumps(
+                {
+                    "error": f"no package runner registered for {cfg['package']!r}",
+                    "known": registered_packages(),
+                }
+            ),
+            file=sys.stderr,
+        )
+        return 2
+    spark = _session(args)
+    result = run_package_from_config(spark, cfg)
     if cfg.get("copy") and cfg.get("output"):
         # count the just-published parquet — counting `result` would
         # re-run the whole derivation a second time

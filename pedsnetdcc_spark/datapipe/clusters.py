@@ -47,6 +47,19 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _symmetrize(df: DataFrame, src: str = "u", dst: str = "v") -> DataFrame:
+    """Both orientations of every edge in ONE pass over ``df`` — a
+    self-union would execute the (potentially expensive) upstream pair
+    pipeline once per branch; exploding from a single scan halves it."""
+    both = F.explode(
+        F.array(
+            F.struct(F.col(src).alias("u"), F.col(dst).alias("v")),
+            F.struct(F.col(dst).alias("u"), F.col(src).alias("v")),
+        )
+    )
+    return df.select(both.alias("__e")).select("__e.u", "__e.v")
+
+
 def connected_components(
     pairs: DataFrame,
     src: str = "id_a",
@@ -59,22 +72,7 @@ def connected_components(
     their own cluster — join back with a coalesce, see
     :func:`assign_clusters`).
     """
-    # Symmetrize in ONE pass over ``pairs``: a self-union would execute
-    # the (potentially expensive) upstream pair pipeline once per
-    # branch — exploding both orientations from a single scan halves
-    # the cost of candidate-generation inputs.
-    both = F.explode(
-        F.array(
-            F.struct(F.col(src).alias("u"), F.col(dst).alias("v")),
-            F.struct(F.col(dst).alias("u"), F.col(src).alias("v")),
-        )
-    )
-    edges = (
-        pairs.select(both.alias("__e"))
-        .select("__e.u", "__e.v")
-        .distinct()
-        .cache()
-    )
+    edges = _symmetrize(pairs, src, dst).distinct().cache()
     # Materialize the cache through a DataFrame action so AQE plans the
     # (potentially expensive) pair pipeline — executing it lazily from
     # inside a localCheckpoint would go through the RDD path, which
@@ -151,9 +149,32 @@ def connected_components(
     # its neighbors).  Switch to the O(log n)-round alternating-star
     # algorithm instead of failing; the quasi-clique fast path above
     # stays untouched for the graphs dedup actually produces.
-    labels = _star_components(edges)
+    # Contract the graph through the partial labels first: edges whose
+    # endpoints already share a label collapse to self-loops (dropped
+    # inside the star rounds), so the max_iter completed propagation
+    # rounds SHRINK the star input instead of being discarded — the
+    # star algorithm resolves only the unconverged quotient graph.
+    lab_u = labels.select(F.col("node").alias("u"), F.col("component").alias("lu"))
+    lab_v = labels.select(F.col("node").alias("v"), F.col("component").alias("lv"))
+    contracted = (
+        edges.join(F.broadcast(lab_u) if broadcast_labels else lab_u, "u")
+        .join(F.broadcast(lab_v) if broadcast_labels else lab_v, "v")
+        .select(F.col("lu").alias("u"), F.col("lv").alias("v"))
+    )
+    roots = _star_components(_symmetrize(contracted))
+    # node -> root(label(node)).  A label whose group is already fully
+    # converged is isolated in the quotient (the star output omits it):
+    # keep its propagation label — which also preserves nodes appearing
+    # only in self-pairs, matching the fast path's contract that every
+    # node of ``pairs`` is returned.
+    lbl_root = roots.select(
+        F.col("node").alias("component"), F.col("component").alias("__root")
+    )
+    final = labels.join(
+        F.broadcast(lbl_root) if broadcast_labels else lbl_root, "component", "left"
+    ).select("node", F.coalesce("__root", "component").alias("component"))
     edges.unpersist()
-    return labels
+    return final
 
 
 def _star_components(edges: DataFrame, max_rounds: int = 64) -> DataFrame:
@@ -171,6 +192,10 @@ def _star_components(edges: DataFrame, max_rounds: int = 64) -> DataFrame:
     Round cost is the same shape as a propagation round (one aggregate
     + one join over the edge set), and the per-round edge tables are
     lineage-truncated exactly like the label tables above.
+
+    Self-loops are dropped, so nodes appearing ONLY in self-loop edges
+    are absent from the output — the fallback caller coalesces against
+    its propagation labels to preserve them.
     """
 
     def canonical(e: DataFrame) -> DataFrame:
@@ -178,20 +203,11 @@ def _star_components(edges: DataFrame, max_rounds: int = 64) -> DataFrame:
             F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
         ).where(F.col("u") != F.col("v")).distinct()
 
-    def symmetric(e: DataFrame) -> DataFrame:
-        both = F.explode(
-            F.array(
-                F.struct(F.col("u").alias("u"), F.col("v").alias("v")),
-                F.struct(F.col("v").alias("u"), F.col("u").alias("v")),
-            )
-        )
-        return e.select(both.alias("__e")).select("__e.u", "__e.v")
-
     cur = canonical(edges).localCheckpoint(eager=False)
     for _ in range(max_rounds):
         # large-star: for each u over the symmetric view, attach every
         # LARGER neighbor to m = min({u} ∪ Γ(u))
-        sym = symmetric(cur)
+        sym = _symmetrize(cur)
         mins = sym.groupBy("u").agg(
             F.least(F.min("v"), F.first("u")).alias("m")
         )

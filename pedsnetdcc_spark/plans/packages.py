@@ -33,6 +33,10 @@ def register_package(name: str, runner: PackageRunner) -> None:
     _REGISTRY[name] = runner
 
 
+def registered_packages() -> list[str]:
+    return sorted(_REGISTRY)
+
+
 def run_package(spark: SparkSession, name: str, config: dict[str, Any]) -> DataFrame:
     """Run a registered package (the ``run_r_query`` analog: config in,
     derived table out)."""

@@ -283,12 +283,27 @@ class TableStore:
         files there (e.g. ``clustered_write`` / ``zorder_write`` — a
         plain read-back-and-replace would let the scan coalesce the
         carefully-ranged files and scramble the layout).  Same
-        two-rename swap and crash-recovery contract as ``replace``."""
+        two-rename swap and crash-recovery contract as ``replace``;
+        a crash between the renames restores the OLD data (the
+        completed rewrite in the side directory is abandoned and
+        cleaned on the next rewrite) — conservative, never lossy.
+
+        A failed ``write_fn`` must not strand the side directory: it is
+        removed on exception (and any stale side dirs from prior
+        crashed rewrites of this table are swept first)."""
         self._recover_prereplace(name)
         os.makedirs(self.current_dir, exist_ok=True)  # fresh namespace
         path = os.path.join(self.current_dir, name)
+        for entry in os.listdir(self.current_dir):  # sweep crashed rewrites
+            if entry.startswith(f"{name}.replace."):
+                shutil.rmtree(os.path.join(self.current_dir, entry))
         tmp = f"{path}.replace.{self._txid}"
-        write_fn(tmp)
+        try:
+            write_fn(tmp)
+        except BaseException:
+            if os.path.exists(tmp):
+                shutil.rmtree(tmp)
+            raise
         old = f"{path}.prereplace"
         if os.path.exists(old):
             shutil.rmtree(old)

@@ -427,3 +427,25 @@ def test_cli_optimize(spark, sf_dir, tmp_path, capsys):
     ordered = sorted(ranges)
     assert all(ordered[i][1] <= ordered[i + 1][0] for i in range(len(ordered) - 1))
     assert store.read(spark, "lineitem").count() == n0
+
+    # z-order branch: both columns get sub-global file ranges
+    capsys.readouterr()
+    assert main(["optimize", "-o", str(tmp_path / "lake"), "-t", "lineitem",
+                 "--zorder-by", "l_orderkey", "l_partkey", "--files", "8"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["zorder"] == ["l_orderkey", "l_partkey"]
+    for col in ("l_orderkey", "l_partkey"):
+        rs = leading_column_file_ranges(
+            str(tmp_path / "lake" / "current" / "lineitem"), col
+        )
+        glo = (
+            li.agg({col: "max"}).collect()[0][0] - li.agg({col: "min"}).collect()[0][0]
+        )
+        assert sum(hi - lo for lo, hi in rs) / len(rs) < 0.95 * glo, col
+    assert store.read(spark, "lineitem").count() == n0
+
+    # meaningless flag combinations are rejected, not silently ignored
+    assert main(["optimize", "-o", str(tmp_path / "lake"), "-t", "lineitem",
+                 "--cluster-by", "l_orderkey", "--target-mb", "64"]) == 2
+    assert main(["optimize", "-o", str(tmp_path / "lake"), "-t", "lineitem",
+                 "--files", "8"]) == 2

@@ -1053,3 +1053,20 @@ def test_star_components_random_equivalence(spark):
         r["node"]: r["component"] for r in _star_components(sym).collect()
     }
     assert got == want
+
+
+def test_connected_components_star_fallback_preserves_self_pair_nodes(spark):
+    """Nodes appearing only in self-pairs must survive the star
+    fallback (star rounds drop self-loops; the fallback coalesces
+    against the propagation labels), keeping the fast path's contract
+    'every node in pairs is returned' path-independent."""
+    from pedsnetdcc_spark.datapipe.clusters import connected_components
+
+    pairs = [(i, i + 1) for i in range(60)] + [(900, 900)]
+    df = spark.createDataFrame(pairs, "id_a long, id_b long")
+    out = {
+        r["node"]: r["component"]
+        for r in connected_components(df, max_iter=3).collect()
+    }
+    assert out[900] == 900
+    assert all(out[i] == 0 for i in range(61))
