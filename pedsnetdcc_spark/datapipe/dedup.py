@@ -973,6 +973,8 @@ def passage_dedup(
     text_col: str = "text",
     chunk_tokens: int = 32,
     keep: str = "first",
+    chunking: str = "fixed",
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """Cross-document EXACT passage dedup: split every document into
     non-overlapping ``chunk_tokens``-token windows, drop windows whose
@@ -988,6 +990,13 @@ def passage_dedup(
     chunk_id)``) of each repeated passage survives, later copies drop —
     corpus-wide content is preserved exactly once.  ``keep="unique"``:
     every occurrence of a repeated passage drops (boilerplate removal).
+
+    ``chunking="fixed"`` (default) is phase-sensitive: a passage
+    repeated at DIFFERENT token offsets lands in differently-aligned
+    windows and is missed.  ``chunking="cdc"`` switches to
+    content-defined boundaries (text.cdc_chunk_documents) whose cut
+    points re-synchronize inside the repeat, catching it at any offset
+    — same cost shape, expected chunk length ``chunk_tokens``.
 
     Returns ``(id, text_deduped, n_chunks, n_chunks_dropped)`` — one
     row per input document; a document whose every window was dropped
@@ -1005,11 +1014,19 @@ def passage_dedup(
     """
     if keep not in ("first", "unique"):
         raise ValueError(f"keep must be 'first' or 'unique', got {keep!r}")
-    from pedsnetdcc_spark.datapipe.text import chunk_documents
+    from pedsnetdcc_spark.datapipe.text import cdc_chunk_documents, chunk_documents
 
-    chunks = chunk_documents(
-        df, id_col, text_col, chunk_tokens=chunk_tokens, overlap=0
-    ).withColumn("__key", F.md5(F.col("chunk_text")))
+    if chunking == "fixed":
+        raw = chunk_documents(df, id_col, text_col, chunk_tokens=chunk_tokens, overlap=0)
+    elif chunking == "cdc":
+        # content-defined boundaries: repeats are caught regardless of
+        # their token offset in each document (see cdc_chunk_documents)
+        raw = cdc_chunk_documents(
+            df, id_col, text_col, target_tokens=chunk_tokens, hash_family=hash_family
+        )
+    else:
+        raise ValueError(f"chunking must be 'fixed' or 'cdc', got {chunking!r}")
+    chunks = raw.withColumn("__key", F.md5(F.col("chunk_text")))
     per_key = chunks.groupBy("__key").agg(
         F.count(F.lit(1)).alias("__df"),
         F.min(F.struct(F.col(id_col), F.col("chunk_id"))).alias("__first"),

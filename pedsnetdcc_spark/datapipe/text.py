@@ -321,6 +321,119 @@ def chunk_documents(
     )
 
 
+#: Rolling-hash constants for content-defined chunking: token hashes
+#: reduce mod 2^20, the window folds with h = (h*B + x) mod M (M the
+#: Mersenne prime 2^31−1), so every intermediate fits well inside a
+#: 64-bit signed integer in BOTH engines — DuckDB errors on BIGINT
+#: overflow where the JVM would wrap silently.
+_CDC_TMOD = 1 << 20
+_CDC_B = 1_048_573
+_CDC_M = 2_147_483_647
+
+
+def cdc_chunk_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    target_tokens: int = 32,
+    window: int = 4,
+    hash_family: str = "xxhash64",
+    seed: int = 0,
+) -> DataFrame:
+    """CONTENT-DEFINED chunking: a chunk boundary falls after token
+    ``i`` whenever the hash of the trailing ``window``-token context
+    satisfies ``H % target_tokens == 0`` (and always after the last
+    token), so expected chunk length is ``target_tokens`` but the cut
+    points depend only on LOCAL content.  Same output shape as
+    :func:`chunk_documents`: ``(id, chunk_id, chunk_text,
+    n_chunk_tokens)``.
+
+    Why it exists: fixed windows are phase-sensitive — a passage
+    repeated across documents at different token offsets lands in
+    differently-aligned windows and exact passage dedup misses it
+    entirely.  Content-defined boundaries re-synchronize inside the
+    repeat after ``window`` tokens, so all interior chunks of the
+    repeated span match verbatim regardless of offset (the rolling-hash
+    chunking of dedup storage systems — LBFS's contribution — applied
+    to token streams).  ``passage_dedup(chunking="cdc")`` composes it.
+
+    Scale shape: identical to :func:`chunk_documents` — boundary
+    detection, start/end pairing, and slicing are all higher-order
+    array functions fused into the scan; one ``posexplode``, no
+    shuffle, no UDF.  ``hash_family="portable"`` switches the rolling
+    hash to the md5-derived family DuckDB can replay for oracle
+    checks; production defaults to the cheaper xxhash64.
+    """
+    from pedsnetdcc_spark.datapipe.dedup import _seeded_hash
+
+    if window < 1 or target_tokens < 2:
+        raise ValueError("need window >= 1 and target_tokens >= 2")
+    toks = tokens(text_col)
+    n = F.size(toks)
+
+    # Boundary decision = polynomial rolling hash over PRE-HASHED
+    # tokens: each token hashes once (mod 2^20 so products stay far
+    # from 64-bit overflow, which Java wraps silently but DuckDB
+    # REJECTS — the modular arithmetic is what keeps the oracle
+    # replayable), then each position folds its w-token window with
+    # h = (h*B + x) mod M.  Building the window STRING per position
+    # and md5-ing it measured 2.8 s for the chunker alone at sf0.1 —
+    # higher-order lambdas are interpreted per element, so per-token
+    # string allocation dominates; the numeric fold is ~5×cheaper.
+    staged0 = df.where(n >= 1).select(
+        F.col(id_col),
+        toks.alias("__toks"),
+        F.transform(
+            toks,
+            lambda t: F.pmod(_seeded_hash(t, seed, hash_family), F.lit(_CDC_TMOD)),
+        ).alias("__th"),
+    )
+    n2 = F.size(F.col("__th"))
+
+    def win_hash(i):  # polynomial hash of the window ending at 1-based i
+        return F.aggregate(
+            F.slice(F.col("__th"), i - window + 1, window),
+            F.lit(0).cast("long"),
+            lambda acc, x: F.pmod(acc * _CDC_B + x, F.lit(_CDC_M)),
+        )
+
+    def is_end(i):  # boundary AFTER 1-based token position i
+        return (
+            (i >= window) & (F.pmod(win_hash(i), F.lit(target_tokens)) == 0)
+        ) | (i == n2)
+
+    ends = F.filter(F.sequence(F.lit(1), F.greatest(n2, F.lit(1))), is_end)
+    # Stage the boundary array through a projection BEFORE deriving the
+    # start positions from it: referencing the `ends` expression inside
+    # the starts lambda would re-evaluate the whole hash-filter per
+    # element (O(chunks × tokens) rolling hashes per document — this
+    # exact mistake measured 21 s vs 2 s at sf0.1); a projected column
+    # is computed once per row and the lambda then only indexes it.
+    staged = staged0.select(F.col(id_col), "__toks", ends.alias("__ends"))
+    starts = F.transform(
+        F.sequence(F.lit(1), F.size(F.col("__ends"))),
+        lambda k: F.when(k == 1, F.lit(1)).otherwise(
+            F.element_at(F.col("__ends"), k - 1) + 1
+        ),
+    )
+    exploded = staged.select(
+        F.col(id_col),
+        "__toks",
+        F.posexplode(
+            F.arrays_zip(starts.alias("s"), F.col("__ends").alias("e"))
+        ).alias("chunk_id", "__se"),
+    )
+    chunk = F.slice(
+        F.col("__toks"), F.col("__se.s"), F.col("__se.e") - F.col("__se.s") + 1
+    )
+    return exploded.select(
+        F.col(id_col),
+        F.col("chunk_id").cast("int").alias("chunk_id"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+        F.size(chunk).cast("long").alias("n_chunk_tokens"),
+    )
+
+
 # RE2-safe PII patterns (no lookarounds — portable across Java regex,
 # RE2, and DuckDB's regexp engine); public-knowledge shapes only
 PII_PATTERNS: list[tuple[str, str]] = [

@@ -3611,6 +3611,86 @@ def q_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return passage_dedup(docs, "doc_id", "text", chunk_tokens=32, keep="first")
 
 
+def _cdc_passage_oracle(target: int = 32, w: int = 4) -> str:
+    """DuckDB replay of content-defined chunking + keep-first passage
+    dedup: per-token portable hashes mod 2^20, a Horner-unrolled
+    polynomial window hash h = (h*B + x) mod M over the trailing
+    ``w``-token window (the modular reduction keeps every intermediate
+    inside BIGINT — DuckDB errors on overflow), boundary after token i
+    when h ≡ 0 mod target (or i ends the doc); spans pair consecutive
+    boundaries; dedup is the same window-rank formulation as the
+    fixed-chunk oracle."""
+    from pedsnetdcc_spark.datapipe.dedup import portable_hash64_sql
+    from pedsnetdcc_spark.datapipe.text import _CDC_B, _CDC_M, _CDC_TMOD
+
+    th = f"list_transform(toks, t -> ({portable_hash64_sql('t', 0)}) % {_CDC_TMOD})"
+    horner = f"CAST(th[i-{w - 1}] AS BIGINT)"
+    for j in range(w - 2, -1, -1):
+        horner = f"(({horner}) * {_CDC_B} + th[i-{j}]) % {_CDC_M}"
+    return f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks,
+                      {th} AS th
+               FROM documents),
+    pos AS (SELECT doc_id, toks, th, unnest(range(1, len(toks)+1)) AS i FROM t),
+    b AS (
+        SELECT doc_id, i,
+               CASE WHEN (i >= {w} AND ({horner}) % {target} = 0)
+                         OR i = len(toks)
+                    THEN 1 ELSE 0 END AS isend
+        FROM pos
+    ),
+    ends AS (SELECT doc_id, i,
+                    CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i)
+                         AS INT) AS k
+             FROM b WHERE isend = 1),
+    spans AS (
+        SELECT e.doc_id, e.k - 1 AS chunk_id, COALESCE(p.i + 1, 1) AS s, e.i AS en
+        FROM ends e LEFT JOIN ends p ON p.doc_id = e.doc_id AND p.k = e.k - 1
+    ),
+    c AS (
+        SELECT sp.doc_id, sp.chunk_id,
+               array_to_string(t.toks[sp.s:sp.en], ' ') AS chunk_text
+        FROM spans sp JOIN t USING (doc_id)
+    ),
+    r AS (
+        SELECT doc_id, chunk_id, chunk_text,
+               ROW_NUMBER() OVER (
+                   PARTITION BY chunk_text ORDER BY doc_id, chunk_id
+               ) AS rk
+        FROM c
+    )
+    SELECT doc_id,
+           COALESCE(array_to_string(
+               list(chunk_text ORDER BY chunk_id) FILTER (WHERE rk = 1), ' '
+           ), '') AS text_deduped,
+           COUNT(*) AS n_chunks,
+           CAST(SUM(CASE WHEN rk = 1 THEN 0 ELSE 1 END) AS BIGINT)
+               AS n_chunks_dropped
+    FROM r GROUP BY doc_id
+    """
+
+
+@query("cdc_passage_dedup", oracle=_cdc_passage_oracle())
+def q_cdc_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shift-robust passage dedup: CONTENT-DEFINED chunk boundaries
+    (rolling-hash cut points, text.cdc_chunk_documents) + keep-first
+    exact dedup (datapipe/dedup.passage_dedup(chunking="cdc")).  Fixed
+    windows miss a repeated passage whose token offset differs between
+    documents; content-defined boundaries re-synchronize inside the
+    repeat, so its interior chunks match at any offset — the LBFS
+    rolling-hash chunking idea applied to token streams.  The oracle
+    replays boundary detection, span pairing, and the window-rank
+    keep-first rule; the portable hash family makes the cut points
+    engine-exact."""
+    from pedsnetdcc_spark.datapipe.dedup import passage_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    return passage_dedup(
+        docs, "doc_id", "text", chunk_tokens=32, keep="first",
+        chunking="cdc", hash_family="portable",
+    )
+
+
 def _semantic_dedup_oracle(k: int = 16, threshold: float = 0.45) -> str:
     from pedsnetdcc_spark.datapipe.dedup import portable_hash64_sql
 
@@ -3958,6 +4038,7 @@ _QUERY_ORDER = [
     # -- 1c: new in round 6 (never scored) --------------------------------
     "bpe_encode",
     "dedup_survivors",
+    "cdc_passage_dedup",
     # -- 2: keep driver-green (complex pipelines whose verdicts we want
     #       current; all green in round 5) --------------------------------
     "eras",

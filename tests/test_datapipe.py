@@ -1070,3 +1070,56 @@ def test_connected_components_star_fallback_preserves_self_pair_nodes(spark):
     }
     assert out[900] == 900
     assert all(out[i] == 0 for i in range(61))
+
+
+def test_cdc_passage_dedup_is_shift_robust(spark):
+    """A long passage repeated at DIFFERENT token offsets must be
+    caught by content-defined chunking and MISSED by fixed windows —
+    the reason cdc chunking exists.  Also pin the chunker's lossless
+    reassembly: concatenating each doc's chunks in order restores the
+    document."""
+    import random
+
+    from pedsnetdcc_spark.datapipe.dedup import passage_dedup
+    from pedsnetdcc_spark.datapipe.text import cdc_chunk_documents
+
+    rng = random.Random(9)
+    words = [f"w{idx}" for idx in range(400)]
+    passage = " ".join(rng.choice(words) for _ in range(160))
+    prefix_a = " ".join(rng.choice(words) for _ in range(40))
+    # offset differs by 7 tokens — misaligns every fixed 16-token window
+    prefix_b = " ".join(rng.choice(words) for _ in range(47))
+    docs = spark.createDataFrame(
+        [(1, f"{prefix_a} {passage}"), (2, f"{prefix_b} {passage}")],
+        "doc_id long, text string",
+    )
+
+    fixed = {
+        r["doc_id"]: r["n_chunks_dropped"]
+        for r in passage_dedup(
+            docs, "doc_id", "text", chunk_tokens=16, keep="first"
+        ).collect()
+    }
+    cdc = {
+        r["doc_id"]: r["n_chunks_dropped"]
+        for r in passage_dedup(
+            docs, "doc_id", "text", chunk_tokens=16, keep="first", chunking="cdc"
+        ).collect()
+    }
+    assert sum(fixed.values()) == 0, fixed  # fixed windows: repeat invisible
+    assert cdc[1] == 0 and cdc[2] >= 3, cdc  # cdc: interior chunks dedup
+
+    # lossless reassembly of the chunker itself
+    chunks = cdc_chunk_documents(docs, "doc_id", "text", target_tokens=16)
+    rebuilt = {
+        did: " ".join(t for _, t in sorted(rows))
+        for did, rows in (
+            (d, [(r["chunk_id"], r["chunk_text"]) for r in g])
+            for d, g in __import__("itertools").groupby(
+                sorted(chunks.collect(), key=lambda r: (r["doc_id"], r["chunk_id"])),
+                key=lambda r: r["doc_id"],
+            )
+        )
+    }
+    originals = {r["doc_id"]: r["text"] for r in docs.collect()}
+    assert rebuilt == originals
