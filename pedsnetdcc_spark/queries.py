@@ -4059,11 +4059,11 @@ _QUERY_ORDER = [
     "edit_distance_join",
     "ann_quantized_topk",
     "asof_backward",
-    "interval_overlap_join",
     # -- 3: past the 50-entry cutoff — every entry below was driver-green
     #       in round 5 (or earlier) and still runs through the IDENTICAL
     #       DuckDB row/schema/hash compare in tests/test_oracle_parity.py
     #       every session -------------------------------------------------
+    "interval_overlap_join",
     "decontaminate",
     "temperature_mixture",
     "pricing_summary",
