@@ -437,6 +437,7 @@ def cmd_passage_dedup(args: argparse.Namespace) -> int:
     out = passage_dedup(
         docs, args.id_col, args.text_col,
         chunk_tokens=args.chunk_tokens, keep=args.keep,
+        chunking=args.chunking,
     )
     _publish(spark, args.output, {args.table: out})
     return 0
@@ -792,6 +793,8 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--text-col", default="text")
     sp.add_argument("--chunk-tokens", type=int, default=32)
     sp.add_argument("--keep", choices=("first", "unique"), default="first")
+    sp.add_argument("--chunking", choices=("fixed", "cdc"), default="fixed",
+                    help="cdc = content-defined boundaries (shift-robust)")
     sp.set_defaults(fn=cmd_passage_dedup)
 
     sp = sub.add_parser("semantic-dedup", help="embedding cell dedup with canonical keep")
