@@ -339,12 +339,17 @@ def cdc_chunk_documents(
     window: int = 4,
     hash_family: str = "xxhash64",
     seed: int = 0,
+    min_tokens: int | None = None,
+    max_tokens: int | None = None,
 ) -> DataFrame:
     """CONTENT-DEFINED chunking: a chunk boundary falls after token
     ``i`` whenever the hash of the trailing ``window``-token context
-    satisfies ``H % target_tokens == 0`` (and always after the last
-    token), so expected chunk length is ``target_tokens`` but the cut
-    points depend only on LOCAL content.  Same output shape as
+    satisfies ``H % target_tokens == 0``, subject to LBFS-style length
+    bounds — a boundary is suppressed while the open chunk is shorter
+    than ``min_tokens`` (default ``target_tokens // 4``) and forced
+    when it reaches ``max_tokens`` (default ``4 * target_tokens``) or
+    the document ends.  Expected chunk length is ``target_tokens`` but
+    the cut points depend only on LOCAL content.  Same output shape as
     :func:`chunk_documents`: ``(id, chunk_id, chunk_text,
     n_chunk_tokens)``.
 
@@ -357,9 +362,20 @@ def cdc_chunk_documents(
     chunking of dedup storage systems — LBFS's contribution — applied
     to token streams).  ``passage_dedup(chunking="cdc")`` composes it.
 
-    Scale shape: identical to :func:`chunk_documents` — boundary
-    detection, start/end pairing, and slicing are all higher-order
-    array functions fused into the scan; one ``posexplode``, no
+    Why the bounds matter (both failure modes were reproduced before
+    they were added): without a minimum, chunk lengths are geometric
+    and ~12% of chunks at target 32 are 1–4 common tokens, which
+    collide across UNRELATED documents and get deleted as "repeated
+    passages" — silent corruption of non-duplicate text; without a
+    maximum, a low-entropy run ("x x x …") has one constant window
+    hash, so the boundary test either fires everywhere (min now stops
+    it) or never — an unbounded whole-document chunk.
+
+    Scale shape: one sequential fold per document over pre-hashed
+    tokens (the length constraints make boundary choice inherently
+    sequential — each cut depends on the previous one), then the same
+    start/end pairing + ``posexplode`` + slice as
+    :func:`chunk_documents`; everything fuses into the scan, no
     shuffle, no UDF.  ``hash_family="portable"`` switches the rolling
     hash to the md5-derived family DuckDB can replay for oracle
     checks; production defaults to the cheaper xxhash64.
@@ -368,6 +384,10 @@ def cdc_chunk_documents(
 
     if window < 1 or target_tokens < 2:
         raise ValueError("need window >= 1 and target_tokens >= 2")
+    min_tokens = target_tokens // 4 if min_tokens is None else min_tokens
+    max_tokens = 4 * target_tokens if max_tokens is None else max_tokens
+    if not 1 <= min_tokens <= max_tokens:
+        raise ValueError("need 1 <= min_tokens <= max_tokens")
     toks = tokens(text_col)
     n = F.size(toks)
 
@@ -397,15 +417,40 @@ def cdc_chunk_documents(
             lambda acc, x: F.pmod(acc * _CDC_B + x, F.lit(_CDC_M)),
         )
 
-    def is_end(i):  # boundary AFTER 1-based token position i
-        return (
-            (i >= window) & (F.pmod(win_hash(i), F.lit(target_tokens)) == 0)
-        ) | (i == n2)
+    # Sequential greedy fold (the length bounds make each cut depend on
+    # the previous one): cut after token i when the open chunk has at
+    # least min_tokens AND the window hash fires, or the chunk reached
+    # max_tokens, or the document ends (final chunk may be short).
+    def step(acc, i):
+        cur_len = i - acc.last
+        cut = (
+            (
+                (cur_len >= min_tokens)
+                & (i >= window)
+                & (F.pmod(win_hash(i), F.lit(target_tokens)) == 0)
+            )
+            | (cur_len >= max_tokens)
+            | (i == n2)
+        )
+        return F.when(
+            cut,
+            F.struct(
+                F.concat(acc.ends, F.array(i)).alias("ends"), i.alias("last")
+            ),
+        ).otherwise(F.struct(acc.ends.alias("ends"), acc.last.alias("last")))
 
-    ends = F.filter(F.sequence(F.lit(1), F.greatest(n2, F.lit(1))), is_end)
+    ends = F.aggregate(
+        F.sequence(F.lit(1), n2),
+        F.struct(
+            F.array().cast("array<int>").alias("ends"),
+            F.lit(0).alias("last"),
+        ),
+        step,
+        lambda acc: acc.ends,
+    )
     # Stage the boundary array through a projection BEFORE deriving the
     # start positions from it: referencing the `ends` expression inside
-    # the starts lambda would re-evaluate the whole hash-filter per
+    # the starts lambda would re-evaluate the whole boundary fold per
     # element (O(chunks × tokens) rolling hashes per document — this
     # exact mistake measured 21 s vs 2 s at sf0.1); a projected column
     # is computed once per row and the lambda then only indexes it.

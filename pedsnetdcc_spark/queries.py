@@ -3616,36 +3616,49 @@ def _cdc_passage_oracle(target: int = 32, w: int = 4) -> str:
     dedup: per-token portable hashes mod 2^20, a Horner-unrolled
     polynomial window hash h = (h*B + x) mod M over the trailing
     ``w``-token window (the modular reduction keeps every intermediate
-    inside BIGINT — DuckDB errors on overflow), boundary after token i
-    when h ≡ 0 mod target (or i ends the doc); spans pair consecutive
-    boundaries; dedup is the same window-rank formulation as the
-    fixed-chunk oracle."""
+    inside BIGINT — DuckDB errors on overflow).  The LBFS length
+    bounds make boundary selection sequential (each cut depends on the
+    previous one), so the boundary walk is a recursive CTE: from the
+    last cut, the next is the FIRST hash-qualified candidate at least
+    ``min`` tokens away, clamped by the forced ``max`` cut and the
+    document end — exactly the Spark fold's greedy rule.  Spans pair
+    consecutive boundaries; dedup is the same window-rank formulation
+    as the fixed-chunk oracle."""
     from pedsnetdcc_spark.datapipe.dedup import portable_hash64_sql
     from pedsnetdcc_spark.datapipe.text import _CDC_B, _CDC_M, _CDC_TMOD
 
+    minlen, maxlen = target // 4, 4 * target
     th = f"list_transform(toks, t -> ({portable_hash64_sql('t', 0)}) % {_CDC_TMOD})"
     horner = f"CAST(th[i-{w - 1}] AS BIGINT)"
     for j in range(w - 2, -1, -1):
         horner = f"(({horner}) * {_CDC_B} + th[i-{j}]) % {_CDC_M}"
     return f"""
-    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks,
-                      {th} AS th
-               FROM documents),
+    WITH RECURSIVE t AS (SELECT doc_id, string_split(text, ' ') AS toks,
+                                {th} AS th
+                         FROM documents),
     pos AS (SELECT doc_id, toks, th, unnest(range(1, len(toks)+1)) AS i FROM t),
-    b AS (
-        SELECT doc_id, i,
-               CASE WHEN (i >= {w} AND ({horner}) % {target} = 0)
-                         OR i = len(toks)
-                    THEN 1 ELSE 0 END AS isend
-        FROM pos
+    cand AS (
+        SELECT doc_id, i FROM pos
+        WHERE i >= {w} AND ({horner}) % {target} = 0
     ),
-    ends AS (SELECT doc_id, i,
-                    CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i)
-                         AS INT) AS k
-             FROM b WHERE isend = 1),
+    dl AS (SELECT doc_id, len(toks) AS n FROM t WHERE len(toks) >= 1),
+    bounds AS (
+        SELECT doc_id, 0 AS i, 0 AS k FROM dl
+        UNION ALL
+        SELECT b.doc_id,
+               LEAST(
+                   COALESCE((SELECT MIN(c.i) FROM cand c
+                             WHERE c.doc_id = b.doc_id
+                               AND c.i >= b.i + {minlen}),
+                            b.i + {maxlen}),
+                   b.i + {maxlen}, dl.n) AS i,
+               b.k + 1 AS k
+        FROM bounds b JOIN dl USING (doc_id)
+        WHERE b.i < dl.n
+    ),
     spans AS (
-        SELECT e.doc_id, e.k - 1 AS chunk_id, COALESCE(p.i + 1, 1) AS s, e.i AS en
-        FROM ends e LEFT JOIN ends p ON p.doc_id = e.doc_id AND p.k = e.k - 1
+        SELECT e.doc_id, e.k - 1 AS chunk_id, p.i + 1 AS s, e.i AS en
+        FROM bounds e JOIN bounds p ON p.doc_id = e.doc_id AND p.k = e.k - 1
     ),
     c AS (
         SELECT sp.doc_id, sp.chunk_id,

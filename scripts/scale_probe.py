@@ -59,6 +59,7 @@ QUERIES_TO_PROBE = [
     "near_dup_scorecard",
     "ngram_jaccard_dedup",
     "passage_dedup",
+    "cdc_passage_dedup",
     "lm_perplexity",
     "corpus_pipeline",
     "embedding_dedup_clusters",

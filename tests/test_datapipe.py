@@ -1123,3 +1123,46 @@ def test_cdc_passage_dedup_is_shift_robust(spark):
     }
     originals = {r["doc_id"]: r["text"] for r in docs.collect()}
     assert rebuilt == originals
+
+
+def test_cdc_chunking_length_bounds(spark):
+    """The LBFS length bounds must hold: no interior chunk shorter
+    than min (geometric short chunks of common words collided across
+    UNRELATED documents and were deleted as 'repeats' — silent
+    corruption), and a low-entropy run (constant window hash) must be
+    force-cut at max instead of becoming one unbounded chunk."""
+    import random
+
+    from pedsnetdcc_spark.datapipe.dedup import passage_dedup
+    from pedsnetdcc_spark.datapipe.text import cdc_chunk_documents
+
+    # low-entropy run: forced cuts at max = 4*target
+    runs = spark.createDataFrame(
+        [(1, " ".join(["x"] * 100) + " y")], "doc_id long, text string"
+    )
+    ch = cdc_chunk_documents(runs, "doc_id", "text", target_tokens=8).collect()
+    assert max(r["n_chunk_tokens"] for r in ch) <= 32
+    assert len(ch) >= 3
+
+    # unrelated docs over a shared vocabulary: nothing may dedup
+    rng = random.Random(21)
+    words = [f"w{k}" for k in range(400)]
+    docs = spark.createDataFrame(
+        [(d, " ".join(rng.choice(words) for _ in range(300))) for d in range(20)],
+        "doc_id long, text string",
+    )
+    out = passage_dedup(
+        docs, "doc_id", "text", chunk_tokens=32, keep="first", chunking="cdc"
+    )
+    assert out.agg({"n_chunks_dropped": "sum"}).collect()[0][0] == 0
+    # and interior chunks respect the min bound (only final chunks may
+    # be shorter)
+    ch2 = cdc_chunk_documents(docs, "doc_id", "text", target_tokens=32)
+    last = ch2.groupBy("doc_id").agg({"chunk_id": "max"}).collect()
+    last_ids = {(r[0], r[1]) for r in last}
+    interior_short = [
+        r
+        for r in ch2.collect()
+        if r["n_chunk_tokens"] < 8 and (r["doc_id"], r["chunk_id"]) not in last_ids
+    ]
+    assert not interior_short
