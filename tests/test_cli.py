@@ -434,14 +434,19 @@ def test_cli_optimize(spark, sf_dir, tmp_path, capsys):
                  "--zorder-by", "l_orderkey", "l_partkey", "--files", "8"]) == 0
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["zorder"] == ["l_orderkey", "l_partkey"]
+    from pyspark.sql import functions as F
+
+    widths = li.agg(
+        *(
+            (F.max(c) - F.min(c)).alias(c)
+            for c in ("l_orderkey", "l_partkey")
+        )
+    ).collect()[0]
     for col in ("l_orderkey", "l_partkey"):
         rs = leading_column_file_ranges(
             str(tmp_path / "lake" / "current" / "lineitem"), col
         )
-        glo = (
-            li.agg({col: "max"}).collect()[0][0] - li.agg({col: "min"}).collect()[0][0]
-        )
-        assert sum(hi - lo for lo, hi in rs) / len(rs) < 0.95 * glo, col
+        assert sum(hi - lo for lo, hi in rs) / len(rs) < 0.95 * widths[col], col
     assert store.read(spark, "lineitem").count() == n0
 
     # meaningless flag combinations are rejected, not silently ignored

@@ -889,6 +889,16 @@ def test_quantized_topk_recall_vs_exact(spark, sf_dir):
     assert recall >= 0.9, recall
 
 
+def _lev(a, b):
+    """Reference Levenshtein for brute-force comparison in tests."""
+    dp = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        prev, dp[0] = dp[0], i
+        for j, cb in enumerate(b, 1):
+            prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb))
+    return dp[-1]
+
+
 def test_edit_distance_pairs_matches_bruteforce_random(spark):
     """Randomized strings incl. SHORT ones (<= 2*tau, routed to the
     brute bucket) must match a pure-Python Levenshtein brute force —
@@ -897,16 +907,7 @@ def test_edit_distance_pairs_matches_bruteforce_random(spark):
 
     from pedsnetdcc_spark.datapipe.dedup import edit_distance_pairs
 
-    def lev(a, b):
-        dp = list(range(len(b) + 1))
-        for i, ca in enumerate(a, 1):
-            prev, dp[0] = dp[0], i
-            for j, cb in enumerate(b, 1):
-                prev, dp[j] = dp[j], min(
-                    dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb)
-                )
-        return dp[-1]
-
+    lev = _lev
     rng = random.Random(3)
     words = list({
         "".join(rng.choice("abc") for _ in range(rng.randrange(1, 12)))
@@ -939,16 +940,7 @@ def test_edit_distance_pairs_hot_bucket_recursion_exact(spark):
 
     from pedsnetdcc_spark.datapipe.dedup import edit_distance_pairs
 
-    def lev(a, b):
-        dp = list(range(len(b) + 1))
-        for i, ca in enumerate(a, 1):
-            prev, dp[0] = dp[0], i
-            for j, cb in enumerate(b, 1):
-                prev, dp[j] = dp[j], min(
-                    dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb)
-                )
-        return dp[-1]
-
+    lev = _lev
     rng = random.Random(11)
     vocab = ["hot", "cold", "big"]
     names = set()
