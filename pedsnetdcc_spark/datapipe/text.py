@@ -172,9 +172,23 @@ def doc_fingerprint(
     its word n-gram shingles (a 1-hash bottom sketch — the degenerate
     winnowing/minhash case; identical docs ⇒ identical fingerprints,
     near-identical docs ⇒ equal with probability ≈ Jaccard).
+
+    A per-ROW aggregate needs no shuffle: the shingle set is built and
+    min-hashed inside one array expression, so the whole operator fuses
+    into the scan (the earlier explode + groupBy formulation shuffled
+    every shingle to re-group what was never ungrouped).  Documents
+    with fewer than ``n`` tokens have no shingles and drop out, same
+    contract as :func:`shingle_ngrams`.
     """
-    sh = shingle_ngrams(df, id_col, text_col, n=n)
-    return sh.groupBy(id_col).agg(F.min(F.md5(F.col("shingle"))).alias(out_col))
+    toks = tokens(text_col)
+    n_tok = F.size(toks)
+    shingles = F.transform(
+        F.sequence(F.lit(1), n_tok - n + 1),
+        lambda i: F.md5(F.array_join(F.slice(toks, i, n), " ")),
+    )
+    return df.where(n_tok >= n).select(
+        F.col(id_col), F.array_min(shingles).alias(out_col)
+    )
 
 
 def build_vocab(

@@ -204,3 +204,12 @@ def test_edit_distance_adaptive_probe_keeps_flat_plan(spark, sf_dir):
     out = edit_distance_pairs(names, "name", "name", max_dist=2)
     plan = _plan(out)
     assert "k1v" not in plan, "hot-route level-2 machinery planned on benign corpus"
+
+
+def test_doc_fingerprint_is_shuffle_free(spark, sf_dir):
+    """A per-document aggregate must not shuffle: the shingle min-hash
+    is one array expression fused into the scan (the earlier
+    explode+groupBy formulation re-grouped rows that were never
+    ungrouped — an exchange of the full shingle stream for nothing)."""
+    plan = _plan(QUERIES["doc_fingerprint"](spark, sf_dir))
+    assert "Exchange" not in plan, plan
