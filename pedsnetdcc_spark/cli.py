@@ -232,7 +232,10 @@ def cmd_optimize(args: argparse.Namespace) -> int:
     from pedsnetdcc_spark.sources.io import TableStore
 
     layout_requested = bool(args.cluster_by or args.zorder_by)
-    if layout_requested and args.target_mb != 128:
+    # default=None so an EXPLICIT `--target-mb 128` alongside a layout
+    # rewrite errors like any other value instead of being silently
+    # accepted; the 128 MB default is applied after validation
+    if layout_requested and args.target_mb is not None:
         print(
             json.dumps({"error": "--target-mb applies only to compaction "
                                  "(omit --cluster-by/--zorder-by)"}),
@@ -264,8 +267,9 @@ def cmd_optimize(args: argparse.Namespace) -> int:
             "clustered": args.cluster_by
         }
     else:
+        target_mb = 128 if args.target_mb is None else args.target_mb
         n = store.compact(
-            spark, args.table, target_file_bytes=args.target_mb * 1024 * 1024
+            spark, args.table, target_file_bytes=target_mb * 1024 * 1024
         )
         layout = {"compacted_files": n}
     print(json.dumps({"table": args.table, **layout}))
@@ -867,8 +871,8 @@ def build_parser() -> argparse.ArgumentParser:
     )
     sp.add_argument("--output", "-o", required=True, help="TableStore root dir")
     sp.add_argument("--table", "-t", required=True)
-    sp.add_argument("--target-mb", type=int, default=128,
-                    help="compaction target file size (MB)")
+    sp.add_argument("--target-mb", type=int, default=None,
+                    help="compaction target file size (MB, default 128)")
     grp = sp.add_mutually_exclusive_group()
     grp.add_argument("--cluster-by", nargs="+", default=None,
                      help="rewrite range-clustered on these columns")

@@ -726,12 +726,19 @@ def _pj_splice(str_col: str, pos, slen):
     )
 
 
+#: Bucket-size threshold used by ``hot_threshold="adaptive"``: buckets
+#: with more than this many segment entries route through the hot-bucket
+#: recursion.  128 keeps direct-pair volume per bucket ≤ ~16k while
+#: leaving benign corpora entirely on the flat single-join plan.
+_PJ_ADAPTIVE_HOT_THRESHOLD = 128
+
+
 def edit_distance_pairs(
     df: DataFrame,
     id_col: str,
     str_col: str,
     max_dist: int,
-    hot_threshold: int | None = 128,
+    hot_threshold: int | str | None = "adaptive",
 ) -> DataFrame:
     """String-similarity self-join: ``(id_a, id_b, distance)`` for every
     pair of rows whose strings are within Levenshtein distance
@@ -767,11 +774,30 @@ def edit_distance_pairs(
     discriminating content.  Soundness: a true pair caught by bucket B
     has prefix+suffix edits ≤ τ under the matching alignment, so the
     spliced remainders are within τ too and level-2's own pigeonhole
-    covers them; level-2 short remainders (≤ 2τ) fall back to
-    within-bucket brute force.  Measured at the 10× probe scale:
-    45 s → ~8 s and candidate volume 42M → ~2M on the adversarial
-    corpus, with the flat path (``hot_threshold=None``) unchanged on
-    benign data.
+    covers them; level-2 short remainders fall back to within-bucket
+    brute force, restricted to pairs whose SMALLER remainder is ≤ τ
+    (pairs with both remainders in (τ, 2τ] already flow through the
+    level-2 pigeonhole, so the fallback's per-bucket cost is
+    |remainder ≤ τ| × |remainder ≤ 2τ| rather than a full bucket² —
+    a hot bucket of near-pure-segment strings whose remainders still
+    exceed τ re-buckets on them instead of brute-forcing; the residual
+    quadratic case, many members with remainder ≤ τ, is an
+    output-bounded family of genuinely near-identical strings).
+    Measured at the 10× probe scale: 45 s → ~8 s and candidate volume
+    42M → ~2M on the adversarial corpus, with the flat path
+    (``hot_threshold=None``) unchanged on benign data.
+
+    ``hot_threshold`` modes: the default ``"adaptive"`` runs ONE small
+    EAGER aggregate job over the segment index (an AQE-style plan
+    probe) — benign corpora have no hot bucket and get the flat
+    single-join plan (~4 s cheaper at bench scale than carrying empty
+    hot-route machinery); when hot buckets exist, the probe's
+    aggregate is cached and reused as the ``hot_keys`` routing table,
+    so the hot path performs exactly one segment-index aggregate
+    total.  Pass an explicit ``int`` to build the hot-route plan
+    unconditionally and LAZILY (no driver action — use this, or
+    ``None`` for the flat plan, from explain-only/plan-inspection
+    paths), or ``None`` to disable skew handling.
 
     **Verify before distinct**: the exact ``levenshtein`` filter runs
     INLINE on the join output stream, and ``distinct`` runs on the
@@ -818,39 +844,41 @@ def edit_distance_pairs(
         [],
     )
     jk = ["val", "j", "li"]
-    if hot_threshold is not None:
-        # adaptive probe (one small aggregate job, AQE-style): benign
-        # corpora have no hot bucket, and the flat single-join plan is
-        # ~4 s cheaper at bench scale than carrying the empty hot-route
-        # machinery (4 extra exchanges/broadcasts), so pay one cheap
-        # driver action to pick the plan instead
-        has_hot = (
+
+    def _hot_keys(threshold: int) -> DataFrame:
+        # hot-bucket key list: tiny by construction (≤ segment-entry
+        # count / threshold), so it broadcasts; cached because four
+        # broadcast consumers (two anti, two semi) read it — the cache
+        # makes ONE segment-index aggregate serve all of them (and, in
+        # adaptive mode, the plan probe too).  Like the slim-relation
+        # cache above, the tiny entry is left to Spark's LRU.
+        return (
             index.groupBy(jk)
             .agg(F.count(F.lit(1)).alias("__bc"))
-            .where(F.col("__bc") > hot_threshold)
-            .limit(1)
-            .count()
-            > 0
+            .where(F.col("__bc") > threshold)
+            .select(*jk)
+            .cache()
         )
-        if not has_hot:
-            hot_threshold = None
+
+    hot_keys = None
+    if hot_threshold == "adaptive":
+        # adaptive plan probe (EAGER — see docstring): one small
+        # aggregate job decides flat vs hot; its result IS the
+        # hot_keys routing table, so no second index pass when hot
+        hot_keys = _hot_keys(_PJ_ADAPTIVE_HOT_THRESHOLD)
+        if hot_keys.count() == 0:
+            hot_keys.unpersist()
+            hot_keys = None
+    elif hot_threshold is not None:
+        hot_keys = _hot_keys(int(hot_threshold))
     cand_streams = []
-    if hot_threshold is None:
+    if hot_keys is None:
         cand_streams.append(
             probe.join(index, jk)
             .where(F.col("id_a") != F.col("id_b"))
             .select("id_a", "id_b", "__sa", "__sb")
         )
     else:
-        # hot-bucket key list: tiny by construction (≤ segment-entry
-        # count / threshold), so it broadcasts; recomputing the count
-        # aggregate per consumer is cheaper than caching the stream
-        hot_keys = (
-            index.groupBy(jk)
-            .agg(F.count(F.lit(1)).alias("__bc"))
-            .where(F.col("__bc") > hot_threshold)
-            .select(*jk)
-        )
         cand_streams.append(
             probe.join(F.broadcast(hot_keys), jk, "left_anti")
             .join(index.join(F.broadcast(hot_keys), jk, "left_anti"), jk)
@@ -883,22 +911,39 @@ def edit_distance_pairs(
             .where(F.col("id_a") != F.col("id_b"))
             .select("id_a", "id_b", "__sa", "__sb")
         )
-        cand_streams.append(
-            a2.where(F.col("__L") <= 2 * tau)
-            .select(*kcols, "id_a", "__sa")
-            .join(b2.where(F.col("__L") <= 2 * tau).select(*kcols, "id_b", "__sb"), kcols)
-            .where(F.col("id_a") != F.col("id_b"))
-            .select("id_a", "id_b", "__sa", "__sb")
-        )
-    # short bucket: any true pair with one side of length <= tau has
-    # both sides <= 2*tau — a bounded brute-force cross join
-    short_side = s.where(F.col("__L") <= 2 * tau)
+        # level-2 short-remainder fallback, bounded (see docstring):
+        # true pairs with both remainders > tau take the level-2
+        # pigeonhole above, so only pairs whose smaller remainder is
+        # <= tau (hence larger <= 2*tau — remainder lengths of a true
+        # pair differ by <= tau) need brute force.  a2 and b2 splice by
+        # different alignments, so both orientations are emitted.
+        a2s = a2.select(*kcols, "id_a", "__sa", "__L")
+        b2s = b2.select(*kcols, "id_b", "__sb", "__L")
+        for a_pred, b_pred in (
+            (F.col("__L") <= tau, F.col("__L") <= 2 * tau),
+            ((F.col("__L") > tau) & (F.col("__L") <= 2 * tau), F.col("__L") <= tau),
+        ):
+            cand_streams.append(
+                a2s.where(a_pred)
+                .drop("__L")
+                .join(b2s.where(b_pred).drop("__L"), kcols)
+                .where(F.col("id_a") != F.col("id_b"))
+                .select("id_a", "id_b", "__sa", "__sb")
+            )
+    # short bucket: any true pair missed by the pigeonhole (which
+    # covers both sides > tau) has one side <= tau and hence the other
+    # <= 2*tau; both sides draw from the same relation, so the
+    # asymmetric (<= tau) x (<= 2*tau) join emits every such pair in
+    # at least one orientation while keeping the brute-force side
+    # small — a bounded cross join either way
     cand_streams.append(
-        short_side.select(F.col("__id").alias("id_a"), F.col("__s").alias("__sa"))
+        s.where(F.col("__L") <= tau)
+        .select(F.col("__id").alias("id_a"), F.col("__s").alias("__sa"))
         .crossJoin(
-            short_side.select(F.col("__id").alias("id_b"), F.col("__s").alias("__sb"))
+            s.where(F.col("__L") <= 2 * tau)
+            .select(F.col("__id").alias("id_b"), F.col("__s").alias("__sb"))
         )
-        .where(F.col("id_a") < F.col("id_b"))
+        .where(F.col("id_a") != F.col("id_b"))
     )
 
     # verify INLINE on the candidate stream (no pre-verify distinct —

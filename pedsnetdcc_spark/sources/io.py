@@ -289,13 +289,21 @@ class TableStore:
         cleaned on the next rewrite) — conservative, never lossy.
 
         A failed ``write_fn`` must not strand the side directory: it is
-        removed on exception (and any stale side dirs from prior
-        crashed rewrites of this table are swept first)."""
+        removed on exception, and stale side dirs from prior CRASHED
+        rewrites of this table are swept first.  The sweep skips this
+        store's own txid, but rewrites assume a SINGLE WRITER PER
+        TABLE (matching the reference's per-table transaction scope,
+        transform_runner.py:1562): a concurrent rewrite of the same
+        table from another process would have its in-progress side
+        directory swept.  Concurrent rewrites of DIFFERENT tables are
+        fine (the sweep and swap are name-scoped)."""
         self._recover_prereplace(name)
         os.makedirs(self.current_dir, exist_ok=True)  # fresh namespace
         path = os.path.join(self.current_dir, name)
         for entry in os.listdir(self.current_dir):  # sweep crashed rewrites
-            if entry.startswith(f"{name}.replace."):
+            if entry.startswith(f"{name}.replace.") and not entry.endswith(
+                f".{self._txid}"
+            ):
                 shutil.rmtree(os.path.join(self.current_dir, entry))
         tmp = f"{path}.replace.{self._txid}"
         try:
