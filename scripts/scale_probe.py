@@ -31,7 +31,18 @@ on a hash-capped 2000-doc universe; its exact stages are cap-bounded
 BY DESIGN, so its exponent reflects only the candidate-generation
 stages and should come out well below 1.
 
-Usage: python scripts/scale_probe.py [--runs 2] [--out BENCH_SCALING_r6.json]
+Round 7 adds the CDM family (``--family cdm``): eras,
+era-id pipeline, CDM transform chain, multi-site merge, interval
+overlap join, id mapping, plus the distributed-mode surrogate-id
+assigner — over synthetic clinical-shaped tables whose SCALE-INVARIANT
+is users/customers (more patients at 10×, the same per-patient history
+depth: events-per-user, orders-per-customer, and the concept dimension
+are constant).  That is the axis a PEDSnet-style network actually
+scales on, and it keeps per-key window/era work flat so a super-linear
+exponent can only come from the engine plan, not the data shape.
+
+Usage: python scripts/scale_probe.py [--runs 2] [--family pair|cdm|all]
+       [--out BENCH_SCALING_r7.json]
 """
 
 from __future__ import annotations
@@ -203,6 +214,118 @@ def gen_part(n_names: int, seed: int, path: str) -> None:
     pq.write_table(tbl, path)
 
 
+CDM_QUERIES_TO_PROBE = [
+    "eras",
+    "era_ids_pipeline",
+    "cdm_transform",
+    "merge_sites",
+    "interval_overlap_join",
+    "id_mapping",
+]
+
+EVENT_TYPES = ["signup", "purchase", "view", "click", "error"]
+
+
+def gen_events(n_users: int, per_user: int, seed: int, path: str) -> None:
+    """Constant per-user event count — the scale-invariant (more
+    patients, same history depth)."""
+    rng = np.random.default_rng(seed)
+    n = n_users * per_user
+    user = np.repeat(np.arange(n_users, dtype=np.int64), per_user)
+    et = np.array(EVENT_TYPES, dtype=object)[rng.integers(0, len(EVENT_TYPES), n)]
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    ts = base + rng.integers(0, 30 * 24 * 3600, n).astype("timedelta64[s]")
+    tbl = pa.table(
+        {
+            "event_id": pa.array(np.arange(n, dtype=np.int64)),
+            "ts": pa.array(ts.astype("datetime64[us]"), pa.timestamp("us")),
+            "user_id": pa.array(user),
+            "event_type": pa.array(et, pa.string()),
+            "value": pa.array(rng.random(n)),
+            "props": pa.array(["{}"] * n, pa.string()),
+        }
+    )
+    pq.write_table(tbl, path)
+
+
+def gen_customer(n: int, seed: int, path: str) -> None:
+    rng = np.random.default_rng(seed)
+    seg = np.array(
+        ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"],
+        dtype=object,
+    )
+    tbl = pa.table(
+        {
+            "c_custkey": pa.array(np.arange(n, dtype=np.int64)),
+            "c_name": pa.array([f"Customer#{i:09d}" for i in range(n)], pa.string()),
+            "c_nationkey": pa.array(rng.integers(0, 25, n).astype(np.int32)),
+            "c_acctbal": pa.array(np.round(rng.random(n) * 10_000, 2)),
+            "c_mktsegment": pa.array(seg[rng.integers(0, len(seg), n)], pa.string()),
+        }
+    )
+    pq.write_table(tbl, path)
+
+
+def gen_orders(n_cust: int, per_cust: int, seed: int, path: str) -> None:
+    rng = np.random.default_rng(seed)
+    n = n_cust * per_cust
+    cust = np.repeat(np.arange(n_cust, dtype=np.int64), per_cust)
+    base = np.datetime64("2015-01-01T00:00:00", "us")
+    od = base + rng.integers(0, 9 * 365 * 24 * 3600, n).astype("timedelta64[s]")
+    status = np.array(["O", "F", "P"], dtype=object)
+    prio = np.array(
+        ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"], dtype=object
+    )
+    tbl = pa.table(
+        {
+            "o_orderkey": pa.array(np.arange(n, dtype=np.int64)),
+            "o_custkey": pa.array(cust),
+            "o_orderstatus": pa.array(status[rng.integers(0, 3, n)], pa.string()),
+            "o_totalprice": pa.array(np.round(rng.random(n) * 100_000, 2)),
+            "o_orderdate": pa.array(od.astype("datetime64[us]"), pa.timestamp("us")),
+            "o_orderpriority": pa.array(prio[rng.integers(0, 5, n)], pa.string()),
+        }
+    )
+    pq.write_table(tbl, path)
+
+
+def build_cdm_scale(tag: str, users: int, customers: int, seed: int) -> str:
+    """Clinical-shaped tables at constant per-entity depth; the concept
+    dimension (part) is the SAME at both scales — dimensions don't grow
+    with the fact data."""
+    import shutil
+
+    d = os.path.join(SCALE_DIR, tag)
+    os.makedirs(d, exist_ok=True)
+    marker = os.path.join(d, ".complete")
+    if not os.path.exists(marker):
+        gen_events(users, 67, seed, os.path.join(d, "events.parquet"))
+        gen_customer(customers, seed + 1, os.path.join(d, "customer.parquet"))
+        gen_orders(customers, 10, seed + 2, os.path.join(d, "orders.parquet"))
+        shutil.copyfile(
+            os.path.join(SRC_SF, "part.parquet"), os.path.join(d, "part.parquet")
+        )
+        open(marker, "w").close()
+    return d
+
+
+def _probe_id_assign_distributed(spark, d: str):
+    """The W2 scale twin: distributed-mode contiguous surrogate ids
+    (per-partition counts + offset broadcast) over the customer keys —
+    the single-task window mode's equivalence-tested scale path."""
+    from pedsnetdcc_spark.operators.ids import assign_surrogate_ids
+    from pedsnetdcc_spark.sources.io import read_table
+
+    cust = read_table(spark, d, "customer").select("c_custkey")
+    return assign_surrogate_ids(
+        cust, "dcc_id", "c_custkey", base=0, mode="distributed"
+    )
+
+
+#: Probe-only callables (not registry queries) keyed like queries.
+EXTRA_PROBES = {"id_assign_distributed": _probe_id_assign_distributed}
+
+
 def build_scale(tag: str, docs: int, embs: int, names: int, seed: int) -> str:
     d = os.path.join(SCALE_DIR, tag)
     os.makedirs(d, exist_ok=True)
@@ -215,10 +338,34 @@ def build_scale(tag: str, docs: int, embs: int, names: int, seed: int) -> str:
     return d
 
 
+def _probe_family(spark, queries, names, extra, d1: str, d10: str, runs: int):
+    result: dict[str, dict[str, float]] = {}
+    for name in names:
+        fn = extra.get(name) or queries[name]
+        times = {}
+        for tag, d in (("x1", d1), ("x10", d10)):
+            best = math.inf
+            for _ in range(runs):
+                gc.collect()
+                t0 = time.time()
+                fn(spark, d).count()
+                best = min(best, time.time() - t0)
+                # operator-internal caches must not make run 2 (or the
+                # other scale) a partial replay
+                spark.catalog.clearCache()
+            times[tag] = round(best, 3)
+        exp = math.log(times["x10"] / times["x1"]) / math.log(10)
+        result[name] = {**times, "exponent": round(exp, 3)}
+        print(f"{name:24s} x1={times['x1']:7.2f}s x10={times['x10']:7.2f}s "
+              f"exponent={exp:5.2f}", flush=True)
+    return result
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--runs", type=int, default=2)
-    ap.add_argument("--out", default=os.path.join(REPO, "BENCH_SCALING_r6.json"))
+    ap.add_argument("--family", choices=["pair", "cdm", "all"], default="all")
+    ap.add_argument("--out", default=os.path.join(REPO, "BENCH_SCALING_r7.json"))
     args = ap.parse_args()
 
     import sys
@@ -227,40 +374,45 @@ def main() -> None:
     from pedsnetdcc_spark.queries import QUERIES
     from pedsnetdcc_spark.session import build_session
 
-    d1 = build_scale("x1", docs=5_000, embs=2_000, names=2_000, seed=7)
-    d10 = build_scale("x10", docs=50_000, embs=20_000, names=20_000, seed=7)
-
     spark = build_session(app_name="scale_probe")
-    # JVM warm
-    QUERIES["dedup_clusters"](spark, d1).count()
+    out = {"probe": "1x vs 10x same-shaped synthetic scaling", "families": {}}
 
-    result: dict[str, dict[str, float]] = {}
-    for name in QUERIES_TO_PROBE:
-        times = {}
-        for tag, d in (("x1", d1), ("x10", d10)):
-            best = math.inf
-            for _ in range(args.runs):
-                gc.collect()
-                t0 = time.time()
-                QUERIES[name](spark, d).count()
-                best = min(best, time.time() - t0)
-            times[tag] = round(best, 3)
-        exp = math.log(times["x10"] / times["x1"]) / math.log(10)
-        result[name] = {**times, "exponent": round(exp, 3)}
-        print(f"{name:24s} x1={times['x1']:7.2f}s x10={times['x10']:7.2f}s "
-              f"exponent={exp:5.2f}", flush=True)
+    if args.family in ("pair", "all"):
+        d1 = build_scale("x1", docs=5_000, embs=2_000, names=2_000, seed=7)
+        d10 = build_scale("x10", docs=50_000, embs=20_000, names=20_000, seed=7)
+        QUERIES["dedup_clusters"](spark, d1).count()  # JVM warm
+        spark.catalog.clearCache()
+        out["families"]["pair"] = {
+            "x1_rows": {"documents": 5000, "embeddings": 2000, "part_names": 2000},
+            "x10_rows": {"documents": 50000, "embeddings": 20000, "part_names": 20000},
+            "queries": _probe_family(
+                spark, QUERIES, QUERIES_TO_PROBE, {}, d1, d10, args.runs
+            ),
+        }
+
+    if args.family in ("cdm", "all"):
+        c1 = build_cdm_scale("cdm_x1", users=1_500, customers=15_000, seed=11)
+        c10 = build_cdm_scale("cdm_x10", users=15_000, customers=150_000, seed=11)
+        QUERIES["eras"](spark, c1).count()  # JVM warm
+        spark.catalog.clearCache()
+        out["families"]["cdm"] = {
+            "x1_rows": {"events": 100_500, "customers": 15_000, "orders": 150_000},
+            "x10_rows": {"events": 1_005_000, "customers": 150_000,
+                         "orders": 1_500_000},
+            "invariant": "constant per-user/customer depth; constant dims",
+            "queries": _probe_family(
+                spark,
+                QUERIES,
+                CDM_QUERIES_TO_PROBE + list(EXTRA_PROBES),
+                EXTRA_PROBES,
+                c1,
+                c10,
+                args.runs,
+            ),
+        }
 
     with open(args.out, "w") as f:
-        json.dump(
-            {
-                "probe": "pair-pipeline scaling, synthetic same-shaped corpora",
-                "x1_rows": {"documents": 5000, "embeddings": 2000, "part_names": 2000},
-                "x10_rows": {"documents": 50000, "embeddings": 20000, "part_names": 20000},
-                "queries": result,
-            },
-            f,
-            indent=2,
-        )
+        json.dump(out, f, indent=2)
     print(f"wrote {args.out}")
 
 

@@ -1158,3 +1158,98 @@ def test_cdc_chunking_length_bounds(spark):
         if r["n_chunk_tokens"] < 8 and (r["doc_id"], r["chunk_id"]) not in last_ids
     ]
     assert not interior_short
+
+
+def test_quality_classifier_matches_hand_computed_nb(spark):
+    """NB training/scoring on a 4-doc corpus equals the textbook
+    formula computed in Python (same rounding seams)."""
+    import math
+
+    from pedsnetdcc_spark.datapipe.classifier import (
+        score_with_classifier,
+        train_quality_classifier,
+    )
+    from pedsnetdcc_spark.datapipe.text import hashed_bow
+
+    rows = [
+        (1, "good good text", True),
+        (2, "good text", True),
+        (3, "bad bad spam", False),
+        (4, "spam text", False),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, label boolean")
+    dim = 8
+    bow = hashed_bow(docs, "doc_id", "text", dim=dim, seed=0, norm="none")
+    model = train_quality_classifier(
+        bow, docs.select("doc_id", "label"), "doc_id", "label", dim=dim
+    )
+    got = {r["bucket"]: (r["llr"], r["log_prior"]) for r in model.collect()}
+    assert set(got) == set(range(dim))
+
+    # hand model
+    from collections import Counter
+
+    bow_rows = bow.collect()
+    lab = {r[0]: r[2] for r in rows}
+    c1, c0 = Counter(), Counter()
+    for r in bow_rows:
+        (c1 if lab[r["doc_id"]] else c0)[r["bucket"]] += r["tf"]
+    t1, t0 = sum(c1.values()), sum(c0.values())
+    for b in range(dim):
+        llr = round(
+            math.log((c1[b] + 1) / (t1 + dim)) - math.log((c0[b] + 1) / (t0 + dim)),
+            6,
+        )
+        assert got[b][0] == llr, b
+        assert got[b][1] == round(math.log(2 / 2), 6)
+
+    scored = {r["doc_id"]: r for r in
+              score_with_classifier(bow, model, "doc_id").collect()}
+    for d, _, y in rows:
+        exp = sum(
+            r["tf"] * got[r["bucket"]][0] for r in bow_rows if r["doc_id"] == d
+        )
+        # decimal accumulation of 6-digit-rounded terms is exact
+        assert abs(scored[d]["score"] - round(exp, 6)) < 1e-9
+        assert scored[d]["predicted"] == (scored[d]["score"] > 0)
+        assert scored[d]["predicted"] == y  # separable toy corpus
+
+
+def test_quality_classifier_composes_with_corpus_pipeline(spark, sf_dir):
+    """The classifier filter slots into the corpus curation chain:
+    train on rule labels, keep predicted-pass docs, run the standard
+    prepare_corpus step on the survivors — counts are consistent."""
+    from pedsnetdcc_spark.datapipe.classifier import (
+        score_with_classifier,
+        train_quality_classifier,
+    )
+    from pedsnetdcc_spark.datapipe.corpus import prepare_corpus
+    from pedsnetdcc_spark.datapipe.text import gopher_rules, hashed_bow
+    from pedsnetdcc_spark.sources.io import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    labels = gopher_rules(docs, "text").select(
+        "doc_id", F.col("passes_gopher").alias("label")
+    )
+    bow = hashed_bow(docs, "doc_id", "text", dim=64, seed=0, norm="none")
+    model = train_quality_classifier(bow, labels, "doc_id", "label", dim=64)
+    scored = score_with_classifier(bow, model, "doc_id")
+    kept = docs.join(
+        scored.where(F.col("predicted")).select("doc_id"), "doc_id", "left_semi"
+    )
+    n_docs, n_kept = docs.count(), kept.count()
+    assert 0 < n_kept <= n_docs
+    # distillation sanity: the student beats the majority-class
+    # baseline (the rule labels on the synthetic corpus fire mostly on
+    # length, which token-identity features capture only weakly — the
+    # check is that training extracted SOME signal, not classifier
+    # quality on purpose-built data; see the hand-computed toy test
+    # above for exactness)
+    n_pos = labels.where("label").count()
+    majority = max(n_pos, n_docs - n_pos) / n_docs
+    agree = scored.join(labels, "doc_id").where(
+        F.col("predicted") == F.col("label")
+    ).count()
+    assert agree / n_docs > majority
+    out = prepare_corpus(kept, "doc_id", "text")
+    assert out.count() <= n_kept
