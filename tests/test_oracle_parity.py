@@ -75,3 +75,114 @@ def test_capped_universe_binds_identically(spark, sf_dir, con):
     sql = f"SELECT doc_id FROM {_capped_universe_sql('documents', 'doc_id', n=100)}"
     problems = compare(capped, con, sql)
     assert not problems, "; ".join(problems)
+
+
+#: Every DOUBLE column any oracle outputs, classified by the mechanism
+#: that makes it cross-engine bit-deterministic (round-6 verdict item
+#: 8).  An int value N means the column is a DECIMAL-accumulated /
+#: ROUND(x, N) seam: every value must be the double image of a decimal
+#: with at most N fractional digits, so a driver-side DuckDB version
+#: bump cannot silently shift the rounding and flip the hash — the
+#: audit below verifies the property VALUE BY VALUE.  ``None`` means
+#: the column is built only from exactly-rounded IEEE operations
+#: (+,-,*,/,sqrt, pow with L=1.0, integer ratios) or is a passthrough
+#: of stored data, where bit-determinism needs no rounding seam (and
+#: the cross-engine agreement is asserted by the parity test).  A new
+#: float-bearing oracle column fails test_float_columns_classified
+#: until it is classified here.
+_FLOAT_COLUMN_SEAMS: dict[tuple[str, str], int | None] = {
+    # decimal-accumulated / ROUND(...,N) seams
+    ("quality_classifier", "score"): 6,
+    ("lm_perplexity", "sum_logp"): 6,
+    ("lm_perplexity", "avg_logp"): 6,
+    ("tfidf_top_terms", "score"): 6,
+    ("pricing_summary", "sum_qty"): 4,
+    ("pricing_summary", "sum_base_price"): 4,
+    ("top_unshipped_orders", "revenue"): 6,
+    ("regional_supplier_volume", "revenue"): 6,
+    # exactly-rounded IEEE arithmetic (single divisions, sqrt, exact
+    # products) — deterministic without a rounding seam
+    ("decontaminate", "jaccard"): None,
+    ("shared_passages", "jaccard"): None,
+    ("minhash_lsh_portable", "jaccard"): None,
+    ("ngram_jaccard_dedup", "jaccard"): None,
+    ("ann_cosine_topk", "cosine"): None,
+    ("embedding_near_dup", "cosine"): None,
+    ("ann_quantized_topk", "cosine"): None,
+    ("doc_signals", "dup_frac_1"): None,
+    ("doc_signals", "dup_frac_2"): None,
+    ("doc_signals", "dup_frac_3"): None,
+    ("gopher_quality", "mean_word_len"): None,
+    ("gopher_quality", "symbol_ratio"): None,
+    ("gopher_quality", "alpha_word_ratio"): None,
+    ("contamination_report", "overlap_frac"): None,
+    ("key_skew_profile", "share"): None,
+    ("hashed_bow", "weight"): None,
+    ("corpus_prep", "quality_score"): None,
+    ("text_signals", "stopword_ratio"): None,
+    ("text_signals", "punct_ratio"): None,
+    ("text_signals", "quality_score"): None,
+    ("text_signals", "chars_per_bpe_token"): None,
+    ("cdm_transform", "measurement_datetime_age_in_months"): None,
+    ("cdm_transform", "measurement_result_datetime_age_in_months"): None,
+    ("covid_post_shape", "obs_age_months"): None,
+    ("interval_months_monthend", "age_months"): None,
+    ("interval_months", "ship_age_months"): None,
+    ("lms_z_score", "z_score"): None,  # L=1.0 → pow identity, pure division
+    # passthrough of stored doubles (or exact 2x of one)
+    ("asof_pair", "view_value"): None,
+    ("asof_backward", "view_value"): None,
+    ("value_quality", "value"): None,
+    ("lms_z_score", "value"): None,
+    ("merge_sites", "c_acctbal"): None,
+    ("cohort_subset", "o_totalprice"): None,
+    ("insert_missing", "o_totalprice"): None,
+    ("cdm_transform", "value_as_number"): None,
+    ("lab_loinc_swap", "value_as_number"): None,
+    ("r_dose_update", "effective_drug_dose"): None,
+}
+
+_FLOAT_TYPES = ("DOUBLE", "FLOAT", "REAL")
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_float_columns_classified(con, name):
+    """Completeness gate: no oracle may grow a float column without a
+    declared determinism mechanism."""
+    for col, dtyp, *_ in con.execute(f"DESCRIBE {ORACLES[name]}").fetchall():
+        if dtyp in _FLOAT_TYPES:
+            assert (name, col) in _FLOAT_COLUMN_SEAMS, (
+                f"unclassified float oracle column {name}.{col} — add it to "
+                f"_FLOAT_COLUMN_SEAMS with its rounding seam (or None for "
+                f"exactly-rounded arithmetic)"
+            )
+
+
+def test_decimal_seam_floats_are_decimal_images(spark, sf_dir):
+    """Every value of a declared ROUND/DECIMAL-seam column must be the
+    exact double image of a <=N-fractional-digit decimal — re-rounding
+    is a no-op.  A value that fails arrived through an unrounded
+    transcendental (ln/exp) path, which IS the silent-hash-flip risk
+    the seam exists to absorb."""
+    import math
+    from decimal import Decimal
+
+    by_query: dict[str, list[tuple[str, int]]] = {}
+    for (name, col), digits in _FLOAT_COLUMN_SEAMS.items():
+        if digits is not None:
+            by_query.setdefault(name, []).append((col, digits))
+    for name, cols in sorted(by_query.items()):
+        rows = QUERIES[name](spark, sf_dir).select(
+            *[c for c, _ in cols]
+        ).collect()
+        for col, digits in cols:
+            quantum = Decimal(1).scaleb(-digits)
+            for r in rows:
+                v = r[col]
+                if v is None or math.isnan(v):
+                    continue
+                image = float(Decimal(repr(v)).quantize(quantum))
+                assert image == v, (
+                    f"{name}.{col}: {v!r} is not a {digits}-digit decimal "
+                    f"image (re-round gives {image!r})"
+                )
