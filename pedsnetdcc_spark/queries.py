@@ -567,6 +567,87 @@ def q_streaming_interval_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
     return store.read(spark, "observation_period")
 
 
+@query(
+    "streaming_windowed_counts",
+    # Append mode emits a window once the event-time watermark passes
+    # its end; availableNow's final no-data micro-batch advances the
+    # watermark to (global max ts − 2 days), so the emitted set is
+    # exactly the windows with end ≤ that horizon — deterministic, and
+    # replayed here as plain grouped SQL with the same horizon filter.
+    oracle="""
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start,
+           CAST(date_trunc('day', ts) + INTERVAL 1 DAY AS TIMESTAMP)
+               AS window_end,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events
+    GROUP BY 1, 2, 3
+    HAVING CAST(date_trunc('day', ts) + INTERVAL 1 DAY AS TIMESTAMP)
+           <= (SELECT MAX(ts) - INTERVAL 2 DAY FROM events)
+    """,
+)
+def q_streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical watermark + windowed-aggregation streaming shape
+    (streaming/incremental.streaming_event_counts) under the driver
+    hash gate: events staged as two source files, processed as separate
+    micro-batches (``maxFilesPerTrigger=1`` + ``availableNow``) into an
+    append-mode parquet sink; the returned DataFrame reads the sink.
+    State is the open windows; the watermark both bounds it and decides
+    finality, and because the final watermark is a pure function of the
+    data (max ts − horizon), the emitted window set is deterministic —
+    the property that lets an append-mode stream be oracle-checked.
+    Eager micro-batch execution inside the call, like
+    `streaming_interval_sync`."""
+    import shutil
+    import tempfile
+
+    from pedsnetdcc_spark.streaming.incremental import streaming_event_counts
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts", "event_type")
+    root = tempfile.mkdtemp(prefix="pedsnetdcc_stream_win_")
+    src, ckpt, sink = f"{root}/src", f"{root}/ckpt", f"{root}/sink"
+    ev.where(F.col("event_id") % 2 == 0).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    ev.where(F.col("event_id") % 2 == 1).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    stream = (
+        spark.readStream.schema(
+            "event_id long, user_id long, ts timestamp_ntz, event_type string"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    counts = streaming_event_counts(
+        stream, "ts", ["event_type"], window_duration="1 day", watermark="2 days"
+    )
+    q = (
+        counts.writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        if not q.awaitTermination(600):
+            raise TimeoutError("streaming_windowed_counts did not drain")
+    finally:
+        q.stop()
+        shutil.rmtree(src, ignore_errors=True)
+    # watermarks reject TIMESTAMP_NTZ (streaming/incremental._event_time
+    # upcasts), so the sink carries instants; cast back to the NTZ the
+    # rest of the contract speaks — exact under the UTC session tz that
+    # read_table pins
+    return spark.read.parquet(sink).select(
+        F.col("window_start").cast("timestamp_ntz").alias("window_start"),
+        F.col("window_end").cast("timestamp_ntz").alias("window_end"),
+        "event_type",
+        "n_events",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Referential-integrity counts (J5/A1): anti-join probes.
 # ---------------------------------------------------------------------------
@@ -4327,6 +4408,7 @@ _QUERY_ORDER = [
     # -- 1a: NEW this round (never driver-scored) -------------------------
     "quality_classifier",
     "streaming_interval_sync",
+    "streaming_windowed_counts",
     "csv_id_map_roundtrip",
     "view_ddl_roundtrip",
     "publish_undo",
@@ -4383,11 +4465,11 @@ _QUERY_ORDER = [
     "ngram_jaccard_dedup",
     "semantic_dedup",
     "lm_perplexity",
-    "corpus_pipeline",
     # -- 3: past the 50-entry cutoff — every entry below was driver-green
     #       in round 6 and still runs through the IDENTICAL DuckDB
     #       row/schema/hash compare in tests/test_oracle_parity.py every
     #       session -------------------------------------------------------
+    "corpus_pipeline",
     "vocab_stats",
     "corpus_report",
     "covid_post_shape",

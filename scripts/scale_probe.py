@@ -338,12 +338,15 @@ def build_scale(tag: str, docs: int, embs: int, names: int, seed: int) -> str:
     return d
 
 
-def _probe_family(spark, queries, names, extra, d1: str, d10: str, runs: int):
+def _probe_family(spark, queries, names, extra, points, runs: int):
+    """``points`` = [(tag, dir, scale_multiple), ...] in ascending
+    scale; exponents are fitted between consecutive points and overall
+    (first→last)."""
     result: dict[str, dict[str, float]] = {}
     for name in names:
         fn = extra.get(name) or queries[name]
         times = {}
-        for tag, d in (("x1", d1), ("x10", d10)):
+        for tag, d, _mult in points:
             best = math.inf
             for _ in range(runs):
                 gc.collect()
@@ -354,10 +357,18 @@ def _probe_family(spark, queries, names, extra, d1: str, d10: str, runs: int):
                 # other scale) a partial replay
                 spark.catalog.clearCache()
             times[tag] = round(best, 3)
-        exp = math.log(times["x10"] / times["x1"]) / math.log(10)
-        result[name] = {**times, "exponent": round(exp, 3)}
-        print(f"{name:24s} x1={times['x1']:7.2f}s x10={times['x10']:7.2f}s "
-              f"exponent={exp:5.2f}", flush=True)
+        entry: dict[str, float] = dict(times)
+        for (t_a, _, m_a), (t_b, _, m_b) in zip(points, points[1:]):
+            e = math.log(times[t_b] / times[t_a]) / math.log(m_b / m_a)
+            entry[f"exponent_{t_a}_{t_b}"] = round(e, 3)
+        first, last = points[0], points[-1]
+        overall = math.log(times[last[0]] / times[first[0]]) / math.log(
+            last[2] / first[2]
+        )
+        entry["exponent"] = round(overall, 3)
+        result[name] = entry
+        shown = " ".join(f"{t}={times[t]:7.2f}s" for t, _, _ in points)
+        print(f"{name:24s} {shown} exponent={overall:5.2f}", flush=True)
     return result
 
 
@@ -365,6 +376,12 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--runs", type=int, default=2)
     ap.add_argument("--family", choices=["pair", "cdm", "all"], default="all")
+    ap.add_argument(
+        "--cdm-100x",
+        action="store_true",
+        help="add a 100x point to the CDM family (10M events, 15M "
+        "orders, 1.5M customers — two measured decades)",
+    )
     ap.add_argument("--out", default=os.path.join(REPO, "BENCH_SCALING_r7.json"))
     args = ap.parse_args()
 
@@ -386,27 +403,51 @@ def main() -> None:
             "x1_rows": {"documents": 5000, "embeddings": 2000, "part_names": 2000},
             "x10_rows": {"documents": 50000, "embeddings": 20000, "part_names": 20000},
             "queries": _probe_family(
-                spark, QUERIES, QUERIES_TO_PROBE, {}, d1, d10, args.runs
+                spark,
+                QUERIES,
+                QUERIES_TO_PROBE,
+                {},
+                [("x1", d1, 1), ("x10", d10, 10)],
+                args.runs,
             ),
         }
 
     if args.family in ("cdm", "all"):
-        c1 = build_cdm_scale("cdm_x1", users=1_500, customers=15_000, seed=11)
-        c10 = build_cdm_scale("cdm_x10", users=15_000, customers=150_000, seed=11)
-        QUERIES["eras"](spark, c1).count()  # JVM warm
-        spark.catalog.clearCache()
-        out["families"]["cdm"] = {
+        points = [
+            ("x1", build_cdm_scale("cdm_x1", users=1_500, customers=15_000, seed=11), 1),
+            ("x10", build_cdm_scale("cdm_x10", users=15_000, customers=150_000, seed=11), 10),
+        ]
+        rows = {
             "x1_rows": {"events": 100_500, "customers": 15_000, "orders": 150_000},
             "x10_rows": {"events": 1_005_000, "customers": 150_000,
                          "orders": 1_500_000},
+        }
+        if args.cdm_100x:
+            points.append(
+                (
+                    "x100",
+                    build_cdm_scale(
+                        "cdm_x100", users=150_000, customers=1_500_000, seed=11
+                    ),
+                    100,
+                )
+            )
+            rows["x100_rows"] = {
+                "events": 10_050_000,
+                "customers": 1_500_000,
+                "orders": 15_000_000,
+            }
+        QUERIES["eras"](spark, points[0][1]).count()  # JVM warm
+        spark.catalog.clearCache()
+        out["families"]["cdm"] = {
+            **rows,
             "invariant": "constant per-user/customer depth; constant dims",
             "queries": _probe_family(
                 spark,
                 QUERIES,
                 CDM_QUERIES_TO_PROBE + list(EXTRA_PROBES),
                 EXTRA_PROBES,
-                c1,
-                c10,
+                points,
                 args.runs,
             ),
         }
