@@ -431,6 +431,41 @@ def cmd_quality_filter(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_quality_classifier(args: argparse.Namespace) -> int:
+    """Classifier-based quality filter: distill the Gopher rule labels
+    into a hashed-BOW Naive Bayes scorer, score every document, keep
+    those predicted to pass — the trained-classifier curation step
+    (datapipe/classifier).  Threshold 0 = the NB decision boundary;
+    raise --min-score to keep only confidently-good documents."""
+    from pyspark.sql import functions as F
+
+    from pedsnetdcc_spark.datapipe.classifier import (
+        score_with_classifier,
+        train_quality_classifier,
+    )
+    from pedsnetdcc_spark.datapipe.text import gopher_rules, hashed_bow
+
+    spark = _session(args)
+    docs = _read(spark, args.input, args.table)
+    labels = gopher_rules(docs, args.text_col).select(
+        args.id_col, F.col("passes_gopher").alias("label")
+    )
+    bow = hashed_bow(
+        docs, args.id_col, args.text_col, dim=args.dim, seed=args.seed,
+        norm="none",
+    )
+    model = train_quality_classifier(
+        bow, labels, args.id_col, "label", dim=args.dim
+    )
+    scored = score_with_classifier(bow, model, args.id_col)
+    keep_ids = scored.where(F.col("score") > args.min_score).select(args.id_col)
+    kept = docs.join(keep_ids, args.id_col, "left_semi")
+    _publish(spark, args.output, {args.table: kept})
+    n_total, n_kept = docs.count(), kept.count()
+    print(json.dumps({"total": n_total, "kept": n_kept, "dim": args.dim}))
+    return 0
+
+
 def cmd_passage_dedup(args: argparse.Namespace) -> int:
     """Span-level exact dedup: drop repeated fixed-token windows
     corpus-wide and reassemble documents (datapipe/dedup.passage_dedup)."""
@@ -789,6 +824,19 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--text-col", default="text")
     sp.add_argument("--min-words", type=int, default=30)
     sp.set_defaults(fn=cmd_quality_filter)
+
+    sp = sub.add_parser(
+        "quality-classifier",
+        help="NB classifier distilled from rule labels; keep score > threshold",
+    )
+    ns(sp)
+    sp.add_argument("--table", default="documents")
+    sp.add_argument("--id-col", default="doc_id")
+    sp.add_argument("--text-col", default="text")
+    sp.add_argument("--dim", type=int, default=512)
+    sp.add_argument("--seed", type=int, default=0)
+    sp.add_argument("--min-score", type=float, default=0.0)
+    sp.set_defaults(fn=cmd_quality_classifier)
 
     sp = sub.add_parser("passage-dedup", help="drop repeated token windows corpus-wide")
     ns(sp)

@@ -382,6 +382,12 @@ def main() -> None:
         help="add a 100x point to the CDM family (10M events, 15M "
         "orders, 1.5M customers — two measured decades)",
     )
+    ap.add_argument(
+        "--pair-100x",
+        action="store_true",
+        help="add a 100x point to the pair family (500k docs, 200k "
+        "embeddings, 200k part names — two measured decades)",
+    )
     ap.add_argument("--out", default=os.path.join(REPO, "BENCH_SCALING_r7.json"))
     args = ap.parse_args()
 
@@ -395,20 +401,35 @@ def main() -> None:
     out = {"probe": "1x vs 10x same-shaped synthetic scaling", "families": {}}
 
     if args.family in ("pair", "all"):
-        d1 = build_scale("x1", docs=5_000, embs=2_000, names=2_000, seed=7)
-        d10 = build_scale("x10", docs=50_000, embs=20_000, names=20_000, seed=7)
-        QUERIES["dedup_clusters"](spark, d1).count()  # JVM warm
-        spark.catalog.clearCache()
-        out["families"]["pair"] = {
+        points = [
+            ("x1", build_scale("x1", docs=5_000, embs=2_000, names=2_000, seed=7), 1),
+            ("x10", build_scale("x10", docs=50_000, embs=20_000, names=20_000, seed=7), 10),
+        ]
+        rows = {
             "x1_rows": {"documents": 5000, "embeddings": 2000, "part_names": 2000},
             "x10_rows": {"documents": 50000, "embeddings": 20000, "part_names": 20000},
+        }
+        if args.pair_100x:
+            points.append(
+                (
+                    "x100",
+                    build_scale(
+                        "x100", docs=500_000, embs=200_000, names=200_000, seed=7
+                    ),
+                    100,
+                )
+            )
+            rows["x100_rows"] = {
+                "documents": 500_000,
+                "embeddings": 200_000,
+                "part_names": 200_000,
+            }
+        QUERIES["dedup_clusters"](spark, points[0][1]).count()  # JVM warm
+        spark.catalog.clearCache()
+        out["families"]["pair"] = {
+            **rows,
             "queries": _probe_family(
-                spark,
-                QUERIES,
-                QUERIES_TO_PROBE,
-                {},
-                [("x1", d1, 1), ("x10", d10, 10)],
-                args.runs,
+                spark, QUERIES, QUERIES_TO_PROBE, {}, points, args.runs
             ),
         }
 

@@ -454,3 +454,37 @@ def test_cli_optimize(spark, sf_dir, tmp_path, capsys):
                  "--cluster-by", "l_orderkey", "--target-mb", "64"]) == 2
     assert main(["optimize", "-o", str(tmp_path / "lake"), "-t", "lineitem",
                  "--files", "8"]) == 2
+
+
+def test_cli_quality_classifier(spark, sf_dir, tmp_path, capsys):
+    import json
+    import shutil
+
+    from pedsnetdcc_spark.cli import main
+    from pedsnetdcc_spark.sources.io import read_table
+
+    ns = tmp_path / "ns_qc"
+    ns.mkdir()
+    docs = read_table(spark, sf_dir, "documents")
+    docs.write.parquet(str(ns / "documents"))
+    n_docs = docs.count()
+
+    out = tmp_path / "qc_out"
+    assert main([
+        "quality-classifier", "-i", str(ns), "-o", str(out), "--dim", "64",
+    ]) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    kept = read_table(spark, str(out / "current"), "documents")
+    assert rep["total"] == n_docs
+    assert 0 < rep["kept"] == kept.count() <= n_docs
+    assert set(kept.columns) == set(docs.columns)  # original rows, filtered
+
+    # a stricter threshold keeps fewer (or equal) documents
+    out2 = tmp_path / "qc_out2"
+    assert main([
+        "quality-classifier", "-i", str(ns), "-o", str(out2), "--dim", "64",
+        "--min-score", "5.0",
+    ]) == 0
+    rep2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep2["kept"] <= rep["kept"]
+    shutil.rmtree(ns, ignore_errors=True)

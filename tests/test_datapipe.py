@@ -1253,3 +1253,38 @@ def test_quality_classifier_composes_with_corpus_pipeline(spark, sf_dir):
     assert agree / n_docs > majority
     out = prepare_corpus(kept, "doc_id", "text")
     assert out.count() <= n_kept
+
+
+def test_edit_distance_pairs_short_remainder_routing_exact(spark):
+    """Round-7 fallback-bound check: strings short enough that their
+    level-2 splice remainders straddle the (tau, 2*tau] boundary — the
+    ADVICE-flagged near-pure-segment shape.  With hot_threshold=1
+    EVERY bucket recurses, so pairs must flow through the level-2
+    pigeonhole (both remainders > tau) or the bounded min-side<=tau
+    fallback; a routing gap loses pairs, over-broad routing only
+    over-generates (verify keeps it exact either way)."""
+    import random
+
+    from pedsnetdcc_spark.datapipe.dedup import edit_distance_pairs
+
+    rng = random.Random(11)
+    words = list({
+        "".join(rng.choice("ab") for _ in range(rng.randrange(4, 9)))
+        for _ in range(80)
+    })
+    df = spark.createDataFrame([(w,) for w in words], ["name"])
+    tau = 2
+    want = sorted(
+        (min(a, b), max(a, b), _lev(a, b))
+        for i, a in enumerate(words)
+        for b in words[i + 1:]
+        if _lev(a, b) <= tau
+    )
+    for hot in (1, 3):
+        got = sorted(
+            (r["id_a"], r["id_b"], r["distance"])
+            for r in edit_distance_pairs(
+                df, "name", "name", max_dist=tau, hot_threshold=hot
+            ).collect()
+        )
+        assert got == want, (hot, len(got), len(want))
