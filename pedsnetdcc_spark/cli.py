@@ -854,7 +854,11 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--table", default="embeddings")
     sp.add_argument("--id-col", default="vec_id")
     sp.add_argument("--vec-col", default="embedding")
-    sp.add_argument("--cells", type=int, default=16)
+    sp.add_argument(
+        "--cells", default="auto",
+        type=lambda s: s if s == "auto" else int(s),
+        help="cell count, or 'auto' to size the grid from the data",
+    )
     sp.add_argument("--threshold", type=float, default=0.45)
     sp.add_argument("--seed", type=int, default=0)
     sp.add_argument("--keep-canonical", action="store_true")

@@ -3857,28 +3857,69 @@ def q_cdc_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _semantic_dedup_oracle(k: int = 16, threshold: float = 0.45) -> str:
+def _semantic_dedup_oracle(threshold: float = 0.45, target_cell: int = 512) -> str:
+    """Replays the auto hierarchical cell grid exactly: total =
+    GREATEST(16, CEIL(n/target)) cells as k1=CEIL(SQRT(total)) coarse ×
+    k2=CEIL(total/k1) fine (drawn per coarse cell in seeded-hash
+    order); every arithmetic step is the same IEEE-double op sequence
+    as auto_cell_grid, so the grid integers match bit-for-bit."""
     from pedsnetdcc_spark.datapipe.dedup import portable_hash64_sql
 
     h = portable_hash64_sql("vec_id", 0)
     return f"""
     WITH RECURSIVE v AS (
         SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
-    ), cents AS (
-        SELECT vec_id AS cent_id, e AS ce FROM v ORDER BY {h}, vec_id LIMIT {k}
-    ), scored AS (
-        SELECT v.vec_id, cent_id,
+    ), prm AS (
+        SELECT CAST(CEIL(SQRT(total)) AS BIGINT) AS k1,
+               CAST(CEIL(total / CEIL(SQRT(total))) AS BIGINT) AS k2
+        FROM (
+            SELECT GREATEST(16, CEIL(COUNT(*) / {target_cell}.0)) AS total
+            FROM v
+        )
+    ), hv AS (
+        SELECT vec_id, e, {h} AS hh FROM v
+    ), c1 AS (
+        SELECT vec_id AS cent1, e AS ce FROM (
+            SELECT vec_id, e, ROW_NUMBER() OVER (ORDER BY hh, vec_id) AS rn
+            FROM hv
+        ) t, prm WHERE t.rn <= prm.k1
+    ), s1 AS (
+        SELECT v.vec_id, cent1,
                list_dot_product(v.e, ce)
                / (sqrt(list_dot_product(v.e, v.e))
                   * sqrt(list_dot_product(ce, ce))) AS cos
-        FROM v CROSS JOIN cents
-    ), cell AS (
-        SELECT vec_id, cent_id AS cell FROM (
-            SELECT vec_id, cent_id,
+        FROM v CROSS JOIN c1
+    ), coarse AS (
+        SELECT vec_id, cent1 AS c1id FROM (
+            SELECT vec_id, cent1,
                    ROW_NUMBER() OVER (
-                       PARTITION BY vec_id ORDER BY cos DESC, cent_id
+                       PARTITION BY vec_id ORDER BY cos DESC, cent1
                    ) AS rn
-            FROM scored
+            FROM s1
+        ) WHERE rn = 1
+    ), c2 AS (
+        SELECT c1id, cent2, ce FROM (
+            SELECT hv.vec_id AS cent2, hv.e AS ce, coarse.c1id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY coarse.c1id ORDER BY hv.hh, hv.vec_id
+                   ) AS rn
+            FROM hv JOIN coarse ON coarse.vec_id = hv.vec_id
+        ) t, prm WHERE t.rn <= prm.k2
+    ), s2 AS (
+        SELECT v.vec_id, c2.cent2,
+               list_dot_product(v.e, c2.ce)
+               / (sqrt(list_dot_product(v.e, v.e))
+                  * sqrt(list_dot_product(c2.ce, c2.ce))) AS cos
+        FROM v
+        JOIN coarse ON coarse.vec_id = v.vec_id
+        JOIN c2 ON c2.c1id = coarse.c1id
+    ), cell AS (
+        SELECT vec_id, cent2 AS cell FROM (
+            SELECT vec_id, cent2,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY vec_id ORDER BY cos DESC, cent2
+                   ) AS rn
+            FROM s2
         ) WHERE rn = 1
     ), av AS (
         SELECT c.vec_id, c.cell, v.e FROM cell c JOIN v ON v.vec_id = c.vec_id
@@ -3909,16 +3950,21 @@ def _semantic_dedup_oracle(k: int = 16, threshold: float = 0.45) -> str:
 @query("semantic_dedup", oracle=_semantic_dedup_oracle())
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster-then-dedup over embeddings (SemDeDup shape): every
-    vector assigned to its nearest deterministic seed centroid, exact
+    vector assigned to a deterministic seed-centroid cell via the
+    auto-sized two-level grid (total = max(16, ceil(n/512)) cells,
+    coarse-then-fine assignment — similarity.semantic_cells), exact
     cosine near-dup pairs generated WITHIN cells only, transitive
     closure labeling, canonical min-id keep flag
-    (datapipe/similarity.semantic_dedup) — the Σ cell² ≈ n²/k scale
-    path for embedding dedup, oracle-mirrored including the deliberate
+    (datapipe/similarity.semantic_dedup).  Auto-k keeps cell
+    populations ≈ 512 at ANY corpus size, so the within-cell pair
+    search is linear in n (the 100× probe measured the old fixed-k=16
+    form at exponent 1.7/decade — the quadratic this replaces);
+    oracle replays the full hierarchy including the deliberate
     cross-cell misses."""
     from pedsnetdcc_spark.datapipe.similarity import semantic_dedup
 
     emb = _t(spark, sf_dir, "embeddings")
-    return semantic_dedup(emb, "vec_id", "embedding", k=16, threshold=0.45)
+    return semantic_dedup(emb, "vec_id", "embedding", k="auto", threshold=0.45)
 
 
 @query(

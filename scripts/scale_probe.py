@@ -389,7 +389,17 @@ def main() -> None:
         "embeddings, 200k part names — two measured decades)",
     )
     ap.add_argument("--out", default=os.path.join(REPO, "BENCH_SCALING_r7.json"))
+    ap.add_argument(
+        "--only",
+        help="comma-separated query names: probe just these (re-measuring "
+        "one query after a fix without re-running the family)",
+    )
     args = ap.parse_args()
+    if args.only:
+        keep = set(args.only.split(","))
+        global QUERIES_TO_PROBE, CDM_QUERIES_TO_PROBE
+        QUERIES_TO_PROBE = [q for q in QUERIES_TO_PROBE if q in keep]
+        CDM_QUERIES_TO_PROBE = [q for q in CDM_QUERIES_TO_PROBE if q in keep]
 
     import sys
 
@@ -466,7 +476,12 @@ def main() -> None:
             "queries": _probe_family(
                 spark,
                 QUERIES,
-                CDM_QUERIES_TO_PROBE + list(EXTRA_PROBES),
+                CDM_QUERIES_TO_PROBE
+                + [
+                    q
+                    for q in EXTRA_PROBES
+                    if not args.only or q in args.only.split(",")
+                ],
                 EXTRA_PROBES,
                 points,
                 args.runs,

@@ -1288,3 +1288,95 @@ def test_edit_distance_pairs_short_remainder_routing_exact(spark):
             ).collect()
         )
         assert got == want, (hot, len(got), len(want))
+
+
+def _ph64(x, seed: int = 0) -> int:
+    import hashlib
+
+    return int(hashlib.md5(f"{seed}:{x}".encode()).hexdigest()[:15], 16)
+
+
+def test_auto_cell_grid_matches_duckdb_arithmetic():
+    """The auto grid (total, k1, k2) must land on the SAME integers as
+    the oracle's GREATEST/CEIL/SQRT double arithmetic for every corpus
+    size — including the target-cell boundaries where ceil flips."""
+    import duckdb
+
+    from pedsnetdcc_spark.datapipe.similarity import auto_cell_grid
+
+    for n in (1, 16, 500, 511, 512, 513, 8192, 8193, 50_000, 200_000, 10**9):
+        total, k1, k2 = auto_cell_grid(n, 512)
+        row = duckdb.sql(
+            f"""
+            SELECT CAST(total AS BIGINT),
+                   CAST(CEIL(SQRT(total)) AS BIGINT),
+                   CAST(CEIL(total / CEIL(SQRT(total))) AS BIGINT)
+            FROM (SELECT GREATEST(16, CEIL({n} / 512.0)) AS total)
+            """
+        ).fetchone()
+        assert (total, k1, k2) == row, (n, (total, k1, k2), row)
+        assert k1 * k2 >= total  # the factoring never loses cells
+
+
+def test_semantic_cells_auto_matches_pure_python_replay(spark, emb):
+    """k='auto' two-level assignment replayed in pure python with
+    Spark's exact fold order, hash order, and argmax tie-breaks."""
+    import math
+
+    from pedsnetdcc_spark.datapipe.similarity import (
+        auto_cell_grid,
+        semantic_cells,
+    )
+
+    sub = emb.where("vec_id < 120")
+    raw = {r["vec_id"]: [float(x) for x in r["embedding"]] for r in sub.collect()}
+    ids = sorted(raw)
+    total, k1, k2 = auto_cell_grid(len(ids), 512)
+
+    def dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + x * y
+        return acc
+
+    def norm(a):
+        acc = 0.0
+        for x in a:
+            acc = acc + x * x
+        return math.sqrt(acc)
+
+    norms = {i: norm(v) for i, v in raw.items()}
+
+    def nearest(i, cands):
+        return min(
+            cands,
+            key=lambda c: (-(dot(raw[i], raw[c]) / (norms[i] * norms[c])), c),
+        )
+
+    hash_order = sorted(ids, key=lambda i: (_ph64(i), i))
+    c1 = hash_order[:k1]
+    coarse = {i: nearest(i, c1) for i in ids}
+    want = {}
+    for cc in set(coarse.values()):
+        members = sorted(
+            (i for i in ids if coarse[i] == cc), key=lambda i: (_ph64(i), i)
+        )
+        fine = members[:k2]
+        for i in ids:
+            if coarse[i] == cc:
+                want[i] = nearest(i, fine)
+
+    got = {
+        r["vec_id"]: r["cell"]
+        for r in semantic_cells(sub, "vec_id", "embedding", k="auto").collect()
+    }
+    assert got == want
+
+    # partitioning invariance: the grid is a pure function of the data
+    got7 = {
+        r["vec_id"]: r["cell"]
+        for r in semantic_cells(
+            sub.repartition(7), "vec_id", "embedding", k="auto"
+        ).collect()
+    }
+    assert got7 == want
