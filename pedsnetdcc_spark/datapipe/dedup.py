@@ -255,11 +255,22 @@ def fused_minhash_signatures(
     MinHash over the occurrence stream (min is idempotent), so no
     dedup pass is needed.
     """
-    toks = tokens(text_col)
-    sh = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    # STAGE both the token array and the shingle array through real
+    # projections: unstaged, the slice-per-shingle lambda re-splits the
+    # text per shingle (O(tokens²)) and each of the num_hashes
+    # transforms re-evaluates that whole shingle build again — the
+    # re-evaluation trap, ×num_hashes (measured 8-30× on lm_score's
+    # far smaller bigram case)
+    t = df.select(F.col(id_col), tokens(text_col).alias("__mh_toks"))
+    toks = F.col("__mh_toks")
+    staged = t.where(F.size(toks) >= n).select(
+        F.col(id_col),
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ).alias("__mh_sh"),
     )
+    sh = F.col("__mh_sh")
     mins = F.array(
         *[
             F.array_min(
@@ -268,9 +279,7 @@ def fused_minhash_signatures(
             for i in range(num_hashes)
         ]
     )
-    return df.where(F.size(toks) >= n).select(
-        F.col(id_col), mins.alias(sig_col)
-    )
+    return staged.select(F.col(id_col), mins.alias(sig_col))
 
 
 def lsh_candidate_pairs(

