@@ -82,20 +82,20 @@ def train_bpe(
     )
     merges: list[tuple[str, str]] = []
     for i in range(num_merges):
-        syms = F.split(F.col("repr"), " ")
-        n = F.size(syms)
-        idx = F.when(n >= 2, F.sequence(F.lit(2), n)).otherwise(
-            F.array().cast("array<int>")
-        )
-        pairs = state.select(
+        # stage the symbol array before element_at indexes it: an
+        # unstaged split("repr") inside the pair lambda re-splits the
+        # representation once per adjacent pair (O(symbols²) per word —
+        # the re-evaluation trap); the pairs come from one arrays_zip
+        # of two slices of the staged column
+        st = state.select("freq", F.split(F.col("repr"), " ").alias("__syms"))
+        syms = F.col("__syms")
+        m = F.greatest(F.size(syms) - 1, F.lit(0))
+        pairs = st.select(
             "freq",
             F.explode(
-                F.transform(
-                    idx,
-                    lambda j: F.struct(
-                        F.element_at(syms, j - 1).alias("a"),
-                        F.element_at(syms, j).alias("b"),
-                    ),
+                F.arrays_zip(
+                    F.slice(syms, 1, m).alias("a"),
+                    F.slice(syms, 2, m).alias("b"),
                 )
             ).alias("p"),
         )
