@@ -218,6 +218,12 @@ def test_cli_quality_passage_semantic(spark, sf_dir, tmp_path, capsys):
     canon = read_table(spark, str(out3 / "current"), "embeddings")
     assert 0 < canon.count() <= n_vecs
     assert {"vec_id", "cell", "dup_group", "keep"} <= set(canon.columns)
+
+    # default --cells auto: data-sized hierarchical grid
+    out4 = tmp_path / "sd_auto"
+    assert main(["semantic-dedup", "-i", str(ns), "-o", str(out4)]) == 0
+    auto = read_table(spark, str(out4 / "current"), "embeddings")
+    assert auto.count() == n_vecs
     shutil.rmtree(ns, ignore_errors=True)
 
 

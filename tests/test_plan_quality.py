@@ -62,13 +62,79 @@ def test_parquet_scan_pushes_filters_and_prunes_columns(spark, sf_dir):
     assert cols == {"o_orderkey", "o_totalprice"}, cols
 
 
+_PLAN_CACHE: dict[str, str] = {}
+
+
+def _cached_plan(spark, sf_dir, name) -> str:
+    if name not in _PLAN_CACHE:
+        _PLAN_CACHE[name] = _plan(QUERIES[name](spark, sf_dir))
+    return _PLAN_CACHE[name]
+
+
 @pytest.mark.parametrize("name", sorted(QUERIES))
 def test_no_row_at_a_time_python_udfs(spark, sf_dir, name):
     """Fleet-wide guard: no query may plan a BatchEvalPython node (the
     row-at-a-time Python UDF operator).  Python is allowed only in
     Arrow-batched form (ArrowEvalPython / MapInPandas / pandas UDFs)."""
-    plan = _plan(QUERIES[name](spark, sf_dir))
+    plan = _cached_plan(spark, sf_dir, name)
     assert "BatchEvalPython" not in plan, f"{name} plans a row-at-a-time Python UDF"
+
+
+def _lambda_bodies(plan: str) -> list[str]:
+    """Every balanced `lambdafunction(...)` span in the plan text."""
+    spans, i = [], 0
+    while True:
+        j = plan.find("lambdafunction(", i)
+        if j < 0:
+            return spans
+        k = j + len("lambdafunction(")
+        depth = 1
+        while k < len(plan) and depth:
+            if plan[k] == "(":
+                depth += 1
+            elif plan[k] == ")":
+                depth -= 1
+            k += 1
+        spans.append(plan[j:k])
+        i = j + 1
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_no_row_splits_inside_lambda_bodies(spark, sf_dir, name):
+    """Fleet-wide guard against the higher-order-lambda re-evaluation
+    trap: an expression nested inside a transform/filter/aggregate
+    lambda is re-evaluated once per array ELEMENT, so `split(row_col)`
+    in a lambda body re-tokenizes the document per element —
+    O(tokens²) per row (measured 8-30× on lm_score/minhash before the
+    round-7 staging fixes).  `split(lambda_var)` (tokenizing the
+    ELEMENT, e.g. BPE word segmentation) is legitimate and exempt.
+    Token arrays must be staged through a projection and lambdas may
+    only index the staged column."""
+    plan = _cached_plan(spark, sf_dir, name)
+    bad = []
+    for span in _lambda_bodies(plan):
+        i = 0
+        while True:
+            j = span.find("split(", i)
+            if j < 0:
+                break
+            # capture the full balanced split(...) span; if its
+            # arguments reference a lambda variable the split is
+            # element-dependent (e.g. BPE word segmentation) — exempt;
+            # a lambda-INDEPENDENT split is a row expression being
+            # re-evaluated per element — the trap
+            k = j + len("split(")
+            depth = 1
+            while k < len(span) and depth:
+                if span[k] == "(":
+                    depth += 1
+                elif span[k] == ")":
+                    depth -= 1
+                k += 1
+            if "lambda " not in span[j:k]:
+                bad.append(span[j : j + 80])
+            i = j + len("split(")
+    assert not bad, f"{name} re-evaluates a row-level split per array element: {bad[:2]}"
 
 
 def test_corpus_prep_is_single_shuffle(spark, sf_dir):
