@@ -434,12 +434,32 @@ def main() -> None:
                 "embeddings": 200_000,
                 "part_names": 200_000,
             }
+        def _lsh_auto_probe(spark, d):
+            # the UNCAPPED production LSH near-dup path with auto bits
+            # (the registry entries run it through capped prover
+            # universes, so the probe exercises it directly)
+            from pedsnetdcc_spark.datapipe.similarity import (
+                embedding_near_dup_pairs_lsh,
+            )
+            from pedsnetdcc_spark.sources.io import read_table
+
+            emb = read_table(spark, d, "embeddings")
+            return embedding_near_dup_pairs_lsh(
+                emb, "vec_id", "embedding", threshold=0.9
+            )
+
+        pair_extra = {"embedding_lsh_auto_uncapped": _lsh_auto_probe}
+        pair_names = QUERIES_TO_PROBE + [
+            q
+            for q in pair_extra
+            if not args.only or q in args.only.split(",")
+        ]
         QUERIES["dedup_clusters"](spark, points[0][1]).count()  # JVM warm
         spark.catalog.clearCache()
         out["families"]["pair"] = {
             **rows,
             "queries": _probe_family(
-                spark, QUERIES, QUERIES_TO_PROBE, {}, points, args.runs
+                spark, QUERIES, pair_names, pair_extra, points, args.runs
             ),
         }
 

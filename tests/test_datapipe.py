@@ -1380,3 +1380,29 @@ def test_semantic_cells_auto_matches_pure_python_replay(spark, emb):
         ).collect()
     }
     assert got7 == want
+
+
+def test_embedding_lsh_auto_bits_tracks_corpus(spark, emb):
+    """bits='auto' must equal the explicitly-computed grid (pure
+    function of n) and stay within the production bounds."""
+    import math
+
+    from pedsnetdcc_spark.datapipe.similarity import embedding_near_dup_pairs_lsh
+
+    n = emb.count()
+    want_bits = max(2, min(24, math.ceil(math.log2(max(n / 64, 2.0)))))
+    auto = sorted(
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dup_pairs_lsh(emb, threshold=0.45).collect()
+    )
+    explicit = sorted(
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dup_pairs_lsh(
+            emb, threshold=0.45, bits=want_bits
+        ).collect()
+    )
+    assert auto == explicit and len(auto) > 0
+    # the grid math: bucket populations ~ target at representative sizes
+    for n_, lo, hi in ((500, 3, 3), (200_000, 11, 12), (10**9, 23, 24)):
+        b = max(2, min(24, math.ceil(math.log2(max(n_ / 64, 2.0)))))
+        assert lo <= b <= hi, (n_, b)
