@@ -367,17 +367,26 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
-    n_centroids: int = 16,
+    n_centroids: "int | str" = "auto",
     nprobe: int = 4,
     sample_size: int = 4096,
     iters: int = 10,
     seed: int = 0,
     centroids: np.ndarray | None = None,
+    target_cell: int = 512,
 ) -> DataFrame:
     """IVF approximate top-k: sampled-k-means centroids
     (:func:`train_kmeans_centroids`), each candidate assigned to its
     single nearest cell, each query probing its ``nprobe`` nearest
     cells; exact cosine within the probed cells.
+
+    ``n_centroids`` must track the corpus (cells hold ≈ n/n_centroids
+    candidates, so a FIXED value makes per-query work linear in n);
+    the default ``"auto"`` sizes ``max(16, min(1024, ceil(n /
+    target_cell)))`` from one count action — the 1024 cap bounds the
+    driver Lloyd cost against the 4096-row sample; at corpora past
+    ~0.5M vectors raise ``sample_size`` with it or pass a pre-trained
+    codebook.
 
     Scale shape: training is one TakeOrdered sample + driver Lloyd
     (centroids are k×dim — tiny); assignment is a shuffle-free scan
@@ -388,6 +397,11 @@ def ivf_topk(
     Pass ``centroids`` to reuse a trained codebook across calls.
     """
     if centroids is None:
+        if n_centroids == "auto":
+            import math
+
+            n = candidates.count()  # aggregate-only; sizes the cell grid
+            n_centroids = max(16, min(1024, math.ceil(n / target_cell)))
         centroids = train_kmeans_centroids(
             candidates, id_col, vec_col, k=n_centroids,
             sample_size=sample_size, iters=iters, seed=seed,
@@ -479,11 +493,12 @@ def lsh_bucketed_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
-    bits: int = 4,
+    bits: "int | str" = "auto",
     tables: int = 8,
     probe_hamming1: bool = True,
     *,
     dim: int,
+    target_bucket: int = 64,
 ) -> DataFrame:
     """Approximate top-k via multi-table hyperplane LSH: ``tables``
     independent sketches of ``bits`` bits each; a candidate is scored if
@@ -492,12 +507,20 @@ def lsh_bucketed_topk(
     Recall ≈ 1 − (1 − p^bits)^tables with p = 1 − θ/π per bit — tune
     tables up / bits down for higher recall at more comparisons.  The
     candidate set stays bucket-local, so per-query work is bounded by
-    bucket sizes, not the corpus.
+    bucket sizes — PROVIDED ``bits`` tracks the corpus (a fixed value
+    leaves n/2^bits per bucket, linear per-query work); the default
+    ``"auto"`` sizes 2^bits ≈ n/target_bucket from one count action,
+    same grid rule as :func:`embedding_near_dup_pairs_lsh`.
 
     ``dim`` is required (static knowledge at every call site): inferring
     it with a ``.first()`` would run a driver job at plan-construction
     time — a foot-gun in composed pipelines.
     """
+    if bits == "auto":
+        import math
+
+        n = candidates.count()  # aggregate-only; sizes the bucket grid
+        bits = max(2, min(24, math.ceil(math.log2(max(n / target_bucket, 2.0)))))
     c = candidates.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("__cv"),

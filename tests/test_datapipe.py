@@ -1406,3 +1406,24 @@ def test_embedding_lsh_auto_bits_tracks_corpus(spark, emb):
     for n_, lo, hi in ((500, 3, 3), (200_000, 11, 12), (10**9, 23, 24)):
         b = max(2, min(24, math.ceil(math.log2(max(n_ / 64, 2.0)))))
         assert lo <= b <= hi, (n_, b)
+
+
+def test_topk_auto_grids_match_explicit(spark, emb):
+    """lsh_bucketed_topk bits='auto' and ivf_topk n_centroids='auto'
+    are pure functions of the candidate count — identical output to
+    the explicitly-computed grid."""
+    import math
+
+    from pedsnetdcc_spark.datapipe.similarity import ivf_topk, lsh_bucketed_topk
+
+    n = emb.count()
+    q = emb.where("vec_id < 3")
+    want_bits = max(2, min(24, math.ceil(math.log2(max(n / 64, 2.0)))))
+    auto = lsh_bucketed_topk(emb, q, k=2, dim=64).collect()
+    explicit = lsh_bucketed_topk(emb, q, k=2, bits=want_bits, dim=64).collect()
+    assert sorted(map(tuple, auto)) == sorted(map(tuple, explicit)) and auto
+
+    want_c = max(16, min(1024, math.ceil(n / 512)))
+    a2 = ivf_topk(emb, q, k=2).collect()
+    e2 = ivf_topk(emb, q, k=2, n_centroids=want_c).collect()
+    assert sorted(map(tuple, a2)) == sorted(map(tuple, e2)) and a2
