@@ -449,7 +449,30 @@ def cmd_quality_classifier(args: argparse.Namespace) -> int:
     docs = _read(spark, args.input, args.table)
     labels = gopher_rules(docs, args.text_col).select(
         args.id_col, F.col("passes_gopher").alias("label")
-    )
+    ).cache()
+    # guard the GIGO seam before training: a single-class seed set
+    # (every doc passes or fails the rules) makes the NB log-prior /
+    # llr degenerate (Inf/NULL), scores come back NULL, the threshold
+    # filter drops everything, and the verb would silently publish an
+    # EMPTY corpus with exit 0
+    class_counts = {
+        row["label"]: row["n"]
+        for row in labels.groupBy("label").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    n_pass = class_counts.get(True, 0)
+    n_fail = class_counts.get(False, 0)
+    if n_pass == 0 or n_fail == 0:
+        print(
+            json.dumps({
+                "error": "single-class seed set: the rule labeler must "
+                         "produce both classes to train a classifier",
+                "rule_pass": n_pass,
+                "rule_fail": n_fail,
+            }),
+            file=sys.stderr,
+        )
+        labels.unpersist()
+        return 1
     bow = hashed_bow(
         docs, args.id_col, args.text_col, dim=args.dim, seed=args.seed,
         norm="none",
@@ -458,10 +481,19 @@ def cmd_quality_classifier(args: argparse.Namespace) -> int:
         bow, labels, args.id_col, "label", dim=args.dim
     )
     scored = score_with_classifier(bow, model, args.id_col)
-    keep_ids = scored.where(F.col("score") > args.min_score).select(args.id_col)
+    # cache the slim id list so the publish write and the kept-count
+    # share one execution of the train+score pipeline instead of
+    # running the NB aggregates and scoring joins twice
+    keep_ids = scored.where(F.col("score") > args.min_score).select(
+        args.id_col
+    ).cache()
     kept = docs.join(keep_ids, args.id_col, "left_semi")
     _publish(spark, args.output, {args.table: kept})
-    n_total, n_kept = docs.count(), kept.count()
+    # doc ids are unique, so |docs ⋉ keep_ids| = |keep_ids| — count the
+    # cached id list, not the published join
+    n_total, n_kept = docs.count(), keep_ids.count()
+    keep_ids.unpersist()
+    labels.unpersist()
     print(json.dumps({"total": n_total, "kept": n_kept, "dim": args.dim}))
     return 0
 

@@ -268,6 +268,7 @@ def embedding_near_dup_pairs_lsh(
     dim: int = 64,
     max_bucket: int | None = 1024,
     target_bucket: int = 64,
+    n: int | None = None,
 ) -> DataFrame:
     """The SCALE path for embedding near-dup: multi-table hyperplane
     LSH buckets generate candidate pairs (two vectors are candidates iff
@@ -314,7 +315,10 @@ def embedding_near_dup_pairs_lsh(
     if bits == "auto":
         import math
 
-        n = df.count()  # aggregate-only action; sizes the bucket grid
+        if n is None:
+            # aggregate-only action; pass ``n=`` from a composing
+            # pipeline that already counted this relation
+            n = df.count()
         bits = max(2, min(24, math.ceil(math.log2(max(n / target_bucket, 2.0)))))
     v = df.select(
         F.col(id_col).alias("__id"),
@@ -374,6 +378,7 @@ def ivf_topk(
     seed: int = 0,
     centroids: np.ndarray | None = None,
     target_cell: int = 512,
+    n: int | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: sampled-k-means centroids
     (:func:`train_kmeans_centroids`), each candidate assigned to its
@@ -400,7 +405,9 @@ def ivf_topk(
         if n_centroids == "auto":
             import math
 
-            n = candidates.count()  # aggregate-only; sizes the cell grid
+            if n is None:
+                # aggregate-only; pass ``n=`` from a composing pipeline
+                n = candidates.count()
             n_centroids = max(16, min(1024, math.ceil(n / target_cell)))
         centroids = train_kmeans_centroids(
             candidates, id_col, vec_col, k=n_centroids,
@@ -499,6 +506,7 @@ def lsh_bucketed_topk(
     *,
     dim: int,
     target_bucket: int = 64,
+    n: int | None = None,
 ) -> DataFrame:
     """Approximate top-k via multi-table hyperplane LSH: ``tables``
     independent sketches of ``bits`` bits each; a candidate is scored if
@@ -519,7 +527,9 @@ def lsh_bucketed_topk(
     if bits == "auto":
         import math
 
-        n = candidates.count()  # aggregate-only; sizes the bucket grid
+        if n is None:
+            # aggregate-only; pass ``n=`` from a composing pipeline
+            n = candidates.count()
         bits = max(2, min(24, math.ceil(math.log2(max(n / target_bucket, 2.0)))))
     c = candidates.select(
         F.col(id_col).alias("neighbor_id"),
@@ -616,6 +626,8 @@ def semantic_cells(
     k: "int | str" = 16,
     seed: int = 0,
     target_cell: int = 512,
+    n: int | None = None,
+    dim: int | None = None,
 ) -> DataFrame:
     """Assign every vector to the nearest of ``k`` deterministic seed
     centroids (by cosine): ``(id, cell)``.  Centroids are the top-k
@@ -656,9 +668,16 @@ def semantic_cells(
     ).withColumn("__n", _norm(F.col("__v")))
     hcol = portable_hash64(F.col(id_col).cast("string"), seed)
     if k == "auto":
-        # aggregate-only action; the projection collapses so this is a
-        # parquet-metadata count when df is a bare scan
-        n = df.count()
+        if n is None or dim is None:
+            # ONE aggregate-only action sizes the grid AND the broadcast
+            # byte gate; pass ``n=``/``dim=`` from a composing pipeline
+            # that already knows them
+            stats = df.agg(
+                F.count(F.lit(1)).alias("__cnt"),
+                F.max(F.size(F.col(vec_col))).alias("__dim"),
+            ).first()
+            n = stats["__cnt"] if n is None else n
+            dim = (stats["__dim"] or 0) if dim is None else dim
         _total, k1, k2 = auto_cell_grid(n, target_cell)
         hv = v.withColumn("__h", hcol)
         c1 = (
@@ -685,7 +704,12 @@ def semantic_cells(
                 F.col("__n").alias("__cn"),
             )
         )
-        if _total <= 65536:
+        # gate the broadcast hint on estimated BYTES, not rows: each
+        # fine-centroid row carries a dim-wide double array, so at
+        # dim=768 a 65536-row table is ~400 MB — a driver-OOM/broadcast
+        # failure risk.  64 MB budget: dim 64 → ≤131072 rows, dim 768 →
+        # ≤10922 rows; past it the join keys on __c1 instead.
+        if _total * max(dim or 0, 1) * 8 <= (64 << 20):
             c2 = F.broadcast(c2)
         scored = (
             v.join(coarse, id_col)
@@ -720,6 +744,8 @@ def semantic_dedup(
     threshold: float = 0.45,
     seed: int = 0,
     target_cell: int = 512,
+    n: int | None = None,
+    dim: int | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication: ``(id, cell, dup_group,
     keep)`` for every vector.  Vectors are partitioned into ``k``
@@ -752,7 +778,8 @@ def semantic_dedup(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
     ).withColumn("__n", _norm(F.col("__v")))
     cells = semantic_cells(
-        df, id_col, vec_col, k=k, seed=seed, target_cell=target_cell
+        df, id_col, vec_col, k=k, seed=seed, target_cell=target_cell,
+        n=n, dim=dim,
     )
     if k == "auto":
         # consumed by the pair join AND the final label join; the auto

@@ -636,6 +636,10 @@ def q_streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
         shutil.rmtree(src, ignore_errors=True)
+        # the sink must persist for the returned read; the checkpoint
+        # need not — dropping it keeps repeated bench/parity runs from
+        # accumulating temp state dirs
+        shutil.rmtree(ckpt, ignore_errors=True)
     # watermarks reject TIMESTAMP_NTZ (streaming/incremental._event_time
     # upcasts), so the sink carries instants; cast back to the NTZ the
     # rest of the contract speaks — exact under the UTC session tz that
