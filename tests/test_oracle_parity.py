@@ -98,6 +98,7 @@ _FLOAT_COLUMN_SEAMS: dict[tuple[str, str], int | None] = {
     ("tfidf_top_terms", "score"): 6,
     ("pricing_summary", "sum_qty"): 4,
     ("pricing_summary", "sum_base_price"): 4,
+    ("jdbc_roundtrip", "total_acctbal"): 4,
     ("top_unshipped_orders", "revenue"): 6,
     ("regional_supplier_volume", "revenue"): 6,
     # exactly-rounded IEEE arithmetic (single divisions, sqrt, exact
