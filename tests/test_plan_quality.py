@@ -241,6 +241,55 @@ def test_semantic_cells_broadcasts_centroids(spark, sf_dir):
     assert "SortMergeJoin" not in plan, plan
 
 
+def test_auto_sized_ops_accept_precomputed_stats(spark, sf_dir):
+    """A pipeline composing several auto-sized operators over the same
+    relation must be able to count it ONCE and pass ``n=``/``dim=``
+    down (round-7 verdict item 4): with the stats supplied, building a
+    two-ANN-stage composition runs ZERO driver jobs — no per-operator
+    re-count of the same relation."""
+    from pedsnetdcc_spark.datapipe.similarity import (
+        embedding_near_dup_pairs_lsh,
+        lsh_bucketed_topk,
+        semantic_cells,
+    )
+
+    from pyspark.sql import DataFrame
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    n = emb.count()  # the one count action for the whole composition
+    dim = 64
+    # with the stats supplied, NO operator may re-count the relation:
+    # any count()/first() during construction trips the tripwire.
+    # (semantic_* still legitimately materialize their coarse-assignment
+    # checkpoint and CC fixpoint — that is compute, not a re-count.)
+    orig_count, orig_first = DataFrame.count, DataFrame.first
+    def _no_count(self):
+        raise AssertionError("operator re-counted a relation whose n= was supplied")
+    def _no_first(self):
+        raise AssertionError("operator re-probed a relation whose stats were supplied")
+    DataFrame.count, DataFrame.first = _no_count, _no_first
+    try:
+        embedding_near_dup_pairs_lsh(emb, n=n)
+        # semantic_dedup forwards n=/dim= straight here — the CC
+        # fixpoint it adds has its own legitimate convergence counts,
+        # so the stats seam is pinned at the cells layer
+        semantic_cells(emb, k="auto", n=n, dim=dim)
+        lsh_bucketed_topk(emb, emb.limit(5), dim=dim, n=n)
+    finally:
+        DataFrame.count, DataFrame.first = orig_count, orig_first
+    # and the two pure candidate-generation builders must also run ZERO
+    # jobs at plan-build time when n= is supplied
+    sc = spark.sparkContext
+    group = "auto-stats-passthrough-guard"
+    sc.setJobGroup(group, "supplied stats must suppress the auto counts")
+    try:
+        embedding_near_dup_pairs_lsh(emb, n=n)
+        lsh_bucketed_topk(emb, emb.limit(5), dim=dim, n=n)
+    finally:
+        sc.setJobGroup("default", "")
+    assert list(sc.statusTracker().getJobIdsForGroup(group)) == []
+
+
 def test_passage_dedup_no_window_over_chunk_text(spark, sf_dir):
     """Duplicate detection must be groupBy + join on the content digest
     (AQE skew-split applies), never a window partitioned by the chunk
