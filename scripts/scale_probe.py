@@ -326,6 +326,314 @@ def _probe_id_assign_distributed(spark, d: str):
 EXTRA_PROBES = {"id_assign_distributed": _probe_id_assign_distributed}
 
 
+# ---------------------------------------------------------------------------
+# Round-8: third CDM decade (x1000 — 100M events / 150M orders / 15M
+# customers) for the two highest-exponent queries.  Generation is CHUNKED
+# (10M-row parquet row groups through one ParquetWriter) with
+# dictionary-encoded categorical columns, so the 150M-row orders table
+# never exists as 150M Python objects; per-chunk seeded RNGs keep the
+# distribution identical to the unchunked small-scale generators.
+# ---------------------------------------------------------------------------
+
+_CHUNK = 10_000_000
+
+
+def _dict_col(rng, values: list[str], n: int) -> pa.Array:
+    idx = rng.integers(0, len(values), n).astype(np.int32)
+    return pa.DictionaryArray.from_arrays(pa.array(idx), pa.array(values))
+
+
+def gen_events_chunked(n_users: int, per_user: int, seed: int, path: str) -> None:
+    n = n_users * per_user
+    schema = pa.schema(
+        [
+            ("event_id", pa.int64()),
+            ("ts", pa.timestamp("us")),
+            ("user_id", pa.int64()),
+            ("event_type", pa.dictionary(pa.int32(), pa.string())),
+            ("value", pa.float64()),
+            ("props", pa.dictionary(pa.int32(), pa.string())),
+        ]
+    )
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    with pq.ParquetWriter(path, schema) as w:
+        for c, lo in enumerate(range(0, n, _CHUNK)):
+            hi = min(lo + _CHUNK, n)
+            m = hi - lo
+            rng = np.random.default_rng(seed * 1_000_003 + c)
+            ts = base + rng.integers(0, 30 * 24 * 3600, m).astype("timedelta64[s]")
+            w.write_table(
+                pa.table(
+                    {
+                        "event_id": pa.array(np.arange(lo, hi, dtype=np.int64)),
+                        "ts": pa.array(ts.astype("datetime64[us]"), pa.timestamp("us")),
+                        "user_id": pa.array((np.arange(lo, hi) // per_user).astype(np.int64)),
+                        "event_type": _dict_col(rng, EVENT_TYPES, m),
+                        "value": pa.array(rng.random(m)),
+                        "props": _dict_col(rng, ["{}"], m),
+                    },
+                    schema=schema,
+                )
+            )
+
+
+def gen_customer_chunked(n: int, seed: int, path: str) -> None:
+    seg = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+    schema = pa.schema(
+        [
+            ("c_custkey", pa.int64()),
+            ("c_name", pa.string()),
+            ("c_nationkey", pa.int32()),
+            ("c_acctbal", pa.float64()),
+            ("c_mktsegment", pa.dictionary(pa.int32(), pa.string())),
+        ]
+    )
+    with pq.ParquetWriter(path, schema) as w:
+        for c, lo in enumerate(range(0, n, _CHUNK)):
+            hi = min(lo + _CHUNK, n)
+            m = hi - lo
+            rng = np.random.default_rng(seed * 1_000_003 + c)
+            names = np.char.add(
+                "Customer#",
+                np.char.zfill(np.arange(lo, hi).astype("U9"), 9),
+            )
+            w.write_table(
+                pa.table(
+                    {
+                        "c_custkey": pa.array(np.arange(lo, hi, dtype=np.int64)),
+                        "c_name": pa.array(names),
+                        "c_nationkey": pa.array(rng.integers(0, 25, m).astype(np.int32)),
+                        "c_acctbal": pa.array(np.round(rng.random(m) * 10_000, 2)),
+                        "c_mktsegment": _dict_col(rng, seg, m),
+                    },
+                    schema=schema,
+                )
+            )
+
+
+def gen_orders_chunked(n_cust: int, per_cust: int, seed: int, path: str) -> None:
+    n = n_cust * per_cust
+    schema = pa.schema(
+        [
+            ("o_orderkey", pa.int64()),
+            ("o_custkey", pa.int64()),
+            ("o_orderstatus", pa.dictionary(pa.int32(), pa.string())),
+            ("o_totalprice", pa.float64()),
+            ("o_orderdate", pa.timestamp("us")),
+            ("o_orderpriority", pa.dictionary(pa.int32(), pa.string())),
+        ]
+    )
+    base = np.datetime64("2015-01-01T00:00:00", "us")
+    prio = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    with pq.ParquetWriter(path, schema) as w:
+        for c, lo in enumerate(range(0, n, _CHUNK)):
+            hi = min(lo + _CHUNK, n)
+            m = hi - lo
+            rng = np.random.default_rng(seed * 1_000_003 + c)
+            od = base + rng.integers(0, 9 * 365 * 24 * 3600, m).astype("timedelta64[s]")
+            w.write_table(
+                pa.table(
+                    {
+                        "o_orderkey": pa.array(np.arange(lo, hi, dtype=np.int64)),
+                        "o_custkey": pa.array((np.arange(lo, hi) // per_cust).astype(np.int64)),
+                        "o_orderstatus": _dict_col(rng, ["O", "F", "P"], m),
+                        "o_totalprice": pa.array(np.round(rng.random(m) * 100_000, 2)),
+                        "o_orderdate": pa.array(od.astype("datetime64[us]"), pa.timestamp("us")),
+                        "o_orderpriority": _dict_col(rng, prio, m),
+                    },
+                    schema=schema,
+                )
+            )
+
+
+def build_cdm_deep_scale(tag: str, users: int, customers: int, seed: int) -> str:
+    """Same shape/invariant as build_cdm_scale, chunked generation for
+    the x1000 point."""
+    import shutil
+
+    d = os.path.join(SCALE_DIR, tag)
+    os.makedirs(d, exist_ok=True)
+    marker = os.path.join(d, ".complete")
+    if not os.path.exists(marker):
+        gen_events_chunked(users, 67, seed, os.path.join(d, "events.parquet"))
+        gen_customer_chunked(customers, seed + 1, os.path.join(d, "customer.parquet"))
+        gen_orders_chunked(customers, 10, seed + 2, os.path.join(d, "orders.parquet"))
+        shutil.copyfile(
+            os.path.join(SRC_SF, "part.parquet"), os.path.join(d, "part.parquet")
+        )
+        open(marker, "w").close()
+    return d
+
+
+# ---------------------------------------------------------------------------
+# Round-8: streaming family — the state-bound proof (round-7 verdict
+# item 3).  50 time-ordered micro-batches through the two stateful
+# operators at 1x/10x KEY cardinality; per-batch wall time and
+# state-store rows come from the engine's own StreamingQueryProgress.
+# The claims under test: per-batch cost is FLAT in stream position
+# (no O(history) term), and state rows PLATEAU at (keys x horizon
+# depth) — bounded by the watermark+gap horizon, not stream length.
+# ---------------------------------------------------------------------------
+
+_STREAM_BATCHES = 50
+
+
+def gen_stream_batches(users: int, n_batches: int, seed: int, src: str) -> int:
+    """Time-ordered micro-batch files ``batch_000..NNN.parquet``: batch
+    b covers days [2b, 2b+2).  Each user emits one event per 'on' day
+    (3-on/4-off weekly bursts, so eras keep closing and state keeps
+    flushing); ~10% of rows duplicate a text from the SAME window
+    (inside the dedup watermark).  Returns total rows."""
+    os.makedirs(src, exist_ok=True)
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    total = 0
+    for b in range(n_batches):
+        rng = np.random.default_rng(seed * 7_900_153 + b)
+        rows_u, rows_d = [], []
+        for day in (2 * b, 2 * b + 1):
+            if day % 7 < 3:  # burst days
+                uid = np.arange(users, dtype=np.int64)
+                off = rng.integers(0, 86_400, users)
+                ts = base + np.timedelta64(day * 86_400, "s") + off.astype("timedelta64[s]")
+                rows_u.append(uid)
+                rows_d.append(ts.astype("datetime64[us]"))
+        if not rows_u:
+            # keep one heartbeat row so every file forms a batch and the
+            # watermark advances monotonically
+            rows_u = [np.array([0], dtype=np.int64)]
+            rows_d = [
+                np.array([base + np.timedelta64(2 * b * 86_400, "s")], "datetime64[us]")
+            ]
+        uid = np.concatenate(rows_u)
+        ts = np.concatenate(rows_d)
+        n = len(uid)
+        doc_id = np.arange(total, total + n, dtype=np.int64)
+        # ~10% duplicates of another doc in this window → dropped by the
+        # watermark-bounded dedup, state stays horizon-local
+        src_idx = rng.integers(0, n, n)
+        is_dup = rng.random(n) < 0.10
+        text_ids = np.where(is_dup, doc_id[src_idx], doc_id)
+        texts = np.char.add("doc text ", text_ids.astype("U12"))
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(doc_id),
+                    "user_id": pa.array(uid),
+                    "ts": pa.array(ts, pa.timestamp("us")),
+                    "text": pa.array(texts),
+                }
+            ),
+            os.path.join(src, f"batch_{b:03d}.parquet"),
+        )
+        total += n
+    return total
+
+
+def _drain_stream(sdf, sink: str, ckpt: str, timeout: int = 3600):
+    q = (
+        sdf.writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        if not q.awaitTermination(timeout):
+            raise TimeoutError("stream probe did not drain")
+        return list(q.recentProgress)
+    finally:
+        q.stop()
+
+
+def _stream_metrics(progs) -> dict:
+    import statistics
+
+    data = [p for p in progs if p.get("numInputRows", 0) > 0]
+    durs = [p["batchDuration"] for p in data]
+    states = [
+        sum(op.get("numRowsTotal", 0) for op in p.get("stateOperators", []))
+        for p in progs
+    ]
+    first, last = durs[: len(durs) // 5], durs[-len(durs) // 5 :]
+    return {
+        "n_data_batches": len(data),
+        "input_rows": int(sum(p["numInputRows"] for p in data)),
+        "mean_batch_ms_first_fifth": round(statistics.mean(first), 1),
+        "mean_batch_ms_last_fifth": round(statistics.mean(last), 1),
+        "batch_ms_growth_ratio": round(
+            statistics.mean(last) / statistics.mean(first), 3
+        ),
+        "state_rows_peak": int(max(states) if states else 0),
+        "state_rows_final": int(states[-1] if states else 0),
+    }
+
+
+def probe_streaming(spark, tag: str, users: int, seed: int) -> dict:
+    import shutil
+    import tempfile
+
+    from pedsnetdcc_spark.streaming.incremental import (
+        streaming_exact_dedup,
+        streaming_interval_eras,
+    )
+
+    src = os.path.join(SCALE_DIR, f"stream_{tag}")
+    marker = os.path.join(src, ".complete")
+    if not os.path.exists(marker):
+        gen_stream_batches(users, _STREAM_BATCHES, seed, src)
+        open(marker, "w").close()
+    out: dict = {"users": users, "batches": _STREAM_BATCHES}
+    schema = "doc_id long, user_id long, ts timestamp, text string"
+
+    work = tempfile.mkdtemp(prefix=f"stream_probe_{tag}_")
+    try:
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        from pyspark.sql import functions as F
+
+        iv = stream.select(
+            "user_id",
+            F.col("ts").alias("start_ts"),
+            (F.col("ts") + F.expr("INTERVAL 1 DAY")).alias("end_ts"),
+        )
+        t0 = time.time()
+        progs = _drain_stream(
+            streaming_interval_eras(
+                iv, ["user_id"], "start_ts", "end_ts",
+                gap_days=2, watermark="3 days",
+            ),
+            os.path.join(work, "eras_sink"),
+            os.path.join(work, "eras_ckpt"),
+        )
+        m = _stream_metrics(progs)
+        m["wall_s"] = round(time.time() - t0, 2)
+        out["interval_eras"] = m
+
+        stream2 = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        t0 = time.time()
+        progs = _drain_stream(
+            streaming_exact_dedup(
+                stream2, "doc_id", "text", ts_col="ts", watermark="4 days"
+            ),
+            os.path.join(work, "dedup_sink"),
+            os.path.join(work, "dedup_ckpt"),
+        )
+        m = _stream_metrics(progs)
+        m["wall_s"] = round(time.time() - t0, 2)
+        out["exact_dedup"] = m
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return out
+
+
 def build_scale(tag: str, docs: int, embs: int, names: int, seed: int) -> str:
     d = os.path.join(SCALE_DIR, tag)
     os.makedirs(d, exist_ok=True)
@@ -375,7 +683,11 @@ def _probe_family(spark, queries, names, extra, points, runs: int):
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--runs", type=int, default=2)
-    ap.add_argument("--family", choices=["pair", "cdm", "all"], default="all")
+    ap.add_argument(
+        "--family",
+        choices=["pair", "cdm", "streaming", "cdm_deep", "all"],
+        default="all",
+    )
     ap.add_argument(
         "--cdm-100x",
         action="store_true",
@@ -388,7 +700,7 @@ def main() -> None:
         help="add a 100x point to the pair family (500k docs, 200k "
         "embeddings, 200k part names — two measured decades)",
     )
-    ap.add_argument("--out", default=os.path.join(REPO, "BENCH_SCALING_r7.json"))
+    ap.add_argument("--out", default=os.path.join(REPO, "BENCH_SCALING_r8.json"))
     ap.add_argument(
         "--only",
         help="comma-separated query names: probe just these (re-measuring "
@@ -408,7 +720,14 @@ def main() -> None:
     from pedsnetdcc_spark.session import build_session
 
     spark = build_session(app_name="scale_probe")
+    # merge into an existing output so families can be probed
+    # incrementally (streaming today, cdm_deep tomorrow) without
+    # clobbering earlier results
     out = {"probe": "1x vs 10x same-shaped synthetic scaling", "families": {}}
+    if os.path.exists(args.out):
+        with open(args.out) as f:
+            out = json.load(f)
+        out.setdefault("families", {})
 
     if args.family in ("pair", "all"):
         points = [
@@ -505,6 +824,61 @@ def main() -> None:
                 EXTRA_PROBES,
                 points,
                 args.runs,
+            ),
+        }
+
+    if args.family in ("streaming", "all"):
+        fam: dict = {
+            "claim": "per-batch cost flat in stream position; state rows "
+            "plateau at keys x horizon depth (watermark+gap bounded), "
+            "independent of batches processed",
+        }
+        for tag, users in (("x1", 500), ("x10", 5_000)):
+            print(f"streaming {tag}: users={users}", flush=True)
+            fam[tag] = probe_streaming(spark, tag, users, seed=23)
+            for opname, m in fam[tag].items():
+                if isinstance(m, dict):
+                    print(
+                        f"  {opname:16s} batches={m['n_data_batches']} "
+                        f"first/last ms={m['mean_batch_ms_first_fifth']}/"
+                        f"{m['mean_batch_ms_last_fifth']} "
+                        f"growth={m['batch_ms_growth_ratio']} "
+                        f"state peak/final={m['state_rows_peak']}/"
+                        f"{m['state_rows_final']}",
+                        flush=True,
+                    )
+        out["families"]["streaming"] = fam
+
+    if args.family == "cdm_deep":
+        # third CDM decade for the two highest-exponent queries
+        points = [
+            (
+                "x100",
+                build_cdm_scale("cdm_x100", users=150_000, customers=1_500_000, seed=11),
+                100,
+            ),
+            (
+                "x1000",
+                build_cdm_deep_scale(
+                    "cdm_x1000", users=1_500_000, customers=15_000_000, seed=11
+                ),
+                1000,
+            ),
+        ]
+        deep_names = [
+            q for q in ("id_mapping", "era_ids_pipeline")
+            if not args.only or q in args.only.split(",")
+        ]
+        QUERIES["eras"](spark, points[0][1]).count()  # JVM warm
+        spark.catalog.clearCache()
+        out["families"]["cdm_deep"] = {
+            "x100_rows": {"events": 10_050_000, "customers": 1_500_000,
+                          "orders": 15_000_000},
+            "x1000_rows": {"events": 100_500_000, "customers": 15_000_000,
+                           "orders": 150_000_000},
+            "invariant": "constant per-user/customer depth; constant dims",
+            "queries": _probe_family(
+                spark, QUERIES, deep_names, {}, points, args.runs
             ),
         }
 
