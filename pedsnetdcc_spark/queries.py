@@ -2003,6 +2003,114 @@ def _minhash_portable_oracle(num_hashes: int = 16, num_bands: int = 4, tau: floa
     """
 
 
+def _streaming_lsh_oracle(num_hashes: int = 16, num_bands: int = 4) -> str:
+    """DuckDB replay of the STREAMING LSH index's emitted pair set:
+    portable MinHash signatures → banding (identical SQL rendering to
+    `_minhash_portable_oracle`, the proven seam) → distinct co-bucket
+    pairs, each carrying the signature-agreement estimate (matching
+    components / num_hashes — exact in IEEE, n/16 is a dyadic
+    rational)."""
+    from pedsnetdcc_spark.datapipe.dedup import portable_hash64_sql
+
+    h_cols = ", ".join(
+        f"MIN({portable_hash64_sql('shingle', i)}) AS h{i}" for i in range(num_hashes)
+    )
+    rpb = num_hashes // num_bands
+    band_selects = []
+    for b in range(num_bands):
+        joined = " || ',' || ".join(f"h{b * rpb + i}::VARCHAR" for i in range(rpb))
+        band_selects.append(
+            f"SELECT doc_id, {b} AS band, "
+            f"{portable_hash64_sql(f'({joined})', b)} AS bucket FROM sigs"
+        )
+    banded = "\n        UNION ALL ".join(band_selects)
+    agree = " + ".join(
+        f"(CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END)" for i in range(num_hashes)
+    )
+    return f"""
+    WITH {_SHINGLE_CTE},
+    sigs AS (SELECT doc_id, {h_cols} FROM sh GROUP BY doc_id),
+    banded AS ({banded}),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM banded a JOIN banded b
+          ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    )
+    SELECT c.id_a, c.id_b, ({agree}) / {num_hashes}.0 AS est_jaccard
+    FROM cand c
+    JOIN sigs sa ON sa.doc_id = c.id_a
+    JOIN sigs sb ON sb.doc_id = c.id_b
+    """
+
+
+@query("streaming_lsh_index", oracle=_streaming_lsh_oracle())
+def q_streaming_lsh_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The second custom stateful streaming operator under the driver
+    hash gate: the continuously-maintained MinHash-LSH near-dup index
+    (streaming/incremental.streaming_lsh_near_dup —
+    ``applyInPandasWithState`` keyed on (band, bucket), state = the
+    ids+signatures seen per bucket), executed as REAL micro-batches
+    over the documents corpus split into two source files.
+
+    Order-independence argument (why the emitted SET is a pure function
+    of the corpus, not of arrival order or batch boundaries): with
+    ``max_bucket=None`` every arrival is appended to its bucket's
+    state after comparing against ALL earlier members, so a co-bucket
+    pair is emitted exactly once per shared band no matter which side
+    arrives first or whether they share a micro-batch; the estimate is
+    a pure function of the two signatures; and the canonical (min, max)
+    id ordering removes the remaining asymmetry.  The cross-band
+    duplicate emissions are collapsed by the documented downstream
+    ``dropDuplicates`` — after which the set equals the batch
+    ``lsh_candidate_pairs`` join (pinned in test_streaming) and the
+    DuckDB replay here.  ``hash_family="portable"`` makes the
+    signatures and band buckets oracle-computable, same seam as
+    `minhash_lsh_portable`; NoTimeout state (the index IS the product)
+    so no watermark negotiation is involved."""
+    import shutil
+    import tempfile
+
+    from pedsnetdcc_spark.streaming.incremental import streaming_lsh_near_dup
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    root = tempfile.mkdtemp(prefix="pedsnetdcc_stream_lsh_")
+    src, ckpt, sink = f"{root}/src", f"{root}/ckpt", f"{root}/sink"
+    # two files → two micro-batches under maxFilesPerTrigger=1, so
+    # cross-file pairs hit the PERSISTED index (state round-trip), not
+    # just within-batch comparison
+    docs.where(F.col("doc_id") % 2 == 0).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    docs.where(F.col("doc_id") % 2 == 1).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    pairs = streaming_lsh_near_dup(
+        stream, "doc_id", "text", num_hashes=16, num_bands=4,
+        hash_family="portable",
+    )
+    q = (
+        pairs.writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        if not q.awaitTermination(600):
+            raise TimeoutError("streaming_lsh_index did not drain")
+    finally:
+        q.stop()
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return spark.read.parquet(sink).dropDuplicates(["id_a", "id_b"])
+
+
 @query("minhash_lsh_portable", oracle=_minhash_portable_oracle())
 def q_minhash_lsh_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The FULL MinHash-LSH dedup pipeline (signatures → banded
@@ -4708,6 +4816,7 @@ def q_jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 _QUERY_ORDER = [
     # -- 1: NEW this round (never driver-scored) --------------------------
     "streaming_interval_eras",
+    "streaming_lsh_index",
     "jdbc_roundtrip",
     # -- 2: rotated up for a current verdict (green r6, then unscored
     #       past the 50-entry cutoff in round 7) --------------------------

@@ -275,6 +275,7 @@ def streaming_lsh_near_dup(
     num_hashes: int = 16,
     num_bands: int = 4,
     max_bucket: int | None = None,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """Streaming MinHash-LSH near-duplicate detection: as documents
     arrive, each is signed, banded, and checked against the GROWING
@@ -326,12 +327,14 @@ def streaming_lsh_near_dup(
 
     id_type = df.schema[id_col].dataType
     sigs = fused_minhash_signatures(
-        df, id_col, text_col, n=n, num_hashes=num_hashes
+        df, id_col, text_col, n=n, num_hashes=num_hashes, hash_family=hash_family
     )
     banded = sigs.select(
         F.col(id_col),
         F.col("sig"),
-        F.explode(band_entries("sig", num_hashes, num_bands)).alias("__bb"),
+        F.explode(
+            band_entries("sig", num_hashes, num_bands, hash_family)
+        ).alias("__bb"),
     ).select(
         id_col,
         "sig",

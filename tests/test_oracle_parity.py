@@ -106,6 +106,7 @@ _FLOAT_COLUMN_SEAMS: dict[tuple[str, str], int | None] = {
     ("decontaminate", "jaccard"): None,
     ("shared_passages", "jaccard"): None,
     ("minhash_lsh_portable", "jaccard"): None,
+    ("streaming_lsh_index", "est_jaccard"): None,  # n/16 dyadic rational
     ("ngram_jaccard_dedup", "jaccard"): None,
     ("ann_cosine_topk", "cosine"): None,
     ("embedding_near_dup", "cosine"): None,
