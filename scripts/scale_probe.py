@@ -322,8 +322,60 @@ def _probe_id_assign_distributed(spark, d: str):
     )
 
 
+def _probe_era_ids_distributed(spark, d: str):
+    """The era_ids_pipeline flow with the id numbering in
+    ``mode="distributed"`` (per-partition counts + offset broadcast) —
+    the production-scale twin of the registry query, whose ``window``
+    mode is the single-task ROW_NUMBER parity construct the oracle
+    needs.  Same derive → count → reserve → assign → anti-join →
+    assign → insert shape; only the numbering mode differs
+    (equivalence-tested in test_operators_unit)."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from pedsnetdcc_spark.operators.eras import derive_eras
+    from pedsnetdcc_spark.operators.ids import (
+        IdAllocator,
+        assign_surrogate_ids,
+        reserve_negative,
+    )
+    from pedsnetdcc_spark.operators.upsert import insert_missing
+    from pedsnetdcc_spark.sources.io import read_table
+
+    key = ["user_id", "event_type", "era_start_date"]
+    ev = (
+        read_table(spark, d, "events")
+        .select("user_id", "event_type", F.col("ts").cast("date").alias("sd"))
+        .withColumn("ed", F.date_add("sd", 1))
+    )
+
+    def eras(src):
+        return derive_eras(
+            src, partition_keys=["user_id", "event_type"],
+            start_col="sd", end_col="ed", gap_days=2,
+        )
+
+    master = eras(ev.where(F.col("event_type") == "click"))
+    site = eras(ev)
+    alloc = IdAllocator(tempfile.mktemp(suffix=".json", prefix="era_ids_"))
+    base = reserve_negative(alloc, "era", master.count())
+    master = assign_surrogate_ids(
+        master, "era_id", key, base=base, mode="distributed"
+    ).withColumn("era_id", F.col("era_id").cast("long"))
+    unmapped = site.join(master.select(*key), key, "left_anti")
+    base2 = reserve_negative(alloc, "era", unmapped.count())
+    new_rows = assign_surrogate_ids(
+        unmapped, "era_id", key, base=base2, mode="distributed"
+    ).withColumn("era_id", F.col("era_id").cast("long"))
+    return insert_missing(master, new_rows, keys=key)
+
+
 #: Probe-only callables (not registry queries) keyed like queries.
-EXTRA_PROBES = {"id_assign_distributed": _probe_id_assign_distributed}
+EXTRA_PROBES = {
+    "id_assign_distributed": _probe_id_assign_distributed,
+    "era_ids_distributed": _probe_era_ids_distributed,
+}
 
 
 # ---------------------------------------------------------------------------
@@ -866,21 +918,27 @@ def main() -> None:
             ),
         ]
         deep_names = [
-            q for q in ("id_mapping", "era_ids_pipeline")
+            q
+            for q in ("id_mapping", "era_ids_pipeline", "era_ids_distributed")
             if not args.only or q in args.only.split(",")
         ]
         QUERIES["eras"](spark, points[0][1]).count()  # JVM warm
         spark.catalog.clearCache()
-        out["families"]["cdm_deep"] = {
-            "x100_rows": {"events": 10_050_000, "customers": 1_500_000,
-                          "orders": 15_000_000},
-            "x1000_rows": {"events": 100_500_000, "customers": 15_000_000,
-                           "orders": 150_000_000},
-            "invariant": "constant per-user/customer depth; constant dims",
-            "queries": _probe_family(
-                spark, QUERIES, deep_names, {}, points, args.runs
-            ),
-        }
+        fam = out["families"].get(
+            "cdm_deep",
+            {
+                "x100_rows": {"events": 10_050_000, "customers": 1_500_000,
+                              "orders": 15_000_000},
+                "x1000_rows": {"events": 100_500_000, "customers": 15_000_000,
+                               "orders": 150_000_000},
+                "invariant": "constant per-user/customer depth; constant dims",
+                "queries": {},
+            },
+        )
+        fam["queries"].update(
+            _probe_family(spark, QUERIES, deep_names, EXTRA_PROBES, points, args.runs)
+        )
+        out["families"]["cdm_deep"] = fam
 
     with open(args.out, "w") as f:
         json.dump(out, f, indent=2)
