@@ -4795,8 +4795,8 @@ def q_jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 # being an accident of file layout:
 #
 # 1. Queries that have NEVER had a driver verdict come first — this
-#    round: the stateful-streaming era entry and the JDBC sink
-#    round-trip.
+#    round: the two stateful-streaming entries (era derivation and the
+#    LSH near-dup index) and the JDBC sink round-trip.
 # 2. Then the 36 entries whose last driver verdict is round 6 (they sat
 #    past the 50-entry cutoff through round 7) — the round-7 verdict's
 #    item 1 requires every registry entry to carry a driver verdict no

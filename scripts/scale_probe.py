@@ -74,6 +74,10 @@ QUERIES_TO_PROBE = [
     "lm_perplexity",
     "corpus_pipeline",
     "embedding_dedup_clusters",
+    # round 8: the r7 flagship additions, never probed before
+    "quality_classifier",
+    "bpe_encode",
+    "tfidf_top_terms",
 ]
 
 
@@ -827,12 +831,12 @@ def main() -> None:
         ]
         QUERIES["dedup_clusters"](spark, points[0][1]).count()  # JVM warm
         spark.catalog.clearCache()
-        out["families"]["pair"] = {
-            **rows,
-            "queries": _probe_family(
-                spark, QUERIES, pair_names, pair_extra, points, args.runs
-            ),
-        }
+        fam = out["families"].get("pair", {**rows, "queries": {}})
+        fam.update(rows)
+        fam["queries"].update(
+            _probe_family(spark, QUERIES, pair_names, pair_extra, points, args.runs)
+        )
+        out["families"]["pair"] = fam
 
     if args.family in ("cdm", "all"):
         points = [
