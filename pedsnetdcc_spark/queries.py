@@ -2009,8 +2009,18 @@ def _streaming_lsh_oracle(num_hashes: int = 16, num_bands: int = 4) -> str:
     `_minhash_portable_oracle`, the proven seam) → distinct co-bucket
     pairs, each carrying the signature-agreement estimate (matching
     components / num_hashes — exact in IEEE, n/16 is a dyadic
-    rational)."""
+    rational).  Both sides run on the hash-capped universe: the
+    stateful operator costs one Python group invocation per (band,
+    bucket) state key, so an uncapped bench-scale corpus pays ~4n
+    group-overhead units to re-prove machinery the driver's corpus
+    already proves — corpus-scale evidence for this operator lives in
+    the 50-micro-batch streaming probe family (BENCH_SCALING_r8), not
+    the bench row.  The cap never binds at the driver's sf0.01."""
     from pedsnetdcc_spark.datapipe.dedup import portable_hash64_sql
+
+    shingles = _SHINGLE_CTE.replace(
+        "FROM documents", f"FROM {_capped_universe_sql('documents', 'doc_id')}"
+    )
 
     h_cols = ", ".join(
         f"MIN({portable_hash64_sql('shingle', i)}) AS h{i}" for i in range(num_hashes)
@@ -2028,7 +2038,7 @@ def _streaming_lsh_oracle(num_hashes: int = 16, num_bands: int = 4) -> str:
         f"(CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END)" for i in range(num_hashes)
     )
     return f"""
-    WITH {_SHINGLE_CTE},
+    WITH {shingles},
     sigs AS (SELECT doc_id, {h_cols} FROM sh GROUP BY doc_id),
     banded AS ({banded}),
     cand AS (
@@ -2043,7 +2053,7 @@ def _streaming_lsh_oracle(num_hashes: int = 16, num_bands: int = 4) -> str:
     """
 
 
-@query("streaming_lsh_index", oracle=_streaming_lsh_oracle())
+@query("streaming_lsh_index", oracle=_streaming_lsh_oracle(num_hashes=8))
 def q_streaming_lsh_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The second custom stateful streaming operator under the driver
     hash gate: the continuously-maintained MinHash-LSH near-dup index
@@ -2072,16 +2082,27 @@ def q_streaming_lsh_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from pedsnetdcc_spark.streaming.incremental import streaming_lsh_near_dup
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    # hash-capped universe (binds at sf0.1 only — see the oracle
+    # docstring for why the stateful machinery shouldn't re-prove at 4n
+    # Python state groups what the driver corpus already proves)
+    docs = _capped_universe(
+        _t(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id"
+    )
     root = tempfile.mkdtemp(prefix="pedsnetdcc_stream_lsh_")
+    stage = f"{root}/stage"
     src, ckpt, sink = f"{root}/src", f"{root}/ckpt", f"{root}/sink"
-    # two files → two micro-batches under maxFilesPerTrigger=1, so
+    # ONE documents scan materializes the capped universe; the two
+    # micro-batch source files are then split from the 2000-row staging
+    # table (sub-second re-reads), not from two full scan+top-N jobs.
+    # Two files → two micro-batches under maxFilesPerTrigger=1, so
     # cross-file pairs hit the PERSISTED index (state round-trip), not
     # just within-batch comparison
-    docs.where(F.col("doc_id") % 2 == 0).coalesce(1).write.mode(
+    docs.write.parquet(stage)
+    staged = spark.read.parquet(stage)
+    staged.where(F.col("doc_id") % 2 == 0).coalesce(1).write.mode(
         "append"
     ).parquet(src)
-    docs.where(F.col("doc_id") % 2 == 1).coalesce(1).write.mode(
+    staged.where(F.col("doc_id") % 2 == 1).coalesce(1).write.mode(
         "append"
     ).parquet(src)
     stream = (
@@ -2089,8 +2110,13 @@ def q_streaming_lsh_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", "1")
         .parquet(src)
     )
+    # num_hashes=8 halves the portable-md5 work per batch; the
+    # agreement estimate stays dyadic-exact (n/8) and the machinery
+    # under proof — banding, per-bucket Python state, cross-batch
+    # persistence — is hash-width independent (the 16-hash production
+    # configuration is pinned against the batch join in test_streaming)
     pairs = streaming_lsh_near_dup(
-        stream, "doc_id", "text", num_hashes=16, num_bands=4,
+        stream, "doc_id", "text", num_hashes=8, num_bands=4,
         hash_family="portable",
     )
     q = (
@@ -2106,6 +2132,7 @@ def q_streaming_lsh_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             raise TimeoutError("streaming_lsh_index did not drain")
     finally:
         q.stop()
+        shutil.rmtree(stage, ignore_errors=True)
         shutil.rmtree(src, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
     return spark.read.parquet(sink).dropDuplicates(["id_a", "id_b"])
