@@ -116,6 +116,50 @@ def cosine_topk(
     )
 
 
+def knn_label_vote(
+    candidates: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    k: int = 5,
+) -> DataFrame:
+    """kNN majority-vote label prediction per query vector —
+    ``(query_id, predicted_label, votes)`` — the embedding-space
+    quality eval a training-data pipeline runs against a labeled
+    hold-out (weak labeling / embedding drift checks).  Neighbors come
+    from the exact :func:`cosine_topk` baseline (swap in ``lsh_bucketed
+    _topk``/``ivf_topk`` output upstream for the approximate path — the
+    vote is the same shape).  Fully deterministic: neighbor ties break
+    by id ascending inside ``cosine_topk``, vote ties by (count desc,
+    label asc).
+
+    Shuffle shape: the top-k table is k·|queries| rows — tiny next to
+    the candidate corpus — so the label attach broadcasts IT and the
+    slim (id, label) projection of the candidates streams map-side;
+    the vote aggregation then shuffles only k·|queries| rows keyed by
+    query.  Nothing corpus-sized is exchanged after the scan."""
+    nn = cosine_topk(candidates, queries, id_col, vec_col, k=k)
+    labels = candidates.select(
+        F.col(id_col).alias("neighbor_id"), F.col(label_col).alias("__nl")
+    )
+    votes = (
+        labels.join(F.broadcast(nn), "neighbor_id")
+        .groupBy("query_id", "__nl")
+        .agg(F.count(F.lit(1)).alias("votes"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("votes").desc(), F.col("__nl").asc()
+    )
+    return (
+        votes.withColumn("__r", F.row_number().over(w))
+        .where(F.col("__r") == 1)
+        .select(
+            "query_id", F.col("__nl").alias("predicted_label"), "votes"
+        )
+    )
+
+
 def _plane_signs(seed: int, bit: int, dim: int) -> list[float]:
     """Deterministic ±1 hyperplane, derived from a cryptographic hash of
     (seed, bit, j) at plan-build time — no RNG state, reproducible

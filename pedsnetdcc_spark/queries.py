@@ -1828,6 +1828,72 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(emb, queries_df, "vec_id", "embedding", k=5)
 
 
+@query(
+    "knn_label_eval",
+    oracle="""
+    WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv,
+                      label AS true_label
+               FROM embeddings WHERE vec_id % 37 = 0),
+    c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv, label
+          FROM embeddings),
+    sims AS (
+        SELECT query_id, true_label, neighbor_id, label,
+               list_dot_product(qv, cv)
+               / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS cosine
+        FROM q, c WHERE neighbor_id <> query_id
+    ),
+    nn AS (
+        SELECT query_id, true_label, label
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                           ORDER BY cosine DESC, neighbor_id) AS rnk
+              FROM sims)
+        WHERE rnk <= 5
+    ),
+    votes AS (SELECT query_id, true_label, label, COUNT(*) AS v
+              FROM nn GROUP BY query_id, true_label, label),
+    pred AS (
+        SELECT query_id, true_label, label AS predicted_label
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                           ORDER BY v DESC, label) AS pr
+              FROM votes)
+        WHERE pr = 1
+    )
+    SELECT true_label AS label, CAST(COUNT(*) AS BIGINT) AS n_queries,
+           CAST(SUM(CASE WHEN predicted_label = true_label
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
+    FROM pred GROUP BY true_label
+    """,
+)
+def q_knn_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space quality eval: kNN majority-vote label prediction
+    (datapipe/similarity.knn_label_vote — exact cosine top-5, vote ties
+    by count desc / label asc) over a deterministic 1-in-37 query
+    subset, aggregated to per-label (n_queries, n_correct).  The oracle
+    replays neighbor ranking, the vote, and the tie-breaks end to end —
+    every stage is deterministic, so the accuracy table is a stable
+    query result, whatever the labels' actual geometry."""
+    from pedsnetdcc_spark.datapipe.similarity import knn_label_vote
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.where(F.col("vec_id") % 37 == 0)
+    pred = knn_label_vote(emb, queries_df, "vec_id", "embedding", "label", k=5)
+    truth = queries_df.select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("true_label")
+    )
+    return (
+        pred.join(F.broadcast(truth), "query_id")
+        .groupBy(F.col("true_label").alias("label"))
+        .agg(
+            F.count(F.lit(1)).alias("n_queries"),
+            F.sum(
+                F.when(
+                    F.col("predicted_label") == F.col("true_label"), 1
+                ).otherwise(0)
+            ).alias("n_correct"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Equivalence-proof universe cap.  The verifier-tier queries pit a
 # production candidate-generation path against a BRUTE-FORCE twin whose
@@ -4854,6 +4920,7 @@ _QUERY_ORDER = [
     "streaming_interval_eras",
     "streaming_lsh_index",
     "jdbc_roundtrip",
+    "knn_label_eval",
     # -- 2: rotated up for a current verdict (green r6, then unscored
     #       past the 50-entry cutoff in round 7) --------------------------
     "corpus_pipeline",

@@ -1484,3 +1484,32 @@ def test_embedding_lsh_auto_recall_curve(spark, n_total, floor):
     assert recall >= floor, (n_total, recall)
     # exact verification => no pair below threshold ever returned
     assert all(r["cosine"] >= 0.9 for r in got)
+
+
+def test_knn_label_vote_hand_computed(spark):
+    """Hand-computed kNN vote: query 100 at (1,0); neighbors at
+    decreasing cosine with labels arranged so the top-3 vote is split
+    1/1/1 — the (count desc, label asc) tie-break must pick the LOWEST
+    label among the tied — and a 2-vs-1 majority wins regardless of
+    label order."""
+    from pedsnetdcc_spark.datapipe.similarity import knn_label_vote
+
+    rows = [
+        (1, [1.0, 0.0], 7),      # cosine 1.0
+        (2, [0.9, 0.1], 3),      # next
+        (3, [0.8, 0.2], 9),      # next
+        (4, [0.0, 1.0], 7),      # far
+        (100, [1.0, 0.0], 7),    # the query itself (excluded as self)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    q = df.where(F.col("vec_id") == 100)
+    # k=3: neighbors 1,2,3 -> labels {7,3,9} all 1 vote -> tie -> label 3
+    got3 = knn_label_vote(df, q, k=3).collect()
+    assert [(r["query_id"], r["predicted_label"], r["votes"]) for r in got3] == [
+        (100, 3, 1)
+    ]
+    # k=4: labels {7,3,9,7} -> 7 wins with 2 votes
+    got4 = knn_label_vote(df, q, k=4).collect()
+    assert [(r["query_id"], r["predicted_label"], r["votes"]) for r in got4] == [
+        (100, 7, 2)
+    ]
