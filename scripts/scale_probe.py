@@ -756,6 +756,12 @@ def main() -> None:
         help="add a 100x point to the pair family (500k docs, 200k "
         "embeddings, 200k part names — two measured decades)",
     )
+    ap.add_argument(
+        "--streaming-100x",
+        action="store_true",
+        help="add a 100x point to the streaming family (50k users over "
+        "the same 50 micro-batches — two measured decades)",
+    )
     ap.add_argument("--out", default=os.path.join(REPO, "BENCH_SCALING_r8.json"))
     ap.add_argument(
         "--only",
@@ -889,7 +895,15 @@ def main() -> None:
             "plateau at keys x horizon depth (watermark+gap bounded), "
             "independent of batches processed",
         }
-        for tag, users in (("x1", 500), ("x10", 5_000)):
+        stream_points = [("x1", 500), ("x10", 5_000)]
+        if args.streaming_100x:
+            stream_points.append(("x100", 50_000))
+        prior = out["families"].get("streaming", {})
+        for tag, users in stream_points:
+            if args.only and tag not in args.only.split(","):
+                if tag in prior:
+                    fam[tag] = prior[tag]
+                continue
             print(f"streaming {tag}: users={users}", flush=True)
             fam[tag] = probe_streaming(spark, tag, users, seed=23)
             for opname, m in fam[tag].items():
