@@ -4933,7 +4933,8 @@ def q_jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 #
 # 1. Queries that have NEVER had a driver verdict come first — this
 #    round: the two stateful-streaming entries (era derivation and the
-#    LSH near-dup index) and the JDBC sink round-trip.
+#    LSH near-dup index), the JDBC sink round-trip, and the kNN
+#    label-vote eval.
 # 2. Then the 36 entries whose last driver verdict is round 6 (they sat
 #    past the 50-entry cutoff through round 7) — the round-7 verdict's
 #    item 1 requires every registry entry to carry a driver verdict no
