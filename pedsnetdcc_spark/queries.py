@@ -4771,6 +4771,49 @@ def q_csv_id_map_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _jsonl_oracle() -> str:
+    """Per-source fidelity summary of the documents corpus: row count,
+    char-count sum, and an order-free bit_xor fold of the portable
+    60-bit text hash — matching it after a JSONL write+read proves the
+    sink/ source preserved every text byte-exactly (any mutated,
+    dropped, or duplicated line changes the XOR)."""
+    from pedsnetdcc_spark.datapipe.dedup import portable_hash64_sql
+
+    h = portable_hash64_sql("text", 0)
+    return f"""
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           bit_xor({h}) AS text_sig
+    FROM documents GROUP BY source
+    """
+
+
+@query("jsonl_roundtrip", oracle=_jsonl_oracle())
+def q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL source/sink round-trip (sources/jsonl.py — the interchange
+    format of public LLM corpus releases): the documents table is
+    written as gzip JSONL shards and read back under the explicit
+    schema, and the returned per-source summary carries an order-free
+    XOR fold of the portable text hash — the driver hash therefore
+    certifies the JSON encode/decode preserved every text byte-exactly
+    (escaping, unicode, nulls), not merely the row count.  Eager
+    staging write, fresh temp dir per call, like the CSV round-trip."""
+    import tempfile
+
+    from pedsnetdcc_spark.datapipe.dedup import portable_hash64
+    from pedsnetdcc_spark.sources.jsonl import read_jsonl, write_jsonl
+
+    docs = _t(spark, sf_dir, "documents")
+    root = tempfile.mkdtemp(prefix="pedsnetdcc_jsonl_")
+    write_jsonl(docs, f"{root}/shards", compression="gzip", shards=4)
+    back = read_jsonl(spark, f"{root}/shards", docs.schema)
+    return back.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.bit_xor(portable_hash64(F.col("text"), 0)).alias("text_sig"),
+    )
+
+
 #: The exact statement view_ddl must emit for the upper-cased nation
 #: table — pinned in the oracle so the driver hash covers the DDL TEXT.
 _NATION_VIEW_DDL = (
@@ -4957,6 +5000,7 @@ _QUERY_ORDER = [
     "streaming_lsh_index",
     "jdbc_roundtrip",
     "knn_label_eval",
+    "jsonl_roundtrip",
     # -- 2: rotated up for a current verdict (green r6, then unscored
     #       past the 50-entry cutoff in round 7) --------------------------
     "corpus_pipeline",
