@@ -937,7 +937,7 @@ def main() -> None:
         ]
         deep_names = [
             q
-            for q in ("id_mapping", "era_ids_pipeline", "era_ids_distributed")
+            for q in CDM_QUERIES_TO_PROBE + ["era_ids_distributed"]
             if not args.only or q in args.only.split(",")
         ]
         QUERIES["eras"](spark, points[0][1]).count()  # JVM warm
