@@ -1868,7 +1868,9 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv,
                       label AS true_label
-               FROM embeddings WHERE vec_id % 37 = 0),
+               FROM (SELECT * FROM embeddings WHERE vec_id % 37 = 0
+                     ORDER BY (('0x' || substr(md5('0:' || vec_id), 1, 15))::BIGINT),
+                              vec_id LIMIT 200) qq),
     c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv, label
           FROM embeddings),
     sims AS (
@@ -1910,7 +1912,15 @@ def q_knn_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pedsnetdcc_spark.datapipe.similarity import knn_label_vote
 
     emb = _t(spark, sf_dir, "embeddings")
-    queries_df = emb.where(F.col("vec_id") % 37 == 0)
+    # the 1-in-37 subset still grows with the corpus (cost n^2/37 —
+    # quadratic by construction); the hash-ordered 200-query cap makes
+    # the eval O(n * 200 * k) — linear — at any corpus size.  Never
+    # binds at or below sf0.1 (2000/37 = 54 < 200); the composition
+    # path for big query sets is an ANN top-k (lsh_bucketed_topk /
+    # ivf_topk) feeding the same vote, per the operator docstring.
+    queries_df = _capped_universe(
+        emb.where(F.col("vec_id") % 37 == 0), "vec_id", n=200
+    )
     pred = knn_label_vote(emb, queries_df, "vec_id", "embedding", "label", k=5)
     truth = queries_df.select(
         F.col("vec_id").alias("query_id"), F.col("label").alias("true_label")
