@@ -78,6 +78,9 @@ QUERIES_TO_PROBE = [
     "quality_classifier",
     "bpe_encode",
     "tfidf_top_terms",
+    # round 8: the split-out deep scorecard (cap-bounded provers — its
+    # exponent should read ~0 like its sibling's capped exact stages)
+    "near_dup_scorecard_deep",
 ]
 
 
