@@ -688,6 +688,34 @@ def probe_streaming(spark, tag: str, users: int, seed: int) -> dict:
         m = _stream_metrics(progs)
         m["wall_s"] = round(time.time() - t0, 2)
         out["exact_dedup"] = m
+
+        # The LSH index is the ONE stateful operator whose state grows
+        # by design — the state IS the near-dup index (one row per
+        # (band, bucket), ids+sigs inside).  The claims under test here
+        # differ from the watermark-bounded pair: state grows LINEARLY
+        # in distinct signed content (not with batches), and per-batch
+        # cost stays FLAT because max_bucket bounds every bucket's
+        # stored membership (the NeMo-style hot-bucket guard) — an
+        # uncapped degenerate bucket would make late batches quadratic.
+        from pedsnetdcc_spark.streaming.incremental import streaming_lsh_near_dup
+
+        stream3 = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        t0 = time.time()
+        progs = _drain_stream(
+            streaming_lsh_near_dup(
+                stream3, "doc_id", "text", num_hashes=8, num_bands=4,
+                max_bucket=64,
+            ),
+            os.path.join(work, "lsh_sink"),
+            os.path.join(work, "lsh_ckpt"),
+        )
+        m = _stream_metrics(progs)
+        m["wall_s"] = round(time.time() - t0, 2)
+        out["lsh_index"] = m
     finally:
         shutil.rmtree(work, ignore_errors=True)
     return out
