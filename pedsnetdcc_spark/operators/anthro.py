@@ -194,7 +194,12 @@ def derive_bmi(
         right_cols={"__height_cm": "height_cm"},
     )
     matched = paired.filter(F.col("height_cm").isNotNull())
-    bmi = F.col(value_col) / F.pow(F.col("height_cm") / F.lit(100.0), F.lit(2.0))
+    # square via multiplication, not pow(x, 2.0): *, / are exactly
+    # rounded under IEEE-754 so the value is bit-identical across
+    # engines (the DuckDB oracle replays the same arithmetic); pow is
+    # only ulp-accurate and implementation-defined for integer exponents
+    h_m = F.col("height_cm") / F.lit(100.0)
+    bmi = F.col(value_col) / (h_m * h_m)
     return (
         matched.withColumn(value_col, bmi)
         .withColumn(concept_col, F.lit(BMI_CONCEPT_ID))

@@ -679,6 +679,11 @@ def _stream_era_users_sql() -> str:
     )
 
 
+#: watermark horizon shared by the Spark query (`watermark=` argument)
+#: and the oracle's horizon filter — one constant so a change can't
+#: silently desynchronize the two sides
+_STREAM_ERA_WATERMARK_DAYS = 3
+
 _STREAM_ERA_ORACLE = (
     "WITH finished AS ("
     + era_oracle_sql(
@@ -696,9 +701,9 @@ _STREAM_ERA_ORACLE = (
            CAST(era_end_date AS TIMESTAMP) AS era_end_ts,
            era_count
     FROM finished
-    WHERE CAST(era_end_date AS TIMESTAMP) + INTERVAL 2 DAY
+    WHERE CAST(era_end_date AS TIMESTAMP) + INTERVAL {_ERA_GAP} DAY
           < (SELECT CAST(MAX(CAST(ts AS DATE)) AS TIMESTAMP)
-                    - INTERVAL 3 DAY
+                    - INTERVAL {_STREAM_ERA_WATERMARK_DAYS} DAY
              FROM events WHERE user_id IN {_stream_era_users_sql()})
 """
 )
@@ -756,14 +761,27 @@ def q_streaming_interval_eras(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = tempfile.mkdtemp(prefix="pedsnetdcc_stream_eras_")
     src, ckpt, sink = f"{root}/src", f"{root}/ckpt", f"{root}/sink"
     # two source files in event-time order → two in-order micro-batches
-    # under maxFilesPerTrigger=1 (file source drains oldest-first)
+    # under maxFilesPerTrigger=1.  FileStreamSource drains oldest-mtime
+    # first, and two back-to-back writes can land in the same mtime
+    # granule — so the halves are staged separately and moved into src
+    # under explicit names with explicitly ordered mtimes (ADVICE r8:
+    # an mtime tie would flip batch order and late-drop the first half
+    # against the second half's watermark)
+    import glob as _glob
+    import os
+
     mid_lit = F.lit(mid).cast("timestamp_ntz")
-    ev.where(F.col("start_ts") <= mid_lit).coalesce(1).write.mode(
-        "append"
-    ).parquet(src)
-    ev.where(F.col("start_ts") > mid_lit).coalesce(1).write.mode(
-        "append"
-    ).parquet(src)
+    os.makedirs(src)
+    for i, pred in enumerate(
+        [F.col("start_ts") <= mid_lit, F.col("start_ts") > mid_lit]
+    ):
+        half = f"{root}/half{i}"
+        ev.where(pred).coalesce(1).write.parquet(half)
+        (part,) = _glob.glob(f"{half}/part-*.parquet")
+        dest = f"{src}/batch-{i}.parquet"
+        os.rename(part, dest)
+        os.utime(dest, (1_700_000_000 + i * 100, 1_700_000_000 + i * 100))
+        shutil.rmtree(half, ignore_errors=True)
     stream = (
         spark.readStream.schema(
             "user_id long, event_type string, "
@@ -774,7 +792,7 @@ def q_streaming_interval_eras(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     eras = streaming_interval_eras(
         stream, ["user_id", "event_type"], "start_ts", "end_ts",
-        gap_days=_ERA_GAP, watermark="3 days",
+        gap_days=_ERA_GAP, watermark=f"{_STREAM_ERA_WATERMARK_DAYS} days",
     )
     q = (
         eras.writeStream.format("parquet")
@@ -1268,55 +1286,112 @@ def q_rollup_eras(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# As-of nearest match (X3 pairing kernel): each purchase matched to the
-# user's nearest view within 3 days — the BMI height↔weight pairing rule
-# (bmi.py:267-273) with events standing in for measurements.
+# Composed BMI derivation (X3, reference bmi.py:264-322 end to end):
+# events stand in for measurements (purchase → weight concept 3013762,
+# view → height concept 3023540); derive_bmi pairs each weight with the
+# person's NEAREST height within the 60-day match window (bmi.py:34,
+# 267-273, ties → earlier, same-instant duplicates → min payload — the
+# asof_match_nearest kernel, previously scored standalone as
+# `asof_pair`; this row consolidates that check into the composition),
+# computes weight/(height_m)² and emits measurement-shaped rows under
+# concept 3038553 / type 45754907, then chains the LMS z-score
+# (z_score.py:26-122) keyed on a demo sex bucket.  All arithmetic is
+# exactly-rounded (+,-,*,/ and pow(x,1.0)) so the DuckDB replay is
+# bit-identical and the full pipeline sits under the driver hash gate.
 # ---------------------------------------------------------------------------
 
-_ASOF_TOL_SEC = 259_200  # 3 days
+_ASOF_TOL_SEC = 259_200  # 3 days (asof_backward's window)
 
-
-@query(
-    "asof_pair",
-    oracle=f"""
-    SELECT p.event_id, p.user_id, v.value AS view_value,
-           v.dist AS match_dist_us
-    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-    LEFT JOIN LATERAL (
-        SELECT e.value,
-               CAST(abs(epoch_us(e.ts) - epoch_us(p.ts)) AS BIGINT) AS dist
-        FROM events e
-        WHERE e.event_type = 'view' AND e.user_id = p.user_id
-          AND abs(epoch_us(e.ts) - epoch_us(p.ts)) <= CAST({_ASOF_TOL_SEC} AS BIGINT) * 1000000
-        ORDER BY dist, e.ts, e.value
-        LIMIT 1
-    ) v ON TRUE
-    """,
+# demo LMS reference keyed by sex bucket; L=1 keeps every op
+# exactly-rounded (the L≠1 / L=0 branches are unit-tested with
+# tolerance in test_lms_z_branches)
+_BMI_LMS_ROWS = [(0, 1.0, 20.0, 0.25), (1, 1.0, 24.0, 0.5)]
+_BMI_LMS_VALUES = ", ".join(
+    f"({x}, {l!r}, {m!r}, {s!r})" for x, l, m, s in _BMI_LMS_ROWS
 )
-def q_asof_pair(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pedsnetdcc_spark.operators.anthro import asof_match_nearest
+
+
+def _bmi_derivation_oracle() -> str:
+    from pedsnetdcc_spark.operators.anthro import (
+        BMI_CONCEPT_ID,
+        BMI_TYPE_CONCEPT_ID,
+        MATCH_LIMIT_SEC,
+    )
+
+    return f"""
+    WITH w AS (SELECT event_id AS measurement_id, user_id AS person_id,
+                      ts, value AS weight_kg
+               FROM events WHERE event_type = 'purchase'),
+    h AS (SELECT user_id AS person_id, ts, value AS height_cm
+          FROM events WHERE event_type = 'view'),
+    paired AS (
+        SELECT w.measurement_id, w.person_id, w.weight_kg, m.height_cm
+        FROM w LEFT JOIN LATERAL (
+            SELECT h.height_cm,
+                   abs(epoch_us(h.ts) - epoch_us(w.ts)) AS dist
+            FROM h
+            WHERE h.person_id = w.person_id
+              AND abs(epoch_us(h.ts) - epoch_us(w.ts))
+                  <= CAST({MATCH_LIMIT_SEC} AS BIGINT) * 1000000
+            ORDER BY dist, h.ts, h.height_cm
+            LIMIT 1
+        ) m ON TRUE
+        WHERE m.height_cm IS NOT NULL
+    ),
+    bmi AS (
+        SELECT measurement_id, person_id,
+               weight_kg / ((height_cm / 100) * (height_cm / 100))
+                   AS value_as_number,
+               person_id % 2 AS sex
+        FROM paired
+    ),
+    lms(sex, L, M, S) AS (VALUES {_BMI_LMS_VALUES})
+    SELECT b.measurement_id, b.person_id,
+           CAST({BMI_CONCEPT_ID} AS INTEGER) AS measurement_concept_id,
+           CAST({BMI_TYPE_CONCEPT_ID} AS INTEGER)
+               AS measurement_type_concept_id,
+           b.value_as_number,
+           (POW(b.value_as_number / r.M, r.L) - 1) / (r.L * r.S) AS z_score
+    FROM bmi b JOIN lms r ON r.sex = b.sex
+    """
+
+
+@query("bmi_derivation", oracle=_bmi_derivation_oracle())
+def q_bmi_derivation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pedsnetdcc_spark.operators.anthro import (
+        HEIGHT_CONCEPT_ID,
+        WEIGHT_CONCEPT_ID,
+        derive_bmi,
+        lms_z_score,
+    )
 
     ev = _t(spark, sf_dir, "events")
-    purchases = ev.filter(F.col("event_type") == "purchase").select(
-        "event_id", "user_id", "ts"
+    meas = ev.filter(F.col("event_type").isin("purchase", "view")).select(
+        F.col("event_id").alias("measurement_id"),
+        F.col("user_id").alias("person_id"),
+        F.when(F.col("event_type") == "purchase", F.lit(WEIGHT_CONCEPT_ID))
+        .otherwise(F.lit(HEIGHT_CONCEPT_ID))
+        .alias("measurement_concept_id"),
+        F.col("ts").alias("measurement_datetime"),
+        F.col("value").alias("value_as_number"),
     )
-    views = ev.filter(F.col("event_type") == "view").select(
-        "user_id", "ts", F.col("value").alias("__view_value")
+    bmi = derive_bmi(meas)  # 60-day nearest-match window (bmi.py:34)
+    ref = spark.createDataFrame(
+        _BMI_LMS_ROWS, "sex long, L double, M double, S double"
     )
-    out = asof_match_nearest(
-        purchases,
-        views,
-        keys=["user_id"],
-        left_ts="ts",
-        right_ts="ts",
-        tolerance_sec=_ASOF_TOL_SEC,
-        right_cols={"__view_value": "view_value"},
+    scored = lms_z_score(
+        bmi.withColumn("sex", F.col("person_id") % 2),
+        ref,
+        ["sex"],
+        "value_as_number",
     )
-    return out.select(
-        "event_id",
-        "user_id",
-        "view_value",
-        F.col("__match_dist_us").alias("match_dist_us"),
+    return scored.select(
+        "measurement_id",
+        "person_id",
+        "measurement_concept_id",
+        "measurement_type_concept_id",
+        "value_as_number",
+        "z_score",
     )
 
 
@@ -2693,7 +2768,14 @@ def _multimodal_features_oracle() -> str:
     """Recompute the full decode result from the text: geometry from the
     harness's deterministic dimensions, pixel histogram from character
     codes plus the zero-padding bin — all integer arithmetic, so the
-    entire encode → decode → histogram pipeline is hash-compared."""
+    entire encode → decode → histogram pipeline is hash-compared.  The
+    frames CTE replays ``sample_frames`` (fixed 64-byte stride over the
+    text bytes; ASCII corpus keeps DuckDB's char-substr == byte-substr)
+    so the video-frame-sampling plumbing sits under the same hash gate
+    — consolidated here rather than a separate registry row (round-9
+    window arithmetic)."""
+    from pedsnetdcc_spark.datapipe.dedup import portable_hash64_sql
+
     bins = ",\n           ".join(
         f"(LEN(list_filter(cs, x -> x % 16 = {i}))"
         + (" + (w * h - n)" if i == 0 else "")
@@ -2701,6 +2783,9 @@ def _multimodal_features_oracle() -> str:
         for i in range(16)
     )
     csv = " || ',' || ".join(f"b{i}" for i in range(16))
+    frame_h = portable_hash64_sql(
+        "(CAST(frame_idx AS VARCHAR) || ':' || frame_text)", 0
+    )
     return f"""
     WITH c AS (
         SELECT doc_id,
@@ -2718,14 +2803,35 @@ def _multimodal_features_oracle() -> str:
         SELECT doc_id, w, h,
            {bins}
         FROM g
+    ),
+    fr0 AS (
+        SELECT doc_id, text,
+               unnest(generate_series(0,
+                   GREATEST(1, octet_length(encode(text)) // 64) - 1))
+                   AS frame_idx
+        FROM documents
+    ),
+    fr AS (
+        SELECT doc_id, frame_idx,
+               substr(text, CAST(frame_idx * 64 + 1 AS INTEGER), 64)
+                   AS frame_text
+        FROM fr0
+    ),
+    fagg AS (
+        SELECT doc_id,
+               CAST(COUNT(*) AS INTEGER) AS n_frames,
+               bit_xor({frame_h}) AS frames_fp
+        FROM fr GROUP BY doc_id
     )
-    SELECT doc_id,
+    SELECT b.doc_id,
            CAST('png' AS VARCHAR) AS fmt,
            CAST(w AS INTEGER) AS width,
            h AS height,
            CAST(8 AS INTEGER) AS bit_depth,
-           {csv} AS features_csv
-    FROM bins
+           {csv} AS features_csv,
+           f.n_frames,
+           f.frames_fp
+    FROM bins b JOIN fagg f ON f.doc_id = b.doc_id
     """
 
 
@@ -2737,9 +2843,18 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     query emits raw integer bin counts (exact arithmetic — DuckDB
     recomputes them from character codes + the padding bin) serialized
     to CSV so every output column is hashable by the driver's
-    canonicalizer."""
+    canonicalizer.
+
+    Also carries the ``sample_frames`` proof (consolidated — the
+    fixed-stride frame-sampling stand-in for video frame extraction,
+    multimodal.py): the text bytes become a binary payload, frames are
+    sliced at a 64-byte stride with pure built-in expressions, and the
+    per-doc frame count + an order-insensitive XOR fold of the portable
+    per-frame hash are hash-compared against the DuckDB replay."""
+    from pedsnetdcc_spark.datapipe.dedup import portable_hash64
     from pedsnetdcc_spark.datapipe.multimodal import (
         extract_media_features,
+        sample_frames,
         with_png_payload,
     )
 
@@ -2748,7 +2863,24 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats = extract_media_features(
         media, "doc_id", fake_decode=False, normalize=False
     )
-    return feats.select(
+    frames = sample_frames(
+        docs.select("doc_id", F.col("text").cast("binary").alias("payload")),
+        "doc_id",
+    )
+    frames_agg = frames.groupBy("doc_id").agg(
+        F.count("*").cast("int").alias("n_frames"),
+        F.bit_xor(
+            portable_hash64(
+                F.concat_ws(
+                    ":",
+                    F.col("frame_idx").cast("string"),
+                    F.col("frame_bytes").cast("string"),
+                ),
+                0,
+            )
+        ).alias("frames_fp"),
+    )
+    return feats.join(frames_agg, "doc_id").select(
         "doc_id",
         "fmt",
         "width",
@@ -2757,6 +2889,8 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws(
             ",", F.transform("features", lambda x: x.cast("int").cast("string"))
         ).alias("features_csv"),
+        "n_frames",
+        "frames_fp",
     )
 
 
@@ -5005,14 +5139,75 @@ def q_jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ===========================================================================
 
 _QUERY_ORDER = [
-    # -- 1: NEW this round (never driver-scored) --------------------------
+    # -- 1: NEW / CHANGED this round (never driver-scored in current
+    #       form; both are consolidations, not net-new slots:
+    #       bmi_derivation replaces asof_pair — the pairing kernel is
+    #       now checked inside the composed pipeline — and
+    #       multimodal_features absorbed the sample_frames proof) ------
+    "bmi_derivation",
+    "multimodal_features",
+    # -- 2: rotated up for a current verdict (green r7, then unscored
+    #       past the 50-entry cutoff in round 8) --------------------------
+    "minhash_lsh_portable",
+    "ngram_jaccard_dedup",
+    "semantic_dedup",
+    "lm_perplexity",
+    "quality_classifier",
+    "streaming_interval_sync",
+    "streaming_windowed_counts",
+    "csv_id_map_roundtrip",
+    "view_ddl_roundtrip",
+    "publish_undo",
+    "dedup_survivors",
+    "edit_distance_join",
+    "interval_overlap_join",
+    "decontaminate",
+    "temperature_mixture",
+    "pricing_summary",
+    "integrity_counts",
+    "integrity_samples",
+    "subset_polymorphic",
+    "ann_cosine_topk",
+    "embedding_near_dup",
+    "simhash_portable",
+    "simhash_near_dup",
+    "ann_lsh_topk",
+    "embedding_dedup_clusters",
+    "r_dose_update",
+    "lab_loinc_swap",
+    "corpus_sampling",
+    "pack_sequences",
+    "global_shuffle",
+    "shared_passages",
+    "sample_per_group",
+    "tfidf_top_terms",
+    "doc_signals",
+    "doc_chunks",
+    "passage_dedup",
+    "gopher_quality",
+    "contamination_report",
+    "key_skew_profile",
+    "hashed_bow",
+    # -- 3: keep driver-green (flagship relational pipelines whose
+    #       verdicts we want current every round; all green r7 AND r8) ----
+    "eras",
+    "rollup_eras",
+    "era_ids_pipeline",
+    "cdm_transform",
+    "cdm_drug_era",
+    "id_mapping",
+    "dedup_clusters",
+    "near_dup_scorecard",
+    # -- 4: past the 50-entry cutoff — every entry below was driver-green
+    #       in round 8 and still runs through the IDENTICAL DuckDB
+    #       row/schema/hash compare in tests/test_oracle_parity.py every
+    #       session; they rotate back up in round 10 ----------------------
+    "near_dup_scorecard_deep",
     "streaming_interval_eras",
     "streaming_lsh_index",
     "jdbc_roundtrip",
     "knn_label_eval",
     "jsonl_roundtrip",
-    # -- 2: rotated up for a current verdict (green r6, then unscored
-    #       past the 50-entry cutoff in round 7) --------------------------
     "corpus_pipeline",
     "vocab_stats",
     "corpus_report",
@@ -5049,63 +5244,6 @@ _QUERY_ORDER = [
     "interval_summary",
     "asof_backward",
     "ann_quantized_topk",
-    # -- 3: keep driver-green (complex pipelines whose verdicts we want
-    #       current; all green in rounds 6 AND 7) -------------------------
-    "eras",
-    "rollup_eras",
-    "era_ids_pipeline",
-    "cdm_transform",
-    "cdm_drug_era",
-    "id_mapping",
-    "dedup_clusters",
-    "near_dup_scorecard",
-    "near_dup_scorecard_deep",
-    "minhash_lsh_portable",
-    "ngram_jaccard_dedup",
-    "semantic_dedup",
-    # -- 4: past the 50-entry cutoff — every entry below was driver-green
-    #       in round 7 and still runs through the IDENTICAL DuckDB
-    #       row/schema/hash compare in tests/test_oracle_parity.py every
-    #       session -------------------------------------------------------
-    "lm_perplexity",
-    "quality_classifier",
-    "streaming_interval_sync",
-    "streaming_windowed_counts",
-    "csv_id_map_roundtrip",
-    "view_ddl_roundtrip",
-    "publish_undo",
-    "dedup_survivors",
-    "edit_distance_join",
-    "interval_overlap_join",
-    "decontaminate",
-    "temperature_mixture",
-    "pricing_summary",
-    "integrity_counts",
-    "integrity_samples",
-    "subset_polymorphic",
-    "asof_pair",
-    "ann_cosine_topk",
-    "embedding_near_dup",
-    "simhash_portable",
-    "simhash_near_dup",
-    "ann_lsh_topk",
-    "multimodal_features",
-    "embedding_dedup_clusters",
-    "r_dose_update",
-    "lab_loinc_swap",
-    "corpus_sampling",
-    "pack_sequences",
-    "global_shuffle",
-    "shared_passages",
-    "sample_per_group",
-    "tfidf_top_terms",
-    "doc_signals",
-    "doc_chunks",
-    "passage_dedup",
-    "gopher_quality",
-    "contamination_report",
-    "key_skew_profile",
-    "hashed_bow",
 ]
 
 assert set(_QUERY_ORDER) == set(QUERIES), (

@@ -131,8 +131,11 @@ _FLOAT_COLUMN_SEAMS: dict[tuple[str, str], int | None] = {
     ("interval_months_monthend", "age_months"): None,
     ("interval_months", "ship_age_months"): None,
     ("lms_z_score", "z_score"): None,  # L=1.0 → pow identity, pure division
+    # composed BMI: w/((h/100)*(h/100)) then (v/M-1)/(1*S) — every op
+    # exactly-rounded (*, / only; pow(x,1.0) identity on both engines)
+    ("bmi_derivation", "value_as_number"): None,
+    ("bmi_derivation", "z_score"): None,
     # passthrough of stored doubles (or exact 2x of one)
-    ("asof_pair", "view_value"): None,
     ("asof_backward", "view_value"): None,
     ("value_quality", "value"): None,
     ("lms_z_score", "value"): None,
