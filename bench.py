@@ -2,11 +2,23 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+"queries": {name: sec}, "isolated": {name: sec}, "sf": ...}.
 
 Each query is timed end-to-end including the action (count of the
 result — forces full execution without driver-side collect of wide
 rows).
+
+The ``isolated`` block re-times the top-N slowest queries each in a
+FRESH process/JVM (best-of-2): with ~90 compiled plan shapes in one
+session, JIT/code-cache pressure moves untouched queries ±40% in-bench,
+so the in-bench number alone is a poor round-over-round regression
+signal.  The isolated number is the reproducible per-query cost;
+regression adjudication should cite it (round-8 verdict item 5).
+Controls: SPARK_GRAFT_BENCH_ISOLATED=0 disables the pass,
+SPARK_GRAFT_BENCH_ISOLATED_N sets N (default 10).
+
+Internal: ``bench.py --isolated-worker NAME`` is the per-query
+subprocess entry; it prints {"query": name, "sec": s} on its last line.
 """
 
 from __future__ import annotations
@@ -14,26 +26,22 @@ from __future__ import annotations
 import json
 import os
 import re
+import subprocess
 import sys
 import time
 
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    m = re.search(r"sf([0-9.]+)", sf_dir)
-    sf = float(m.group(1).rstrip(".")) if m else None
+def _sf_dir() -> str:
+    return os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
-    from pedsnetdcc_spark.queries import QUERIES
-    from pedsnetdcc_spark.session import build_session
 
-    spark = build_session(app_name="pedsnetdcc_spark_bench")
-    # warm the JVM/IO path once so per-query numbers measure the queries
-    next(iter(QUERIES.values()))(spark, sf_dir).count()
-    # ... and the Arrow/Python UDF workers, so the first pandas-UDF
-    # query isn't charged the one-time worker spin-up.  A CHAINED
-    # mapInPandas pair forks the deepest worker pipeline any query uses
-    # (2 python stages × all cores), and the imports inside pre-load
-    # numpy/pandas in every reused worker.
+def _warm(spark) -> None:
+    """Warm the Arrow/Python UDF workers so the first pandas-UDF query
+    isn't charged the one-time worker spin-up.  A CHAINED mapInPandas
+    pair forks the deepest worker pipeline any query uses (2 python
+    stages × all cores), and the imports inside pre-load numpy/pandas
+    in every reused worker."""
+
     def _warm_op(batches):
         import numpy  # noqa: F401
         import pandas  # noqa: F401
@@ -48,6 +56,76 @@ def main() -> None:
         .count()
     )
 
+
+def _time_best_of(spark, fn, sf_dir: str, runs: int) -> float:
+    """Best-of-N wall time for one query; caches cleared between runs
+    so measurements stay independent."""
+    best = None
+    for _ in range(max(runs, 1)):
+        t0 = time.monotonic()
+        fn(spark, sf_dir).count()
+        dt = time.monotonic() - t0
+        best = dt if best is None or dt < best else best
+        spark.catalog.clearCache()
+    return best
+
+
+def isolated_worker(name: str) -> None:
+    """Entry for the per-query fresh-JVM subprocess: warm the worker
+    pipeline, then best-of-2 the single query.  The first timed run
+    absorbs the scan/JIT warmup; the minimum is the isolated cost."""
+    sf_dir = _sf_dir()
+
+    from pedsnetdcc_spark.queries import QUERIES
+    from pedsnetdcc_spark.session import build_session
+
+    spark = build_session(app_name="pedsnetdcc_spark_bench_iso")
+    _warm(spark)
+    best = _time_best_of(spark, QUERIES[name], sf_dir, runs=2)
+    print(json.dumps({"query": name, "sec": round(best, 3)}))
+    spark.stop()
+
+
+def _isolated_pass(timings: dict[str, float]) -> dict[str, float]:
+    """Re-time the top-N slowest queries, one fresh process each."""
+    n = int(os.environ.get("SPARK_GRAFT_BENCH_ISOLATED_N", "10"))
+    top = [
+        name
+        for name, sec in sorted(timings.items(), key=lambda kv: -kv[1])
+        if sec > 0
+    ][:n]
+    out: dict[str, float] = {}
+    for name in top:
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__),
+                 "--isolated-worker", name],
+                capture_output=True,
+                text=True,
+                timeout=900,
+                env=os.environ.copy(),
+            )
+            last = proc.stdout.strip().splitlines()[-1]
+            out[name] = float(json.loads(last)["sec"])
+        except Exception as exc:  # noqa: BLE001 — isolation is advisory
+            print(f"bench: isolated {name} failed: {exc!r}", file=sys.stderr)
+            out[name] = -1.0
+    return out
+
+
+def main() -> None:
+    sf_dir = _sf_dir()
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else None
+
+    from pedsnetdcc_spark.queries import QUERIES
+    from pedsnetdcc_spark.session import build_session
+
+    spark = build_session(app_name="pedsnetdcc_spark_bench")
+    # warm the JVM/IO path once so per-query numbers measure the queries
+    next(iter(QUERIES.values()))(spark, sf_dir).count()
+    _warm(spark)
+
     # (Measured and rejected: an untimed full pass over every query
     # before timing.  It shaves the early-position queries' JIT warmup
     # but consistently costs the heavy near-dup provers ~1.5 s each —
@@ -56,8 +134,7 @@ def main() -> None:
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
     timings: dict[str, float] = {}
     for name, fn in QUERIES.items():
-        best = None
-        # collect garbage OUTSIDE the timed window: across ~70 queries
+        # collect garbage OUTSIDE the timed window: across ~90 queries
         # the JVM otherwise amortizes old-gen collections into whichever
         # query happens to trigger them, charging one query for the
         # whole session's allocation history
@@ -65,20 +142,12 @@ def main() -> None:
         try:
             # best-of-N: single-shot numbers on a shared box carry ±2-3×
             # scheduler/GC noise; the minimum is the reproducible cost
-            for _ in range(max(runs, 1)):
-                t0 = time.monotonic()
-                fn(spark, sf_dir).count()
-                dt = time.monotonic() - t0
-                best = dt if best is None or dt < best else best
-                # caches are internal to a query's own execution;
-                # dropping them between runs keeps measurements
-                # independent and heap pressure flat
-                spark.catalog.clearCache()
-            timings[name] = round(best, 3)
+            timings[name] = round(_time_best_of(spark, fn, sf_dir, runs), 3)
         except Exception as exc:  # one broken query must not sink the run
             print(f"bench: {name} failed: {exc!r}", file=sys.stderr)
             timings[name] = -1.0
             spark.catalog.clearCache()
+    spark.stop()
 
     out = {
         "metric": "pedsnetdcc_spark_total_query_time",
@@ -87,9 +156,13 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
     }
+    if os.environ.get("SPARK_GRAFT_BENCH_ISOLATED", "1") != "0":
+        out["isolated"] = _isolated_pass(timings)
     print(json.dumps(out))
-    spark.stop()
 
 
 if __name__ == "__main__":
+    if len(sys.argv) == 3 and sys.argv[1] == "--isolated-worker":
+        isolated_worker(sys.argv[2])
+        sys.exit(0)
     sys.exit(main())
