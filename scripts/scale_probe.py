@@ -140,6 +140,87 @@ def gen_documents(n: int, seed: int, path: str) -> None:
     pq.write_table(tbl, path)
 
 
+def gen_documents_deep(n: int, seed: int, path: str) -> None:
+    """Chunked ``gen_documents`` for the x1000 point (5M docs ≈ 1.5 GB
+    text): same corpus profile, same 20% near-copy rule over a rolling
+    200-doc window (near-dup pair density per doc stays constant), but
+    token sampling is vectorized per chunk (searchsorted over the
+    cumulative unigram distribution — np.random.choice(p=...) re-cumsums
+    the whole vocabulary per call) and rows stream through one
+    ParquetWriter so peak memory is one chunk, not the corpus (the same
+    pattern as build_cdm_deep_scale)."""
+    rng = np.random.default_rng(seed)
+    words, probs, lo, hi = _corpus_profile()
+    warr = np.array(words, dtype=object)
+    cum = np.cumsum(probs)
+    schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("text", pa.string()),
+            ("lang", pa.string()),
+            ("source", pa.string()),
+            ("n_chars", pa.int64()),
+        ]
+    )
+    chunk = 200_000
+    window: list[str] = []  # last 200 docs, the near-copy source pool
+    with pq.ParquetWriter(path, schema) as writer:
+        for base in range(0, n, chunk):
+            cn = min(chunk, n - base)
+            lens = rng.integers(lo, hi + 1, size=cn)
+            flat = warr[np.searchsorted(cum, rng.random(int(lens.sum())))]
+            offs = np.concatenate(([0], np.cumsum(lens)))
+            texts: list[str] = []
+            for i in range(cn):
+                gi = base + i
+                if gi >= 5 and rng.random() < 0.20:
+                    pool = window + texts[-200:] if i < 200 else texts[-200:]
+                    src = pool[int(rng.integers(0, len(pool)))].split(" ")
+                    k = max(1, len(src) // 10)
+                    idx = rng.choice(len(src), size=k, replace=False)
+                    repl = warr[
+                        np.searchsorted(cum, rng.random(k))
+                    ]
+                    for j, w in zip(idx, repl):
+                        src[j] = w
+                    texts.append(" ".join(src))
+                else:
+                    texts.append(" ".join(flat[offs[i]:offs[i + 1]]))
+            writer.write_table(
+                pa.table(
+                    {
+                        "doc_id": pa.array(
+                            range(base, base + cn), pa.int64()
+                        ),
+                        "text": pa.array(texts, pa.string()),
+                        "lang": pa.array(["en"] * cn, pa.string()),
+                        "source": pa.array(
+                            [f"src{i % 20}" for i in range(base, base + cn)],
+                            pa.string(),
+                        ),
+                        "n_chars": pa.array(
+                            [len(t) for t in texts], pa.int64()
+                        ),
+                    },
+                    schema=schema,
+                )
+            )
+            window = texts[-200:]
+
+
+def build_pair_deep_scale(tag: str, docs: int, seed: int) -> str:
+    """x1000 pair point: documents only — the three drifting rows
+    (`quality_classifier`, `bpe_encode`, `tfidf_top_terms`) read no
+    other table."""
+    d = os.path.join(SCALE_DIR, tag)
+    os.makedirs(d, exist_ok=True)
+    marker = os.path.join(d, ".complete")
+    if not os.path.exists(marker):
+        gen_documents_deep(docs, seed, os.path.join(d, "documents.parquet"))
+        open(marker, "w").close()
+    return d
+
+
 def gen_embeddings(n: int, seed: int, path: str) -> None:
     """10% of vectors are noised copies of a BASE vector (never of
     another copy): copy-of-copy chains build long-diameter path graphs
@@ -614,7 +695,11 @@ def _stream_metrics(progs) -> dict:
         sum(op.get("numRowsTotal", 0) for op in p.get("stateOperators", []))
         for p in progs
     ]
-    first, last = durs[: len(durs) // 5], durs[-len(durs) // 5 :]
+    # guard the fifth-slices for short streams: with < 5 data batches
+    # len//5 = 0 would make first empty / last the whole list and
+    # statistics.mean([]) raises (ADVICE r8)
+    fifth = max(1, len(durs) // 5)
+    first, last = durs[:fifth], durs[-fifth:]
     return {
         "n_data_batches": len(data),
         "input_rows": int(sum(p["numInputRows"] for p in data)),
@@ -772,7 +857,7 @@ def main() -> None:
     ap.add_argument("--runs", type=int, default=2)
     ap.add_argument(
         "--family",
-        choices=["pair", "cdm", "streaming", "cdm_deep", "all"],
+        choices=["pair", "cdm", "streaming", "cdm_deep", "pair_deep", "all"],
         default="all",
     )
     ap.add_argument(
@@ -793,7 +878,7 @@ def main() -> None:
         help="add a 100x point to the streaming family (50k users over "
         "the same 50 micro-batches — two measured decades)",
     )
-    ap.add_argument("--out", default=os.path.join(REPO, "BENCH_SCALING_r8.json"))
+    ap.add_argument("--out", default=os.path.join(REPO, "BENCH_SCALING_r9.json"))
     ap.add_argument(
         "--only",
         help="comma-separated query names: probe just these (re-measuring "
@@ -921,7 +1006,13 @@ def main() -> None:
         }
 
     if args.family in ("streaming", "all"):
+        prior = out["families"].get("streaming", {})
+        # seed from prior so tags not probed THIS run (e.g. a recorded
+        # x100 point when --streaming-100x is off, or tags outside
+        # --only) always carry over instead of silently dropping
+        # (ADVICE r8)
         fam: dict = {
+            **prior,
             "claim": "per-batch cost flat in stream position; state rows "
             "plateau at keys x horizon depth (watermark+gap bounded), "
             "independent of batches processed",
@@ -929,11 +1020,8 @@ def main() -> None:
         stream_points = [("x1", 500), ("x10", 5_000)]
         if args.streaming_100x:
             stream_points.append(("x100", 50_000))
-        prior = out["families"].get("streaming", {})
         for tag, users in stream_points:
             if args.only and tag not in args.only.split(","):
-                if tag in prior:
-                    fam[tag] = prior[tag]
                 continue
             print(f"streaming {tag}: users={users}", flush=True)
             fam[tag] = probe_streaming(spark, tag, users, seed=23)
@@ -988,6 +1076,45 @@ def main() -> None:
             _probe_family(spark, QUERIES, deep_names, EXTRA_PROBES, points, args.runs)
         )
         out["families"]["cdm_deep"] = fam
+
+    if args.family == "pair_deep":
+        # third decade for the pair family's three drifting rows
+        # (round-8 verdict item 4): x100 second-decade exponents read
+        # 0.85-0.93 — probe x1000 (5M docs) with the per-row-cost
+        # regime check the CDM family used (per-doc cost must be
+        # non-increasing; wall exponents drift toward 1.0 once 32
+        # threads saturate)
+        points = [
+            (
+                "x100",
+                build_scale(
+                    "x100", docs=500_000, embs=200_000, names=200_000, seed=7
+                ),
+                100,
+            ),
+            ("x1000", build_pair_deep_scale("pair_x1000", docs=5_000_000, seed=7), 1000),
+        ]
+        deep_names = [
+            q
+            for q in ["quality_classifier", "bpe_encode", "tfidf_top_terms"]
+            if not args.only or q in args.only.split(",")
+        ]
+        QUERIES["tfidf_top_terms"](spark, points[0][1]).count()  # JVM warm
+        spark.catalog.clearCache()
+        fam = out["families"].get(
+            "pair_deep",
+            {
+                "x100_rows": {"documents": 500_000},
+                "x1000_rows": {"documents": 5_000_000},
+                "invariant": "same unigram profile, doc-length bounds, and "
+                "20% rolling-window near-copy rate at every scale",
+                "queries": {},
+            },
+        )
+        fam["queries"].update(
+            _probe_family(spark, QUERIES, deep_names, {}, points, args.runs)
+        )
+        out["families"]["pair_deep"] = fam
 
     with open(args.out, "w") as f:
         json.dump(out, f, indent=2)
