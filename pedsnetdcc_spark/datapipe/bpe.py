@@ -38,6 +38,8 @@ import re
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from pedsnetdcc_spark.util import ensure_parallelism
+
 
 def _java_escape_replacement(s: str) -> str:
     return s.replace("\\", "\\\\").replace("$", "\\$")
@@ -52,6 +54,7 @@ def word_frequencies(
 ) -> DataFrame:
     """Corpus word-frequency table ``(word, freq)`` — one explode + one
     count aggregate (map-side partial)."""
+    df = ensure_parallelism(df)
     return (
         df.select(F.explode(F.split(F.col(text_col), sep)).alias("word"))
         .where(F.length("word") > 0)
@@ -141,6 +144,7 @@ def bpe_encode(
     segmented independently, concatenated in order — merges never cross
     word boundaries, per the reference algorithm).  Scan-fused column
     expressions; the merge chain compiles into the projection."""
+    df = ensure_parallelism(df)
     words = F.filter(
         F.split(F.col(text_col), sep), lambda w: F.length(w) > 0
     )
@@ -157,6 +161,7 @@ def bpe_token_counts(
 ) -> DataFrame:
     """Per-document token count under the trained tokenizer —
     ``(id, n_bpe_tokens)``; the budget input for sequence packing."""
+    df = ensure_parallelism(df)
     enc = bpe_encode(df, text_col, merges)
     return enc.select(
         F.col(id_col), F.size("bpe_tokens").cast("long").alias("n_bpe_tokens")

@@ -123,23 +123,31 @@ def knn_label_vote(
     vec_col: str = "embedding",
     label_col: str = "label",
     k: int = 5,
+    neighbors: DataFrame | None = None,
 ) -> DataFrame:
     """kNN majority-vote label prediction per query vector —
     ``(query_id, predicted_label, votes)`` — the embedding-space
     quality eval a training-data pipeline runs against a labeled
     hold-out (weak labeling / embedding drift checks).  Neighbors come
-    from the exact :func:`cosine_topk` baseline (swap in ``lsh_bucketed
-    _topk``/``ivf_topk`` output upstream for the approximate path — the
-    vote is the same shape).  Fully deterministic: neighbor ties break
-    by id ascending inside ``cosine_topk``, vote ties by (count desc,
-    label asc).
+    from the exact :func:`cosine_topk` baseline by default; pass
+    ``neighbors=`` (any DataFrame with ``query_id``/``neighbor_id``
+    columns — :func:`lsh_bucketed_topk` / :func:`ivf_topk` output) for
+    the approximate path at corpus scale, the composition the
+    agreement test in test_datapipe pins within an accuracy floor of
+    the exact vote.  Fully deterministic: neighbor ties break by id
+    ascending inside every top-k, vote ties by (count desc, label
+    asc).
 
     Shuffle shape: the top-k table is k·|queries| rows — tiny next to
     the candidate corpus — so the label attach broadcasts IT and the
     slim (id, label) projection of the candidates streams map-side;
     the vote aggregation then shuffles only k·|queries| rows keyed by
     query.  Nothing corpus-sized is exchanged after the scan."""
-    nn = cosine_topk(candidates, queries, id_col, vec_col, k=k)
+    nn = (
+        neighbors
+        if neighbors is not None
+        else cosine_topk(candidates, queries, id_col, vec_col, k=k)
+    )
     labels = candidates.select(
         F.col(id_col).alias("neighbor_id"), F.col(label_col).alias("__nl")
     )

@@ -13,6 +13,8 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from pedsnetdcc_spark.util import ensure_parallelism
+
 # tiny per-language stopword lists for the n-gram/stopword heuristic
 # language scorer (public-knowledge lists, truncated)
 LANG_STOPWORDS: dict[str, list[str]] = {
@@ -43,6 +45,7 @@ def text_stats(
     presence, low punctuation density) used by public web-scale corpus
     filters; each component is a plain column expression.
     """
+    df = ensure_parallelism(df)
     toks = tokens(text_col)
     n_tokens = F.size(toks)
     n_chars = F.length(text_col)
@@ -95,6 +98,7 @@ def token_counts(
 
     Pure column expressions — one scan, no UDF, no shuffle.
     """
+    df = ensure_parallelism(df)
     ws = F.size(tokens(text_col))
     bpe = F.regexp_count(F.col(text_col), F.lit(BPE_SPLIT_RE))
     return (
@@ -120,6 +124,7 @@ def lang_id(
     code order.  A deterministic n-gram-free heuristic — the classic
     cheap pre-filter before a model-based identifier.
     """
+    df = ensure_parallelism(df)
     langs = lang_stopwords or LANG_STOPWORDS
     toks = tokens(text_col)
 
@@ -185,6 +190,7 @@ def doc_fingerprint(
     with fewer than ``n`` tokens have no shingles and drop out, same
     contract as :func:`shingle_ngrams`.
     """
+    df = ensure_parallelism(df)
     # stage the token array first — slice(tokens(text), …) inside the
     # lambda would re-split the text once per shingle (O(tokens²))
     st = df.select(F.col(id_col), tokens(text_col).alias("__t"))
@@ -218,6 +224,7 @@ def build_vocab(
     construction.  For vocabularies past ~10M entries switch the rank
     to ``ids.assign_surrogate_ids(mode="distributed")``.
     """
+    df = ensure_parallelism(df)
     from pyspark.sql import Window
 
     counts = (
@@ -255,6 +262,7 @@ def tfidf_top_terms(
     and a per-document top-k window — all hash-partitioned work, no
     UDFs, no driver collection.
     """
+    df = ensure_parallelism(df)
     from pyspark.sql import Window
 
     toks = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("token"))
@@ -320,6 +328,7 @@ def chunk_documents(
     row and exploded — no UDF, no shuffle; chunking is embarrassingly
     parallel and fuses with the scan.
     """
+    df = ensure_parallelism(df)
     if not 0 <= overlap < chunk_tokens:
         raise ValueError("need 0 <= overlap < chunk_tokens")
     step = chunk_tokens - overlap
@@ -405,6 +414,7 @@ def cdc_chunk_documents(
     hash to the md5-derived family DuckDB can replay for oracle
     checks; production defaults to the cheaper xxhash64.
     """
+    df = ensure_parallelism(df)
     from pedsnetdcc_spark.datapipe.dedup import _seeded_hash
 
     if window < 1 or target_tokens < 2:
@@ -524,6 +534,7 @@ def redact_pii(
     Chained ``regexp_replace`` column expressions: scan-fused, no UDF,
     no shuffle; patterns are RE2-safe so the operation is reproducible
     across engines."""
+    df = ensure_parallelism(df)
     c = F.col(text_col)
     for pat, repl in patterns:
         c = F.regexp_replace(c, pat, repl)
@@ -544,6 +555,7 @@ def repetition_stats(
     its size against ``array_distinct``): one scan, no explode, no
     shuffle — at 100 TB this fuses into the projection like the other
     quality signals."""
+    df = ensure_parallelism(df)
     # stage the token array in a real column: element_at on an unstaged
     # `tokens(text)` inside the transform lambda re-splits the text per
     # n-gram — O(tokens²) per doc (the lm_score re-evaluation trap)
@@ -591,6 +603,7 @@ def vocab_coverage(
     One explode + one token-keyed aggregate joined against the (small,
     broadcast-able) vocabulary.
     """
+    df = ensure_parallelism(df)
     occurrences = (
         df.select(F.explode(tokens(text_col)).alias(token_col))
         .groupBy(token_col)
@@ -652,6 +665,7 @@ def gopher_rules(
     the verdicts are exactly reproducible by any engine — scan-fused,
     no shuffle, no UDF.
     """
+    df = ensure_parallelism(df)
     toks = tokens(text_col)
     n = F.size(toks)
     nd = n.cast("double")
@@ -711,6 +725,7 @@ def hashed_bow(
     partial), one doc-keyed norm aggregate joined back on the id — two
     shuffles total, both on high-cardinality keys, no windows, no UDFs.
     """
+    df = ensure_parallelism(df)
     if norm not in ("l2", "none"):
         raise ValueError(f"unknown norm {norm!r}")
     from pedsnetdcc_spark.datapipe.dedup import _seeded_hash
@@ -748,6 +763,7 @@ def hashed_bow_dense(
     ``array<float>`` per document (empty buckets 0.0) — the shape the
     similarity operators take.  One doc-keyed aggregate building a
     bucket→weight map, then a scan-side sequence lookup; no UDFs."""
+    bow = ensure_parallelism(bow)
     entries = bow.groupBy(id_col).agg(
         F.map_from_entries(
             F.collect_list(F.struct(F.col("bucket"), F.col("weight")))
@@ -812,6 +828,7 @@ def lm_score(
     corpus drops unseen tokens from the stream (documented OOV
     behavior: use the combined corpus as ``model_df`` to avoid it).
     """
+    df = ensure_parallelism(df)
     model = model_df if model_df is not None else df
     toks = tokens(text_col)
     n = F.size(toks)

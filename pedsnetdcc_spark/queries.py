@@ -1992,7 +1992,9 @@ def q_knn_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the eval O(n * 200 * k) — linear — at any corpus size.  Never
     # binds at or below sf0.1 (2000/37 = 54 < 200); the composition
     # path for big query sets is an ANN top-k (lsh_bucketed_topk /
-    # ivf_topk) feeding the same vote, per the operator docstring.
+    # ivf_topk) fed through knn_label_vote(neighbors=...) — pinned
+    # within an accuracy floor of the exact vote by
+    # test_knn_label_vote_ann_composition_agreement.
     queries_df = _capped_universe(
         emb.where(F.col("vec_id") % 37 == 0), "vec_id", n=200
     )

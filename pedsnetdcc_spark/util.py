@@ -11,22 +11,43 @@ def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> Data
     which serializes every CPU-bound per-row stage after it.  At real
     scale the scan already has ≥ slots files and this is a no-op.
 
+    The file count UNDERCOUNTS effective starvation too: a single
+    parquet file written as one row group scans as ONE non-empty split
+    no matter how Spark byte-range-partitions it (measured: the
+    quality-classifier pipeline on a 500k-doc single-file corpus ran
+    70.1 s serialized vs 7.75 s with this guard — 9×; see SCALE.md
+    round-9).  Guarding at each scan-fused per-row operator keeps the
+    fix local: at real scale (files ≥ slots) nothing changes and the
+    shuffle-free plans stay shuffle-free.
+
     The probe is ``df.inputFiles()`` — FileIndex metadata read
     plan-side (no job, no RDD lineage analysis; the previous
     ``df.rdd.getNumPartitions()`` probe built the physical RDD chain
     per call).  File count over-estimates split count when many tiny
     files pack into one split, but the guarded case — one or two files
     feeding a CPU-bound Pandas stage — is decided identically, and a
-    non-file DataFrame (no files reported) is left untouched."""
+    non-file DataFrame (no files reported) is left untouched.
+
+    Idempotent across composed operators: if the lineage already holds
+    a Repartition (this guard upstream, or an explicit key
+    repartition), the rows are already spread over the slots and a
+    second exchange would shuffle the stream again for nothing — the
+    logical-plan check is string-matching on the analyzed plan, still
+    job-free."""
     spark = df.sparkSession
     par = min_partitions or spark.sparkContext.defaultParallelism
     try:
         n_files = len(df.inputFiles())
     except Exception:
         return df
-    if 0 < n_files < par:
-        return df.repartition(par)
-    return df
+    if not (0 < n_files < par):
+        return df
+    try:
+        if "Repartition" in df._jdf.queryExecution().logical().toString():
+            return df
+    except Exception:
+        pass
+    return df.repartition(par)
 
 
 def salted_join(

@@ -946,9 +946,9 @@ def main() -> None:
             )
 
         pair_extra = {"embedding_lsh_auto_uncapped": _lsh_auto_probe}
-        pair_names = QUERIES_TO_PROBE + [
+        pair_names = [
             q
-            for q in pair_extra
+            for q in QUERIES_TO_PROBE + list(pair_extra)
             if not args.only or q in args.only.split(",")
         ]
         QUERIES["dedup_clusters"](spark, points[0][1]).count()  # JVM warm

@@ -19,6 +19,27 @@ def _plan(df) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
 
+def test_ensure_parallelism_guard_and_idempotence(spark, sf_dir):
+    """The starvation guard (a single-row-group parquet file scans as
+    ONE effective split, serializing every scan-fused per-row stage —
+    measured 70.1 s → 7.75 s on the 500k-doc classifier pipeline) must
+    (a) insert exactly one round-robin exchange on a starved scan, and
+    (b) NOT stack a second exchange when composed operators each apply
+    it (the lineage Repartition check)."""
+    from pedsnetdcc_spark.datapipe.text import lang_id, text_stats
+    from pedsnetdcc_spark.util import ensure_parallelism
+
+    docs = read_table(spark, sf_dir, "documents")
+    assert len(docs.inputFiles()) < spark.sparkContext.defaultParallelism
+    once = ensure_parallelism(docs)
+    assert _plan(once).count("RoundRobinPartitioning") == 1
+    # second application is a no-op
+    assert _plan(ensure_parallelism(once)).count("RoundRobinPartitioning") == 1
+    # composed guarded operators share ONE guard exchange
+    plan = _plan(text_stats(lang_id(docs)))
+    assert plan.count("RoundRobinPartitioning") == 1, plan
+
+
 def test_era_derivation_is_single_shuffle(spark, sf_dir):
     """The gaps-and-islands window and the finalizing groupBy must share
     ONE hash exchange (the groupBy reuses the window's partitioning) —
@@ -322,9 +343,15 @@ def test_edit_distance_adaptive_probe_keeps_flat_plan(spark, sf_dir):
 
 
 def test_doc_fingerprint_is_shuffle_free(spark, sf_dir):
-    """A per-document aggregate must not shuffle: the shingle min-hash
+    """A per-document aggregate must not re-group: the shingle min-hash
     is one array expression fused into the scan (the earlier
     explode+groupBy formulation re-grouped rows that were never
-    ungrouped — an exchange of the full shingle stream for nothing)."""
+    ungrouped — an exchange of the full shingle stream for nothing).
+    The single permitted exchange is the round-robin parallelism guard
+    (ensure_parallelism: the driver corpus is one small file, which
+    would otherwise serialize the per-row min-hash on one split; a
+    no-op at real scale)."""
     plan = _plan(QUERIES["doc_fingerprint"](spark, sf_dir))
-    assert "Exchange" not in plan, plan
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "Exchange rangepartitioning" not in plan, plan
+    assert "Exchange SinglePartition" not in plan, plan
