@@ -158,7 +158,47 @@ def main() -> None:
     }
     if os.environ.get("SPARK_GRAFT_BENCH_ISOLATED", "1") != "0":
         out["isolated"] = _isolated_pass(timings)
-    print(json.dumps(out))
+
+    # Full detail (all queries, 3-decimal, isolated block) goes to a
+    # file; stdout gets ONE line guaranteed to fit in a 2000-char
+    # stdout tail.  The harness that records bench output keeps only
+    # the tail, and since the registry passed ~70 queries the full
+    # line stopped fitting — rounds 4-8 recorded `parsed: null` and
+    # graded from a mid-line truncation.  The compact line keeps the
+    # slowest (most informative) rows and folds the rest into
+    # omitted_n/omitted_sum so `value` stays verifiable.
+    full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "BENCH_FULL.json")
+    with open(full_path, "w") as f:
+        json.dump(out, f, indent=1, sort_keys=True)
+    print(json.dumps(_compact_line(out), separators=(",", ":")))
+
+
+def _compact_line(out: dict, budget: int = 1850) -> dict:
+    """Shrink the bench dict to a single JSON line <= budget chars:
+    2-decimal rounding, slowest-first ordering, smallest rows folded
+    into omitted_n/omitted_sum until it fits."""
+    ranked = sorted(out["queries"].items(), key=lambda kv: -kv[1])
+    compact = {
+        "metric": out["metric"],
+        "value": round(out["value"], 2),
+        "unit": out["unit"],
+        "queries": {k: round(v, 2) for k, v in ranked},
+        "sf": out["sf"],
+        "full": "BENCH_FULL.json",
+    }
+    if "isolated" in out:
+        compact["isolated"] = {
+            k: round(v, 2) for k, v in out["isolated"].items()
+        }
+    omitted: list[float] = []
+    while len(json.dumps(compact, separators=(",", ":"))) > budget and compact["queries"]:
+        name, sec = min(compact["queries"].items(), key=lambda kv: kv[1])
+        omitted.append(sec)
+        del compact["queries"][name]
+        compact["omitted_n"] = len(omitted)
+        compact["omitted_sum"] = round(sum(omitted), 2)
+    return compact
 
 
 if __name__ == "__main__":

@@ -43,6 +43,21 @@ def build_session(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # AQE can only COALESCE shuffle partitions, never split them, so
+        # the initial partition count is the hard parallelism ceiling of
+        # every shuffle.  Start each shuffle 4x over-partitioned and let
+        # coalescing shrink small stages back down: a volume-heavy
+        # shuffle (e.g. the per-doc top-k over a ~250M-row scored token
+        # stream at the x1000 probe point) keeps enough partitions to
+        # sort in memory instead of spilling (measured: 98.6 s at 32
+        # partitions -> 74.7 s at 128, SCALE.md round-9), while
+        # small-stage runs coalesce to ~core-count partitions as before.
+        # On a real cluster the submitter raises shuffle_partitions and
+        # this multiplier scales with it.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+            str(shuffle_partitions * 4),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

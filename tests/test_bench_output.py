@@ -1,0 +1,61 @@
+"""The bench harness's stdout contract: the recorded channel keeps only
+a 2000-char tail of bench output, so the final JSON line must fit in it
+whole — rounds 4-8 printed a ~2.3k-char line and were recorded as
+`parsed: null` (mid-line truncation).  _compact_line is the guard."""
+
+import json
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+from bench import _compact_line  # noqa: E402
+
+
+def _fake_out(n_queries: int, with_isolated: bool = True) -> dict:
+    # worst-case shaped names/values: long names, 2-digit seconds
+    qs = {
+        f"streaming_windowed_query_{i:03d}": round(0.1 + (i % 80) / 7.0, 3)
+        for i in range(n_queries)
+    }
+    out = {
+        "metric": "pedsnetdcc_spark_total_query_time",
+        "value": round(sum(qs.values()), 3),
+        "unit": "sec",
+        "queries": qs,
+        "sf": 0.1,
+    }
+    if with_isolated:
+        out["isolated"] = {k: v for k, v in list(qs.items())[:10]}
+    return out
+
+
+def test_compact_line_fits_tail_budget():
+    for n in (38, 92, 150):
+        line = json.dumps(
+            _compact_line(_fake_out(n)), separators=(",", ":")
+        )
+        assert len(line) <= 1850, (n, len(line))
+
+
+def test_compact_line_total_is_verifiable():
+    out = _fake_out(120)
+    c = _compact_line(out)
+    recon = sum(c["queries"].values()) + c.get("omitted_sum", 0.0)
+    # per-entry 2-decimal rounding: tolerance is 0.005 * n_queries
+    assert abs(recon - out["value"]) <= 0.005 * len(out["queries"]) + 0.01
+    assert c.get("omitted_n", 0) + len(c["queries"]) == len(out["queries"])
+
+
+def test_compact_line_keeps_slowest_rows():
+    out = _fake_out(120)
+    c = _compact_line(out)
+    kept_min = min(c["queries"].values())
+    dropped = set(out["queries"]) - set(c["queries"])
+    assert all(round(out["queries"][n], 2) <= kept_min + 0.005 for n in dropped)
+
+
+def test_small_registry_passes_through_unchanged():
+    out = _fake_out(20, with_isolated=False)
+    c = _compact_line(out)
+    assert "omitted_n" not in c
+    assert set(c["queries"]) == set(out["queries"])
