@@ -177,16 +177,26 @@ def main() -> None:
 def _compact_line(out: dict, budget: int = 1850) -> dict:
     """Shrink the bench dict to a single JSON line <= budget chars:
     2-decimal rounding, slowest-first ordering, smallest rows folded
-    into omitted_n/omitted_sum until it fits."""
-    ranked = sorted(out["queries"].items(), key=lambda kv: -kv[1])
+    into omitted_n/omitted_sum until it fits.  Failed queries (the
+    -1.0 sentinel) are surfaced as an explicit ``failed`` list — they
+    must never disappear into the omitted fold, since the recorded
+    channel keeps only this line (the stderr failure text is lost)."""
+    failed = sorted(k for k, v in out["queries"].items() if v < 0)
+    ranked = sorted(
+        ((k, v) for k, v in out["queries"].items() if v >= 0),
+        key=lambda kv: -kv[1],
+    )
     compact = {
         "metric": out["metric"],
-        "value": round(out["value"], 2),
+        "value": round(sum(v for _, v in ranked), 2),
         "unit": out["unit"],
         "queries": {k: round(v, 2) for k, v in ranked},
         "sf": out["sf"],
         "full": "BENCH_FULL.json",
     }
+    if failed:
+        compact["failed_n"] = len(failed)
+        compact["failed"] = failed[:10]  # bounded; full list in the file
     if "isolated" in out:
         compact["isolated"] = {
             k: round(v, 2) for k, v in out["isolated"].items()

@@ -138,22 +138,26 @@ def knn_label_vote(
     ascending inside every top-k, vote ties by (count desc, label
     asc).
 
-    Shuffle shape: the top-k table is k·|queries| rows — tiny next to
-    the candidate corpus — so the label attach broadcasts IT and the
-    slim (id, label) projection of the candidates streams map-side;
-    the vote aggregation then shuffles only k·|queries| rows keyed by
-    query.  Nothing corpus-sized is exchanged after the scan."""
-    nn = (
-        neighbors
-        if neighbors is not None
-        else cosine_topk(candidates, queries, id_col, vec_col, k=k)
-    )
+    Shuffle shape: the default top-k table is k·|queries| rows — tiny
+    next to the candidate corpus — so the label attach broadcasts IT
+    and the slim (id, label) projection of the candidates streams
+    map-side; the vote aggregation then shuffles only k·|queries| rows
+    keyed by query.  Nothing corpus-sized is exchanged after the scan.
+    A caller-supplied ``neighbors=`` table is NOT force-broadcast —
+    the approximate path exists precisely for query sets too big for
+    the exact vote, where k·|queries| can exceed the broadcast limit;
+    AQE converts the join to a broadcast at runtime when the real size
+    allows."""
     labels = candidates.select(
         F.col(id_col).alias("neighbor_id"), F.col(label_col).alias("__nl")
     )
+    if neighbors is not None:
+        joined = labels.join(neighbors, "neighbor_id")
+    else:
+        nn = cosine_topk(candidates, queries, id_col, vec_col, k=k)
+        joined = labels.join(F.broadcast(nn), "neighbor_id")
     votes = (
-        labels.join(F.broadcast(nn), "neighbor_id")
-        .groupBy("query_id", "__nl")
+        joined.groupBy("query_id", "__nl")
         .agg(F.count(F.lit(1)).alias("votes"))
     )
     w = Window.partitionBy("query_id").orderBy(

@@ -2051,13 +2051,20 @@ def _capped_universe(
     ).limit(n)
     # the limit lands on ONE partition — respread by id so the
     # downstream explode/aggregate stages parallelize (N slim rows, a
-    # trivial shuffle the doc-keyed consumers reuse).  Deliberately NOT
+    # trivial shuffle the doc-keyed consumers reuse).  The partition
+    # count is EXPLICIT: a bare repartition(col) is AQE-coalescible by
+    # input bytes, and a proof universe is tiny in bytes while its
+    # consumers amplify O(n²) — AQE was coalescing this exchange to ONE
+    # partition and serializing every prover behind it (measured:
+    # embedding_near_dup 1.3 s → 9.6 s).  Deliberately NOT
     # cached: provers reference the universe from several join sides,
     # but re-running the scan + per-partition top-N is cheap while an
     # InMemoryRelation in the middle of the giant hyperplane/vote
     # expressions measurably degrades their codegen (and leaks cache
     # across bench queries).
-    return capped.repartition(F.col(id_col))
+    return capped.repartition(
+        df.sparkSession.sparkContext.defaultParallelism, F.col(id_col)
+    )
 
 
 def _capped_universe_sql(

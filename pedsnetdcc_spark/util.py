@@ -29,11 +29,28 @@ def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> Data
     non-file DataFrame (no files reported) is left untouched.
 
     Idempotent across composed operators: if the lineage already holds
-    a Repartition (this guard upstream, or an explicit key
-    repartition), the rows are already spread over the slots and a
-    second exchange would shuffle the stream again for nothing — the
-    logical-plan check is string-matching on the analyzed plan, still
-    job-free."""
+    a SHUFFLING repartition with an EXPLICIT width ≥ slots (this guard
+    upstream — ``Repartition n, true`` — or an explicit-count key
+    repartition, ``RepartitionByExpression [...], n``), a second
+    exchange would shuffle the stream again for nothing.  The check is
+    on the analyzed logical plan (job-free) and deliberately does NOT
+    trust:
+
+    - ``coalesce()`` — logically also a Repartition node but with
+      shuffle=false and a LOW target;
+    - a narrow ``repartition(k)`` / ``repartition(k, col)`` with
+      k < slots — still starved;
+    - ``repartition(col)`` with NO explicit count — AQE is free to
+      coalesce that exchange by INPUT bytes, and for a small stream
+      feeding a compute-amplifying stage (a capped proof universe
+      fanning into an O(n²) verify) it coalesces to ONE partition,
+      re-serializing exactly the work the guard exists to spread
+      (measured: embedding_near_dup 1.3 s → 9.6 s when a lineage
+      check trusted the bare RepartitionByExpression; AQE leaves
+      explicit-count repartitions alone, which is also why the
+      guard's own output suppresses downstream guards)."""
+    import re
+
     spark = df.sparkSession
     par = min_partitions or spark.sparkContext.defaultParallelism
     try:
@@ -43,7 +60,10 @@ def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> Data
     if not (0 < n_files < par):
         return df
     try:
-        if "Repartition" in df._jdf.queryExecution().logical().toString():
+        plan = df._jdf.queryExecution().logical().toString()
+        widths = re.findall(r"\bRepartition (\d+), true", plan)
+        widths += re.findall(r"RepartitionByExpression \[[^\]]*\], (\d+)", plan)
+        if any(int(n) >= par for n in widths):
             return df
     except Exception:
         pass

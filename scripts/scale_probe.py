@@ -174,7 +174,10 @@ def gen_documents_deep(n: int, seed: int, path: str) -> None:
             for i in range(cn):
                 gi = base + i
                 if gi >= 5 and rng.random() < 0.20:
-                    pool = window + texts[-200:] if i < 200 else texts[-200:]
+                    # strictly the last 200 docs across the chunk
+                    # boundary — matching gen_documents' rolling
+                    # window, so near-dup locality is scale-invariant
+                    pool = (window + texts)[-200:] if i < 200 else texts[-200:]
                     src = pool[int(rng.integers(0, len(pool)))].split(" ")
                     k = max(1, len(src) // 10)
                     idx = rng.choice(len(src), size=k, replace=False)

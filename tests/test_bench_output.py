@@ -4,9 +4,12 @@ whole — rounds 4-8 printed a ~2.3k-char line and were recorded as
 `parsed: null` (mid-line truncation).  _compact_line is the guard."""
 
 import json
+import os
 import sys
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
 
 from bench import _compact_line  # noqa: E402
 
@@ -59,3 +62,21 @@ def test_small_registry_passes_through_unchanged():
     c = _compact_line(out)
     assert "omitted_n" not in c
     assert set(c["queries"]) == set(out["queries"])
+
+
+def test_failed_queries_stay_visible_on_overbudget_line():
+    """A failed query's -1.0 sentinel is always the minimum timing, so
+    a naive smallest-first fold would silently drop it from the
+    recorded line exactly when the registry is over budget."""
+    out = _fake_out(120)
+    out["queries"]["broken_query_a"] = -1.0
+    out["queries"]["broken_query_b"] = -1.0
+    c = _compact_line(out)
+    line = json.dumps(c, separators=(",", ":"))
+    assert len(line) <= 1850
+    assert c["failed_n"] == 2
+    assert c["failed"] == ["broken_query_a", "broken_query_b"]
+    # sentinels excluded from the total and from the omitted fold
+    assert all(v >= 0 for v in c["queries"].values())
+    recon = sum(c["queries"].values()) + c.get("omitted_sum", 0.0)
+    assert abs(recon - c["value"]) <= 0.005 * 122 + 0.01

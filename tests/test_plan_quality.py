@@ -38,6 +38,46 @@ def test_ensure_parallelism_guard_and_idempotence(spark, sf_dir):
     # composed guarded operators share ONE guard exchange
     plan = _plan(text_stats(lang_id(docs)))
     assert plan.count("RoundRobinPartitioning") == 1, plan
+    # a coalesce() is logically also a Repartition node (shuffle=false)
+    # but LOWERS parallelism — the guard must still fire after it, and
+    # likewise after a narrow repartition(k < slots); only a shuffling
+    # repartition wide enough to feed the slots suppresses it
+    assert (
+        _plan(ensure_parallelism(docs.coalesce(1))).count(
+            "RoundRobinPartitioning"
+        )
+        == 1
+    )
+    par = spark.sparkContext.defaultParallelism
+    narrow = _plan(ensure_parallelism(docs.repartition(2)))
+    # the guard fires on the narrow repartition and CollapseRepartition
+    # merges the two round-robins into one at the guard's width
+    assert narrow.count("RoundRobinPartitioning") == 1
+    assert f"RoundRobinPartitioning({par})" in narrow, narrow
+    # a bare repartition(col) has NO explicit width — AQE may coalesce
+    # that exchange to one partition on a small-bytes stream, so the
+    # guard must not trust it; an explicit-width key repartition ≥
+    # slots is trusted
+    bare = _plan(ensure_parallelism(docs.repartition(F.col("doc_id"))))
+    assert "RoundRobinPartitioning" in bare, bare
+    keyed = ensure_parallelism(docs.repartition(par, F.col("doc_id")))
+    assert "RoundRobinPartitioning" not in _plan(keyed)
+
+
+def test_capped_universe_respread_survives_aqe(spark, sf_dir):
+    """The proof-universe cap (orderBy + limit) lands on ONE partition
+    and its consumers amplify O(n²), so the respread must be an
+    explicit-width repartition — a bare repartition(col) is
+    AQE-coalescible by INPUT bytes, and a 2000-row universe is ~1 MB:
+    AQE was serializing every prover behind a single partition
+    (measured: embedding_near_dup 1.3 s → 9.6 s)."""
+    from pedsnetdcc_spark.queries import _capped_universe
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    capped = _capped_universe(emb, "vec_id")
+    # runtime truth (post-AQE): the universe is actually spread
+    n = capped.rdd.getNumPartitions()
+    assert n >= min(spark.sparkContext.defaultParallelism, 4), n
 
 
 def test_era_derivation_is_single_shuffle(spark, sf_dir):
