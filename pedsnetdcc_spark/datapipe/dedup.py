@@ -24,6 +24,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from pedsnetdcc_spark.datapipe.text import shingle_ngrams, tokens
+from pedsnetdcc_spark.util import repartition_by_key
 
 
 def exact_dedup_groups(
@@ -355,7 +356,7 @@ def minhash_dedup_pairs(
     sh = (
         shingles
         if shingles is not None
-        else shingle_ngrams(df.repartition(F.col(id_col)), id_col, text_col, n=n)
+        else shingle_ngrams(repartition_by_key(df, F.col(id_col)), id_col, text_col, n=n)
     )
     mins = [
         F.min(_seeded_hash(F.col("shingle"), i, hash_family)).alias(f"h{i}")
@@ -411,7 +412,7 @@ def simhash(
     # equivalent to 2·Σ(w·bit) > Σw, so the per-bit aggregate is an
     # unconditional masked sum (no branch per row per bit — ~10% off
     # the whole signature job) plus ONE shared total-weight sum.
-    df = df.repartition(F.col(id_col))
+    df = repartition_by_key(df, F.col(id_col))
     toks = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("tok"))
     if hash_family == "portable":
         src = toks.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("__tf"))
@@ -450,7 +451,7 @@ def simhash64(
     sum.  Near-duplicates have small Hamming distance."""
     # single doc-keyed exchange; signed votes folded to unconditional
     # masked bit-sums (2·ones > n ⟺ vote sum > 0) — see simhash
-    df = df.repartition(F.col(id_col))
+    df = repartition_by_key(df, F.col(id_col))
     toks = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("tok"))
     h = F.xxhash64(F.col("tok"))
     ones = [

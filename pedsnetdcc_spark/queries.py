@@ -2364,10 +2364,11 @@ def q_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ngram_jaccard_pairs,
     )
     from pedsnetdcc_spark.datapipe.text import shingle_ngrams
+    from pedsnetdcc_spark.util import repartition_by_key
 
     docs = _t(spark, sf_dir, "documents")
     sh = shingle_ngrams(
-        docs.repartition(F.col("doc_id")), "doc_id", "text", n=3
+        repartition_by_key(docs, F.col("doc_id")), "doc_id", "text", n=3
     )
     prod = minhash_dedup_pairs(
         docs, "doc_id", "text", n=3, num_hashes=16, num_bands=4,

@@ -70,6 +70,27 @@ def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> Data
     return df.repartition(par)
 
 
+def repartition_by_key(df: DataFrame, *cols, num_partitions: int | None = None) -> DataFrame:
+    """Key-clustered repartition that OPTS OUT of AQE partition
+    coalescing by carrying an explicit width.
+
+    A bare ``df.repartition(col)`` leaves the width to AQE, which
+    sizes the exchange by INPUT bytes — correct for byte-bound
+    consumers, wrong for compute-amplifying ones: a doc-keyed text
+    stream explodes ~100× into tokens/shingles before aggregating, so
+    byte-sizing a ~30 MB stream to 1-3 partitions serializes the CPU
+    work behind it (measured: simhash64 at sf0.1 1.2 s bare → 0.5 s
+    explicit, 2.6×; the capped proof universes hit the same cliff at
+    ~1 MB → ONE partition, embedding_near_dup 1.3 → 9.6 s).  The
+    explicit width is the session's shuffle-partition count — exactly
+    what the exchange would get with AQE off, and on a real cluster
+    the submitter already sizes that to the fleet."""
+    n = num_partitions or int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
+    return df.repartition(n, *cols)
+
+
 def salted_join(
     left: "DataFrame",
     right: "DataFrame",
