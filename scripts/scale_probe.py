@@ -1099,7 +1099,16 @@ def main() -> None:
         ]
         deep_names = [
             q
-            for q in ["quality_classifier", "bpe_encode", "tfidf_top_terms"]
+            for q in [
+                "quality_classifier",
+                "bpe_encode",
+                "tfidf_top_terms",
+                # round-9 additions: the other two rows whose second-
+                # decade exponents drifted past 0.7 (documents-only
+                # readers, so the deep corpus suffices)
+                "lm_perplexity",
+                "corpus_pipeline",
+            ]
             if not args.only or q in args.only.split(",")
         ]
         QUERIES["tfidf_top_terms"](spark, points[0][1]).count()  # JVM warm
