@@ -64,6 +64,19 @@ def test_ensure_parallelism_guard_and_idempotence(spark, sf_dir):
     assert "RoundRobinPartitioning" not in _plan(keyed)
 
 
+def test_bmi_derivation_plan_shape(spark, sf_dir):
+    """The composed BMI row (as-of pair → BMI math → LMS z-score) must
+    keep the as-of design: the union-stream window and the right-side
+    same-instant dedup share the person key (2 hash exchanges total),
+    the LMS reference joins as a broadcast, and there is no self-join
+    (SortMergeJoin) and no Python stage anywhere."""
+    plan = _plan(QUERIES["bmi_derivation"](spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
+    assert plan.count("BroadcastHashJoin") >= 1, plan
+    assert "SortMergeJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
 def test_capped_universe_respread_survives_aqe(spark, sf_dir):
     """The proof-universe cap (orderBy + limit) lands on ONE partition
     and its consumers amplify O(n²), so the respread must be an
