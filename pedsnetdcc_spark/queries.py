@@ -2062,9 +2062,9 @@ def _capped_universe(
     # InMemoryRelation in the middle of the giant hyperplane/vote
     # expressions measurably degrades their codegen (and leaks cache
     # across bench queries).
-    return capped.repartition(
-        df.sparkSession.sparkContext.defaultParallelism, F.col(id_col)
-    )
+    from pedsnetdcc_spark.util import repartition_by_key
+
+    return repartition_by_key(capped, F.col(id_col))
 
 
 def _capped_universe_sql(

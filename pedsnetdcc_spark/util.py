@@ -61,10 +61,24 @@ def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> Data
         return df
     try:
         plan = df._jdf.queryExecution().logical().toString()
-        widths = re.findall(r"\bRepartition (\d+), true", plan)
-        widths += re.findall(r"RepartitionByExpression \[[^\]]*\], (\d+)", plan)
-        if any(int(n) >= par for n in widths):
-            return df
+        # Only the OUTERMOST repartition-family node (first in the
+        # top-down plan string) describes the stream's final layout: a
+        # wide repartition buried under a later coalesce() — or on the
+        # other branch of a join — must not vouch for a starved stream.
+        m = re.search(
+            r"\bRepartition (\d+), (true|false)"
+            r"|RepartitionByExpression \[[^\]]*\](?:, (\d+))?",
+            plan,
+        )
+        if m:
+            if m.group(1) is not None:  # Repartition n, true/false
+                if m.group(2) == "true" and int(m.group(1)) >= par:
+                    return df
+            elif m.group(3) is not None:  # RepartitionByExpression [...], n
+                if int(m.group(3)) >= par:
+                    return df
+            # narrow, coalesce, or width-elided (AQE-coalescible):
+            # fall through and fire
     except Exception:
         pass
     return df.repartition(par)
@@ -82,12 +96,25 @@ def repartition_by_key(df: DataFrame, *cols, num_partitions: int | None = None) 
     work behind it (measured: simhash64 at sf0.1 1.2 s bare → 0.5 s
     explicit, 2.6×; the capped proof universes hit the same cliff at
     ~1 MB → ONE partition, embedding_near_dup 1.3 → 9.6 s).  The
-    explicit width is the session's shuffle-partition count — exactly
-    what the exchange would get with AQE off, and on a real cluster
-    the submitter already sizes that to the fleet."""
-    n = num_partitions or int(
-        df.sparkSession.conf.get("spark.sql.shuffle.partitions")
-    )
+    explicit width is max(shuffle partitions, default parallelism) —
+    at least what the exchange would get with AQE off, never below the
+    slot count (so `ensure_parallelism` downstream trusts it and does
+    not stack a round-robin exchange on top when a session runs with
+    shuffle_partitions < cores), and on a real cluster the submitter
+    already sizes both to the fleet.  A non-numeric
+    ``spark.sql.shuffle.partitions`` (e.g. an auto-tuning platform
+    value) degrades to default parallelism alone."""
+    sc = df.sparkSession.sparkContext
+    if num_partitions:
+        n = num_partitions
+    else:
+        try:
+            shuffle_n = int(
+                df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+            )
+        except (TypeError, ValueError):
+            shuffle_n = 0
+        n = max(shuffle_n, sc.defaultParallelism)
     return df.repartition(n, *cols)
 
 

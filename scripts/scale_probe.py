@@ -212,9 +212,9 @@ def gen_documents_deep(n: int, seed: int, path: str) -> None:
 
 
 def build_pair_deep_scale(tag: str, docs: int, seed: int) -> str:
-    """x1000 pair point: documents only — the three drifting rows
-    (`quality_classifier`, `bpe_encode`, `tfidf_top_terms`) read no
-    other table."""
+    """x1000 pair point: documents only — every probed pair_deep row
+    (`quality_classifier`, `bpe_encode`, `tfidf_top_terms`,
+    `lm_perplexity`, `corpus_pipeline`) reads no other table."""
     d = os.path.join(SCALE_DIR, tag)
     os.makedirs(d, exist_ok=True)
     marker = os.path.join(d, ".complete")
@@ -1081,12 +1081,12 @@ def main() -> None:
         out["families"]["cdm_deep"] = fam
 
     if args.family == "pair_deep":
-        # third decade for the pair family's three drifting rows
-        # (round-8 verdict item 4): x100 second-decade exponents read
-        # 0.85-0.93 — probe x1000 (5M docs) with the per-row-cost
-        # regime check the CDM family used (per-doc cost must be
-        # non-increasing; wall exponents drift toward 1.0 once 32
-        # threads saturate)
+        # third decade for the pair family's drifting rows (round-8
+        # verdict item 4 named three; round 9 added the other two rows
+        # whose second-decade exponents had passed 0.7): probe x1000
+        # (5M docs) with the per-row-cost regime check the CDM family
+        # used (per-doc cost must be non-increasing; wall exponents
+        # drift toward 1.0 once 32 threads saturate)
         points = [
             (
                 "x100",

@@ -62,6 +62,19 @@ def test_ensure_parallelism_guard_and_idempotence(spark, sf_dir):
     assert "RoundRobinPartitioning" in bare, bare
     keyed = ensure_parallelism(docs.repartition(par, F.col("doc_id")))
     assert "RoundRobinPartitioning" not in _plan(keyed)
+    # only the OUTERMOST repartition-family node describes the final
+    # layout: a wide repartition buried under a later coalesce() must
+    # not vouch for the (re-starved) stream
+    buried = _plan(ensure_parallelism(docs.repartition(par).coalesce(1)))
+    assert "RoundRobinPartitioning" in buried, buried
+    # repartition_by_key's explicit width is >= the slot count, so the
+    # guard trusts it and does NOT stack a round-robin exchange that
+    # would erase the key clustering (shuffle_partitions=8 > par=4 in
+    # this session; the width rule is max(shuffle, parallelism))
+    from pedsnetdcc_spark.util import repartition_by_key
+
+    keyed2 = ensure_parallelism(repartition_by_key(docs, F.col("doc_id")))
+    assert "RoundRobinPartitioning" not in _plan(keyed2)
 
 
 def test_bmi_derivation_plan_shape(spark, sf_dir):
