@@ -1,0 +1,272 @@
+"""WebDataset-style sharded tar sink/source for multimodal training
+corpora.
+
+Public convention (the webdataset project's format): a corpus is a
+directory of POSIX tar shards (``shard-000000.tar`` …); a SAMPLE is the
+run of consecutive tar members sharing one basename key with different
+extensions (``000042.txt``, ``000042.png``, ``000042.json``).  Training
+dataloaders stream shards sequentially — the shard is the unit of
+parallelism and sequential IO is the point (no per-sample seeks, object
+-store friendly).  The reference has no multimodal surface at all; this
+is part of the engine's training-data extension family, next to the
+JSONL corpus source (sources/jsonl.py) and the multimodal codecs
+(datapipe/multimodal.py).
+
+Spark mapping:
+
+- WRITE — shard membership is a PURE FUNCTION of the sample key:
+  ``repartition(shards, hash(key))`` hash-partitions rows by key value
+  (explicit width, so AQE never coalesces it — SCALE.md round-9), and
+  a within-partition sort on the key fixes member order, so the same
+  corpus produces byte-identical shards regardless of how the input
+  arrived partitioned.  Each task then streams its partition into ONE
+  tar via the stdlib ``tarfile`` (no whole-shard buffering: members are
+  appended as rows arrive).  Tar metadata is pinned (mtime=0,
+  uid/gid=0) for reproducibility.
+- READ — the shard list comes from Spark's ``binaryFile`` source with
+  the ``content`` column PRUNED (only ``path``/``length`` are read, so
+  listing scales without shipping blobs), one task per shard; each task
+  streams its tar and yields samples in bounded Arrow batches.  Shards
+  should be sized 128 MB–1 GB (the export_table rule of thumb) so a
+  shard fits a task comfortably at any corpus size.
+
+Paths must be visible to executors as POSIX paths (local, NFS, fuse
+mounts — the usual WebDataset deployment).  For a pure object store,
+read via ``spark.read.format("binaryFile")`` with ``content`` selected
+and pass the blobs to :func:`iter_tar_samples` — same decode path.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import os
+import tarfile
+from typing import Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+#: samples per emitted Arrow batch on read — bounds executor/python
+#: transfer memory when members are MB-scale binaries (same reasoning
+#: as the session's 1024-row Arrow batch cap for multimodal columns)
+_READ_BATCH_SAMPLES = 256
+
+
+def _shard_name(pid: int) -> str:
+    return f"shard-{pid:06d}.tar"
+
+
+def _tarinfo(name: str, size: int) -> tarfile.TarInfo:
+    ti = tarfile.TarInfo(name=name)
+    ti.size = size
+    ti.mtime = 0  # pinned: byte-identical shards for identical corpora
+    ti.uid = ti.gid = 0
+    ti.uname = ti.gname = ""
+    ti.mode = 0o644
+    return ti
+
+
+def write_webdataset(
+    df: DataFrame,
+    path: str,
+    key_col: str,
+    members: dict[str, str],
+    shards: int,
+    meta_cols: list[str] | None = None,
+) -> list[dict]:
+    """Write ``df`` as ``shards`` WebDataset tar shards under ``path``.
+
+    ``members`` maps extension → column: binary columns are written
+    raw, string columns utf-8 (``{"png": "image", "txt": "text"}`` →
+    members ``<key>.png``, ``<key>.txt``).  ``meta_cols`` are packed
+    into one sorted-key ``<key>.json`` member (the WebDataset metadata
+    convention).  Null member values are skipped (absent member), null
+    keys rejected.
+
+    Returns the per-shard manifest (shard file, samples, members,
+    bytes) — the action that executes the write; manifest size is
+    bounded by ``shards``.  Scale shape: ONE explicit-width exchange
+    (hash of the key), then each task streams rows into its tar —
+    memory is O(row), not O(shard).
+    """
+    if not members:
+        raise ValueError("members must map at least one extension")
+    meta_cols = list(meta_cols or [])
+    cols = [key_col, *members.values(), *meta_cols]
+    slim = df.select(*cols)
+    str_cols = {
+        c for c, t in slim.dtypes if c in set(members.values()) and t == "string"
+    }
+    os.makedirs(path, exist_ok=True)
+    exts = dict(members)  # closure copy
+
+    out_schema = StructType(
+        [
+            StructField("shard", StringType()),
+            StructField("samples", LongType()),
+            StructField("members", LongType()),
+            StructField("bytes", LongType()),
+        ]
+    )
+
+    def write_partition(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        fname = _shard_name(pid)
+        full = os.path.join(path, fname)
+        n_samples = n_members = 0
+        with tarfile.open(full, "w") as tar:
+            for pdf in batches:
+                for row in pdf.itertuples(index=False):
+                    rec = row._asdict()
+                    key = rec[key_col]
+                    if key is None:
+                        raise ValueError("null sample key")
+                    key = str(key)
+                    n_samples += 1
+                    for ext, col in exts.items():
+                        v = rec[col]
+                        if v is None:
+                            continue
+                        data = (
+                            v.encode("utf-8") if col in str_cols else bytes(v)
+                        )
+                        tar.addfile(
+                            _tarinfo(f"{key}.{ext}", len(data)),
+                            io.BytesIO(data),
+                        )
+                        n_members += 1
+                    if meta_cols:
+                        meta = {
+                            c: (None if pd.isna(rec[c]) else rec[c])
+                            for c in meta_cols
+                        }
+                        data = json.dumps(
+                            meta, sort_keys=True, default=str
+                        ).encode("utf-8")
+                        tar.addfile(
+                            _tarinfo(f"{key}.json", len(data)), io.BytesIO(data)
+                        )
+                        n_members += 1
+        yield pd.DataFrame(
+            {
+                "shard": [fname],
+                "samples": [n_samples],
+                "members": [n_members],
+                "bytes": [os.path.getsize(full)],
+            }
+        )
+
+    manifest = (
+        slim.repartition(shards, F.col(key_col))
+        .sortWithinPartitions(key_col)
+        .mapInPandas(write_partition, schema=out_schema)
+        .collect()  # bounded by `shards`; this action IS the write
+    )
+    return [r.asDict() for r in manifest]
+
+
+def iter_tar_samples(
+    buf_or_path, want: set[str]
+) -> Iterator[tuple[str, dict[str, bytes]]]:
+    """Stream (key, {ext: bytes}) samples from one tar shard, grouping
+    the consecutive members that share a basename key (the WebDataset
+    sample rule: key = name up to the FIRST dot, extension = the rest).
+    Accepts a filesystem path or a bytes-like object (object-store
+    blobs via binaryFile)."""
+    if isinstance(buf_or_path, (bytes, bytearray, memoryview)):
+        tar = tarfile.open(fileobj=io.BytesIO(bytes(buf_or_path)), mode="r")
+    else:
+        tar = tarfile.open(buf_or_path, mode="r")
+    with tar:
+        cur_key: str | None = None
+        cur: dict[str, bytes] = {}
+        for ti in tar:
+            if not ti.isfile():
+                continue
+            base = os.path.basename(ti.name)
+            key, _, ext = base.partition(".")
+            if key != cur_key:
+                if cur_key is not None:
+                    yield cur_key, cur
+                cur_key, cur = key, {}
+            if ext in want:
+                f = tar.extractfile(ti)
+                cur[ext] = f.read() if f is not None else b""
+        if cur_key is not None:
+            yield cur_key, cur
+
+
+def read_webdataset(
+    spark: SparkSession,
+    path: str,
+    members: dict[str, str],
+    text_exts: set[str] | None = None,
+    key_out: str = "sample_key",
+) -> DataFrame:
+    """Read a WebDataset shard directory back as one row per sample.
+
+    ``members`` maps extension → output column (binary; extensions in
+    ``text_exts`` decode utf-8 to string — pass the ``.json`` metadata
+    extension here and parse with ``F.from_json``).  Absent members are
+    null.  One task per shard: the shard list is a pruned binaryFile
+    scan (``path`` only — no blob shipping), each task streams its tar
+    sequentially and yields bounded Arrow batches.
+    """
+    text_exts = text_exts or set()
+    fields = [StructField(key_out, StringType())]
+    for ext, col in members.items():
+        fields.append(
+            StructField(col, StringType() if ext in text_exts else BinaryType())
+        )
+    schema = StructType(fields)
+    want = set(members)
+    exts = dict(members)
+
+    paths = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.tar")
+        .load(path)
+        .select("path")  # prunes `content`: listing only, no blob read
+    )
+
+    def read_shards(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        def flush(rows: list[dict]) -> "pd.DataFrame":
+            return pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+
+        for pdf in batches:
+            for uri in pdf["path"]:
+                local = uri[len("file:") :] if uri.startswith("file:") else uri
+                rows: list[dict] = []
+                for key, got in iter_tar_samples(local, want):
+                    rec = {key_out: key}
+                    for ext, col in exts.items():
+                        v = got.get(ext)
+                        if v is not None and ext in text_exts:
+                            v = v.decode("utf-8")
+                        rec[col] = v
+                    rows.append(rec)
+                    if len(rows) >= _READ_BATCH_SAMPLES:
+                        yield flush(rows)
+                        rows = []
+                if rows:
+                    yield flush(rows)
+
+    # one shard per task: the repartition width is the (small, known)
+    # shard-list size — an explicit width, so AQE leaves it alone
+    n = paths.count()
+    if n == 0:
+        return spark.createDataFrame([], schema)
+    return paths.repartition(n, "path").mapInPandas(read_shards, schema=schema)

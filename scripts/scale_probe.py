@@ -224,6 +224,20 @@ def build_pair_deep_scale(tag: str, docs: int, seed: int) -> str:
     return d
 
 
+def build_sim_deep_scale(tag: str, embs: int, seed: int) -> str:
+    """x1000 similarity point: embeddings only — every probed sim_deep
+    row reads no other table.  Same generator (and 10% rolling-window
+    near-copy regime) as the pair family's embeddings at every scale,
+    including the seed offset `build_scale` uses."""
+    d = os.path.join(SCALE_DIR, tag)
+    os.makedirs(d, exist_ok=True)
+    marker = os.path.join(d, ".complete")
+    if not os.path.exists(marker):
+        gen_embeddings(embs, seed + 1, os.path.join(d, "embeddings.parquet"))
+        open(marker, "w").close()
+    return d
+
+
 def gen_embeddings(n: int, seed: int, path: str) -> None:
     """10% of vectors are noised copies of a BASE vector (never of
     another copy): copy-of-copy chains build long-diameter path graphs
@@ -860,7 +874,10 @@ def main() -> None:
     ap.add_argument("--runs", type=int, default=2)
     ap.add_argument(
         "--family",
-        choices=["pair", "cdm", "streaming", "cdm_deep", "pair_deep", "all"],
+        choices=[
+            "pair", "cdm", "streaming", "cdm_deep", "pair_deep", "sim_deep",
+            "all",
+        ],
         default="all",
     )
     ap.add_argument(
@@ -1127,6 +1144,100 @@ def main() -> None:
             _probe_family(spark, QUERIES, deep_names, {}, points, args.runs)
         )
         out["families"]["pair_deep"] = fam
+
+    if args.family == "sim_deep":
+        # third decade for the similarity family: the embedding
+        # near-dup LSH scale path, the auto-grid ANN search paths, and
+        # semantic dedup at 2M vectors.  The registry's prover rows run
+        # these through capped proof universes, so the probes exercise
+        # the production paths directly, uncapped.
+        points = [
+            (
+                "x100",
+                build_scale(
+                    "x100", docs=500_000, embs=200_000, names=200_000, seed=7
+                ),
+                100,
+            ),
+            (
+                "x1000",
+                build_sim_deep_scale("sim_x1000", embs=2_000_000, seed=7),
+                1000,
+            ),
+        ]
+
+        def _read_emb(spark, d):
+            from pedsnetdcc_spark.sources.io import read_table
+
+            return read_table(spark, d, "embeddings")
+
+        def _ann_query_set(emb):
+            # fixed 200-query evaluation set, hash-ordered so the same
+            # selection rule applies at every scale: wall time then
+            # measures (one corpus-sketch scan) + (200 x per-query
+            # bucket work) — per-query work must stay bucket-bounded
+            # for the exponent to track the scan, not the search
+            from pyspark.sql import functions as F
+
+            return emb.orderBy(
+                F.xxhash64(F.col("vec_id")), F.col("vec_id")
+            ).limit(200)
+
+        def _lsh_near_dup(spark, d):
+            from pedsnetdcc_spark.datapipe.similarity import (
+                embedding_near_dup_pairs_lsh,
+            )
+
+            emb = _read_emb(spark, d)
+            return embedding_near_dup_pairs_lsh(
+                emb, "vec_id", "embedding", threshold=0.9
+            )
+
+        def _ann_lsh(spark, d):
+            from pedsnetdcc_spark.datapipe.similarity import lsh_bucketed_topk
+
+            emb = _read_emb(spark, d)
+            return lsh_bucketed_topk(emb, _ann_query_set(emb), k=5, dim=64)
+
+        def _ann_ivf(spark, d):
+            from pedsnetdcc_spark.datapipe.similarity import ivf_topk
+
+            emb = _read_emb(spark, d)
+            # sample_size raised with the corpus per the docstring's
+            # >0.5M-vectors guidance (auto caps centroids at 1024, so
+            # cells hold ~2k candidates at x1000)
+            return ivf_topk(
+                emb, _ann_query_set(emb), k=5, nprobe=8, sample_size=8192,
+                seed=0,
+            )
+
+        sim_extra = {
+            "embedding_lsh_auto_uncapped": _lsh_near_dup,
+            "ann_lsh_auto_200q": _ann_lsh,
+            "ann_ivf_auto_200q": _ann_ivf,
+        }
+        sim_names = [
+            q
+            for q in list(sim_extra) + ["semantic_dedup"]
+            if not args.only or q in args.only.split(",")
+        ]
+        _ann_lsh(spark, points[0][1]).count()  # JVM warm
+        spark.catalog.clearCache()
+        fam = out["families"].get(
+            "sim_deep",
+            {
+                "x100_rows": {"embeddings": 200_000},
+                "x1000_rows": {"embeddings": 2_000_000},
+                "invariant": "64-dim unit gaussians with a 10% "
+                "rolling-window near-copy rate at every scale; ANN rows "
+                "search a fixed hash-selected 200-query set",
+                "queries": {},
+            },
+        )
+        fam["queries"].update(
+            _probe_family(spark, QUERIES, sim_names, sim_extra, points, args.runs)
+        )
+        out["families"]["sim_deep"] = fam
 
     with open(args.out, "w") as f:
         json.dump(out, f, indent=2)

@@ -1,0 +1,157 @@
+"""WebDataset-style sharded tar sink/source (sources/webdataset.py).
+
+The reference has no multimodal/corpus-export surface; this is the
+engine's training-data extension family.  Checks: lossless round-trip
+(text + PNG binary + json metadata), deterministic byte-identical
+shards independent of input partitioning (membership = pure function
+of the key), sample adjacency inside each shard, null-member handling,
+and manifest accounting.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import tarfile
+
+import pytest
+
+from pedsnetdcc_spark.datapipe.multimodal import encode_png
+from pedsnetdcc_spark.sources.webdataset import (
+    iter_tar_samples,
+    read_webdataset,
+    write_webdataset,
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = []
+    for i in range(57):
+        px = bytes((i + j) % 256 for j in range(4 * 3))
+        rows.append(
+            (
+                f"{i:06d}",
+                f"document {i} text\nwith a second line",
+                encode_png(4, 3, px, channels=1),
+                i % 5,
+                float(i) / 2,
+            )
+        )
+    return spark.createDataFrame(
+        rows, "doc_id string, text string, image binary, label int, score double"
+    )
+
+
+def _write(corpus, path):
+    return write_webdataset(
+        corpus,
+        path,
+        key_col="doc_id",
+        members={"txt": "text", "png": "image"},
+        shards=4,
+        meta_cols=["label", "score"],
+    )
+
+
+def test_roundtrip_lossless(spark, corpus, tmp_path):
+    out = str(tmp_path / "wds")
+    manifest = _write(corpus, out)
+    assert sorted(m["shard"] for m in manifest) == [
+        f"shard-{i:06d}.tar" for i in range(4)
+    ]
+    assert sum(m["samples"] for m in manifest) == 57
+    # 2 content members + 1 json metadata member per sample
+    assert sum(m["members"] for m in manifest) == 57 * 3
+    back = read_webdataset(
+        spark,
+        out,
+        members={"txt": "text", "png": "image", "json": "meta"},
+        text_exts={"txt", "json"},
+    )
+    got = {r["sample_key"]: r for r in back.collect()}
+    assert len(got) == 57
+    for r in corpus.collect():
+        b = got[r["doc_id"]]
+        assert b["text"] == r["text"]
+        assert bytes(b["image"]) == bytes(r["image"])
+        meta = json.loads(b["meta"])
+        assert meta == {"label": r["label"], "score": r["score"]}
+
+
+def test_shards_deterministic_and_membership_pure(corpus, tmp_path):
+    """Byte-identical shards regardless of how the input arrived
+    partitioned — shard membership is a pure function of the key."""
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    _write(corpus, a)
+    _write(corpus.repartition(13).sortWithinPartitions("score"), b)
+
+    def digests(d):
+        return {
+            f: hashlib.sha256(open(os.path.join(d, f), "rb").read()).hexdigest()
+            for f in sorted(os.listdir(d))
+        }
+
+    da, db = digests(a), digests(b)
+    assert da == db and len(da) == 4
+
+
+def test_sample_members_adjacent_in_shard(corpus, tmp_path):
+    """The WebDataset sample rule: a sample's members are CONSECUTIVE
+    tar entries — verified with plain tarfile, no engine code."""
+    out = str(tmp_path / "wds")
+    _write(corpus, out)
+    total = 0
+    for f in os.listdir(out):
+        with tarfile.open(os.path.join(out, f)) as tar:
+            names = [m.name for m in tar if m.isfile()]
+        keys = [n.partition(".")[0] for n in names]
+        # each key appears exactly once as a consecutive run
+        seen, prev = set(), None
+        for k in keys:
+            if k != prev:
+                assert k not in seen, f"non-adjacent sample {k} in {f}"
+                seen.add(k)
+                prev = k
+        total += len(seen)
+    assert total == 57
+
+
+def test_null_member_skipped(spark, tmp_path):
+    df = spark.createDataFrame(
+        [("a", "has text", None), ("b", None, b"\x01\x02")],
+        "doc_id string, text string, image binary",
+    )
+    out = str(tmp_path / "wds")
+    m = write_webdataset(
+        df, out, key_col="doc_id", members={"txt": "text", "png": "image"},
+        shards=1,
+    )
+    assert m[0]["samples"] == 2 and m[0]["members"] == 2
+    back = read_webdataset(
+        spark, out, members={"txt": "text", "png": "image"}, text_exts={"txt"}
+    ).collect()
+    by_key = {r["sample_key"]: r for r in back}
+    assert by_key["a"]["text"] == "has text" and by_key["a"]["image"] is None
+    assert by_key["b"]["text"] is None and bytes(by_key["b"]["image"]) == b"\x01\x02"
+
+
+def test_iter_tar_samples_accepts_blob(corpus, tmp_path):
+    """Object-store path: the same decoder runs on in-memory blobs
+    (binaryFile `content`), not just POSIX paths."""
+    out = str(tmp_path / "wds")
+    _write(corpus, out)
+    f = sorted(os.listdir(out))[0]
+    blob = open(os.path.join(out, f), "rb").read()
+    from_path = list(iter_tar_samples(os.path.join(out, f), {"txt", "png"}))
+    from_blob = list(iter_tar_samples(blob, {"txt", "png"}))
+    assert from_path == from_blob and len(from_blob) > 0
+
+
+def test_read_plan_has_no_row_udfs(spark, corpus, tmp_path):
+    out = str(tmp_path / "wds")
+    _write(corpus, out)
+    back = read_webdataset(spark, out, members={"txt": "text"})
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan  # Arrow-batched, never per-row
