@@ -731,6 +731,49 @@ def cmd_corpus_import(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_wds_export(args: argparse.Namespace) -> int:
+    """Export a namespace table as WebDataset tar shards
+    (sources/webdataset): ``--member ext=column`` picks the per-sample
+    members, ``--meta-col`` columns pack into the ``.json`` member."""
+    from pedsnetdcc_spark.sources.webdataset import write_webdataset
+
+    spark = _session(args)
+    df = _read(spark, args.input, args.table)
+    members = dict(m.split("=", 1) for m in args.member)
+    manifest = write_webdataset(
+        df, args.output, key_col=args.key_col, members=members,
+        shards=args.shards, meta_cols=args.meta_col or None,
+    )
+    print(
+        json.dumps(
+            {
+                "exported": args.table,
+                "out": args.output,
+                "shards": len(manifest),
+                "samples": sum(m["samples"] for m in manifest),
+                "bytes": sum(m["bytes"] for m in manifest),
+            }
+        )
+    )
+    return 0
+
+
+def cmd_wds_import(args: argparse.Namespace) -> int:
+    """Import WebDataset tar shards into a namespace table; ``--text``
+    extensions decode utf-8 (pass the metadata ext there and parse it
+    downstream with from_json)."""
+    from pedsnetdcc_spark.sources.webdataset import read_webdataset
+
+    spark = _session(args)
+    members = dict(m.split("=", 1) for m in args.member)
+    df = read_webdataset(
+        spark, args.input, members=members, text_exts=set(args.text or ())
+    )
+    _publish(spark, args.output, {args.table: df})
+    print(json.dumps({"imported": args.table, "samples": df.count()}))
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="pedsnetdcc-spark", description=__doc__.split("\n")[0]
@@ -995,6 +1038,36 @@ def build_parser() -> argparse.ArgumentParser:
                     help="namespace whose table supplies the schema")
     sp.add_argument("--table", default="documents")
     sp.set_defaults(fn=cmd_corpus_import)
+
+    sp = sub.add_parser(
+        "wds-export", help="export a table as WebDataset tar shards"
+    )
+    sp.add_argument("--input", "-i", required=True, help="input namespace dir")
+    sp.add_argument("--output", "-o", required=True, help="shard output dir")
+    sp.add_argument("--table", default="documents")
+    sp.add_argument("--key-col", default="doc_id")
+    sp.add_argument(
+        "--member", action="append", required=True, metavar="EXT=COLUMN",
+        help="tar member extension=source column (repeatable)",
+    )
+    sp.add_argument("--meta-col", action="append", metavar="COLUMN",
+                    help="column packed into the .json member (repeatable)")
+    sp.add_argument("--shards", type=int, default=16)
+    sp.set_defaults(fn=cmd_wds_export)
+
+    sp = sub.add_parser(
+        "wds-import", help="import WebDataset tar shards into a table"
+    )
+    sp.add_argument("--input", "-i", required=True, help="shard input dir")
+    sp.add_argument("--output", "-o", required=True, help="output store root")
+    sp.add_argument("--table", default="documents")
+    sp.add_argument(
+        "--member", action="append", required=True, metavar="EXT=COLUMN",
+        help="tar member extension=output column (repeatable)",
+    )
+    sp.add_argument("--text", action="append", metavar="EXT",
+                    help="extensions decoded utf-8 to string (repeatable)")
+    sp.set_defaults(fn=cmd_wds_import)
 
     sp = sub.add_parser("undo", help="restore the previous published generation")
     sp.add_argument("--output", "-o", required=True)

@@ -255,6 +255,40 @@ def test_cli_corpus_export_import(spark, sf_dir, tmp_path, capsys):
     shutil.rmtree(ns, ignore_errors=True)
 
 
+def test_cli_wds_export_import(spark, sf_dir, tmp_path, capsys):
+    import json
+    import shutil
+
+    from pedsnetdcc_spark.cli import main
+    from pedsnetdcc_spark.sources.io import read_table
+
+    ns = tmp_path / "ns"
+    ns.mkdir()
+    docs = read_table(spark, sf_dir, "documents")
+    docs.write.parquet(str(ns / "documents"))
+
+    wds = tmp_path / "wds"
+    assert main([
+        "wds-export", "-i", str(ns), "-o", str(wds), "--shards", "3",
+        "--member", "txt=text", "--meta-col", "source",
+    ]) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["shards"] == 3 and rep["samples"] == docs.count()
+
+    out = tmp_path / "imported"
+    assert main([
+        "wds-import", "-i", str(wds), "-o", str(out),
+        "--member", "txt=text", "--text", "txt",
+    ]) == 0
+    back = read_table(spark, str(out / "current"), "documents")
+    assert back.count() == docs.count()
+    joined = back.withColumnRenamed("sample_key", "k").join(
+        docs.selectExpr("cast(doc_id as string) k", "text t0"), "k"
+    )
+    assert joined.filter("text <> t0").count() == 0
+    shutil.rmtree(ns, ignore_errors=True)
+
+
 def test_cli_corpus_pipeline(spark, sf_dir, tmp_path, capsys):
     import json
     import shutil
