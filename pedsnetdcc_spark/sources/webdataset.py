@@ -89,7 +89,9 @@ def write_webdataset(
     members ``<key>.png``, ``<key>.txt``).  ``meta_cols`` are packed
     into one sorted-key ``<key>.json`` member (the WebDataset metadata
     convention).  Null member values are skipped (absent member), null
-    keys rejected.
+    keys rejected.  Keys must be UNIQUE (the standard WebDataset sample
+    rule — duplicate keys would merge into one sample on read); dedup
+    upstream, e.g. ``exact_dedup_groups`` keepers.
 
     Returns the per-shard manifest (shard file, samples, members,
     bytes) — the action that executes the write; manifest size is
@@ -264,9 +266,11 @@ def read_webdataset(
                 if rows:
                     yield flush(rows)
 
-    # one shard per task: the repartition width is the (small, known)
-    # shard-list size — an explicit width, so AQE leaves it alone
+    # one shard per task: round-robin to exactly n partitions (a key
+    # hash would collide shards into one task and idle another; the
+    # explicit width also keeps AQE from coalescing the tiny path list
+    # under its compute-amplifying consumer — SCALE.md round-9)
     n = paths.count()
     if n == 0:
         return spark.createDataFrame([], schema)
-    return paths.repartition(n, "path").mapInPandas(read_shards, schema=schema)
+    return paths.repartition(n).mapInPandas(read_shards, schema=schema)
