@@ -149,6 +149,48 @@ def test_iter_tar_samples_accepts_blob(corpus, tmp_path):
     assert from_path == from_blob and len(from_blob) > 0
 
 
+def test_iter_tar_samples_property():
+    """Property: for ANY member layout (random unique keys, random
+    extension subsets, random binary payloads incl. empty), grouping
+    by consecutive basename key recovers exactly the samples whose
+    extensions were requested — pure-python, no Spark."""
+    import io
+    import tarfile as tf
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from pedsnetdcc_spark.sources.webdataset import _tarinfo
+
+    exts = ["txt", "png", "json", "cls"]
+    sample = st.tuples(
+        st.from_regex(r"[A-Za-z0-9_-]{1,12}", fullmatch=True),
+        st.dictionaries(
+            st.sampled_from(exts),
+            st.binary(min_size=0, max_size=64),
+            min_size=1,
+            max_size=4,
+        ),
+    )
+
+    @settings(max_examples=50, deadline=None)
+    @given(st.lists(sample, max_size=12, unique_by=lambda s: s[0]))
+    def check(samples):
+        buf = io.BytesIO()
+        with tf.open(fileobj=buf, mode="w") as tar:
+            for key, members in samples:
+                for ext in sorted(members):
+                    data = members[ext]
+                    tar.addfile(_tarinfo(f"{key}.{ext}", len(data)), io.BytesIO(data))
+        want = {"txt", "json"}
+        got = dict(iter_tar_samples(buf.getvalue(), want))
+        assert list(got) == [k for k, _ in samples]
+        for key, members in samples:
+            assert got[key] == {e: b for e, b in members.items() if e in want}
+
+    check()
+
+
 def test_read_plan_has_no_row_udfs(spark, corpus, tmp_path):
     out = str(tmp_path / "wds")
     _write(corpus, out)
