@@ -4925,47 +4925,90 @@ def q_csv_id_map_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _jsonl_oracle() -> str:
-    """Per-source fidelity summary of the documents corpus: row count,
-    char-count sum, and an order-free bit_xor fold of the portable
-    60-bit text hash — matching it after a JSONL write+read proves the
-    sink/ source preserved every text byte-exactly (any mutated,
-    dropped, or duplicated line changes the XOR)."""
+def _corpus_io_oracle() -> str:
+    """Per-(format, source) fidelity summary of the documents corpus:
+    row count, char-count sum, and an order-free bit_xor fold of the
+    portable 60-bit text hash — matching it after a write+read proves
+    each sink/source pair preserved every text byte-exactly (any
+    mutated, dropped, or duplicated document changes the XOR).  Both
+    formats must reproduce the SAME base-table summary, so the oracle
+    is one grouped scan cross-joined with the format labels."""
     from pedsnetdcc_spark.datapipe.dedup import portable_hash64_sql
 
     h = portable_hash64_sql("text", 0)
     return f"""
-    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
-           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
-           bit_xor({h}) AS text_sig
-    FROM documents GROUP BY source
+    WITH s AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+               bit_xor({h}) AS text_sig
+        FROM documents GROUP BY source
+    )
+    SELECT f.format, s.source, s.n_docs, s.sum_chars, s.text_sig
+    FROM s, (VALUES ('jsonl'), ('wds')) AS f(format)
     """
 
 
-@query("jsonl_roundtrip", oracle=_jsonl_oracle())
-def q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """JSONL source/sink round-trip (sources/jsonl.py — the interchange
-    format of public LLM corpus releases): the documents table is
-    written as gzip JSONL shards and read back under the explicit
-    schema, and the returned per-source summary carries an order-free
-    XOR fold of the portable text hash — the driver hash therefore
-    certifies the JSON encode/decode preserved every text byte-exactly
-    (escaping, unicode, nulls), not merely the row count.  Eager
-    staging write, fresh temp dir per call, like the CSV round-trip."""
+@query("corpus_io_roundtrip", oracle=_corpus_io_oracle())
+def q_corpus_io_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus interchange round-trips under one hash gate — the round-9
+    melt of the round-8 `jsonl_roundtrip` row with the new WebDataset
+    sink/source (zero-free-slot window arithmetic: one driver row now
+    certifies both corpus IO formats).
+
+    - ``jsonl``: the documents table written as gzip JSONL shards
+      (sources/jsonl.py — the interchange format of public LLM corpus
+      releases) and read back under the explicit schema.
+    - ``wds``: the same table written as WebDataset-style tar shards
+      (sources/webdataset.py — the streaming-dataloader format for
+      multimodal training corpora): text rides as the ``.txt`` member,
+      source/n_chars as the ``.json`` metadata member, so the read-back
+      exercises member grouping, utf-8 text decode, AND metadata
+      parsing (from_json under an explicit schema).
+
+    Each branch returns a per-source summary carrying an order-free XOR
+    fold of the portable text hash; the driver hash therefore certifies
+    BOTH encode/decode pairs preserved every text byte exactly
+    (escaping, unicode, tar member framing), not merely row counts.
+    Eager staging writes, fresh temp dirs per call, like the CSV
+    round-trip."""
     import tempfile
 
     from pedsnetdcc_spark.datapipe.dedup import portable_hash64
     from pedsnetdcc_spark.sources.jsonl import read_jsonl, write_jsonl
+    from pedsnetdcc_spark.sources.webdataset import (
+        read_webdataset,
+        write_webdataset,
+    )
+
+    def summary(df: DataFrame, fmt: str) -> DataFrame:
+        return df.groupBy("source").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.bit_xor(portable_hash64(F.col("text"), 0)).alias("text_sig"),
+        ).select(F.lit(fmt).alias("format"), "*")
 
     docs = _t(spark, sf_dir, "documents")
-    root = tempfile.mkdtemp(prefix="pedsnetdcc_jsonl_")
-    write_jsonl(docs, f"{root}/shards", compression="gzip", shards=4)
-    back = read_jsonl(spark, f"{root}/shards", docs.schema)
-    return back.groupBy("source").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum("n_chars").alias("sum_chars"),
-        F.bit_xor(portable_hash64(F.col("text"), 0)).alias("text_sig"),
+    root = tempfile.mkdtemp(prefix="pedsnetdcc_corpus_io_")
+
+    write_jsonl(docs, f"{root}/jsonl", compression="gzip", shards=4)
+    jl = read_jsonl(spark, f"{root}/jsonl", docs.schema)
+
+    write_webdataset(
+        docs, f"{root}/wds", key_col="doc_id", members={"txt": "text"},
+        shards=4, meta_cols=["source", "n_chars"],
     )
+    wds = read_webdataset(
+        spark, f"{root}/wds", members={"txt": "text", "json": "meta"},
+        text_exts={"txt", "json"},
+    ).select(
+        "text",
+        F.from_json(
+            F.col("meta"), "source string, n_chars long"
+        ).alias("m"),
+    ).select("text", F.col("m.source").alias("source"),
+             F.col("m.n_chars").alias("n_chars"))
+
+    return summary(jl, "jsonl").unionByName(summary(wds, "wds"))
 
 
 #: The exact statement view_ddl must emit for the upper-cased nation
@@ -5150,12 +5193,18 @@ def q_jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _QUERY_ORDER = [
     # -- 1: NEW / CHANGED this round (never driver-scored in current
-    #       form; both are consolidations, not net-new slots:
+    #       form; all three are consolidations, not net-new slots:
     #       bmi_derivation replaces asof_pair — the pairing kernel is
-    #       now checked inside the composed pipeline — and
-    #       multimodal_features absorbed the sample_frames proof) ------
+    #       now checked inside the composed pipeline —
+    #       multimodal_features absorbed the sample_frames proof, and
+    #       corpus_io_roundtrip melts the r8 jsonl_roundtrip row with
+    #       the new WebDataset tar sink/source under one XOR oracle;
+    #       the slot it needs comes from demoting the id_mapping
+    #       flagship to tier 4 — r8-green, due back in round 10, and
+    #       its machinery stays covered in-window by era_ids_pipeline)
     "bmi_derivation",
     "multimodal_features",
+    "corpus_io_roundtrip",
     # -- 2: rotated up for a current verdict (green r7, then unscored
     #       past the 50-entry cutoff in round 8) --------------------------
     "minhash_lsh_portable",
@@ -5205,7 +5254,6 @@ _QUERY_ORDER = [
     "era_ids_pipeline",
     "cdm_transform",
     "cdm_drug_era",
-    "id_mapping",
     "dedup_clusters",
     "near_dup_scorecard",
     # -- 4: past the 50-entry cutoff — every entry below was driver-green
@@ -5217,7 +5265,7 @@ _QUERY_ORDER = [
     "streaming_lsh_index",
     "jdbc_roundtrip",
     "knn_label_eval",
-    "jsonl_roundtrip",
+    "id_mapping",
     "corpus_pipeline",
     "vocab_stats",
     "corpus_report",
