@@ -257,20 +257,28 @@ def train_kmeans_centroids(
     X = np.stack([r["__v"] for r in rows]).astype(np.float64)
     n = np.linalg.norm(X, axis=1, keepdims=True)
     n[n == 0] = 1.0
-    Xn = X / n
+    return _lloyd_numpy(X / n, k, iters, seed)
+
+
+def _lloyd_numpy(Xn: np.ndarray, k: int, iters: int, seed: int) -> np.ndarray:
+    """Seeded k-means++ init + Lloyd iterations on unit-normalized rows
+    (cosine objective, assignment by max dot).  Incremental-max
+    k-means++ so init is O(k·sample·dim), not O(k²·sample·dim).
+    Returns a unit-normalized ``(k, dim)`` array."""
     k = min(k, len(Xn))
     rng = np.random.RandomState(seed)
-    # k-means++ init under cosine distance (1 - dot on unit vectors)
     idx = [int(rng.randint(len(Xn)))]
+    best = Xn @ Xn[idx[0]]  # running max-similarity to any chosen seed
     for _ in range(1, k):
-        d = 1.0 - np.max(Xn @ Xn[idx].T, axis=1)
-        d = np.clip(d, 0.0, None)
+        d = np.clip(1.0 - best, 0.0, None)
         total = d.sum()
         if total <= 0:
             probs = np.full(len(Xn), 1.0 / len(Xn))
         else:
             probs = d / total
-        idx.append(int(rng.choice(len(Xn), p=probs)))
+        j = int(rng.choice(len(Xn), p=probs))
+        idx.append(j)
+        np.maximum(best, Xn @ Xn[j], out=best)
     C = Xn[idx].copy()
     for _ in range(iters):
         assign = (Xn @ C.T).argmax(axis=1)
@@ -282,6 +290,47 @@ def train_kmeans_centroids(
         cn[cn == 0] = 1.0
         C = C / cn
     return C
+
+
+def _hier_assign_udf(C: np.ndarray, k1: int, iters: int, seed: int):
+    """Two-stage argmax assignment against a closure-captured codebook:
+    the ``total`` fine centroids are themselves clustered into ``k1``
+    coarse groups (driver Lloyd on total×dim — tiny), and each batch
+    assigns by one ``(batch, dim) @ (dim, k1)`` coarse matmul followed
+    by a per-group fine matmul over only the rows routed there —
+    ``O(k1 + total/k1)`` dots per vector instead of ``O(total)``.
+    Returns ``(assign_udf, coarse_of_fine)``.  A vector whose globally
+    nearest fine centroid sits in a different coarse group lands in its
+    coarse-local best — the standard IVF-hierarchical approximation
+    (same shape as semantic_cells' two-level grid), acceptable because
+    the probe stage re-ranks with exact cosine anyway."""
+    C1 = _lloyd_numpy(C.copy(), k1, iters, seed + 1)
+    group_of_fine = (C @ C1.T).argmax(axis=1).astype(np.int64)
+    members = [np.where(group_of_fine == g)[0] for g in range(len(C1))]
+
+    @F.pandas_udf("int")
+    def assign_cell(v: pd.Series) -> pd.Series:
+        X = np.stack(v.values).astype(np.float64)
+        n = np.linalg.norm(X, axis=1, keepdims=True)
+        n[n == 0] = 1.0
+        Xn = X / n
+        coarse = (Xn @ C1.T).argmax(axis=1)
+        out = np.zeros(len(Xn), dtype=np.int32)
+        for g in range(len(C1)):
+            rows = np.where(coarse == g)[0]
+            if not len(rows):
+                continue
+            m = members[g]
+            if not len(m):
+                # empty coarse group (possible when Lloyd collapses a
+                # cluster): fall back to the flat argmax for these rows
+                out[rows] = (Xn[rows] @ C.T).argmax(axis=1).astype(np.int32)
+                continue
+            local = (Xn[rows] @ C[m].T).argmax(axis=1)
+            out[rows] = m[local].astype(np.int32)
+        return pd.Series(out)
+
+    return assign_cell, group_of_fine
 
 
 def _cell_assign_udfs(C: np.ndarray, nprobe: int):
@@ -435,6 +484,7 @@ def ivf_topk(
     centroids: np.ndarray | None = None,
     target_cell: int = 512,
     n: int | None = None,
+    assign: str = "flat",
 ) -> DataFrame:
     """IVF approximate top-k: sampled-k-means centroids
     (:func:`train_kmeans_centroids`), each candidate assigned to its
@@ -445,9 +495,21 @@ def ivf_topk(
     candidates, so a FIXED value makes per-query work linear in n);
     the default ``"auto"`` sizes ``max(16, min(1024, ceil(n /
     target_cell)))`` from one count action — the 1024 cap bounds the
-    driver Lloyd cost against the 4096-row sample; at corpora past
-    ~0.5M vectors raise ``sample_size`` with it or pass a pre-trained
-    codebook.
+    flat assignment scan (O(n·k) dots) and the driver Lloyd cost
+    against the 4096-row sample.
+
+    ``assign="hierarchical"`` is the big-corpus path that LIFTS the
+    cap (measured: the capped grid's cells grow 4× at 2M vectors,
+    sim_deep e=0.58): auto sizing becomes ``max(16, ceil(n /
+    target_cell))`` uncapped with ``sample_size`` raised to ≥
+    4·n_centroids, and candidate assignment routes through
+    :func:`_hier_assign_udf` — the fine codebook is clustered into
+    ``≈sqrt(total)`` coarse groups and each vector pays ``O(sqrt(
+    total))`` dots instead of ``O(total)`` (the IMI/hierarchical-IVF
+    shape; queries still score the full fine codebook — bounded query
+    sets make that the cheap side).  Past ~10M vectors train the
+    codebook off the driver and pass ``centroids=`` instead (Lloyd on
+    the 4·total sample is the driver bound).
 
     Scale shape: training is one TakeOrdered sample + driver Lloyd
     (centroids are k×dim — tiny); assignment is a shuffle-free scan
@@ -457,20 +519,32 @@ def ivf_topk(
     exactly one cell, so no candidate-pair dedup pass is needed.
     Pass ``centroids`` to reuse a trained codebook across calls.
     """
+    import math
+
+    if assign not in ("flat", "hierarchical"):
+        raise ValueError(f"unknown assign mode {assign!r}")
     if centroids is None:
         if n_centroids == "auto":
-            import math
-
             if n is None:
                 # aggregate-only; pass ``n=`` from a composing pipeline
                 n = candidates.count()
-            n_centroids = max(16, min(1024, math.ceil(n / target_cell)))
+            n_centroids = max(16, math.ceil(n / target_cell))
+            if assign == "flat":
+                n_centroids = min(1024, n_centroids)
+        if assign == "hierarchical":
+            sample_size = max(sample_size, 4 * int(n_centroids))
         centroids = train_kmeans_centroids(
             candidates, id_col, vec_col, k=n_centroids,
             sample_size=sample_size, iters=iters, seed=seed,
         )
     C = np.asarray(centroids, dtype=np.float64)
-    assign_cell, probe_cells = _cell_assign_udfs(C, nprobe)
+    _flat_assign, probe_cells = _cell_assign_udfs(C, nprobe)
+    if assign == "hierarchical" and len(C) >= 64:
+        assign_cell, _ = _hier_assign_udf(
+            C, k1=math.ceil(math.sqrt(len(C))), iters=iters, seed=seed
+        )
+    else:
+        assign_cell = _flat_assign
     c = candidates.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("__cv"),

@@ -1211,10 +1211,23 @@ def main() -> None:
                 seed=0,
             )
 
+        def _ann_ivf_hier(spark, d):
+            from pedsnetdcc_spark.datapipe.similarity import ivf_topk
+
+            emb = _read_emb(spark, d)
+            # the uncapped-codebook path: auto cells track the corpus
+            # (2M/512 ≈ 3906 at x1000), two-stage assignment pays
+            # O(sqrt(total)) dots/vector, training sample 4x cells
+            return ivf_topk(
+                emb, _ann_query_set(emb), k=5, nprobe=8, seed=0,
+                assign="hierarchical",
+            )
+
         sim_extra = {
             "embedding_lsh_auto_uncapped": _lsh_near_dup,
             "ann_lsh_auto_200q": _ann_lsh,
             "ann_ivf_auto_200q": _ann_ivf,
+            "ann_ivf_hier_200q": _ann_ivf_hier,
         }
         sim_names = [
             q

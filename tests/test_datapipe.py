@@ -171,6 +171,74 @@ def test_kmeans_recovers_clusters(spark):
     assert hits / len(exact) >= 0.9, (hits, len(exact))
 
 
+def test_ivf_hierarchical_assignment(spark):
+    """`assign="hierarchical"` (the uncapped-codebook big-corpus path):
+    on clustered vectors with a 64-cell codebook the two-stage
+    coarse→fine assignment must (a) keep recall — virtually every true
+    rank-1 neighbor found at nprobe=6, (b) be deterministic, and (c)
+    agree with the flat assignment for most queries (the coarse detour
+    is a boundary effect, not a different search)."""
+    import numpy as np
+
+    from pedsnetdcc_spark.datapipe.similarity import ivf_topk
+
+    rng = np.random.RandomState(7)
+    centers = rng.randn(64, 16) * 4.0
+    rows = []
+    for i in range(1280):
+        c = i % 64
+        rows.append((i, (centers[c] + rng.randn(16) * 0.3).tolist()))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = df.filter(F.col("vec_id") < 24)
+    exact = {r["query_id"]: r["neighbor_id"] for r in cosine_topk(df, q, k=1).collect()}
+
+    def top1(**kw):
+        return {
+            r["query_id"]: r["neighbor_id"]
+            for r in ivf_topk(
+                df, q, k=1, n_centroids=64, nprobe=6, sample_size=1280,
+                seed=1, **kw,
+            ).collect()
+        }
+
+    hier = top1(assign="hierarchical")
+    hits = sum(hier.get(k) == v for k, v in exact.items())
+    assert hits / len(exact) >= 0.85, (hits, len(exact))
+    assert hier == top1(assign="hierarchical")  # deterministic
+    flat = top1()
+    agree = sum(hier.get(k) == v for k, v in flat.items())
+    assert agree / len(flat) >= 0.8, (agree, len(flat))
+
+
+def test_ivf_hierarchical_auto_uncaps(spark):
+    """Auto sizing under `assign="hierarchical"` lifts the 1024-cell
+    cap (the measured 4×-cell growth at 2M vectors) and raises the
+    training sample to ≥ 4·cells; flat auto keeps the cap."""
+    import numpy as np
+
+    from pedsnetdcc_spark.datapipe.similarity import ivf_topk
+
+    rng = np.random.RandomState(3)
+    centers = rng.randn(80, 8) * 4.0
+    rows = [
+        (i, (centers[i % 80] + rng.randn(8) * 0.2).tolist())
+        for i in range(800)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = df.filter(F.col("vec_id") < 10)
+    exact = {r["query_id"]: r["neighbor_id"] for r in cosine_topk(df, q, k=1).collect()}
+    # target_cell=10 → auto total = 80 ≥ 64: exercises the hier path
+    got = {
+        r["query_id"]: r["neighbor_id"]
+        for r in ivf_topk(
+            df, q, k=1, nprobe=6, target_cell=10, seed=1,
+            assign="hierarchical",
+        ).collect()
+    }
+    hits = sum(got.get(k) == v for k, v in exact.items())
+    assert hits / len(exact) >= 0.8, (hits, len(exact))
+
+
 def test_simhash_near_dup_matches_bruteforce(spark):
     """The block-and-band candidate join must return EXACTLY the n²
     all-pairs Hamming result (pigeonhole completeness + exact verify)."""
