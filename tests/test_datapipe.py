@@ -1640,6 +1640,12 @@ def test_knn_label_vote_ann_composition_agreement(spark):
     ann_paths = {
         "lsh": lsh_bucketed_topk(corpus, queries, k=5, dim=dim, n=n),
         "ivf": ivf_topk(corpus, queries, k=5, n=n),
+        # the uncapped big-corpus path (target_cell forced low so the
+        # 2000-row corpus actually exercises the two-stage assignment)
+        "ivf_hier": ivf_topk(
+            corpus, queries, k=5, n=n, nprobe=8, target_cell=16,
+            assign="hierarchical",
+        ),
     }
     acc_exact = sum(exact[q] == t for q, t in truth.items()) / len(truth)
     assert acc_exact >= 0.9, acc_exact  # the eval itself is meaningful
