@@ -178,6 +178,62 @@ def write_webdataset(
     return [r.asDict() for r in manifest]
 
 
+def _export_epoch(
+    batch_df: DataFrame,
+    epoch_id: int,
+    path: str,
+    key_col: str,
+    members: dict[str, str],
+    shards: int,
+    meta_cols: list[str] | None,
+) -> None:
+    """One micro-batch → one ``batch=NNNNNN`` shard directory, written
+    under a temp name and renamed in atomically: Structured Streaming
+    re-runs a failed epoch, so a retry must REPLACE partial output, not
+    duplicate samples.  Shard membership inside the epoch is the same
+    pure key-hash function as the batch writer, so a replayed epoch is
+    byte-identical."""
+    import shutil
+
+    final = os.path.join(path, f"batch={epoch_id:06d}")
+    tmp = final + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    write_webdataset(
+        batch_df, tmp, key_col=key_col, members=members, shards=shards,
+        meta_cols=meta_cols,
+    )
+    shutil.rmtree(final, ignore_errors=True)
+    os.rename(tmp, final)
+
+
+def stream_webdataset_export(
+    stream: DataFrame,
+    path: str,
+    key_col: str,
+    members: dict[str, str],
+    shards: int = 4,
+    meta_cols: list[str] | None = None,
+):
+    """Continuous corpus export: a streaming sink that lands every
+    micro-batch as a WebDataset shard directory
+    (``<path>/batch=000042/shard-*.tar``) — the training-side handoff
+    for a live ingest pipeline (stream in, filtered/deduped shards out;
+    compose upstream with the streaming dedup/quality operators).
+
+    Exactly-once per epoch via write-to-temp + atomic rename
+    (:func:`_export_epoch`); dataloaders consume ``batch=*/*.tar`` and
+    new epochs appear atomically.  Returns a ``DataStreamWriter`` —
+    caller adds trigger/checkpoint and ``.start()``, like the
+    incremental sync sink (streaming/sync.py)."""
+
+    def _export(batch_df: DataFrame, epoch_id: int) -> None:
+        _export_epoch(
+            batch_df, epoch_id, path, key_col, members, shards, meta_cols
+        )
+
+    return stream.writeStream.foreachBatch(_export).outputMode("append")
+
+
 def iter_tar_samples(
     buf_or_path, want: set[str]
 ) -> Iterator[tuple[str, dict[str, bytes]]]:

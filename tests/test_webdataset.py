@@ -197,3 +197,63 @@ def test_read_plan_has_no_row_udfs(spark, corpus, tmp_path):
     back = read_webdataset(spark, out, members={"txt": "text"})
     plan = back._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan  # Arrow-batched, never per-row
+
+
+def test_streaming_export_matches_batch_and_retries_idempotently(
+    spark, corpus, tmp_path
+):
+    """The streaming corpus sink: two micro-batches land as two
+    atomic ``batch=N`` shard dirs whose union equals the input; and a
+    REPLAYED epoch (Structured Streaming retry semantics) leaves
+    byte-identical output instead of duplicating samples."""
+    import hashlib
+    import os
+
+    from pedsnetdcc_spark.sources.webdataset import (
+        _export_epoch,
+        stream_webdataset_export,
+    )
+
+    src = str(tmp_path / "src")
+    # two source files -> two micro-batches under maxFilesPerTrigger=1
+    corpus.filter("label < 2").coalesce(1).write.parquet(src)
+    corpus.filter("label >= 2").coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(corpus.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    out = str(tmp_path / "stream_out")
+    q = (
+        stream_webdataset_export(
+            stream, out, key_col="doc_id", members={"txt": "text"}, shards=2
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    batches = sorted(d for d in os.listdir(out) if d.startswith("batch="))
+    assert len(batches) == 2 and not any(d.endswith(".tmp") for d in batches)
+    back = read_webdataset(
+        spark, f"{out}/batch=*", members={"txt": "text"}, text_exts={"txt"}
+    )
+    got = {(r["sample_key"], r["text"]) for r in back.collect()}
+    want = {(r["doc_id"], r["text"]) for r in corpus.collect()}
+    assert got == want
+
+    # retry idempotence: re-export epoch 0 with the SAME rows — output
+    # files byte-identical, sample count unchanged
+    def digest(d):
+        return {
+            f: hashlib.sha256(
+                open(os.path.join(out, d, f), "rb").read()
+            ).hexdigest()
+            for f in sorted(os.listdir(os.path.join(out, d)))
+        }
+
+    before = digest(batches[0])
+    _export_epoch(
+        corpus.filter("label < 2"), 0, out, "doc_id", {"txt": "text"}, 2, None
+    )
+    assert digest(batches[0]) == before
