@@ -774,6 +774,26 @@ def cmd_wds_import(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_diff(args: argparse.Namespace) -> int:
+    """Report what changed between a table's published generation and
+    its backup generation (the cycle-refresh report)."""
+    from pedsnetdcc_spark.operators.diff import (
+        diff_previous_generation,
+        diff_summary,
+    )
+    from pedsnetdcc_spark.sources.io import TableStore
+
+    spark = _session(args)
+    store = TableStore(args.output)
+    d = diff_previous_generation(
+        spark, store, args.table, args.keys.split(","),
+        compare_cols=args.compare.split(",") if args.compare else None,
+    )
+    summ = {r["change"]: r["n_keys"] for r in diff_summary(d).collect()}
+    print(json.dumps({"table": args.table, "changes": summ}))
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="pedsnetdcc-spark", description=__doc__.split("\n")[0]
@@ -1068,6 +1088,16 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--text", action="append", metavar="EXT",
                     help="extensions decoded utf-8 to string (repeatable)")
     sp.set_defaults(fn=cmd_wds_import)
+
+    sp = sub.add_parser(
+        "diff", help="what changed vs the previous published generation"
+    )
+    sp.add_argument("--output", "-o", required=True, help="table store root")
+    sp.add_argument("--table", required=True)
+    sp.add_argument("--keys", required=True, help="comma-separated key columns")
+    sp.add_argument("--compare", default=None,
+                    help="comma-separated compared columns (default: shared)")
+    sp.set_defaults(fn=cmd_diff)
 
     sp = sub.add_parser("undo", help="restore the previous published generation")
     sp.add_argument("--output", "-o", required=True)

@@ -1,0 +1,141 @@
+"""Generation diff (operators/diff.py): added/removed/changed
+classification, null-transition correctness (the hash-null-skip trap),
+duplicate-key multiset semantics, and the TableStore generation path.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pedsnetdcc_spark.operators.diff import (
+    diff_previous_generation,
+    diff_summary,
+    diff_tables,
+)
+
+
+@pytest.fixture()
+def versions(spark):
+    old = spark.createDataFrame(
+        [
+            (1, "a", 10),
+            (2, "b", 20),
+            (3, "c", None),   # null -> value must read as changed
+            (4, "d", 40),     # removed
+            (5, "e", 50),     # value -> null must read as changed
+            (6, "f", 60),     # unchanged
+        ],
+        "id long, name string, v int",
+    )
+    new = spark.createDataFrame(
+        [
+            (1, "a", 10),      # unchanged
+            (2, "B", 20),      # changed (name)
+            (3, "c", 30),      # changed (null -> 30)
+            (5, "e", None),    # changed (50 -> null)
+            (6, "f", 60),      # unchanged
+            (7, "g", 70),      # added
+        ],
+        "id long, name string, v int",
+    )
+    return new, old
+
+
+def test_diff_classification(spark, versions):
+    new, old = versions
+    got = {r["id"]: r["change"] for r in diff_tables(new, old, ["id"]).collect()}
+    assert got == {2: "changed", 3: "changed", 4: "removed",
+                   5: "changed", 7: "added"}
+    summ = {r["change"]: r["n_keys"] for r in
+            diff_summary(diff_tables(new, old, ["id"])).collect()}
+    assert summ == {"added": 1, "removed": 1, "changed": 3}
+
+
+def test_diff_null_value_not_confused_with_absent(spark, versions):
+    """(a, NULL) vs (a,) signature collision guard: a row whose only
+    edit is value<->null MUST be 'changed' (Spark's hash skips null
+    inputs; the is-null flags disambiguate)."""
+    new, old = versions
+    got = {r["id"]: r["change"] for r in diff_tables(new, old, ["id"]).collect()}
+    assert got[3] == "changed" and got[5] == "changed"
+
+
+def test_diff_compare_cols_subset(spark, versions):
+    """Restricting compare_cols ignores edits outside the subset."""
+    new, old = versions
+    got = {
+        r["id"]: r["change"]
+        for r in diff_tables(new, old, ["id"], compare_cols=["v"]).collect()
+    }
+    assert 2 not in got  # only `name` changed for key 2
+    assert got == {3: "changed", 4: "removed", 5: "changed", 7: "added"}
+
+
+def test_diff_duplicate_keys_multiset(spark):
+    """Duplicate keys compare as multisets: same rows in a different
+    order are unchanged; a duplicated-count change is 'changed'."""
+    old = spark.createDataFrame(
+        [(1, "x"), (1, "y"), (2, "z")], "id long, s string"
+    )
+    new_reordered = spark.createDataFrame(
+        [(1, "y"), (1, "x"), (2, "z")], "id long, s string"
+    )
+    assert diff_tables(new_reordered, old, ["id"]).count() == 0
+    new_dup = spark.createDataFrame(
+        [(1, "x"), (1, "y"), (2, "z"), (2, "z")], "id long, s string"
+    )
+    got = {r["id"]: r["change"] for r in diff_tables(new_dup, old, ["id"]).collect()}
+    assert got == {2: "changed"}
+
+
+def test_diff_previous_generation_via_store(spark, tmp_path):
+    from pedsnetdcc_spark.sources.io import TableStore
+
+    store = TableStore(str(tmp_path / "store"))
+    v1 = spark.createDataFrame([(1, "a"), (2, "b")], "id long, s string")
+    store.stage(v1, "t")
+    store.publish()
+    v2 = spark.createDataFrame([(2, "B"), (3, "c")], "id long, s string")
+    store2 = TableStore(str(tmp_path / "store"), _txid="tx2")
+    store2.stage(v2, "t")
+    store2.publish()
+    got = {
+        r["id"]: r["change"]
+        for r in diff_previous_generation(spark, store2, "t", ["id"]).collect()
+    }
+    assert got == {1: "removed", 2: "changed", 3: "added"}
+
+
+def test_diff_cli_verb(spark, tmp_path, capsys):
+    import json
+
+    from pedsnetdcc_spark.cli import main
+    from pedsnetdcc_spark.sources.io import TableStore
+
+    root = str(tmp_path / "store")
+    s1 = TableStore(root)
+    s1.stage(
+        spark.createDataFrame([(1, "a"), (2, "b")], "id long, s string"), "t"
+    )
+    s1.publish()
+    s2 = TableStore(root, _txid="tx2")
+    s2.stage(
+        spark.createDataFrame([(2, "B"), (3, "c")], "id long, s string"), "t"
+    )
+    s2.publish()
+    assert main(["diff", "-o", root, "--table", "t", "--keys", "id"]) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep == {
+        "table": "t",
+        "changes": {"added": 1, "removed": 1, "changed": 1},
+    }
+
+
+def test_diff_plan_is_jvm_side(spark, versions):
+    new, old = versions
+    plan = (
+        diff_tables(new, old, ["id"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
