@@ -358,6 +358,15 @@ def cmd_profile(args: argparse.Namespace) -> int:
         prof = profile_table(df, approx_distinct=args.approx, rsd=args.rsd)
         for r in prof.collect():
             print(json.dumps({"table": name, **r.asDict()}))
+        if args.numeric:
+            from pedsnetdcc_spark.operators.profile import numeric_profile
+
+            try:
+                rows = numeric_profile(df).collect()
+            except ValueError:  # no numeric columns in this table
+                continue
+            for r in rows:
+                print(json.dumps({"table": name, **r.asDict()}))
     return 0
 
 
@@ -892,6 +901,8 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--table", action="append", help="repeatable; default: all tables")
     sp.add_argument("--approx", action="store_true", help="HyperLogLog cardinality")
     sp.add_argument("--rsd", type=float, default=0.05)
+    sp.add_argument("--numeric", action="store_true",
+                    help="also emit numeric min/max/mean/percentile rows")
     sp.set_defaults(fn=cmd_profile)
 
     sp = sub.add_parser("corpus-pack", help="pack documents into fixed-token-budget bins")

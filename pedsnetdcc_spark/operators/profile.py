@@ -67,6 +67,82 @@ def profile_table(
     )
 
 
+_NUMERIC_DTYPES = {
+    "tinyint", "smallint", "int", "bigint", "float", "double",
+}
+
+
+def numeric_profile(
+    df: DataFrame,
+    cols: Sequence[str] | None = None,
+    percentiles: Sequence[float] = (0.05, 0.5, 0.95),
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """Distribution profile of the numeric columns: one row per column
+    with ``(n, n_null, mean, min, max, p<pct>...)`` — the value-range
+    companion to :func:`profile_table`'s cardinality pass (the check a
+    pipeline runs before/after a load to catch unit flips, overflow
+    sentinels, and truncated loads that counts alone miss; the
+    reference's only analog is opaque planner stats via ANALYZE).
+
+    Scale: ONE scan.  ``percentile_approx`` aggregates a mergeable
+    rank-sketch (Greenwald-Khanna style) with map-side partial merge —
+    state is O(accuracy) per column regardless of row count, so the
+    profile costs an ordinary scan at any scale; at the default
+    accuracy the rank error is ≤ n/10000.  Decimal columns are cast to
+    double scan-side (one stack output type).  Non-numeric ``cols``
+    raise.
+    """
+    if cols is None:
+        names = [c for c, t in df.dtypes
+                 if t in _NUMERIC_DTYPES or t.startswith("decimal")]
+    else:
+        names = list(cols)
+        bad = [
+            c for c, t in df.dtypes
+            if c in names and t not in _NUMERIC_DTYPES
+            and not t.startswith("decimal")
+        ]
+        if bad:
+            raise ValueError(f"non-numeric columns in numeric_profile: {bad}")
+    if not names:
+        raise ValueError("no numeric columns to profile")
+    pcts = list(percentiles)
+    pct_arr = F.array(*[F.lit(float(p)) for p in pcts])
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for i, c in enumerate(names):
+        v = F.col(c).cast("double")
+        aggs.append(F.count(v).alias(f"__nn{i}"))
+        aggs.append(F.avg(v).alias(f"__mean{i}"))
+        aggs.append(F.min(v).alias(f"__min{i}"))
+        aggs.append(F.max(v).alias(f"__max{i}"))
+        aggs.append(
+            F.percentile_approx(v, pct_arr, accuracy).alias(f"__p{i}")
+        )
+    row = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', __nn{i}, __mean{i}, __min{i}, __max{i}, __p{i}"
+        for i, c in enumerate(names)
+    )
+    out = row.select(
+        F.expr(
+            f"stack({len(names)}, {stack_args}) AS "
+            "(column, __notnull, mean, min, max, __ps)"
+        ),
+        F.col("__n"),
+    )
+    pct_cols = [
+        F.col("__ps").getItem(i).alias(f"p{str(p).replace('.', '_')}")
+        for i, p in enumerate(pcts)
+    ]
+    return out.select(
+        "column",
+        F.col("__n").alias("n_rows"),
+        (F.col("__n") - F.col("__notnull")).alias("n_null"),
+        "mean", "min", "max", *pct_cols,
+    )
+
+
 def key_skew_profile(df: DataFrame, key_col: str, k: int = 10) -> DataFrame:
     """Heavy-hitter profile of a join/aggregation key: the ``k`` most
     frequent key values with their exact counts and share of all rows —

@@ -162,6 +162,14 @@ def test_cli_profile_pack_shuffle(spark, sf_dir, tmp_path, capsys):
     assert all(r["n_rows"] == n for r in lines)
     assert by_col["doc_id"]["n_distinct"] == n
 
+    assert main([
+        "profile", "-i", str(ns), "--table", "documents", "--numeric",
+    ]) == 0
+    lines = [json.loads(line) for line in capsys.readouterr().out.strip().splitlines()]
+    num = {r["column"]: r for r in lines if "p0_5" in r}
+    assert set(num) == {"doc_id", "n_chars"}  # the numeric columns
+    assert num["n_chars"]["min"] <= num["n_chars"]["p0_5"] <= num["n_chars"]["max"]
+
     out1 = tmp_path / "packed"
     assert main([
         "corpus-pack", "-i", str(ns), "-o", str(out1),

@@ -206,6 +206,31 @@ def test_profile_table_counts_nulls_and_distincts(spark):
     assert got["s"]["n_distinct"] == 2  # nulls excluded, SQL semantics
 
 
+def test_numeric_profile_stats_and_percentiles(spark):
+    """numeric_profile: exact n/null/mean/min/max; percentile_approx at
+    default accuracy returns an actual element whose rank error on 1000
+    distinct values is <= n/10000 (i.e. exact here); string columns are
+    auto-excluded and rejected when named."""
+    import pytest as _pytest
+
+    from pedsnetdcc_spark.operators.profile import numeric_profile
+
+    rows = [(i, float(i), "s") for i in range(1, 1001)]
+    rows.append((None, None, "s"))
+    df = spark.createDataFrame(rows, "id long, v double, s string")
+    got = {r["column"]: r for r in numeric_profile(df).collect()}
+    assert set(got) == {"id", "v"}  # string column auto-excluded
+    p = got["v"]
+    assert p["n_rows"] == 1001 and p["n_null"] == 1
+    assert p["min"] == 1.0 and p["max"] == 1000.0
+    assert abs(p["mean"] - 500.5) < 1e-9
+    assert p["p0_5"] == 500.0 and p["p0_95"] == 950.0 and p["p0_05"] == 50.0
+    with _pytest.raises(ValueError):
+        numeric_profile(df, cols=["s"])
+    with _pytest.raises(ValueError):
+        numeric_profile(df.select("s"))
+
+
 def test_jsonl_roundtrip_and_quarantine(spark, tmp_path, sf_dir):
     from pedsnetdcc_spark.sources.io import read_table
     from pedsnetdcc_spark.sources.jsonl import (
