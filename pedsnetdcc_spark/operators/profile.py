@@ -143,6 +143,85 @@ def numeric_profile(
     )
 
 
+def heavy_hitters(
+    df: DataFrame, key_col: str, k: int = 10, capacity: int = 4096
+) -> DataFrame:
+    """EXACT top-k heavy hitters with bounded intermediate state — the
+    ultra-high-cardinality twin of :func:`key_skew_profile` (whose
+    groupBy shuffles one row per DISTINCT key: fine for join keys,
+    hostile when profiling a free-text or id column with billions of
+    distincts).
+
+    Two passes, Misra-Gries-style candidates + exact verify:
+
+    1. Each partition maintains a Misra-Gries summary of ``capacity``
+       counters (the batch-merge formulation: add the Arrow batch's
+       value_counts, then subtract the (capacity+1)-th largest counter
+       and drop non-positives — one vectorized pandas pass per batch,
+       memory ≤ capacity + one batch's distincts).  MG guarantee: any
+       value with partition frequency > n_p/capacity survives, so the
+       cross-partition union is a guaranteed superset of every value
+       with GLOBAL share > 1/capacity, whatever the partitioning.
+    2. The candidate union (≤ partitions × capacity slim rows)
+       broadcast-filters a second scan that counts ONLY candidates
+       exactly; top-k of those counts.
+
+    The result equals :func:`key_skew_profile`'s top-k whenever the
+    k-th true count exceeds ``n/capacity`` (the returned ``share``
+    makes the check visible: ranks with ``share > 1/capacity`` are
+    unconditionally exact).  Output schema matches key_skew_profile:
+    ``(key, n, rank, share)``.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    src = df.select(F.col(key_col).cast("string").alias("key"))
+    part_schema = StructType([StructField("key", StringType())])
+
+    def mg_per_partition(batches):
+        import pandas as pd
+
+        summary: "pd.Series | None" = None
+        for pdf in batches:
+            c = pdf["key"].value_counts(dropna=False)
+            summary = c if summary is None else summary.add(c, fill_value=0)
+            if len(summary) > capacity:
+                kth = summary.nlargest(capacity + 1).iloc[-1]
+                summary = summary[summary > kth] - kth
+        if summary is None or not len(summary):
+            return
+        yield pd.DataFrame({"key": summary.index.astype(object)})
+
+    candidates = (
+        src.mapInPandas(mg_per_partition, schema=part_schema).distinct()
+    )
+    counts = (
+        # null-safe equality so a null-heavy key is counted like
+        # key_skew_profile's groupBy would count it
+        src.join(
+            F.broadcast(candidates.withColumnRenamed("key", "__ck")),
+            F.col("key").eqNullSafe(F.col("__ck")),
+        )
+        .groupBy("key")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    total = src.agg(F.count(F.lit(1)).alias("__total"))
+    top = counts.orderBy(F.col("n").desc(), F.col("key")).limit(k)
+    w = Window.orderBy(F.col("n").desc(), F.col("key"))
+    return (
+        top.crossJoin(F.broadcast(total))
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .select(
+            "key",
+            F.col("n").cast("long").alias("n"),
+            "rank",
+            (F.col("n").cast("double") / F.col("__total").cast("double")).alias(
+                "share"
+            ),
+        )
+    )
+
+
 def key_skew_profile(df: DataFrame, key_col: str, k: int = 10) -> DataFrame:
     """Heavy-hitter profile of a join/aggregation key: the ``k`` most
     frequent key values with their exact counts and share of all rows —

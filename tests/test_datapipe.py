@@ -891,6 +891,55 @@ def test_key_skew_profile_ranks_and_shares(spark):
     assert rows[0]["share"] == 5 / 12
 
 
+def test_heavy_hitters_matches_exact_profile(spark):
+    """The bounded-state sketch path returns the SAME top-k as the
+    exact groupBy profile (ranks, counts, shares) on a skewed column
+    whose k-th count clears the n/capacity guarantee — at several
+    partitionings and a small MG capacity that forces real decrements
+    (400 distinct cold keys vs capacity 32) while keeping the k-th
+    count (60) above every partition's n_p/capacity threshold, so the
+    pigeonhole survival guarantee — not order luck — carries the
+    test."""
+    import random
+
+    from pedsnetdcc_spark.operators.profile import (
+        heavy_hitters,
+        key_skew_profile,
+    )
+
+    rng = random.Random(5)
+    keys = (
+        ["hot"] * 400 + ["warm"] * 150 + ["mild"] * 60
+        + [f"cold{i}" for i in range(400)]
+    )
+    rng.shuffle(keys)
+    df = spark.createDataFrame([(k,) for k in keys], ["k"])
+    exact = [
+        (r["key"], r["n"], r["rank"], r["share"])
+        for r in key_skew_profile(df, "k", k=3).orderBy("rank").collect()
+    ]
+    assert [e[0] for e in exact] == ["hot", "warm", "mild"]
+    for parts in (1, 7, 64):
+        got = [
+            (r["key"], r["n"], r["rank"], r["share"])
+            for r in heavy_hitters(df.repartition(parts), "k", k=3, capacity=32)
+            .orderBy("rank")
+            .collect()
+        ]
+        assert got == exact, (parts, got)
+
+
+def test_heavy_hitters_counts_null_keys(spark):
+    from pedsnetdcc_spark.operators.profile import heavy_hitters
+
+    df = spark.createDataFrame(
+        [(None,)] * 5 + [("a",)] * 3 + [("b",)], "k string"
+    )
+    rows = heavy_hitters(df, "k", k=2, capacity=8).orderBy("rank").collect()
+    assert rows[0]["key"] is None and rows[0]["n"] == 5
+    assert rows[1]["key"] == "a" and rows[1]["n"] == 3
+
+
 def test_hashed_bow_dense_feeds_cosine_topk(spark):
     """hashed_bow -> hashed_bow_dense must produce unit-norm vectors
     the similarity operators accept: a doc's nearest neighbor by cosine
