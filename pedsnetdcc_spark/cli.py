@@ -615,11 +615,20 @@ def cmd_skew_profile(args: argparse.Namespace) -> int:
     """Join-key heavy-hitter profile: top-k values with exact counts
     and share (operators/profile.key_skew_profile), one JSON line per
     key — the pre-join salting/AQE diagnostic."""
-    from pedsnetdcc_spark.operators.profile import key_skew_profile
+    from pedsnetdcc_spark.operators.profile import (
+        heavy_hitters,
+        key_skew_profile,
+    )
 
     spark = _session(args)
     df = _read(spark, args.input, args.table)
-    for r in key_skew_profile(df, args.key_col, k=args.top).collect():
+    if args.sketch:
+        rows = heavy_hitters(
+            df, args.key_col, k=args.top, capacity=args.capacity
+        ).collect()
+    else:
+        rows = key_skew_profile(df, args.key_col, k=args.top).collect()
+    for r in rows:
         print(json.dumps(r.asDict()))
     return 0
 
@@ -1011,6 +1020,10 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--table", required=True)
     sp.add_argument("--key-col", required=True)
     sp.add_argument("--top", type=int, default=10)
+    sp.add_argument("--sketch", action="store_true",
+                    help="bounded-state Misra-Gries path for "
+                    "billion-distinct key columns")
+    sp.add_argument("--capacity", type=int, default=4096)
     sp.set_defaults(fn=cmd_skew_profile)
 
     sp = sub.add_parser("bpe-train", help="train a BPE tokenizer; write merges JSON")

@@ -362,6 +362,15 @@ def test_cli_lm_contamination_skew_bpe(spark, sf_dir, tmp_path, capsys):
     lines = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
     assert len(lines) == 5 and lines[0]["rank"] == 1
 
+    # the bounded-state sketch path returns the same top-5
+    assert (
+        main(["skew-profile", "-i", str(ns), "--table", "lineitem",
+              "--key-col", "l_suppkey", "--top", "5", "--sketch"])
+        == 0
+    )
+    sk = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert sk == lines
+
     merges_path = tmp_path / "merges.json"
     out3 = tmp_path / "bpe_out"
     assert (
