@@ -132,6 +132,46 @@ def test_diff_cli_verb(spark, tmp_path, capsys):
     }
 
 
+def test_diff_property_random_edits(spark):
+    """Property: for ANY pair of versions drawn as random (key →
+    (name, value-or-null)) maps, diff_tables matches the obvious
+    python-dict classification.  Catches signature collisions (nulls,
+    empty strings) and presence-test mistakes wholesale."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    val = st.one_of(st.none(), st.integers(0, 3))
+    name = st.sampled_from(["a", "b"])
+    version = st.dictionaries(
+        st.integers(0, 9), st.tuples(name, val), max_size=10
+    )
+
+    @settings(max_examples=25, deadline=None)
+    @given(version, version)
+    def check(old, new):
+        def df(d):
+            rows = [(k, n, v) for k, (n, v) in d.items()] or None
+            return spark.createDataFrame(
+                rows or [(None, None, None)], "id long, name string, v int"
+            ).where(F.lit(rows is not None))
+
+        got = {
+            r["id"]: r["change"]
+            for r in diff_tables(df(new), df(old), ["id"]).collect()
+        }
+        want = {}
+        for k in set(old) | set(new):
+            if k not in old:
+                want[k] = "added"
+            elif k not in new:
+                want[k] = "removed"
+            elif old[k] != new[k]:
+                want[k] = "changed"
+        assert got == want, (old, new, got, want)
+
+    check()
+
+
 def test_diff_plan_is_jvm_side(spark, versions):
     new, old = versions
     plan = (
