@@ -175,7 +175,16 @@ def write_webdataset(
         .mapInPandas(write_partition, schema=out_schema)
         .collect()  # bounded by `shards`; this action IS the write
     )
-    return [r.asDict() for r in manifest]
+    rows = sorted((r.asDict() for r in manifest), key=lambda m: m["shard"])
+    # persisted next to the shards: the read side verifies per-shard
+    # sample counts against it — tar corruption mid-archive makes
+    # Python's tarfile SILENTLY end iteration (an invalid header block
+    # reads as end-of-archive), so without the manifest a truncated
+    # shard loses samples without any error
+    with open(os.path.join(path, "manifest.jsonl"), "w") as f:
+        for m in rows:
+            f.write(json.dumps(m, sort_keys=True) + "\n")
+    return rows
 
 
 def _export_epoch(
@@ -271,6 +280,7 @@ def read_webdataset(
     members: dict[str, str],
     text_exts: set[str] | None = None,
     key_out: str = "sample_key",
+    on_error: str = "fail",
 ) -> DataFrame:
     """Read a WebDataset shard directory back as one row per sample.
 
@@ -280,7 +290,30 @@ def read_webdataset(
     null.  One task per shard: the shard list is a pruned binaryFile
     scan (``path`` only — no blob shipping), each task streams its tar
     sequentially and yields bounded Arrow batches.
+
+    Corruption handling: Python's tarfile treats an invalid header
+    block mid-archive as END-OF-ARCHIVE (measured: garbage over a
+    header yields the preceding samples and NO error), so truncation
+    is usually SILENT.  Detection therefore comes from the writer's
+    ``manifest.jsonl`` (written by :func:`write_webdataset` next to
+    the shards): each task compares its decoded sample count to the
+    manifest row.  ``on_error="fail"`` (default) raises on a mismatch
+    or decode error; ``"quarantine"`` keeps the decodable prefix,
+    appends the shard to ``_quarantine.jsonl`` (the re-fetch
+    worklist — tar has no redundancy past the corruption point), and
+    continues — the corpus-import posture (sources/jsonl.py's
+    corrupt-record mode) for tars.  A foreign corpus without a
+    manifest gets exception-based detection only.
     """
+    if on_error not in ("fail", "quarantine"):
+        raise ValueError(f"unknown on_error {on_error!r}")
+    expected: dict[str, int] = {}
+    mpath = os.path.join(path, "manifest.jsonl")
+    if os.path.exists(mpath):
+        with open(mpath) as f:
+            for line in f:
+                m = json.loads(line)
+                expected[m["shard"]] = int(m["samples"])
     text_exts = text_exts or set()
     fields = [StructField(key_out, StringType())]
     for ext, col in members.items():
@@ -307,8 +340,19 @@ def read_webdataset(
         for pdf in batches:
             for uri in pdf["path"]:
                 local = uri[len("file:") :] if uri.startswith("file:") else uri
+                shard = os.path.basename(local)
                 rows: list[dict] = []
-                for key, got in iter_tar_samples(local, want):
+                n_decoded, err = 0, None
+                it = iter_tar_samples(local, want)
+                while True:
+                    try:
+                        key, got = next(it)
+                    except StopIteration:
+                        break
+                    except (tarfile.TarError, OSError, EOFError) as e:
+                        err = str(e)
+                        break
+                    n_decoded += 1
                     rec = {key_out: key}
                     for ext, col in exts.items():
                         v = got.get(ext)
@@ -319,6 +363,24 @@ def read_webdataset(
                     if len(rows) >= _READ_BATCH_SAMPLES:
                         yield flush(rows)
                         rows = []
+                want_n = expected.get(shard)
+                if err is None and want_n is not None and n_decoded != want_n:
+                    # tarfile read a corrupt header as end-of-archive:
+                    # the loss is silent without this manifest check
+                    err = (
+                        f"sample count mismatch: decoded {n_decoded}, "
+                        f"manifest says {want_n}"
+                    )
+                if err is not None:
+                    if on_error == "fail":
+                        raise IOError(f"corrupt shard {shard}: {err}")
+                    with open(
+                        os.path.join(os.path.dirname(local), "_quarantine.jsonl"),
+                        "a",
+                    ) as f:
+                        f.write(
+                            json.dumps({"shard": shard, "error": err}) + "\n"
+                        )
                 if rows:
                     yield flush(rows)
 

@@ -94,7 +94,8 @@ def test_shards_deterministic_and_membership_pure(corpus, tmp_path):
         }
 
     da, db = digests(a), digests(b)
-    assert da == db and len(da) == 4
+    assert da == db  # shards AND the manifest byte-identical
+    assert sum(f.endswith(".tar") for f in da) == 4
 
 
 def test_sample_members_adjacent_in_shard(corpus, tmp_path):
@@ -103,7 +104,7 @@ def test_sample_members_adjacent_in_shard(corpus, tmp_path):
     out = str(tmp_path / "wds")
     _write(corpus, out)
     total = 0
-    for f in os.listdir(out):
+    for f in [x for x in os.listdir(out) if x.endswith(".tar")]:
         with tarfile.open(os.path.join(out, f)) as tar:
             names = [m.name for m in tar if m.isfile()]
         keys = [n.partition(".")[0] for n in names]
@@ -142,7 +143,7 @@ def test_iter_tar_samples_accepts_blob(corpus, tmp_path):
     (binaryFile `content`), not just POSIX paths."""
     out = str(tmp_path / "wds")
     _write(corpus, out)
-    f = sorted(os.listdir(out))[0]
+    f = sorted(x for x in os.listdir(out) if x.endswith(".tar"))[0]
     blob = open(os.path.join(out, f), "rb").read()
     from_path = list(iter_tar_samples(os.path.join(out, f), {"txt", "png"}))
     from_blob = list(iter_tar_samples(blob, {"txt", "png"}))
@@ -197,6 +198,44 @@ def test_read_plan_has_no_row_udfs(spark, corpus, tmp_path):
     back = read_webdataset(spark, out, members={"txt": "text"})
     plan = back._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan  # Arrow-batched, never per-row
+
+
+def test_corrupt_shard_quarantine(spark, corpus, tmp_path):
+    """A truncated tar under on_error="quarantine" keeps the intact
+    shards' samples (plus the corrupt shard's decodable prefix), logs
+    the shard to _quarantine.jsonl, and the default mode still fails
+    loudly."""
+    import json
+    import os
+
+    out = str(tmp_path / "wds")
+    _write(corpus, out)
+    victim = os.path.join(
+        out, sorted(x for x in os.listdir(out) if x.endswith(".tar"))[0]
+    )
+    blob = open(victim, "rb").read()
+    # cut INSIDE the member data (tar pads the tail with zero blocks,
+    # so a half-cut can be lossless — measured; 1024 bytes keeps at
+    # most the first member): tarfile reads this as a SILENT early
+    # end-of-archive, which only the manifest count check detects
+    open(victim, "wb").write(blob[:1024])
+
+    with pytest.raises(Exception, match="corrupt shard"):
+        read_webdataset(spark, out, members={"txt": "text"}).count()
+
+    back = read_webdataset(
+        spark, out, members={"txt": "text"}, text_exts={"txt"},
+        on_error="quarantine",
+    ).collect()
+    intact = {
+        r["sample_key"] for r in read_webdataset(
+            spark, f"{out}/shard-00000[1-3].tar", members={"txt": "text"}
+        ).collect()
+    }
+    got = {r["sample_key"] for r in back}
+    assert intact <= got < {r["doc_id"] for r in corpus.collect()}
+    q = [json.loads(l) for l in open(os.path.join(out, "_quarantine.jsonl"))]
+    assert [e["shard"] for e in q] == [os.path.basename(victim)]
 
 
 def test_streaming_export_matches_batch_and_retries_idempotently(
