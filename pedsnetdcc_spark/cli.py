@@ -812,6 +812,89 @@ def cmd_diff(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_dataset_card(args: argparse.Namespace) -> int:
+    """Compose the profiling/quality/dedup operators into a markdown
+    dataset card — the human-readable summary published with a corpus
+    release (per-source accounting, language distribution, quality
+    pass rate, length distribution, duplication).  Every number comes
+    from the same oracle-checked operators the pipeline runs; the card
+    is presentation, not new computation.  Driver materializes only
+    bounded rows (groups, languages, profile rows)."""
+    from pyspark.sql import functions as F
+
+    from pedsnetdcc_spark.datapipe.corpus import corpus_report
+    from pedsnetdcc_spark.datapipe.text import gopher_rules, lang_id
+    from pedsnetdcc_spark.operators.profile import numeric_profile
+
+    spark = _session(args)
+    df = _read(spark, args.input, args.table)
+    tagged = lang_id(df, text_col="text")
+    rep = (
+        corpus_report(tagged, lang_col="lang_pred")
+        .orderBy("source")
+        .collect()
+    )
+    langs = (
+        tagged.groupBy("lang_pred")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "lang_pred")
+        .collect()
+    )
+    quality = (
+        gopher_rules(df)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("passes_gopher").cast("long")).alias("passed"),
+        )
+        .first()
+    )
+    lengths = {
+        r["column"]: r for r in numeric_profile(df, cols=["n_chars"]).collect()
+    }["n_chars"]
+    n_docs = sum(r["n_docs"] for r in rep)
+    n_dups = sum(r["dup_docs"] for r in rep)
+
+    lines = [
+        f"# Dataset card: {args.table}",
+        "",
+        f"- documents: **{n_docs:,}**",
+        f"- whitespace tokens: **{sum(r['total_tokens'] for r in rep):,}**",
+        f"- characters: **{sum(r['total_chars'] for r in rep):,}**",
+        f"- exact-duplicate documents: **{n_dups:,}**"
+        f" ({n_dups / n_docs:.2%})" if n_docs else "- empty corpus",
+        f"- Gopher quality pass rate: **{quality['passed'] / quality['n']:.2%}**"
+        if quality["n"]
+        else "",
+        "",
+        "## Per-source",
+        "",
+        "| source | docs | tokens | chars | langs | dup docs |",
+        "|---|---|---|---|---|---|",
+    ]
+    for r in rep:
+        lines.append(
+            f"| {r['source']} | {r['n_docs']:,} | {r['total_tokens']:,} | "
+            f"{r['total_chars']:,} | {r['n_langs']} | {r['dup_docs']:,} |"
+        )
+    lines += ["", "## Language distribution (stopword-profile ID)", ""]
+    lines += [f"- {r['lang_pred']}: {r['n']:,}" for r in langs]
+    pcts = [c for c in lengths.asDict() if c.startswith("p")]
+    lines += [
+        "",
+        "## Document length (characters)",
+        "",
+        f"- min {lengths['min']:.0f} / mean {lengths['mean']:.1f} / "
+        f"max {lengths['max']:.0f}",
+        "- percentiles: "
+        + ", ".join(f"{c}={lengths[c]:.0f}" for c in sorted(pcts)),
+        "",
+    ]
+    with open(args.out, "w") as f:
+        f.write("\n".join(lines))
+    print(json.dumps({"card": args.out, "n_docs": n_docs}))
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="pedsnetdcc-spark", description=__doc__.split("\n")[0]
@@ -1112,6 +1195,15 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--text", action="append", metavar="EXT",
                     help="extensions decoded utf-8 to string (repeatable)")
     sp.set_defaults(fn=cmd_wds_import)
+
+    sp = sub.add_parser(
+        "dataset-card", help="markdown corpus summary (accounting, "
+        "languages, quality, lengths, duplication)"
+    )
+    sp.add_argument("--input", "-i", required=True, help="input namespace dir")
+    sp.add_argument("--table", default="documents")
+    sp.add_argument("--out", required=True, help="markdown output path")
+    sp.set_defaults(fn=cmd_dataset_card)
 
     sp = sub.add_parser(
         "diff", help="what changed vs the previous published generation"

@@ -263,6 +263,31 @@ def test_cli_corpus_export_import(spark, sf_dir, tmp_path, capsys):
     shutil.rmtree(ns, ignore_errors=True)
 
 
+def test_cli_dataset_card(spark, sf_dir, tmp_path, capsys):
+    import json
+
+    from pedsnetdcc_spark.cli import main
+    from pedsnetdcc_spark.sources.io import read_table
+
+    ns = tmp_path / "ns"
+    ns.mkdir()
+    docs = read_table(spark, sf_dir, "documents")
+    docs.write.parquet(str(ns / "documents"))
+    card = tmp_path / "card.md"
+    assert main(["dataset-card", "-i", str(ns), "--out", str(card)]) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["n_docs"] == docs.count()
+    text = card.read_text()
+    assert text.startswith("# Dataset card: documents")
+    for section in ("## Per-source", "## Language distribution",
+                    "## Document length"):
+        assert section in text
+    assert f"documents: **{docs.count():,}**" in text
+    # every source appears as a table row
+    for s in [r["source"] for r in docs.select("source").distinct().collect()]:
+        assert f"| {s} |" in text
+
+
 def test_cli_wds_export_import(spark, sf_dir, tmp_path, capsys):
     import json
     import shutil
