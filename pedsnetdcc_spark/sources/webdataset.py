@@ -307,13 +307,6 @@ def read_webdataset(
     """
     if on_error not in ("fail", "quarantine"):
         raise ValueError(f"unknown on_error {on_error!r}")
-    expected: dict[str, int] = {}
-    mpath = os.path.join(path, "manifest.jsonl")
-    if os.path.exists(mpath):
-        with open(mpath) as f:
-            for line in f:
-                m = json.loads(line)
-                expected[m["shard"]] = int(m["samples"])
     text_exts = text_exts or set()
     fields = [StructField(key_out, StringType())]
     for ext, col in members.items():
@@ -336,6 +329,25 @@ def read_webdataset(
 
         def flush(rows: list[dict]) -> "pd.DataFrame":
             return pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+
+        # manifest resolved NEXT TO each shard (cached per directory),
+        # so multi-directory reads — e.g. the streaming export's
+        # ``batch=*`` epoch dirs, each with its own manifest — are
+        # verified too, not just single-directory corpora
+        manifests: dict[str, dict[str, int]] = {}
+
+        def expected_for(local: str) -> "int | None":
+            d = os.path.dirname(local)
+            if d not in manifests:
+                exp: dict[str, int] = {}
+                mpath = os.path.join(d, "manifest.jsonl")
+                if os.path.exists(mpath):
+                    with open(mpath) as f:
+                        for line in f:
+                            m = json.loads(line)
+                            exp[m["shard"]] = int(m["samples"])
+                manifests[d] = exp
+            return manifests[d].get(os.path.basename(local))
 
         for pdf in batches:
             for uri in pdf["path"]:
@@ -363,7 +375,7 @@ def read_webdataset(
                     if len(rows) >= _READ_BATCH_SAMPLES:
                         yield flush(rows)
                         rows = []
-                want_n = expected.get(shard)
+                want_n = expected_for(local)
                 if err is None and want_n is not None and n_decoded != want_n:
                     # tarfile read a corrupt header as end-of-archive:
                     # the loss is silent without this manifest check
