@@ -27,6 +27,9 @@ from pyspark.sql import functions as F
 
 
 def _row_signature(df: DataFrame, cols: list[str]):
+    if not cols:
+        # key-only table: presence + the duplicate count classify
+        return F.lit(0).cast("long")
     parts = []
     for c in cols:
         parts.append(F.col(c))
@@ -63,7 +66,6 @@ def diff_tables(
     n, o = slim(new).alias("n"), slim(old).alias("o")
     cond = [F.col(f"n.{k}").eqNullSafe(F.col(f"o.{k}")) for k in key_cols]
     j = n.join(o, cond, "full_outer")
-    n_key, o_key = F.col(f"n.{key_cols[0]}"), F.col(f"o.{key_cols[0]}")
     # presence is judged on the count column (never null on a present
     # side), not the key (a legitimately-null key value would misread)
     change = (

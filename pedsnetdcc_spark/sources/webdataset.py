@@ -104,9 +104,20 @@ def write_webdataset(
     meta_cols = list(meta_cols or [])
     cols = [key_col, *members.values(), *meta_cols]
     slim = df.select(*cols)
-    str_cols = {
-        c for c, t in slim.dtypes if c in set(members.values()) and t == "string"
+    types = dict(slim.dtypes)
+    bad = {
+        c: types[c]
+        for c in members.values()
+        if types[c] not in ("string", "binary")
     }
+    if bad:
+        # bytes(int) would write that many ZERO bytes — silent
+        # corruption; route non-content columns through meta_cols
+        raise ValueError(
+            f"member columns must be string or binary, got {bad}; "
+            "put scalar metadata in meta_cols instead"
+        )
+    str_cols = {c for c in members.values() if types[c] == "string"}
     os.makedirs(path, exist_ok=True)
     exts = dict(members)  # closure copy
 
@@ -399,8 +410,13 @@ def read_webdataset(
     # one shard per task: round-robin to exactly n partitions (a key
     # hash would collide shards into one task and idle another; the
     # explicit width also keeps AQE from coalescing the tiny path list
-    # under its compute-amplifying consumer — SCALE.md round-9)
+    # under its compute-amplifying consumer — SCALE.md round-9).
+    # Capped at 4096: past that, tasks stream several shards
+    # sequentially instead of flooding the scheduler with a
+    # one-partition-per-shard plan on million-shard corpora.
     n = paths.count()
     if n == 0:
         return spark.createDataFrame([], schema)
-    return paths.repartition(n).mapInPandas(read_shards, schema=schema)
+    return paths.repartition(min(n, 4096)).mapInPandas(
+        read_shards, schema=schema
+    )

@@ -132,6 +132,15 @@ def test_diff_cli_verb(spark, tmp_path, capsys):
     }
 
 
+def test_diff_key_only_table(spark):
+    """A table that is ALL key (no compare columns) still classifies
+    added/removed, and duplicate-count changes, from presence alone."""
+    old = spark.createDataFrame([(1,), (2,), (3,), (3,)], "id long")
+    new = spark.createDataFrame([(2,), (3,), (4,)], "id long")
+    got = {r["id"]: r["change"] for r in diff_tables(new, old, ["id"]).collect()}
+    assert got == {1: "removed", 3: "changed", 4: "added"}
+
+
 def test_diff_property_random_edits(spark):
     """Property: for ANY pair of versions drawn as random (key →
     (name, value-or-null)) maps, diff_tables matches the obvious

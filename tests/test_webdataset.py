@@ -138,6 +138,17 @@ def test_null_member_skipped(spark, tmp_path):
     assert by_key["b"]["text"] is None and bytes(by_key["b"]["image"]) == b"\x01\x02"
 
 
+def test_non_content_member_column_rejected(spark, tmp_path):
+    """An int member column must be rejected at plan time: bytes(5)
+    writes five ZERO bytes — silent corruption, not an encoding."""
+    df = spark.createDataFrame([("a", 5)], "doc_id string, n int")
+    with pytest.raises(ValueError, match="string or binary"):
+        write_webdataset(
+            df, str(tmp_path / "x"), key_col="doc_id",
+            members={"num": "n"}, shards=1,
+        )
+
+
 def test_iter_tar_samples_accepts_blob(corpus, tmp_path):
     """Object-store path: the same decoder runs on in-memory blobs
     (binaryFile `content`), not just POSIX paths."""
