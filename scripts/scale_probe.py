@@ -875,8 +875,8 @@ def main() -> None:
     ap.add_argument(
         "--family",
         choices=[
-            "pair", "cdm", "streaming", "cdm_deep", "pair_deep", "sim_deep",
-            "all",
+            "pair", "cdm", "streaming", "cdm_deep", "pair_deep", "pair_deep4",
+            "sim_deep", "all",
         ],
         default="all",
     )
@@ -1144,6 +1144,41 @@ def main() -> None:
             _probe_family(spark, QUERIES, deep_names, {}, points, args.runs)
         )
         out["families"]["pair_deep"] = fam
+
+    if args.family == "pair_deep4":
+        # FOURTH decade for two flagship pipeline rows (x10000 = 50M
+        # docs ≈ 5.6 GB): the regime check at a point where any hidden
+        # super-linear term must dominate — per-row cost must stay
+        # non-increasing
+        points = [
+            ("x1000", build_pair_deep_scale("pair_x1000", docs=5_000_000, seed=7), 1000),
+            (
+                "x10000",
+                build_pair_deep_scale("pair_x10000", docs=50_000_000, seed=7),
+                10000,
+            ),
+        ]
+        deep_names = [
+            q
+            for q in ["quality_classifier", "corpus_pipeline"]
+            if not args.only or q in args.only.split(",")
+        ]
+        QUERIES["quality_classifier"](spark, points[0][1]).count()  # JVM warm
+        spark.catalog.clearCache()
+        fam = out["families"].get(
+            "pair_deep4",
+            {
+                "x1000_rows": {"documents": 5_000_000},
+                "x10000_rows": {"documents": 50_000_000},
+                "invariant": "same unigram profile, doc-length bounds, and "
+                "20% rolling-window near-copy rate at every scale",
+                "queries": {},
+            },
+        )
+        fam["queries"].update(
+            _probe_family(spark, QUERIES, deep_names, {}, points, args.runs)
+        )
+        out["families"]["pair_deep4"] = fam
 
     if args.family == "sim_deep":
         # third decade for the similarity family: the embedding
