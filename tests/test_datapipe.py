@@ -929,6 +929,44 @@ def test_heavy_hitters_matches_exact_profile(spark):
         assert got == exact, (parts, got)
 
 
+def test_heavy_hitters_property_guarantee(spark):
+    """Property: for ANY key multiset and ANY partitioning, every
+    exact-top-k rank whose count clears the n/capacity pigeonhole
+    threshold appears in heavy_hitters with the same exact count —
+    the MG survival guarantee, not a tuned example."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from pedsnetdcc_spark.operators.profile import (
+        heavy_hitters,
+        key_skew_profile,
+    )
+
+    keys = st.lists(
+        st.sampled_from([f"k{i}" for i in range(12)]),
+        min_size=1,
+        max_size=300,
+    )
+
+    @settings(max_examples=15, deadline=None)
+    @given(keys, st.integers(1, 9), st.integers(4, 8))
+    def check(ks, parts, capacity):
+        df = spark.createDataFrame([(k,) for k in ks], ["k"]).repartition(parts)
+        exact = {
+            r["key"]: r["n"]
+            for r in key_skew_profile(df, "k", k=5).collect()
+        }
+        got = {
+            r["key"]: r["n"] for r in heavy_hitters(df, "k", k=5, capacity=capacity).collect()
+        }
+        n = len(ks)
+        for key, cnt in exact.items():
+            if cnt > n / capacity:  # inside the pigeonhole guarantee
+                assert got.get(key) == cnt, (ks, parts, capacity, key)
+
+    check()
+
+
 def test_heavy_hitters_counts_null_keys(spark):
     from pedsnetdcc_spark.operators.profile import heavy_hitters
 
