@@ -4944,7 +4944,7 @@ def _corpus_io_oracle() -> str:
         FROM documents GROUP BY source
     )
     SELECT f.format, s.source, s.n_docs, s.sum_chars, s.text_sig
-    FROM s, (VALUES ('jsonl'), ('wds')) AS f(format)
+    FROM s, (VALUES ('jsonl'), ('orc'), ('wds')) AS f(format)
     """
 
 
@@ -4958,6 +4958,9 @@ def q_corpus_io_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     - ``jsonl``: the documents table written as gzip JSONL shards
       (sources/jsonl.py — the interchange format of public LLM corpus
       releases) and read back under the explicit schema.
+    - ``orc``: the same table through the generic columnar interchange
+      surface (sources/formats.py export/import — the Hive/Trino
+      ecosystem format, schema carried by the files).
     - ``wds``: the same table written as WebDataset-style tar shards
       (sources/webdataset.py — the streaming-dataloader format for
       multimodal training corpora): text rides as the ``.txt`` member,
@@ -4993,6 +4996,11 @@ def q_corpus_io_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     write_jsonl(docs, f"{root}/jsonl", compression="gzip", shards=4)
     jl = read_jsonl(spark, f"{root}/jsonl", docs.schema)
 
+    from pedsnetdcc_spark.sources.formats import export_table, import_table
+
+    export_table(docs.repartition(4), f"{root}/orc", fmt="orc")
+    orc = import_table(spark, f"{root}/orc", fmt="orc")
+
     write_webdataset(
         docs, f"{root}/wds", key_col="doc_id", members={"txt": "text"},
         shards=4, meta_cols=["source", "n_chars"],
@@ -5008,7 +5016,11 @@ def q_corpus_io_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("text", F.col("m.source").alias("source"),
              F.col("m.n_chars").alias("n_chars"))
 
-    return summary(jl, "jsonl").unionByName(summary(wds, "wds"))
+    return (
+        summary(jl, "jsonl")
+        .unionByName(summary(orc, "orc"))
+        .unionByName(summary(wds, "wds"))
+    )
 
 
 #: The exact statement view_ddl must emit for the upper-cased nation
