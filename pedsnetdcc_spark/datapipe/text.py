@@ -10,6 +10,8 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -309,6 +311,36 @@ def normalize_text(
     c = F.regexp_replace(c, "[^a-z0-9 ]", "")
     c = F.regexp_replace(c, " +", " ")
     return df.withColumn(out_col, F.trim(c))
+
+
+def normalize_unicode(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "nfc_text",
+    form: str = "NFC",
+) -> DataFrame:
+    """Unicode normalization (NFC/NFKC/NFD/NFKD) — the prerequisite for
+    content-hash dedup on web text, where the same string arrives as
+    composed vs combining-mark sequences (é = U+00E9 or U+0065+U+0301)
+    or compatibility variants (ﬁ ligature, full-width digits); without
+    it exact dedup silently treats them as distinct documents.
+
+    Spark has no built-in normalizer, so this is an Arrow-batched
+    pandas UDF over ``Series.str.normalize`` (vectorized unicodedata —
+    the sanctioned Python path, never row-at-a-time).  Scale shape:
+    scan-fused, no shuffle; cost is one pass over the characters.  The
+    ``NFC`` form is DuckDB-replayable (``nfc_normalize``), which is how
+    a future oracle row replays it; NFKC/NFKD have no DuckDB twin and
+    stay unit-tested against python's unicodedata.
+    """
+    if form not in ("NFC", "NFKC", "NFD", "NFKD"):
+        raise ValueError(f"unknown normalization form {form!r}")
+
+    @F.pandas_udf("string")
+    def norm(s: pd.Series) -> pd.Series:
+        return s.str.normalize(form)
+
+    return df.withColumn(out_col, norm(F.col(text_col)))
 
 
 def chunk_documents(

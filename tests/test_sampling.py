@@ -274,6 +274,41 @@ def test_normalize_text_idempotent(spark, sf_dir):
     assert a == b
 
 
+def test_normalize_unicode_forms(spark):
+    """NFC merges combining marks into composed forms (é both ways
+    hash-equal after), NFKC folds compatibility variants (ﬁ ligature,
+    full-width digits); results match python's unicodedata exactly and
+    composed exact-dedup catches the homoglyph duplicate only after
+    normalization."""
+    import unicodedata
+
+    from pedsnetdcc_spark.datapipe.dedup import exact_dedup_groups
+    from pedsnetdcc_spark.datapipe.text import normalize_unicode
+
+    composed = "café ﬁne １２"      # é, ﬁ, full-width 12
+    combining = "café ﬁne １２"    # e + U+0301
+    docs = spark.createDataFrame(
+        [(1, composed), (2, combining)], "doc_id long, text string"
+    )
+    nfc = {r["doc_id"]: r["nfc_text"]
+           for r in normalize_unicode(docs, form="NFC").collect()}
+    assert nfc[1] == nfc[2] == unicodedata.normalize("NFC", composed)
+    nfkc = {r["doc_id"]: r["out"]
+            for r in normalize_unicode(docs, out_col="out", form="NFKC").collect()}
+    assert nfkc[1] == unicodedata.normalize("NFKC", composed)
+    assert "fine" in nfkc[1] and "12" in nfkc[1]  # ligature + digits folded
+    # composition: exact dedup sees ONE distinct content only after NFC
+    raw_groups = exact_dedup_groups(docs, "doc_id", "text").count()
+    norm_groups = exact_dedup_groups(
+        normalize_unicode(docs), "doc_id", "nfc_text"
+    ).count()
+    assert raw_groups == 2 and norm_groups == 1
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        normalize_unicode(docs, form="NFX")
+
+
 def test_sample_per_group_exact_sizes_and_determinism(spark, sf_dir):
     from pedsnetdcc_spark.datapipe.sampling import sample_per_group
 
