@@ -161,6 +161,53 @@ def test_iter_tar_samples_accepts_blob(corpus, tmp_path):
     assert from_path == from_blob and len(from_blob) > 0
 
 
+def test_streaming_filter_compose_into_export(spark, tmp_path):
+    """The composition the sink's docstring advertises — stream in,
+    quality-filter, WebDataset shards out: the exported sample set
+    equals the batch filter's keeper set."""
+    import os
+
+    from pedsnetdcc_spark.datapipe.text import gopher_rules
+    from pedsnetdcc_spark.sources.webdataset import stream_webdataset_export
+
+    rows = [
+        (f"{i:04d}",
+         ("the quick brown fox jumps over the lazy dog and then some "
+          * 6) if i % 3 else "short")   # 1/3 fail the min-words rule
+        for i in range(30)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+    src = str(tmp_path / "src")
+    docs.coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(docs.schema).parquet(src)
+    filtered = (
+        gopher_rules(stream, "text")
+        .where("passes_gopher")
+        .select("doc_id", "text")
+    )
+    out = str(tmp_path / "out")
+    q = (
+        stream_webdataset_export(
+            filtered, out, key_col="doc_id", members={"txt": "text"}, shards=2
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["sample_key"]
+        for r in read_webdataset(
+            spark, f"{out}/batch=*", members={"txt": "text"}
+        ).collect()
+    }
+    want = {
+        r["doc_id"]
+        for r in gopher_rules(docs, "text").where("passes_gopher").collect()
+    }
+    assert got == want and len(want) == 20
+
+
 def test_iter_tar_samples_property():
     """Property: for ANY member layout (random unique keys, random
     extension subsets, random binary payloads incl. empty), grouping
