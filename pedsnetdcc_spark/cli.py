@@ -854,6 +854,16 @@ def cmd_dataset_card(args: argparse.Namespace) -> int:
     n_docs = sum(r["n_docs"] for r in rep)
     n_dups = sum(r["dup_docs"] for r in rep)
 
+    if n_docs == 0:
+        # numeric_profile returns null min/mean/max/percentiles on zero
+        # rows and every ratio divides by n_docs — short-circuit rather
+        # than format None
+        lines = [f"# Dataset card: {args.table}", "", "- empty corpus", ""]
+        with open(args.out, "w") as f:
+            f.write("\n".join(lines))
+        print(json.dumps({"card": args.out, "n_docs": 0}))
+        return 0
+
     lines = [
         f"# Dataset card: {args.table}",
         "",

@@ -50,16 +50,21 @@ def diff_tables(
     share (sorted for a stable signature).  Returns ``key_cols +
     change string``.  Keys are assumed unique per side (the published
     tables' PK); duplicate keys compare as multisets of signatures via
-    an order-free XOR fold, so a duplicated-row count change still
-    reads as ``changed``.
+    an order-free exact SUM fold (decimal(38,0) — wide enough for
+    ~10^10 rows of 64-bit hashes, and unlike XOR it does not cancel
+    even multiplicities: {A,A,B,B} vs {A,A,A,A} reads ``changed``).
     """
     if compare_cols is None:
         shared = set(new.columns) & set(old.columns)
         compare_cols = sorted(shared - set(key_cols))
 
     def slim(df: DataFrame) -> DataFrame:
+        # SUM (exact, decimal) not XOR: XOR cancels even multiplicities,
+        # so a duplicated key's {A,A,B,B} vs {A,A,A,A} would fold to
+        # equal (0) signatures and misread as unchanged.
+        sig = _row_signature(df, compare_cols).cast("decimal(38,0)")
         return df.groupBy(*key_cols).agg(
-            F.bit_xor(_row_signature(df, compare_cols)).alias("__sig"),
+            F.sum(sig).alias("__sig"),
             F.count(F.lit(1)).alias("__n"),
         )
 

@@ -34,6 +34,18 @@ Paths must be visible to executors as POSIX paths (local, NFS, fuse
 mounts — the usual WebDataset deployment).  For a pure object store,
 read via ``spark.read.format("binaryFile")`` with ``content`` selected
 and pass the blobs to :func:`iter_tar_samples` — same decode path.
+
+Task-commit invariant: every shard is written under an ATTEMPT-UNIQUE
+temp name (``.<shard>.attempt-<id>.tmp``) and published with one atomic
+``os.replace`` when the task finishes.  Two attempts of the same
+partition — speculative execution, a zombie task racing its re-attempt —
+therefore never interleave writes into one file: each streams its own
+temp, and the final path only ever holds a COMPLETE tar from exactly
+one attempt (last committer wins; attempts are byte-identical by
+construction, so which one wins is immaterial).  The target directory
+must not already contain shards (stale ``shard-*.tar`` absent from a
+rewritten manifest would resurrect silently on read) — pass
+``mode="overwrite"`` to clean them first.
 """
 
 from __future__ import annotations
@@ -74,6 +86,84 @@ def _tarinfo(name: str, size: int) -> tarfile.TarInfo:
     return ti
 
 
+def _write_shard(
+    path: str,
+    fname: str,
+    attempt: int,
+    recs: "Iterator[dict]",
+    key_col: str,
+    exts: dict[str, str],
+    str_cols: set[str],
+    meta_cols: list[str],
+) -> tuple[int, int, int]:
+    """Stream one partition's records into one shard tar and atomically
+    publish it (the module-docstring task-commit invariant: attempt-
+    unique temp name, ``os.replace`` on success).  Returns
+    ``(samples, members, bytes)``.  Module-level so the two-writers
+    race is unit-testable without a Spark task."""
+    import pandas as pd
+
+    tmp = os.path.join(path, f".{fname}.attempt-{attempt}.tmp")
+    n_samples = n_members = 0
+    with tarfile.open(tmp, "w") as tar:
+        for rec in recs:
+            key = rec[key_col]
+            if key is None:
+                raise ValueError("null sample key")
+            key = str(key)
+            if "." in key or "/" in key or "\\" in key:
+                # the reader splits member names at the FIRST dot
+                # (WebDataset convention): a key like 'v1.2' would
+                # write 'v1.2.txt' and read back as key 'v1' with a
+                # '2.txt' extension nobody asked for — silently
+                # dropped content under a wrong key
+                raise ValueError(
+                    f"sample key {key!r} contains '.' or a path "
+                    "separator; WebDataset keys are basename-up-to-"
+                    "first-dot — sanitize keys upstream"
+                )
+            n_samples += 1
+            for ext, col in exts.items():
+                v = rec[col]
+                if v is None:
+                    continue
+                data = v.encode("utf-8") if col in str_cols else bytes(v)
+                tar.addfile(
+                    _tarinfo(f"{key}.{ext}", len(data)), io.BytesIO(data)
+                )
+                n_members += 1
+            if meta_cols:
+                meta = {
+                    c: (None if pd.isna(rec[c]) else rec[c])
+                    for c in meta_cols
+                }
+                data = json.dumps(meta, sort_keys=True, default=str).encode(
+                    "utf-8"
+                )
+                tar.addfile(
+                    _tarinfo(f"{key}.json", len(data)), io.BytesIO(data)
+                )
+                n_members += 1
+    size = os.path.getsize(tmp)
+    os.replace(tmp, os.path.join(path, fname))  # atomic task commit
+    return n_samples, n_members, size
+
+
+def _stale_outputs(path: str) -> list[str]:
+    """Prior-export artifacts in ``path`` that a re-export would have
+    to reconcile: shard tars, manifests, quarantine lists, and orphaned
+    attempt temp files."""
+    if not os.path.isdir(path):
+        return []
+    return [
+        p
+        for p in os.listdir(path)
+        if p.endswith(".tar")
+        or p in ("manifest.jsonl", "_quarantine.jsonl")
+        or (p.startswith(".") and p.endswith(".tmp"))
+    ]
+
+
 def write_webdataset(
     df: DataFrame,
     path: str,
@@ -81,6 +171,7 @@ def write_webdataset(
     members: dict[str, str],
     shards: int,
     meta_cols: list[str] | None = None,
+    mode: str = "error",
 ) -> list[dict]:
     """Write ``df`` as ``shards`` WebDataset tar shards under ``path``.
 
@@ -88,10 +179,20 @@ def write_webdataset(
     raw, string columns utf-8 (``{"png": "image", "txt": "text"}`` →
     members ``<key>.png``, ``<key>.txt``).  ``meta_cols`` are packed
     into one sorted-key ``<key>.json`` member (the WebDataset metadata
-    convention).  Null member values are skipped (absent member), null
-    keys rejected.  Keys must be UNIQUE (the standard WebDataset sample
-    rule — duplicate keys would merge into one sample on read); dedup
-    upstream, e.g. ``exact_dedup_groups`` keepers.
+    convention).  Null member values are skipped (absent member); null
+    keys and keys containing ``.`` / path separators are rejected (the
+    reader splits member names at the FIRST dot, so such keys would
+    silently corrupt).  Keys must be UNIQUE (the standard WebDataset
+    sample rule — duplicate keys would merge into one sample on read);
+    dedup upstream, e.g. ``exact_dedup_groups`` keepers.
+
+    ``mode="error"`` (default) refuses a target directory that already
+    holds shards or manifests — a re-export with fewer shards would
+    leave stale ``shard-*.tar`` files absent from the new manifest,
+    and the reader would return their samples with no mismatch
+    detection.  ``mode="overwrite"`` removes the prior export's
+    artifacts first (the streaming path gets the same safety per epoch
+    via its temp-directory rename).
 
     Returns the per-shard manifest (shard file, samples, members,
     bytes) — the action that executes the write; manifest size is
@@ -118,8 +219,22 @@ def write_webdataset(
             "put scalar metadata in meta_cols instead"
         )
     str_cols = {c for c in members.values() if types[c] == "string"}
+    if mode not in ("error", "overwrite"):
+        raise ValueError(f"unknown mode {mode!r}")
+    stale = _stale_outputs(path)
+    if stale:
+        if mode == "error":
+            raise IOError(
+                f"target {path} already holds a WebDataset export "
+                f"({len(stale)} files, e.g. {sorted(stale)[:3]}); a "
+                "partial rewrite would leave stale shards the manifest "
+                "cannot detect — pass mode='overwrite' to replace it"
+            )
+        for p in stale:
+            os.remove(os.path.join(path, p))
     os.makedirs(path, exist_ok=True)
     exts = dict(members)  # closure copy
+    meta_cols_f = list(meta_cols)  # closure copy (already a list)
 
     out_schema = StructType(
         [
@@ -134,49 +249,24 @@ def write_webdataset(
         import pandas as pd
         from pyspark import TaskContext
 
-        pid = TaskContext.get().partitionId()
-        fname = _shard_name(pid)
-        full = os.path.join(path, fname)
-        n_samples = n_members = 0
-        with tarfile.open(full, "w") as tar:
+        ctx = TaskContext.get()
+        fname = _shard_name(ctx.partitionId())
+
+        def recs() -> Iterator[dict]:
             for pdf in batches:
                 for row in pdf.itertuples(index=False):
-                    rec = row._asdict()
-                    key = rec[key_col]
-                    if key is None:
-                        raise ValueError("null sample key")
-                    key = str(key)
-                    n_samples += 1
-                    for ext, col in exts.items():
-                        v = rec[col]
-                        if v is None:
-                            continue
-                        data = (
-                            v.encode("utf-8") if col in str_cols else bytes(v)
-                        )
-                        tar.addfile(
-                            _tarinfo(f"{key}.{ext}", len(data)),
-                            io.BytesIO(data),
-                        )
-                        n_members += 1
-                    if meta_cols:
-                        meta = {
-                            c: (None if pd.isna(rec[c]) else rec[c])
-                            for c in meta_cols
-                        }
-                        data = json.dumps(
-                            meta, sort_keys=True, default=str
-                        ).encode("utf-8")
-                        tar.addfile(
-                            _tarinfo(f"{key}.json", len(data)), io.BytesIO(data)
-                        )
-                        n_members += 1
+                    yield row._asdict()
+
+        n_samples, n_members, size = _write_shard(
+            path, fname, ctx.taskAttemptId(), recs(), key_col, exts,
+            str_cols, meta_cols_f,
+        )
         yield pd.DataFrame(
             {
                 "shard": [fname],
                 "samples": [n_samples],
                 "members": [n_members],
-                "bytes": [os.path.getsize(full)],
+                "bytes": [size],
             }
         )
 
@@ -375,13 +465,21 @@ def read_webdataset(
                     except (tarfile.TarError, OSError, EOFError) as e:
                         err = str(e)
                         break
-                    n_decoded += 1
                     rec = {key_out: key}
-                    for ext, col in exts.items():
-                        v = got.get(ext)
-                        if v is not None and ext in text_exts:
-                            v = v.decode("utf-8")
-                        rec[col] = v
+                    try:
+                        # decode INSIDE the guarded loop: a corrupt text
+                        # member routes through the same err/quarantine
+                        # path as a torn tar, keeping the decodable
+                        # prefix instead of failing the whole read
+                        for ext, col in exts.items():
+                            v = got.get(ext)
+                            if v is not None and ext in text_exts:
+                                v = v.decode("utf-8")
+                            rec[col] = v
+                    except UnicodeDecodeError as e:
+                        err = f"utf-8 decode failed in sample {key!r}: {e}"
+                        break
+                    n_decoded += 1
                     rows.append(rec)
                     if len(rows) >= _READ_BATCH_SAMPLES:
                         yield flush(rows)

@@ -288,6 +288,27 @@ def test_cli_dataset_card(spark, sf_dir, tmp_path, capsys):
         assert f"| {s} |" in text
 
 
+def test_cli_dataset_card_empty_corpus(spark, sf_dir, tmp_path, capsys):
+    """Zero documents must produce a minimal card, not a TypeError from
+    formatting numeric_profile's null min/mean/max."""
+    import json
+
+    from pedsnetdcc_spark.cli import main
+    from pedsnetdcc_spark.sources.io import read_table
+
+    ns = tmp_path / "ns"
+    ns.mkdir()
+    docs = read_table(spark, sf_dir, "documents").where("1 = 0")
+    docs.write.parquet(str(ns / "documents"))
+    card = tmp_path / "card.md"
+    assert main(["dataset-card", "-i", str(ns), "--out", str(card)]) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["n_docs"] == 0
+    text = card.read_text()
+    assert text.startswith("# Dataset card: documents")
+    assert "empty corpus" in text
+
+
 def test_cli_wds_export_import(spark, sf_dir, tmp_path, capsys):
     import json
     import shutil

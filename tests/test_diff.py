@@ -89,6 +89,25 @@ def test_diff_duplicate_keys_multiset(spark):
     assert got == {2: "changed"}
 
 
+def test_diff_duplicate_keys_even_multiplicity(spark):
+    """Equal counts with even multiplicities must still read 'changed':
+    an XOR fold cancels {x,x,y,y} vs {y,y,y,y} to equal (0) signatures;
+    the SUM fold does not."""
+    old = spark.createDataFrame(
+        [(1, "x"), (1, "x"), (1, "y"), (1, "y")], "id long, s string"
+    )
+    new = spark.createDataFrame(
+        [(1, "y"), (1, "y"), (1, "y"), (1, "y")], "id long, s string"
+    )
+    got = {r["id"]: r["change"] for r in diff_tables(new, old, ["id"]).collect()}
+    assert got == {1: "changed"}
+    # and the symmetric pair-swap case from the review: (x,x) -> (y,y)
+    old2 = spark.createDataFrame([(7, "x"), (7, "x")], "id long, s string")
+    new2 = spark.createDataFrame([(7, "y"), (7, "y")], "id long, s string")
+    got2 = {r["id"]: r["change"] for r in diff_tables(new2, old2, ["id"]).collect()}
+    assert got2 == {7: "changed"}
+
+
 def test_diff_previous_generation_via_store(spark, tmp_path):
     from pedsnetdcc_spark.sources.io import TableStore
 

@@ -354,3 +354,118 @@ def test_streaming_export_matches_batch_and_retries_idempotently(
         corpus.filter("label < 2"), 0, out, "doc_id", {"txt": "text"}, 2, None
     )
     assert digest(batches[0]) == before
+
+
+def test_key_with_dot_or_separator_rejected(spark, tmp_path):
+    """The reader splits member names at the FIRST dot, so a key like
+    'v1.2' would read back as key 'v1' with extension '2.txt' — content
+    silently dropped under a wrong key.  The writer must refuse."""
+    for i, bad in enumerate(("v1.2", "a/b", "a\\b")):
+        df = spark.createDataFrame([(bad, "t")], "doc_id string, text string")
+        with pytest.raises(Exception, match="sample key"):
+            write_webdataset(
+                df, str(tmp_path / f"wds{i}"),
+                key_col="doc_id", members={"txt": "text"}, shards=1,
+            )
+
+
+def test_write_refuses_nonempty_target_and_overwrite_cleans(
+    spark, corpus, tmp_path
+):
+    """Re-exporting with fewer shards into an existing directory would
+    leave stale shard-*.tar files absent from the rewritten manifest —
+    the reader would resurrect their samples undetected.  Default mode
+    refuses; mode='overwrite' removes the prior export first."""
+    out = str(tmp_path / "wds")
+    _write(corpus, out)  # 4 shards
+    with pytest.raises(IOError, match="already holds"):
+        _write(corpus, out)
+    small = corpus.limit(10)
+    write_webdataset(
+        small, out, key_col="doc_id", members={"txt": "text"},
+        shards=2, mode="overwrite",
+    )
+    tars = sorted(p for p in os.listdir(out) if p.endswith(".tar"))
+    assert tars == ["shard-000000.tar", "shard-000001.tar"]  # no stale 2,3
+    back = read_webdataset(
+        spark, out, members={"txt": "text"}, text_exts={"txt"}
+    )
+    assert back.count() == 10
+
+
+def test_two_attempts_never_interleave_one_shard(tmp_path):
+    """The task-commit invariant (module docstring): a speculative or
+    zombie attempt racing the winner must not interleave bytes into the
+    final shard.  Simulate attempt A paused mid-stream while attempt B
+    writes the same partition and commits; whichever order the commits
+    land, the final path is a COMPLETE single-attempt tar and no temp
+    files leak."""
+    import threading
+
+    from pedsnetdcc_spark.sources.webdataset import _write_shard
+
+    out = str(tmp_path / "wds")
+    os.makedirs(out)
+    rows = [{"k": f"{i:04d}", "t": f"text {i}"} for i in range(20)]
+
+    gate_a_started = threading.Event()
+    gate_b_done = threading.Event()
+
+    def recs_a():
+        for i, r in enumerate(rows):
+            if i == 10:
+                gate_a_started.set()
+                assert gate_b_done.wait(30)  # B fully commits mid-A
+            yield r
+
+    res = {}
+
+    def run_a():
+        res["a"] = _write_shard(
+            out, "shard-000000.tar", 1, recs_a(), "k",
+            {"txt": "t"}, {"t"}, [],
+        )
+
+    ta = threading.Thread(target=run_a)
+    ta.start()
+    assert gate_a_started.wait(30)
+    res["b"] = _write_shard(
+        out, "shard-000000.tar", 2, iter(rows), "k", {"txt": "t"}, {"t"}, [],
+    )
+    gate_b_done.set()
+    ta.join(30)
+
+    assert res["a"] == res["b"] == (20, 20, res["a"][2])
+    final = os.path.join(out, "shard-000000.tar")
+    got = dict(
+        (k, m["txt"]) for k, m in iter_tar_samples(final, {"txt"})
+    )
+    assert got == {r["k"]: r["t"].encode() for r in rows}  # complete tar
+    assert [p for p in os.listdir(out) if p.endswith(".tmp")] == []
+
+
+def test_corrupt_text_member_quarantines(spark, tmp_path):
+    """A non-utf8 byte sequence in a text_exts member must route
+    through the quarantine path (keeping the decodable prefix), not
+    abort the whole read with UnicodeDecodeError."""
+    df = spark.createDataFrame(
+        [("000000", b"good text"), ("000001", b"\xff\xfe broken")],
+        "doc_id string, payload binary",
+    )
+    out = str(tmp_path / "wds")
+    write_webdataset(
+        df, out, key_col="doc_id", members={"txt": "payload"}, shards=1
+    )
+    with pytest.raises(Exception, match="decode failed"):
+        read_webdataset(
+            spark, out, members={"txt": "text"}, text_exts={"txt"}
+        ).count()
+    back = read_webdataset(
+        spark, out, members={"txt": "text"}, text_exts={"txt"},
+        on_error="quarantine",
+    ).collect()
+    assert [(r["sample_key"], r["text"]) for r in back] == [
+        ("000000", "good text")
+    ]
+    q = [json.loads(l) for l in open(os.path.join(out, "_quarantine.jsonl"))]
+    assert len(q) == 1 and "decode failed" in q[0]["error"]
