@@ -121,15 +121,17 @@ _FLOAT_COLUMN_SEAMS: dict[tuple[str, str], int | None] = {
     ("key_skew_profile", "share"): None,
     ("hashed_bow", "weight"): None,
     ("corpus_prep", "quality_score"): None,
-    ("text_signals", "stopword_ratio"): None,
-    ("text_signals", "punct_ratio"): None,
-    ("text_signals", "quality_score"): None,
-    ("text_signals", "chars_per_bpe_token"): None,
+    # formerly the text_signals row, melted into doc_signals (round 10)
+    ("doc_signals", "stopword_ratio"): None,
+    ("doc_signals", "punct_ratio"): None,
+    ("doc_signals", "quality_score"): None,
+    ("doc_signals", "chars_per_bpe_token"): None,
     ("cdm_transform", "measurement_datetime_age_in_months"): None,
     ("cdm_transform", "measurement_result_datetime_age_in_months"): None,
     ("covid_post_shape", "obs_age_months"): None,
-    ("interval_months_monthend", "age_months"): None,
     ("interval_months", "ship_age_months"): None,
+    # formerly interval_months_monthend, melted in (round 10)
+    ("interval_months", "monthend_age_months"): None,
     ("lms_z_score", "z_score"): None,  # L=1.0 → pow identity, pure division
     # composed BMI: w/((h/100)*(h/100)) then (v/M-1)/(1*S) — every op
     # exactly-rounded (*, / only; pow(x,1.0) identity on both engines)
