@@ -761,6 +761,7 @@ def cmd_wds_export(args: argparse.Namespace) -> int:
     manifest = write_webdataset(
         df, args.output, key_col=args.key_col, members=members,
         shards=args.shards, meta_cols=args.meta_col or None,
+        mode="overwrite" if args.overwrite else "error",
     )
     print(
         json.dumps(
@@ -1190,6 +1191,11 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--meta-col", action="append", metavar="COLUMN",
                     help="column packed into the .json member (repeatable)")
     sp.add_argument("--shards", type=int, default=16)
+    sp.add_argument(
+        "--overwrite", action="store_true",
+        help="replace an existing export (default refuses: stale shards "
+        "absent from a rewritten manifest are undetectable on read)",
+    )
     sp.set_defaults(fn=cmd_wds_export)
 
     sp = sub.add_parser(

@@ -329,6 +329,19 @@ def test_cli_wds_export_import(spark, sf_dir, tmp_path, capsys):
     rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rep["shards"] == 3 and rep["samples"] == docs.count()
 
+    # re-export refuses by default (stale shards are undetectable on
+    # read); --overwrite replaces the prior export
+    with pytest.raises(IOError, match="already holds"):
+        main([
+            "wds-export", "-i", str(ns), "-o", str(wds), "--shards", "2",
+            "--member", "txt=text",
+        ])
+    assert main([
+        "wds-export", "-i", str(ns), "-o", str(wds), "--shards", "3",
+        "--member", "txt=text", "--meta-col", "source", "--overwrite",
+    ]) == 0
+    capsys.readouterr()
+
     out = tmp_path / "imported"
     assert main([
         "wds-import", "-i", str(wds), "-o", str(out),
