@@ -835,6 +835,19 @@ def build_scale(tag: str, docs: int, embs: int, names: int, seed: int) -> str:
     return d
 
 
+def build_r10_scale(tag: str, cust: int, seed: int) -> str:
+    """Round-10 additions family: orders (for the generation diff) at
+    constant per-customer depth; the documents side reuses the pair
+    family's corpora (same dir tags) via :func:`build_scale`."""
+    d = os.path.join(SCALE_DIR, f"r10_{tag}")
+    os.makedirs(d, exist_ok=True)
+    marker = os.path.join(d, ".complete")
+    if not os.path.exists(marker):
+        gen_orders(cust, 10, seed + 1, os.path.join(d, "orders.parquet"))
+        open(marker, "w").close()
+    return d
+
+
 def _probe_family(spark, queries, names, extra, points, runs: int):
     """``points`` = [(tag, dir, scale_multiple), ...] in ascending
     scale; exponents are fitted between consecutive points and overall
@@ -876,7 +889,7 @@ def main() -> None:
         "--family",
         choices=[
             "pair", "cdm", "streaming", "cdm_deep", "pair_deep", "pair_deep4",
-            "sim_deep", "all",
+            "sim_deep", "r10", "all",
         ],
         default="all",
     )
@@ -898,7 +911,14 @@ def main() -> None:
         help="add a 100x point to the streaming family (50k users over "
         "the same 50 micro-batches — two measured decades)",
     )
-    ap.add_argument("--out", default=os.path.join(REPO, "BENCH_SCALING_r9.json"))
+    ap.add_argument(
+        "--r10-1000x",
+        action="store_true",
+        help="add a x1000 point to the r10 family (150M orders for the "
+        "generation diff; 5M docs — the pair_deep corpus — for the "
+        "WebDataset sink/source)",
+    )
+    ap.add_argument("--out", default=os.path.join(REPO, "BENCH_SCALING_r10.json"))
     ap.add_argument(
         "--only",
         help="comma-separated query names: probe just these (re-measuring "
@@ -1286,6 +1306,125 @@ def main() -> None:
             _probe_family(spark, QUERIES, sim_names, sim_extra, points, args.runs)
         )
         out["families"]["sim_deep"] = fam
+
+    if args.family == "r10":
+        # Round-10 additions: generation diff (slim-signature full-outer
+        # join over two derived order generations) and the WebDataset
+        # sharded-tar sink/source.  Documents reuse the pair corpora
+        # (identical tags/profile); orders grow at constant per-customer
+        # depth.
+        from pyspark.sql import functions as F
+
+        from pedsnetdcc_spark.operators.diff import diff_tables
+        from pedsnetdcc_spark.sources.webdataset import (
+            read_webdataset,
+            write_webdataset,
+        )
+
+        points = [
+            ("x1", build_r10_scale("x1", cust=15_000, seed=7), 1),
+            ("x10", build_r10_scale("x10", cust=150_000, seed=7), 10),
+            ("x100", build_r10_scale("x100", cust=1_500_000, seed=7), 100),
+        ]
+        docs_dirs = {
+            "x1": build_scale("x1", docs=5_000, embs=2_000, names=2_000, seed=7),
+            "x10": build_scale("x10", docs=50_000, embs=20_000, names=20_000, seed=7),
+            "x100": build_scale("x100", docs=500_000, embs=200_000, names=200_000, seed=7),
+        }
+        if args.r10_1000x:
+            d1k = os.path.join(SCALE_DIR, "r10_x1000")
+            os.makedirs(d1k, exist_ok=True)
+            marker = os.path.join(d1k, ".complete")
+            if not os.path.exists(marker):
+                gen_orders_chunked(
+                    15_000_000, 10, 8, os.path.join(d1k, "orders.parquet")
+                )
+                open(marker, "w").close()
+            points.append(("x1000", d1k, 1000))
+            # documents side: the pair_deep corpus (5M docs)
+            docs_dirs["x1000"] = build_pair_deep_scale(
+                "pair_x1000", docs=5_000_000, seed=7
+            )
+
+        def _docs(spark, d):
+            tag = os.path.basename(d).removeprefix("r10_")
+            return spark.read.parquet(
+                os.path.join(docs_dirs[tag], "documents.parquet")
+            ).select(F.col("doc_id").cast("string").alias("doc_id"), "text")
+
+        def _gen_diff(spark, d):
+            orders = spark.read.parquet(os.path.join(d, "orders.parquet"))
+            old = orders.where(F.col("o_orderkey") % 97 != 0)
+            new = orders.where(F.col("o_orderkey") % 93 != 0).select(
+                "o_orderkey",
+                "o_orderstatus",
+                F.when(F.col("o_orderkey") % 91 == 0, F.col("o_totalprice") + 1)
+                .otherwise(F.col("o_totalprice"))
+                .alias("o_totalprice"),
+                F.when(F.col("o_orderkey") % 89 == 0, F.lit(None))
+                .otherwise(F.col("o_orderpriority"))
+                .alias("o_orderpriority"),
+            )
+            return diff_tables(new, old, ["o_orderkey"])
+
+        def _wds_export(spark, d):
+            import shutil
+            import tempfile
+
+            tmp = tempfile.mkdtemp(prefix="wds_probe_")
+            m = write_webdataset(
+                _docs(spark, d), tmp, key_col="doc_id",
+                members={"txt": "text"}, shards=32,
+            )
+            shutil.rmtree(tmp, ignore_errors=True)
+            return spark.createDataFrame(
+                [(r["shard"], r["samples"]) for r in m],
+                "shard string, samples long",
+            )
+
+        # staged export per point (once; the read probe reuses it)
+        for _tag, d, _m in points:
+            wdir = os.path.join(d, "wds")
+            if not os.path.exists(os.path.join(wdir, "manifest.jsonl")):
+                write_webdataset(
+                    _docs(spark, d), wdir, key_col="doc_id",
+                    members={"txt": "text"}, shards=32, mode="overwrite",
+                )
+
+        def _wds_read(spark, d):
+            return read_webdataset(
+                spark, os.path.join(d, "wds"), members={"txt": "text"},
+                text_exts={"txt"},
+            )
+
+        r10_extra = {
+            "generation_diff_op": _gen_diff,
+            "wds_export": _wds_export,
+            "wds_read": _wds_read,
+        }
+        r10_names = [
+            q for q in r10_extra
+            if not args.only or q in args.only.split(",")
+        ]
+        fam = out["families"].get(
+            "r10",
+            {
+                "x1_rows": {"orders": 150_000, "documents": 5_000},
+                "x10_rows": {"orders": 1_500_000, "documents": 50_000},
+                "x100_rows": {"orders": 15_000_000, "documents": 500_000},
+                "invariant": "orders at constant per-customer depth with "
+                "the generation_diff %-rules (changed/added/removed "
+                "fractions constant across scales); documents = the pair "
+                "family corpora; WebDataset export/read at 32 shards",
+                "queries": {},
+            },
+        )
+        if args.r10_1000x:
+            fam["x1000_rows"] = {"orders": 150_000_000, "documents": 5_000_000}
+        fam["queries"].update(
+            _probe_family(spark, QUERIES, r10_names, r10_extra, points, args.runs)
+        )
+        out["families"]["r10"] = fam
 
     with open(args.out, "w") as f:
         json.dump(out, f, indent=2)
