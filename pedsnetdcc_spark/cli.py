@@ -808,8 +808,15 @@ def cmd_diff(args: argparse.Namespace) -> int:
         spark, store, args.table, args.keys.split(","),
         compare_cols=args.compare.split(",") if args.compare else None,
     )
+    if args.out_keys:
+        # persist the full keyed classification (the re-process
+        # worklist: distributed write, never collected to the driver)
+        d.write.mode("overwrite").parquet(args.out_keys)
     summ = {r["change"]: r["n_keys"] for r in diff_summary(d).collect()}
-    print(json.dumps({"table": args.table, "changes": summ}))
+    rep = {"table": args.table, "changes": summ}
+    if args.out_keys:
+        rep["keys_out"] = args.out_keys
+    print(json.dumps(rep))
     return 0
 
 
@@ -1229,6 +1236,9 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--keys", required=True, help="comma-separated key columns")
     sp.add_argument("--compare", default=None,
                     help="comma-separated compared columns (default: shared)")
+    sp.add_argument("--out-keys", default=None, metavar="DIR",
+                    help="also write the full (key, change) rows as "
+                    "parquet — the downstream re-process worklist")
     sp.set_defaults(fn=cmd_diff)
 
     sp = sub.add_parser("undo", help="restore the previous published generation")

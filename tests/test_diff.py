@@ -150,6 +150,19 @@ def test_diff_cli_verb(spark, tmp_path, capsys):
         "changes": {"added": 1, "removed": 1, "changed": 1},
     }
 
+    keys_out = str(tmp_path / "worklist")
+    assert main([
+        "diff", "-o", root, "--table", "t", "--keys", "id",
+        "--out-keys", keys_out,
+    ]) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["keys_out"] == keys_out
+    back = {
+        (r["id"], r["change"])
+        for r in spark.read.parquet(keys_out).collect()
+    }
+    assert back == {(1, "removed"), (2, "changed"), (3, "added")}
+
 
 def test_diff_key_only_table(spark):
     """A table that is ALL key (no compare columns) still classifies
