@@ -820,6 +820,38 @@ def cmd_diff(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_ann_index(args: argparse.Namespace) -> int:
+    """Build the persistent IVF index (datapipe/similarity.
+    build_ivf_index): codebook + corpus partitioned by cell, so query
+    batches read only the probed cell directories."""
+    from pedsnetdcc_spark.datapipe.similarity import build_ivf_index
+
+    spark = _session(args)
+    df = _read(spark, args.input, args.table)
+    meta = build_ivf_index(
+        df, args.output, id_col=args.id_col, vec_col=args.vec_col,
+        n_centroids=args.cells or "auto", assign=args.assign,
+    )
+    print(json.dumps({"index": args.output, **meta}))
+    return 0
+
+
+def cmd_ann_query(args: argparse.Namespace) -> int:
+    """Query a persistent IVF index: per-query top-k written as
+    parquet; the scan is partition-pruned to the probed cells."""
+    from pedsnetdcc_spark.datapipe.similarity import query_ivf_index
+
+    spark = _session(args)
+    q = _read(spark, args.input, args.table)
+    hits = query_ivf_index(
+        spark, args.index, q, k=args.k, nprobe=args.nprobe,
+    )
+    hits.write.mode("overwrite").parquet(args.output)
+    n = spark.read.parquet(args.output).count()
+    print(json.dumps({"index": args.index, "hits": n, "out": args.output}))
+    return 0
+
+
 def cmd_dataset_card(args: argparse.Namespace) -> int:
     """Compose the profiling/quality/dedup operators into a markdown
     dataset card — the human-readable summary published with a corpus
@@ -1227,6 +1259,34 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--table", default="documents")
     sp.add_argument("--out", required=True, help="markdown output path")
     sp.set_defaults(fn=cmd_dataset_card)
+
+    sp = sub.add_parser(
+        "ann-index",
+        help="build a persistent IVF index (cells partitioned on disk)",
+    )
+    sp.add_argument("--input", "-i", required=True, help="input namespace dir")
+    sp.add_argument("--output", "-o", required=True, help="index root dir")
+    sp.add_argument("--table", default="embeddings")
+    sp.add_argument("--id-col", default="vec_id")
+    sp.add_argument("--vec-col", default="embedding")
+    sp.add_argument("--cells", type=int, default=None,
+                    help="cell count (default: auto-sized from the corpus)")
+    sp.add_argument("--assign", choices=["flat", "hierarchical"],
+                    default="hierarchical")
+    sp.set_defaults(fn=cmd_ann_index)
+
+    sp = sub.add_parser(
+        "ann-query",
+        help="top-k query batch against an ann-index (partition-pruned)",
+    )
+    sp.add_argument("--input", "-i", required=True,
+                    help="namespace dir holding the query table")
+    sp.add_argument("--index", required=True, help="ann-index root dir")
+    sp.add_argument("--output", "-o", required=True, help="hits parquet dir")
+    sp.add_argument("--table", default="embeddings")
+    sp.add_argument("-k", type=int, default=5)
+    sp.add_argument("--nprobe", type=int, default=4)
+    sp.set_defaults(fn=cmd_ann_query)
 
     sp = sub.add_parser(
         "diff", help="what changed vs the previous published generation"

@@ -604,3 +604,40 @@ def test_cli_quality_classifier(spark, sf_dir, tmp_path, capsys):
     rep2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rep2["kept"] <= rep["kept"]
     shutil.rmtree(ns, ignore_errors=True)
+
+
+def test_cli_ann_index_and_query(spark, sf_dir, tmp_path, capsys):
+    """End-to-end: build the persistent IVF index from the embeddings
+    table, query a batch against it, hits land as parquet."""
+    import json
+
+    from pedsnetdcc_spark.cli import main
+    from pedsnetdcc_spark.sources.io import read_table
+
+    ns = tmp_path / "ns"
+    ns.mkdir()
+    emb = read_table(spark, sf_dir, "embeddings")
+    emb.write.parquet(str(ns / "embeddings"))
+    # a small query batch as its own namespace table
+    qns = tmp_path / "qns"
+    qns.mkdir()
+    emb.where("vec_id < 10").write.parquet(str(qns / "embeddings"))
+
+    idx = tmp_path / "ivf"
+    assert main([
+        "ann-index", "-i", str(ns), "-o", str(idx), "--cells", "16",
+        "--assign", "flat",
+    ]) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["n_centroids"] == 16
+
+    hits = tmp_path / "hits"
+    assert main([
+        "ann-query", "-i", str(qns), "--index", str(idx),
+        "-o", str(hits), "-k", "3", "--nprobe", "4",
+    ]) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["hits"] > 0
+    back = spark.read.parquet(str(hits))
+    assert set(back.columns) == {"query_id", "rank", "neighbor_id", "cosine"}
+    assert back.groupBy("query_id").count().where("count > 3").count() == 0

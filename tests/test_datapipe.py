@@ -1746,3 +1746,96 @@ def test_knn_label_vote_ann_composition_agreement(spark):
         acc = sum(approx.get(q) == t for q, t in truth.items()) / len(truth)
         assert agree >= 0.9, (name, agree)
         assert acc >= acc_exact - 0.05, (name, acc, acc_exact)
+
+
+def test_ivf_index_build_query_matches_ivf_topk(spark, emb, tmp_path):
+    """The persistent index (build_ivf_index layout) must return
+    EXACTLY what ivf_topk computes with the same codebook and
+    assignment — the on-disk cells are the same cell partition, only
+    amortized across query batches."""
+    import numpy as np
+
+    from pedsnetdcc_spark.datapipe.similarity import (
+        build_ivf_index,
+        ivf_topk,
+        query_ivf_index,
+    )
+
+    root = str(tmp_path / "ivf")
+    meta = build_ivf_index(
+        emb, root, n_centroids=16, assign="flat", seed=3
+    )
+    assert meta["n_centroids"] == 16 and meta["dim"] == 64
+    q = emb.filter(F.col("vec_id") < 15)
+    got = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], round(r["cosine"], 12))
+        for r in query_ivf_index(spark, root, q, k=3, nprobe=4).collect()
+    }
+    C = np.array(
+        [
+            r["centroid"]
+            for r in spark.read.parquet(f"{root}/centroids.parquet")
+            .orderBy("centroid_id")
+            .collect()
+        ]
+    )
+    want = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], round(r["cosine"], 12))
+        for r in ivf_topk(
+            emb, q, k=3, nprobe=4, centroids=C, assign="flat"
+        ).collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_ivf_index_query_prunes_partitions(spark, emb, tmp_path):
+    """The partition layout IS the index: a query must never open a
+    cell directory it did not probe.  Evidence is functional, not just
+    plan text: corrupting every non-probed cell's parquet files leaves
+    the query untouched (pruned at plan time), while corrupting the
+    probed cell breaks it."""
+    import os
+
+    from pedsnetdcc_spark.datapipe.similarity import (
+        build_ivf_index,
+        query_ivf_index,
+    )
+
+    root = str(tmp_path / "ivf")
+    build_ivf_index(emb, root, n_centroids=8, assign="flat", seed=3)
+    q = emb.filter(F.col("vec_id") == 0)
+
+    baseline = query_ivf_index(spark, root, q, k=2, nprobe=1).collect()
+    assert baseline
+
+    # plan-level check: the scan carries a partition filter
+    plan = query_ivf_index(
+        spark, root, q, k=2, nprobe=1
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "centroid_id" in plan
+
+    cells = os.path.join(root, "cells")
+    dirs = sorted(d for d in os.listdir(cells) if d.startswith("centroid_id="))
+    # find the one probed cell by elimination: corrupt one dir at a
+    # time; exactly one corruption changes/breaks the query
+    probed = set()
+    for d in dirs:
+        full = os.path.join(cells, d)
+        saved = {}
+        for fn in os.listdir(full):
+            if fn.endswith(".parquet"):
+                p = os.path.join(full, fn)
+                saved[p] = open(p, "rb").read()
+                open(p, "wb").write(b"not parquet at all")
+        try:
+            got = query_ivf_index(spark, root, q, k=2, nprobe=1).collect()
+            ok = got == baseline
+        except Exception:
+            ok = False
+        for p, blob in saved.items():
+            open(p, "wb").write(blob)
+        if not ok:
+            probed.add(d)
+    assert len(probed) == 1, (
+        f"exactly one cell should be read with nprobe=1, got {probed}"
+    )
