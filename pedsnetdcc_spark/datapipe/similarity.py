@@ -700,6 +700,14 @@ class IvfIndexHandle:
         # ONE listing; the FileIndex (and its partition spec) is cached
         # on this DataFrame and reused by every query plan
         self.cells = spark.read.parquet(_os.path.join(path, "cells"))
+        delta = _os.path.join(path, "cells_delta")
+        if _os.path.isdir(delta):
+            # streaming appends (stream_ivf_index_append): union the
+            # epoch deltas in; the centroid_id filter pushes through
+            # the union, so BOTH sides stay partition-pruned
+            self.cells = self.cells.unionByName(
+                spark.read.parquet(delta).drop("epoch")
+            )
 
     def query(
         self,
@@ -780,6 +788,78 @@ def query_ivf_index(
     return IvfIndexHandle(spark, path).query(
         queries, k=k, nprobe=nprobe, id_col=id_col, vec_col=vec_col
     )
+
+
+def _append_ivf_epoch(batch_df: DataFrame, epoch_id: int, path: str) -> None:
+    """One micro-batch of new vectors → one atomic
+    ``cells_delta/epoch=NNNNNN`` directory, cell-partitioned like the
+    base layout.  Write-to-temp + rename, so a replayed epoch REPLACES
+    its partial output instead of appending duplicates (the
+    exactly-once pattern of the streaming WebDataset export)."""
+    import json as _json
+    import math
+    import os as _os
+    import shutil as _shutil
+
+    from pedsnetdcc_spark.util import repartition_by_key
+
+    with open(_os.path.join(path, "meta.json")) as f:
+        meta = _json.load(f)
+    crows = (
+        batch_df.sparkSession.read.parquet(
+            _os.path.join(path, "centroids.parquet")
+        )
+        .orderBy("centroid_id")
+        .collect()
+    )
+    C = np.array([r["centroid"] for r in crows], dtype=np.float64)
+    if meta["assign"] == "hierarchical" and len(C) >= 64:
+        assign_cell, _ = _hier_assign_udf(
+            C, k1=math.ceil(math.sqrt(len(C))),
+            iters=meta["iters"], seed=meta["seed"],
+        )
+    else:
+        assign_cell, _ = _cell_assign_udfs(C, nprobe=1)
+    id_col, vec_col = meta["id_col"], meta["vec_col"]
+    assigned = batch_df.select(
+        F.col(id_col),
+        F.col(vec_col).cast("array<double>").alias(vec_col),
+    ).withColumn("centroid_id", assign_cell(F.col(vec_col)))
+    final = _os.path.join(path, "cells_delta", f"epoch={epoch_id:06d}")
+    # dot-prefixed temp: Spark's partition discovery IGNORES dot/underscore
+    # paths, so an orphaned temp from a crashed epoch can never be read
+    # as a bogus `epoch=...tmp` partition value
+    tmp = _os.path.join(
+        _os.path.dirname(final), f".tmp-epoch-{epoch_id:06d}"
+    )
+    _shutil.rmtree(tmp, ignore_errors=True)
+    repartition_by_key(assigned, "centroid_id").write.mode(
+        "overwrite"
+    ).partitionBy("centroid_id").parquet(tmp)
+    _shutil.rmtree(final, ignore_errors=True)
+    _os.makedirs(_os.path.dirname(final), exist_ok=True)
+    _os.rename(tmp, final)
+
+
+def stream_ivf_index_append(stream: DataFrame, path: str):
+    """Continuous index maintenance: a streaming sink that assigns each
+    micro-batch of new vectors to cells with the index's FROZEN codebook
+    and lands it as an atomic ``cells_delta/epoch=NNNNNN`` directory —
+    the base+delta (LSM-style) growth path of :func:`build_ivf_index`.
+
+    :class:`IvfIndexHandle` unions the delta in at open time, with
+    per-side partition pruning intact (the centroid_id filter pushes
+    through the union).  Codebook drift under a shifting distribution
+    is handled by REBUILDING (the codebook is frozen here — assignment
+    must stay consistent with the base cells or recall silently decays);
+    rebuild-and-swap via TableStore is the compaction story.  Returns a
+    ``DataStreamWriter`` — caller adds trigger/checkpoint and
+    ``.start()``, like the WebDataset streaming export."""
+
+    def _append(batch_df: DataFrame, epoch_id: int) -> None:
+        _append_ivf_epoch(batch_df, epoch_id, path)
+
+    return stream.writeStream.foreachBatch(_append).outputMode("append")
 
 
 def hyperplane_sketch(vec: Column, bits: int = 8, seed: int = 0, dim: int = 64) -> Column:

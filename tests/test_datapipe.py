@@ -1839,3 +1839,82 @@ def test_ivf_index_query_prunes_partitions(spark, emb, tmp_path):
     assert len(probed) == 1, (
         f"exactly one cell should be read with nprobe=1, got {probed}"
     )
+
+
+def test_ivf_index_streaming_append(spark, emb, tmp_path):
+    """Index lifecycle: build on the base corpus, stream new vectors in
+    as two real micro-batches (frozen codebook, epoch-atomic deltas),
+    then a handle query over base+delta must equal ivf_topk over the
+    FULL corpus with the same codebook.  Epoch replay must not
+    duplicate."""
+    import os
+
+    import numpy as np
+
+    from pedsnetdcc_spark.datapipe.similarity import (
+        _append_ivf_epoch,
+        build_ivf_index,
+        ivf_topk,
+        open_ivf_index,
+        stream_ivf_index_append,
+    )
+
+    root = str(tmp_path / "ivf")
+    base = emb.filter(F.col("vec_id") % 3 != 0)
+    build_ivf_index(base, root, n_centroids=16, assign="flat", seed=3)
+
+    newbies = emb.filter(F.col("vec_id") % 3 == 0)
+    src = str(tmp_path / "src")
+    newbies.where(F.col("vec_id") % 2 == 0).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    newbies.where(F.col("vec_id") % 2 == 1).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    stream = (
+        spark.readStream.schema(newbies.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        stream_ivf_index_append(stream, root)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300)
+
+    epochs = sorted(os.listdir(os.path.join(root, "cells_delta")))
+    assert len([e for e in epochs if e.startswith("epoch=")]) == 2
+
+    h = open_ivf_index(spark, root)
+    queries = emb.filter(F.col("vec_id") < 12)
+    got = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in h.query(queries, k=3, nprobe=4).collect()
+    }
+    C = np.array(
+        [
+            r["centroid"]
+            for r in spark.read.parquet(f"{root}/centroids.parquet")
+            .orderBy("centroid_id")
+            .collect()
+        ]
+    )
+    want = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in ivf_topk(
+            emb, queries, k=3, nprobe=4, centroids=C, assign="flat"
+        ).collect()
+    }
+    assert got == want and len(got) == 12 * 3
+
+    # replaying an epoch replaces its delta — no duplicates, same answer
+    replay = newbies.where(F.col("vec_id") % 2 == 0)
+    _append_ivf_epoch(replay, 0, root)
+    h2 = open_ivf_index(spark, root)
+    got2 = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in h2.query(queries, k=3, nprobe=4).collect()
+    }
+    assert got2 == want
