@@ -841,6 +841,57 @@ def _append_ivf_epoch(batch_df: DataFrame, epoch_id: int, path: str) -> None:
     _os.rename(tmp, final)
 
 
+def compact_ivf_index(spark, path: str) -> dict:
+    """Fold the streaming epoch deltas back into the base cells — the
+    LSM compaction step: read base ∪ delta, re-cluster by cell (one
+    file per cell again), swap the directories, drop the delta.
+
+    Assignments are already consistent (the append path froze the
+    codebook), so compaction is pure layout maintenance: it bounds the
+    handle's listing cost (epochs × cells directories shrink back to
+    cells) and restores one-file-per-cell reads.  The swap is
+    rename-based: the new layout is fully written to a dot-prefixed
+    temp before the base moves aside, so a crash leaves either the old
+    complete layout or the new one plus debris — never a half layout
+    (debris dirs are dot-prefixed and invisible to readers).  Returns
+    ``{"cells": n, "rows": m, "epochs_folded": e}``."""
+    import os as _os
+    import shutil as _shutil
+
+    from pedsnetdcc_spark.util import repartition_by_key
+
+    cells_dir = _os.path.join(path, "cells")
+    delta_dir = _os.path.join(path, "cells_delta")
+    epochs = (
+        [e for e in _os.listdir(delta_dir) if e.startswith("epoch=")]
+        if _os.path.isdir(delta_dir)
+        else []
+    )
+    if not epochs:
+        return {"cells": None, "rows": None, "epochs_folded": 0}
+    base = spark.read.parquet(cells_dir)
+    delta = spark.read.parquet(delta_dir).drop("epoch")
+    merged = base.unionByName(delta)
+    tmp = _os.path.join(path, ".cells.compact.tmp")
+    _shutil.rmtree(tmp, ignore_errors=True)
+    repartition_by_key(merged, "centroid_id").write.mode(
+        "overwrite"
+    ).partitionBy("centroid_id").parquet(tmp)
+    old = _os.path.join(path, ".cells.old")
+    _shutil.rmtree(old, ignore_errors=True)
+    _os.rename(cells_dir, old)
+    _os.rename(tmp, cells_dir)
+    _shutil.rmtree(old, ignore_errors=True)
+    _shutil.rmtree(delta_dir, ignore_errors=True)
+    compacted = spark.read.parquet(cells_dir)
+    n_cells = compacted.select("centroid_id").distinct().count()
+    return {
+        "cells": n_cells,
+        "rows": compacted.count(),
+        "epochs_folded": len(epochs),
+    }
+
+
 def stream_ivf_index_append(stream: DataFrame, path: str):
     """Continuous index maintenance: a streaming sink that assigns each
     micro-batch of new vectors to cells with the index's FROZEN codebook

@@ -1918,3 +1918,50 @@ def test_ivf_index_streaming_append(spark, emb, tmp_path):
         for r in h2.query(queries, k=3, nprobe=4).collect()
     }
     assert got2 == want
+
+
+def test_ivf_index_compact_folds_delta(spark, emb, tmp_path):
+    """Compaction folds the epoch deltas into the base layout: the
+    delta directory disappears, every cell is one file again, and a
+    handle query answers identically before and after."""
+    import os
+
+    from pedsnetdcc_spark.datapipe.similarity import (
+        _append_ivf_epoch,
+        build_ivf_index,
+        compact_ivf_index,
+        open_ivf_index,
+    )
+
+    root = str(tmp_path / "ivf")
+    base = emb.filter(F.col("vec_id") % 3 != 0)
+    build_ivf_index(base, root, n_centroids=16, assign="flat", seed=3)
+    newbies = emb.filter(F.col("vec_id") % 3 == 0)
+    _append_ivf_epoch(newbies.where("vec_id % 2 = 0"), 0, root)
+    _append_ivf_epoch(newbies.where("vec_id % 2 = 1"), 1, root)
+
+    queries = emb.filter(F.col("vec_id") < 12)
+    before = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in open_ivf_index(spark, root).query(queries, k=3, nprobe=4).collect()
+    }
+
+    rep = compact_ivf_index(spark, root)
+    assert rep["epochs_folded"] == 2
+    assert rep["rows"] == emb.count()
+    assert not os.path.exists(os.path.join(root, "cells_delta"))
+    cells = os.path.join(root, "cells")
+    for d in os.listdir(cells):
+        if d.startswith("centroid_id="):
+            files = [f for f in os.listdir(os.path.join(cells, d))
+                     if f.endswith(".parquet")]
+            assert len(files) == 1, (d, files)
+
+    after = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in open_ivf_index(spark, root).query(queries, k=3, nprobe=4).collect()
+    }
+    assert after == before
+
+    # idempotent: compacting a delta-free index is a no-op
+    assert compact_ivf_index(spark, root)["epochs_folded"] == 0
