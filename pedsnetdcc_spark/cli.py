@@ -786,10 +786,15 @@ def cmd_wds_import(args: argparse.Namespace) -> int:
     spark = _session(args)
     members = dict(m.split("=", 1) for m in args.member)
     df = read_webdataset(
-        spark, args.input, members=members, text_exts=set(args.text or ())
+        spark, args.input, members=members, text_exts=set(args.text or ()),
+        on_error="quarantine" if args.quarantine else "fail",
     )
     _publish(spark, args.output, {args.table: df})
-    print(json.dumps({"imported": args.table, "samples": df.count()}))
+    # count the PUBLISHED parquet, not df: a second pass over df would
+    # re-read every tar (and, under --quarantine, append duplicate rows
+    # to _quarantine.jsonl — one per action over the lazy plan)
+    n = _read(spark, os.path.join(args.output, "current"), args.table).count()
+    print(json.dumps({"imported": args.table, "samples": n}))
     return 0
 
 
@@ -1249,6 +1254,12 @@ def build_parser() -> argparse.ArgumentParser:
     )
     sp.add_argument("--text", action="append", metavar="EXT",
                     help="extensions decoded utf-8 to string (repeatable)")
+    sp.add_argument(
+        "--quarantine", action="store_true",
+        help="keep decodable prefixes of corrupt shards and log them to "
+        "_quarantine.jsonl instead of failing (the jsonl corpus-import "
+        "posture for tars)",
+    )
     sp.set_defaults(fn=cmd_wds_import)
 
     sp = sub.add_parser(

@@ -641,3 +641,45 @@ def test_cli_ann_index_and_query(spark, sf_dir, tmp_path, capsys):
     back = spark.read.parquet(str(hits))
     assert set(back.columns) == {"query_id", "rank", "neighbor_id", "cosine"}
     assert back.groupBy("query_id").count().where("count > 3").count() == 0
+
+
+def test_cli_wds_import_quarantine(spark, sf_dir, tmp_path, capsys):
+    """--quarantine keeps the intact shards' samples when one tar is
+    torn; default fails loudly."""
+    import json
+    import os
+
+    from pedsnetdcc_spark.cli import main
+    from pedsnetdcc_spark.sources.io import read_table
+
+    ns = tmp_path / "ns"
+    ns.mkdir()
+    docs = read_table(spark, sf_dir, "documents")
+    docs.write.parquet(str(ns / "documents"))
+    wds = tmp_path / "wds"
+    assert main([
+        "wds-export", "-i", str(ns), "-o", str(wds), "--shards", "3",
+        "--member", "txt=text",
+    ]) == 0
+    capsys.readouterr()
+    victim = sorted(
+        p for p in os.listdir(wds) if p.endswith(".tar")
+    )[0]
+    blob = open(wds / victim, "rb").read()
+    open(wds / victim, "wb").write(blob[:1024])
+
+    with pytest.raises(Exception, match="corrupt shard"):
+        main([
+            "wds-import", "-i", str(wds), "-o", str(tmp_path / "x"),
+            "--member", "txt=text", "--text", "txt",
+        ])
+
+    out = tmp_path / "imported"
+    assert main([
+        "wds-import", "-i", str(wds), "-o", str(out),
+        "--member", "txt=text", "--text", "txt", "--quarantine",
+    ]) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert 0 < rep["samples"] < docs.count()
+    q = [json.loads(l) for l in open(wds / "_quarantine.jsonl")]
+    assert [e["shard"] for e in q] == [victim]
