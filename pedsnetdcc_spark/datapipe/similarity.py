@@ -14,8 +14,12 @@
 
 At 100 TB-scale embedding tables the brute-force path still distributes
 (the cross join is per-partition with the queries broadcast), but the
-LSH path bounds per-query work; an IVF variant would replace the
-hash buckets with k-means centroids (same join shape).
+LSH path bounds per-query work; ``ivf_topk`` replaces the hash buckets
+with k-means centroids (same join shape), and the PERSISTENT form —
+``build_ivf_index`` / ``open_ivf_index`` / ``stream_ivf_index_append``
+/ ``compact_ivf_index`` — lays the corpus out partitioned by cell so a
+query batch's scan is partition-pruned to its probed cells (measured
+FLAT across 2k→2M vectors, SCALE.md round 10).
 """
 
 from __future__ import annotations
