@@ -306,7 +306,11 @@ def _export_epoch(
     import shutil
 
     final = os.path.join(path, f"batch={epoch_id:06d}")
-    tmp = final + ".tmp"
+    # dot-prefixed temp: a crashed epoch must not leave a
+    # `batch=NNNNNN.tmp` directory that the consumer glob `batch=*`
+    # would match — a torn partial epoch with no manifest yet reads
+    # SILENTLY short (the manifest lands last)
+    tmp = os.path.join(path, f".tmp-batch-{epoch_id:06d}")
     shutil.rmtree(tmp, ignore_errors=True)
     write_webdataset(
         batch_df, tmp, key_col=key_col, members=members, shards=shards,

@@ -469,3 +469,32 @@ def test_corrupt_text_member_quarantines(spark, tmp_path):
     ]
     q = [json.loads(l) for l in open(os.path.join(out, "_quarantine.jsonl"))]
     assert len(q) == 1 and "decode failed" in q[0]["error"]
+
+
+def test_crashed_epoch_temp_invisible_to_consumers(spark, corpus, tmp_path):
+    """A crashed epoch's partial temp directory must not match the
+    consumer glob batch=* — without the dot prefix a torn epoch with no
+    manifest yet reads silently short."""
+    import shutil
+
+    from pedsnetdcc_spark.sources.webdataset import _export_epoch
+
+    out = str(tmp_path / "out")
+    _export_epoch(corpus.limit(10), 0, out, "doc_id", {"txt": "text"}, 2, None)
+    # simulate a crashed epoch 1: partial shards, no manifest, no rename
+    crashed = os.path.join(out, ".tmp-batch-000001")
+    os.makedirs(crashed)
+    shutil.copy(
+        os.path.join(out, "batch=000000", "shard-000000.tar"),
+        os.path.join(crashed, "shard-000000.tar"),
+    )
+    got = read_webdataset(
+        spark, f"{out}/batch=*", members={"txt": "text"}, text_exts={"txt"}
+    )
+    assert got.count() == 10  # only the committed epoch
+    # and the retry replaces the debris with a complete epoch
+    _export_epoch(corpus.limit(4), 1, out, "doc_id", {"txt": "text"}, 2, None)
+    got = read_webdataset(
+        spark, f"{out}/batch=*", members={"txt": "text"}, text_exts={"txt"}
+    )
+    assert got.count() == 14
