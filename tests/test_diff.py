@@ -213,6 +213,53 @@ def test_diff_property_random_edits(spark):
     check()
 
 
+def test_diff_property_duplicate_key_multisets(spark):
+    """Property over MULTISETS: versions drawn as row lists with
+    duplicate keys; a key in both sides is 'changed' iff the multisets
+    of its rows differ.  This is exactly the class the XOR fold got
+    wrong (even multiplicities cancel); the SUM fold must match the
+    Counter reference on every draw."""
+    from collections import Counter
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    row = st.tuples(
+        st.integers(0, 4),                      # key
+        st.one_of(st.none(), st.integers(0, 2)) # value (nullable)
+    )
+    version = st.lists(row, max_size=12)
+
+    @settings(max_examples=25, deadline=None)
+    @given(version, version)
+    def check(old, new):
+        def df(rows):
+            return spark.createDataFrame(
+                rows or [(None, None)], "id long, v int"
+            ).where(F.lit(bool(rows)))
+
+        got = {
+            r["id"]: r["change"]
+            for r in diff_tables(df(new), df(old), ["id"]).collect()
+        }
+        by_key = lambda rows: {
+            k: Counter(v for kk, v in rows if kk == k)
+            for k in {kk for kk, _ in rows}
+        }
+        o, n = by_key(old), by_key(new)
+        want = {}
+        for k in set(o) | set(n):
+            if k not in o:
+                want[k] = "added"
+            elif k not in n:
+                want[k] = "removed"
+            elif o[k] != n[k]:
+                want[k] = "changed"
+        assert got == want, (old, new, got, want)
+
+    check()
+
+
 def test_diff_plan_is_jvm_side(spark, versions):
     new, old = versions
     plan = (
