@@ -857,6 +857,17 @@ def cmd_ann_query(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_ann_compact(args: argparse.Namespace) -> int:
+    """Fold streaming epoch deltas back into the index's base cells
+    (one file per cell restored; bounds the handle's listing cost)."""
+    from pedsnetdcc_spark.datapipe.similarity import compact_ivf_index
+
+    spark = _session(args)
+    rep = compact_ivf_index(spark, args.index)
+    print(json.dumps({"index": args.index, **rep}))
+    return 0
+
+
 def cmd_dataset_card(args: argparse.Namespace) -> int:
     """Compose the profiling/quality/dedup operators into a markdown
     dataset card — the human-readable summary published with a corpus
@@ -1298,6 +1309,13 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("-k", type=int, default=5)
     sp.add_argument("--nprobe", type=int, default=4)
     sp.set_defaults(fn=cmd_ann_query)
+
+    sp = sub.add_parser(
+        "ann-compact",
+        help="fold streaming epoch deltas back into an ann-index base",
+    )
+    sp.add_argument("--index", required=True, help="ann-index root dir")
+    sp.set_defaults(fn=cmd_ann_compact)
 
     sp = sub.add_parser(
         "diff", help="what changed vs the previous published generation"
