@@ -1030,6 +1030,8 @@ def passage_dedup(
     keep: str = "first",
     chunking: str = "fixed",
     hash_family: str = "xxhash64",
+    min_count: int = 2,
+    sep: str = "\n",
 ) -> DataFrame:
     """Cross-document EXACT passage dedup: split every document into
     non-overlapping ``chunk_tokens``-token windows, drop windows whose
@@ -1052,6 +1054,15 @@ def passage_dedup(
     content-defined boundaries (text.cdc_chunk_documents) whose cut
     points re-synchronize inside the repeat, catching it at any offset
     — same cost shape, expected chunk length ``chunk_tokens``.
+    ``chunking="sep"`` splits on the literal separator ``sep`` instead
+    of token windows — the LINE-level dedup of C4/RefinedWeb ("remove
+    any line repeated across the corpus"); reassembly rejoins with the
+    same separator, and ``chunk_tokens`` is ignored.
+
+    ``min_count`` (default 2) is the repetition threshold: a passage
+    counts as repeated only when it occurs at least ``min_count`` times
+    corpus-wide (RefinedWeb-style "lines occurring ≥ N times"); below
+    the threshold every occurrence survives.
 
     Returns ``(id, text_deduped, n_chunks, n_chunks_dropped)`` — one
     row per input document; a document whose every window was dropped
@@ -1071,6 +1082,9 @@ def passage_dedup(
         raise ValueError(f"keep must be 'first' or 'unique', got {keep!r}")
     from pedsnetdcc_spark.datapipe.text import cdc_chunk_documents, chunk_documents
 
+    if min_count < 2:
+        raise ValueError(f"min_count must be >= 2, got {min_count}")
+    join_sep = " "
     if chunking == "fixed":
         raw = chunk_documents(df, id_col, text_col, chunk_tokens=chunk_tokens, overlap=0)
     elif chunking == "cdc":
@@ -1079,8 +1093,20 @@ def passage_dedup(
         raw = cdc_chunk_documents(
             df, id_col, text_col, target_tokens=chunk_tokens, hash_family=hash_family
         )
+    elif chunking == "sep":
+        # line mode: one chunk per separator-delimited segment
+        raw = df.select(
+            F.col(id_col),
+            # \Q...\E: the separator is a literal, not a regex
+            F.posexplode(F.split(F.col(text_col), f"\\Q{sep}\\E")).alias(
+                "chunk_id", "chunk_text"
+            ),
+        )
+        join_sep = sep
     else:
-        raise ValueError(f"chunking must be 'fixed' or 'cdc', got {chunking!r}")
+        raise ValueError(
+            f"chunking must be 'fixed', 'cdc' or 'sep', got {chunking!r}"
+        )
     chunks = raw.withColumn("__key", F.md5(F.col("chunk_text")))
     per_key = chunks.groupBy("__key").agg(
         F.count(F.lit(1)).alias("__df"),
@@ -1088,11 +1114,11 @@ def passage_dedup(
     )
     tagged = chunks.join(per_key, "__key")
     if keep == "first":
-        survives = (F.col("__df") == 1) | (
+        survives = (F.col("__df") < min_count) | (
             F.struct(F.col(id_col), F.col("chunk_id")) == F.col("__first")
         )
     else:
-        survives = F.col("__df") == 1
+        survives = F.col("__df") < min_count
     return (
         tagged.withColumn("__keep", survives)
         .groupBy(id_col)
@@ -1109,11 +1135,178 @@ def passage_dedup(
                     ),
                     lambda s: s.chunk_text,
                 ),
-                " ",
+                join_sep,
             ).alias("text_deduped"),
             F.count(F.lit(1)).alias("n_chunks"),
             F.sum(F.when(F.col("__keep"), 0).otherwise(1)).alias(
                 "n_chunks_dropped"
+            ),
+        )
+    )
+
+
+def duplicate_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    k: int = 8,
+    min_count: int = 2,
+    sep: str = " ",
+) -> DataFrame:
+    """MAXIMAL duplicated token spans — the exact-substring dedup
+    formulation of Lee et al. 2022 ("Deduplicating Training Data Makes
+    Language Models Better"), re-expressed relationally: a position is
+    *duplicated* when the ``k``-token shingle starting there occurs at
+    least ``min_count`` times corpus-wide; runs of duplicated positions
+    whose shingles overlap or abut (gap ≤ ``k``) merge into one maximal
+    span per document (gaps-and-islands — the same island construction
+    as ``operators/eras.derive_eras``, applied to token offsets instead
+    of dates).  Complementary to :func:`passage_dedup`: that reports
+    which fixed/CDC *chunks* repeat; this reports the exact maximal
+    extent of every repeat at ANY offset, with positions.
+
+    Returns ``(id, span_start, span_end, n_tokens)`` — token offsets
+    are 0-based inclusive; ``n_tokens = span_end - span_start + 1 ≥ k``.
+    Documents shorter than ``k`` tokens produce no shingles and no
+    spans.  (Reference scope note: training-data extension surface,
+    not a reference operator.)
+
+    Scale shape: shingling is scan-fused (split + slice higher-order
+    functions, no shuffle, no UDF); duplicate detection is ONE hash
+    aggregate keyed on the 128-bit md5 digest of the shingle (slim
+    fixed-width key, map-side partial combine absorbs hot boilerplate
+    shingles) + a shuffle join back on the digest (groupBy+join, not a
+    window over the shingle, so AQE's skew-split can break up a shingle
+    repeated millions of times); the island merge is one per-document
+    window.  Never materializes pairs — cost is linear in total
+    shingle occurrences, not Σ bucket².
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col), F.split(F.col(text_col), sep).alias("__arr")
+    ).where(F.size("__arr") >= k)
+    sh = toks.select(
+        id_col,
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, size(__arr) - {k}), "
+                f"p -> array_join(slice(__arr, p + 1, {k}), ' '))"
+            )
+        ).alias("__pos", "__sh"),
+    ).withColumn("__key", F.md5(F.col("__sh"))).drop("__sh")
+    per_key = sh.groupBy("__key").agg(F.count(F.lit(1)).alias("__cnt"))
+    dup = (
+        sh.join(per_key, "__key")
+        .where(F.col("__cnt") >= min_count)
+        .select(id_col, "__pos")
+    )
+    w = Window.partitionBy(id_col).orderBy("__pos")
+    brk = F.when(
+        F.col("__pos") - F.lag("__pos").over(w) <= k, F.lit(0)
+    ).otherwise(F.lit(1))
+    isl = (
+        dup.withColumn("__brk", brk)
+        .withColumn(
+            "__isl",
+            F.sum("__brk").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+    )
+    return isl.groupBy(id_col, "__isl").agg(
+        F.min("__pos").alias("span_start"),
+        (F.max("__pos") + F.lit(k - 1)).alias("span_end"),
+        (F.max("__pos") - F.min("__pos") + F.lit(k)).alias("n_tokens"),
+    ).drop("__isl")
+
+
+def drop_duplicate_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    k: int = 8,
+    min_count: int = 2,
+    keep: str = "first",
+    sep: str = " ",
+) -> DataFrame:
+    """Remove the duplicated spans found by :func:`duplicate_spans`
+    from every document and reassemble the survivors in order.
+
+    ``keep="first"``: for each duplicated shingle, the globally-first
+    occurrence (min ``(id, pos)``) keeps its tokens — corpus-wide
+    content survives exactly once, later copies are cut.
+    ``keep="unique"``: every occurrence of a duplicated shingle is cut
+    (boilerplate removal).  A token is removed when ANY removable
+    shingle occurrence covers it, so cuts are maximal-span shaped, not
+    chunk-aligned.
+
+    Returns ``(id, text_deduped, n_tokens, n_tokens_dropped)`` — one
+    row per input document (docs shorter than ``k`` pass through
+    unchanged).
+
+    Scale shape: same single digest-keyed aggregate + join as
+    :func:`duplicate_spans`; covered positions explode only the
+    REMOVABLE shingle occurrences (k× those rows, not the corpus) and
+    dedup per document; reassembly is one doc-keyed aggregate over the
+    token positions (sort_array of (pos, token) structs).  No UDFs.
+    """
+    if keep not in ("first", "unique"):
+        raise ValueError(f"keep must be 'first' or 'unique', got {keep!r}")
+    from pyspark.sql import Window  # noqa: F401  (parity with duplicate_spans)
+
+    toks = df.select(F.col(id_col), F.split(F.col(text_col), sep).alias("__arr"))
+    sh = toks.where(F.size("__arr") >= k).select(
+        id_col,
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, size(__arr) - {k}), "
+                f"p -> array_join(slice(__arr, p + 1, {k}), ' '))"
+            )
+        ).alias("__pos", "__sh"),
+    ).withColumn("__key", F.md5(F.col("__sh"))).drop("__sh")
+    per_key = sh.groupBy("__key").agg(
+        F.count(F.lit(1)).alias("__cnt"),
+        F.min(F.struct(F.col(id_col), F.col("__pos"))).alias("__first"),
+    )
+    removable = sh.join(per_key, "__key").where(
+        (F.col("__cnt") >= min_count)
+        & (
+            F.lit(keep == "unique")
+            | (F.struct(F.col(id_col), F.col("__pos")) != F.col("__first"))
+        )
+    )
+    covered = removable.select(
+        id_col,
+        F.explode(F.expr(f"sequence(__pos, __pos + {k - 1})")).alias("__pos"),
+    ).distinct()
+    positions = toks.select(
+        id_col, F.posexplode(F.col("__arr")).alias("__pos", "__tok")
+    )
+    kept = positions.join(covered, [id_col, "__pos"], "left_anti")
+    survivors = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("__pos"), F.col("__tok")))
+                ),
+                lambda s: s["__tok"],
+            ),
+            " ",
+        ).alias("__text"),
+        F.count(F.lit(1)).alias("__kept"),
+    )
+    # left join from the full doc list so a document whose EVERY token
+    # was covered keeps its row with an empty text_deduped
+    return (
+        toks.select(id_col, F.size("__arr").alias("__total"))
+        .join(survivors, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("__text"), F.lit("")).alias("text_deduped"),
+            F.coalesce(F.col("__kept"), F.lit(0)).alias("n_tokens"),
+            (F.col("__total") - F.coalesce(F.col("__kept"), F.lit(0))).alias(
+                "n_tokens_dropped"
             ),
         )
     )

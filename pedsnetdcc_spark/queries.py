@@ -1662,80 +1662,94 @@ def _shingle_cte_over(src_sql: str) -> str:
 _BPE_RE_SQL = "''(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+"
 
 
-@query(
-    "table_profile",
-    oracle="""
-    SELECT 'o_orderkey' AS column, COUNT(*) AS n_rows,
-           COUNT(*) - COUNT(o_orderkey) AS n_null,
-           COUNT(DISTINCT o_orderkey) AS n_distinct FROM orders
-    UNION ALL
-    SELECT 'o_custkey', COUNT(*), COUNT(*) - COUNT(o_custkey),
-           COUNT(DISTINCT o_custkey) FROM orders
-    UNION ALL
-    SELECT 'o_orderstatus', COUNT(*), COUNT(*) - COUNT(o_orderstatus),
-           COUNT(DISTINCT o_orderstatus) FROM orders
-    UNION ALL
-    SELECT 'o_orderdate', COUNT(*), COUNT(*) - COUNT(o_orderdate),
-           COUNT(DISTINCT o_orderdate) FROM orders
-    UNION ALL
-    SELECT 'o_orderpriority', COUNT(*), COUNT(*) - COUNT(o_orderpriority),
-           COUNT(DISTINCT o_orderpriority) FROM orders
-    """,
-)
+_PROFILE_COL_SQL = """
+    SELECT '{c}' AS column, COUNT(*) AS n_rows,
+           COUNT(*) - COUNT({c}) AS n_null,
+           COUNT(DISTINCT {c}) AS n_distinct, TRUE AS hll_within_tol,
+           {minmax} FROM orders"""
+
+
+def _profile_oracle() -> str:
+    txt = ("CAST(NULL AS DOUBLE) AS min_val, CAST(NULL AS DOUBLE) AS max_val, "
+           "CAST(NULL AS BOOLEAN) AS mean_ok, CAST(NULL AS BOOLEAN) AS p50_rank_ok")
+    num = ("MIN(o_totalprice) AS min_val, MAX(o_totalprice) AS max_val, "
+           "TRUE AS mean_ok, TRUE AS p50_rank_ok")
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+            "o_orderdate", "o_orderpriority"]
+    return "\n    UNION ALL".join(
+        _PROFILE_COL_SQL.format(c=c, minmax=num if c == "o_totalprice" else txt)
+        for c in cols
+    )
+
+
+@query("table_profile", oracle=_profile_oracle())
 def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Single-scan table profile (row/null/distinct counts per column) —
-    the user-facing statistics pass the reference delegates to
-    VACUUM ANALYZE (utils.py:295-388).  The oracle re-scans per column;
-    the Spark plan reads the table once."""
-    from pedsnetdcc_spark.operators.profile import profile_table
+    """The profiling family under ONE driver row (round-10 melt of the
+    former table_profile + table_profile_approx entries, plus the
+    round-9 numeric_profile operator): per column of ``orders`` —
+
+    - exact row/null/distinct counts (profile_table: ONE scan, all
+      aggregates in a single agg; the oracle re-scans per column) —
+      the user-facing statistics pass the reference delegates to
+      VACUUM ANALYZE (utils.py:295-388);
+    - ``hll_within_tol``: the HyperLogLog mode (the 100 TB path —
+      constant-size sketch state instead of an Expand of rows × columns
+      into the shuffle) re-profiles the same columns and every estimate
+      must sit within 3× the configured 5% relative error of the exact
+      count (oracle pins TRUE);
+    - for the numeric column (``o_totalprice``): numeric_profile's
+      min/max pinned exactly (IEEE min/max are engine-identical), its
+      double-sum mean within 1 cent of the DECIMAL-exact mean
+      (``mean_ok``), and its percentile_approx median verified by RANK
+      — the fraction of rows ≤ the sketch's p50 must be 0.5 ± 0.01,
+      well outside the sketch's n/accuracy rank-error bound (oracle
+      pins TRUE).  Non-numeric columns carry NULLs.
+    """
+    from pedsnetdcc_spark.operators.profile import numeric_profile, profile_table
 
     orders = _t(spark, sf_dir, "orders")
-    return profile_table(
-        orders,
-        ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate", "o_orderpriority"],
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+            "o_orderdate", "o_orderpriority"]
+    exact = profile_table(orders, cols)
+    approx = profile_table(orders, cols, approx_distinct=True, rsd=0.05).select(
+        "column", F.col("n_distinct").alias("__hll")
     )
-
-
-@query(
-    "table_profile_approx",
-    oracle="""
-    SELECT 'o_orderkey' AS column, COUNT(*) AS n_rows,
-           COUNT(*) - COUNT(o_orderkey) AS n_null, TRUE AS hll_within_tol
-    FROM orders
-    UNION ALL
-    SELECT 'o_custkey', COUNT(*), COUNT(*) - COUNT(o_custkey), TRUE FROM orders
-    UNION ALL
-    SELECT 'o_orderstatus', COUNT(*), COUNT(*) - COUNT(o_orderstatus), TRUE FROM orders
-    UNION ALL
-    SELECT 'o_orderdate', COUNT(*), COUNT(*) - COUNT(o_orderdate), TRUE FROM orders
-    UNION ALL
-    SELECT 'o_orderpriority', COUNT(*), COUNT(*) - COUNT(o_orderpriority), TRUE FROM orders
-    """,
-)
-def q_table_profile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The HyperLogLog profiling mode (the 100 TB path: constant-size
-    sketch state instead of an Expand of rows × columns into the
-    shuffle) scored against the exact profile: row/null counts must
-    match the oracle exactly (unchanged by approx mode), and every HLL
-    distinct estimate must sit within 3× the configured 5% relative
-    error of the exact count — emitted as a per-column boolean the
-    oracle pins TRUE."""
-    from pedsnetdcc_spark.operators.profile import profile_table
-
-    orders = _t(spark, sf_dir, "orders")
-    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate", "o_orderpriority"]
-    exact = profile_table(orders, cols).select(
-        "column", F.col("n_distinct").alias("__exact_nd")
+    prof = exact.join(approx, "column").withColumn(
+        "hll_within_tol",
+        F.abs(F.col("__hll") - F.col("n_distinct"))
+        <= F.greatest(F.col("n_distinct") * 0.15, F.lit(2.0)),
     )
-    approx = profile_table(orders, cols, approx_distinct=True, rsd=0.05)
-    return approx.join(exact, "column").select(
-        "column",
-        "n_rows",
-        "n_null",
+    num = numeric_profile(orders, ["o_totalprice"], percentiles=(0.5,))
+    exact_mean = orders.agg(
         (
-            F.abs(F.col("n_distinct") - F.col("__exact_nd"))
-            <= F.greatest(F.col("__exact_nd") * 0.15, F.lit(2.0))
-        ).alias("hll_within_tol"),
+            F.sum(F.col("o_totalprice").cast("decimal(20,4)")).cast("decimal(30,4)")
+            / F.count(F.col("o_totalprice"))
+        )
+        .cast("double")
+        .alias("__em")
+    )
+    rank = (
+        orders.crossJoin(F.broadcast(num.select(F.col("p0_5").alias("__p50"))))
+        .agg(
+            F.avg(
+                F.when(F.col("o_totalprice") <= F.col("__p50"), 1.0).otherwise(0.0)
+            ).alias("__frac")
+        )
+    )
+    numrow = (
+        num.crossJoin(F.broadcast(exact_mean))
+        .crossJoin(F.broadcast(rank))
+        .select(
+            "column",
+            F.col("min").alias("min_val"),
+            F.col("max").alias("max_val"),
+            (F.abs(F.col("mean") - F.col("__em")) <= 0.01).alias("mean_ok"),
+            (F.abs(F.col("__frac") - 0.5) <= 0.01).alias("p50_rank_ok"),
+        )
+    )
+    return prof.join(numrow, "column", "left").select(
+        "column", "n_rows", "n_null", "n_distinct", "hll_within_tol",
+        "min_val", "max_val", "mean_ok", "p50_rank_ok",
     )
 
 
@@ -1805,6 +1819,116 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     return exact_dedup_groups(docs, "doc_id", "text")
+
+
+@query(
+    "duplicate_spans",
+    # Exact-substring dedup (Lee et al. 2022) under the hash gate, both
+    # halves in one row: part='span' = the maximal duplicated token
+    # spans (k=8 shingles occurring >= 2x corpus-wide, islands merged at
+    # gap <= k); part='clean' = every document after keep='first'
+    # removal, folded to (n_tokens, n_tokens_dropped, md5(text)).
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS arr FROM documents
+    ),
+    sh AS (
+        SELECT doc_id, CAST(u.p AS BIGINT) AS p,
+               array_to_string(arr[u.p + 1 : u.p + 8], ' ') AS s
+        FROM toks, LATERAL (SELECT unnest(range(0, len(arr) - 7)) AS p) u
+        WHERE len(arr) >= 8
+    ),
+    dup AS (
+        SELECT doc_id, p FROM sh
+        JOIN (SELECT s FROM sh GROUP BY s HAVING COUNT(*) >= 2) USING (s)
+    ),
+    isl AS (
+        SELECT doc_id, p,
+               CASE WHEN p - lag(p) OVER w <= 8 THEN 0 ELSE 1 END AS brk
+        FROM dup WINDOW w AS (PARTITION BY doc_id ORDER BY p)
+    ),
+    grp AS (
+        SELECT doc_id, p,
+               SUM(brk) OVER (PARTITION BY doc_id ORDER BY p
+                              ROWS UNBOUNDED PRECEDING) AS g
+        FROM isl
+    ),
+    spans AS (
+        SELECT doc_id, MIN(p) AS span_start, MAX(p) + 7 AS span_end
+        FROM grp GROUP BY doc_id, g
+    ),
+    removable AS (
+        SELECT doc_id, p FROM (
+            SELECT doc_id, p,
+                   COUNT(*) OVER (PARTITION BY s) AS c,
+                   ROW_NUMBER() OVER (PARTITION BY s ORDER BY doc_id, p) AS rn
+            FROM sh
+        ) WHERE c >= 2 AND rn > 1
+    ),
+    covered AS (
+        SELECT DISTINCT doc_id, q FROM (
+            SELECT doc_id, unnest(range(p, p + 8)) AS q FROM removable
+        )
+    ),
+    positions AS (
+        SELECT doc_id, unnest(arr) AS tok,
+               CAST(generate_subscripts(arr, 1) - 1 AS BIGINT) AS q
+        FROM toks
+    ),
+    kept AS (
+        SELECT po.doc_id, po.tok, po.q
+        FROM positions po LEFT JOIN covered c
+          ON c.doc_id = po.doc_id AND c.q = po.q
+        WHERE c.doc_id IS NULL
+    ),
+    clean AS (
+        SELECT doc_id, string_agg(tok, ' ' ORDER BY q) AS txt,
+               COUNT(*) AS n FROM kept GROUP BY doc_id
+    )
+    SELECT 'span' AS part, doc_id, span_start AS a, span_end AS b,
+           CAST(NULL AS VARCHAR) AS payload
+    FROM spans
+    UNION ALL
+    SELECT 'clean', t.doc_id, COALESCE(c.n, 0),
+           len(t.arr) - COALESCE(c.n, 0), md5(COALESCE(c.txt, ''))
+    FROM toks t LEFT JOIN clean c USING (doc_id)
+    """,
+)
+def q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup a la Lee et al. 2022, relationally:
+    part='span' is datapipe/dedup.duplicate_spans (maximal duplicated
+    k=8-token spans via ONE digest-keyed aggregate + a per-doc island
+    window — positions and extents exact, no pair materialization);
+    part='clean' is drop_duplicate_spans(keep='first') — the
+    globally-first occurrence of every duplicated shingle survives,
+    later copies are cut at maximal-span granularity, and each
+    reassembled document is folded to counts + md5 so the DuckDB twin
+    replays byte-for-byte equality.  (Training-data extension surface;
+    complements passage_dedup's chunk-aligned forms with offset-exact
+    spans.)"""
+    from pedsnetdcc_spark.datapipe.dedup import (
+        drop_duplicate_spans,
+        duplicate_spans,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    spans = duplicate_spans(docs, "doc_id", "text", k=8, min_count=2).select(
+        F.lit("span").alias("part"),
+        "doc_id",
+        F.col("span_start").cast("long").alias("a"),
+        F.col("span_end").cast("long").alias("b"),
+        F.lit(None).cast("string").alias("payload"),
+    )
+    clean = drop_duplicate_spans(
+        docs, "doc_id", "text", k=8, min_count=2, keep="first"
+    ).select(
+        F.lit("clean").alias("part"),
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("a"),
+        F.col("n_tokens_dropped").cast("long").alias("b"),
+        F.md5(F.col("text_deduped")).alias("payload"),
+    )
+    return spans.unionByName(clean)
 
 
 @query(
@@ -5351,16 +5475,23 @@ def q_jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ===========================================================================
 
 _QUERY_ORDER = [
-    # -- 1: NEW / CHANGED in round 10 (window arithmetic: two melts fund
-    #       the two net-new entries, so the registry stays at 92 —
+    # -- 1: NEW / CHANGED in round 10 (window arithmetic: three melts
+    #       fund the three net-new entries, so the registry stays at 92 —
     #       interval_months absorbed interval_months_monthend's LAST_DAY
-    #       clamp/borrow stress as a second output column, and
-    #       doc_signals absorbed the whole text_signals projection plus
-    #       the new NFC unicode-normalization proof; generation_diff is
-    #       the cycle-refresh diff operator and streaming_wds_export the
-    #       foreachBatch WebDataset sink, both previously test-only) ----
+    #       clamp/borrow stress as a second output column; doc_signals
+    #       absorbed the whole text_signals projection plus the new NFC
+    #       unicode-normalization proof; table_profile absorbed
+    #       table_profile_approx's HLL-tolerance proof plus the round-9
+    #       numeric_profile operator (min/max pinned, DECIMAL-exact mean
+    #       and median-rank booleans); generation_diff is the
+    #       cycle-refresh diff operator, streaming_wds_export the
+    #       foreachBatch WebDataset sink, and duplicate_spans the
+    #       Lee-et-al.-2022 exact-substring dedup (maximal spans +
+    #       keep-first removal under one hash gate) -----------------------
     "generation_diff",
     "streaming_wds_export",
+    "duplicate_spans",
+    "table_profile",
     "doc_signals",
     "interval_months",
     # -- 2: due back for a current verdict (green r8, then unscored
@@ -5394,10 +5525,8 @@ _QUERY_ORDER = [
     "recompute_column",
     "lms_z_score",
     "doc_fingerprint",
-    "table_profile_approx",
     "dedup_exact",
     "pk_violations",
-    "table_profile",
     "bpe_encode",
     "cdc_passage_dedup",
     "subset_pcornet",

@@ -1965,3 +1965,166 @@ def test_ivf_index_compact_folds_delta(spark, emb, tmp_path):
 
     # idempotent: compacting a delta-free index is a no-op
     assert compact_ivf_index(spark, root)["epochs_folded"] == 0
+
+
+def _dup_spans_ref(docs, k, min_count):
+    """Brute-force python reference for duplicate_spans."""
+    from collections import Counter
+
+    toks = {i: t.split(" ") for i, t in docs}
+    cnt = Counter()
+    for a in toks.values():
+        for p in range(len(a) - k + 1):
+            cnt[" ".join(a[p : p + k])] += 1
+    out = []
+    for i, a in toks.items():
+        dup = [
+            p
+            for p in range(len(a) - k + 1)
+            if cnt[" ".join(a[p : p + k])] >= min_count
+        ]
+        runs = []
+        for p in dup:
+            if runs and p - runs[-1][1] <= k:
+                runs[-1][1] = p
+            else:
+                runs.append([p, p])
+        out += [(i, s, e + k - 1, e + k - 1 - s + 1) for s, e in runs]
+    return sorted(out)
+
+
+def test_duplicate_spans_matches_bruteforce_examples(spark):
+    from pedsnetdcc_spark.datapipe.dedup import duplicate_spans
+
+    docs = [
+        (1, "a b c d e f g h i j k l m"),
+        (2, "x x c d e f g h y y z w q"),
+        (3, "p q r s"),
+        (4, "a b c d e f g h i j k l m"),
+        (5, "u v w t1 t2 t3 t4 t5 t6 t7"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = sorted(
+        (r["doc_id"], r["span_start"], r["span_end"], r["n_tokens"])
+        for r in duplicate_spans(df, "doc_id", "text", k=6).collect()
+    )
+    assert got == _dup_spans_ref(docs, 6, 2)
+    # spans are maximal merges: doc 1/4 are full-length single spans
+    assert (1, 0, 12, 13) in got and (4, 0, 12, 13) in got
+
+
+def test_duplicate_spans_property_vs_bruteforce(spark):
+    """Property: for ANY corpus over a tiny vocabulary (dense repeats)
+    and any k/min_count, the span set equals the python reference."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from pedsnetdcc_spark.datapipe.dedup import duplicate_spans
+
+    corpus = st.lists(
+        st.lists(st.sampled_from(list("abcd")), min_size=1, max_size=14).map(
+            " ".join
+        ),
+        min_size=1,
+        max_size=8,
+    )
+
+    @settings(max_examples=12, deadline=None)
+    @given(corpus, st.integers(2, 4), st.integers(2, 3))
+    def check(texts, k, min_count):
+        docs = list(enumerate(texts))
+        df = spark.createDataFrame(docs, ["doc_id", "text"])
+        got = sorted(
+            (r["doc_id"], r["span_start"], r["span_end"], r["n_tokens"])
+            for r in duplicate_spans(
+                df, "doc_id", "text", k=k, min_count=min_count
+            ).collect()
+        )
+        assert got == _dup_spans_ref(docs, k, min_count), (texts, k, min_count)
+
+    check()
+
+
+def test_drop_duplicate_spans_first_and_unique(spark):
+    from pedsnetdcc_spark.datapipe.dedup import drop_duplicate_spans
+
+    docs = [
+        (1, "a b c d e f g h i j k l m"),
+        (2, "x x c d e f g h y y z w q"),
+        (3, "p q r s"),
+        (4, "a b c d e f g h i j k l m"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    first = {
+        r["doc_id"]: (r["text_deduped"], r["n_tokens"], r["n_tokens_dropped"])
+        for r in drop_duplicate_spans(
+            df, "doc_id", "text", k=6, keep="first"
+        ).collect()
+    }
+    # global-first occurrence (doc 1) keeps everything; the exact copy
+    # (doc 4) is cut to empty BUT KEEPS ITS ROW; doc 2 loses only the
+    # shared span; the short doc passes through untouched
+    assert first[1] == ("a b c d e f g h i j k l m", 13, 0)
+    assert first[4] == ("", 0, 13)
+    assert first[2] == ("x x y y z w q", 7, 6)
+    assert first[3] == ("p q r s", 4, 0)
+    unique = {
+        r["doc_id"]: r["n_tokens"]
+        for r in drop_duplicate_spans(
+            df, "doc_id", "text", k=6, keep="unique"
+        ).collect()
+    }
+    assert unique[1] == 0 and unique[4] == 0  # both copies cut
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        drop_duplicate_spans(df, "doc_id", "text", keep="bogus")
+
+
+def test_passage_dedup_sep_mode_line_dedup(spark):
+    """chunking='sep' is C4/RefinedWeb line dedup: repeated lines drop
+    (keep='first' keeps the globally-first copy), reassembly rejoins
+    with the same separator, and min_count thresholds the repetition."""
+    from pedsnetdcc_spark.datapipe.dedup import passage_dedup
+
+    docs = [
+        (1, "unique line one\ncopyright boilerplate\nreal content here"),
+        (2, "copyright boilerplate\nanother real line"),
+        (3, "copyright boilerplate\nthird doc text\nrare repeat"),
+        (4, "rare repeat\nlast doc"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    first = {
+        r["doc_id"]: r["text_deduped"]
+        for r in passage_dedup(
+            df, "doc_id", chunking="sep", sep="\n", min_count=2, keep="first"
+        ).collect()
+    }
+    assert first[1] == "unique line one\ncopyright boilerplate\nreal content here"
+    assert first[2] == "another real line"
+    assert first[3] == "third doc text\nrare repeat"
+    assert first[4] == "last doc"
+    # min_count=3: the 2x line survives everywhere, the 3x line drops
+    thresh = {
+        r["doc_id"]: r["text_deduped"]
+        for r in passage_dedup(
+            df, "doc_id", chunking="sep", sep="\n", min_count=3, keep="unique"
+        ).collect()
+    }
+    assert thresh[1] == "unique line one\nreal content here"
+    assert thresh[4] == "rare repeat\nlast doc"
+    # separator is treated as a literal, not a regex
+    rx = spark.createDataFrame(
+        [(1, "a|b|a"), (2, "a|c")], ["doc_id", "text"]
+    )
+    lit = {
+        r["doc_id"]: r["text_deduped"]
+        for r in passage_dedup(
+            rx, "doc_id", chunking="sep", sep="|", min_count=2, keep="unique"
+        ).collect()
+    }
+    assert lit[1] == "b" and lit[2] == "c"
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        passage_dedup(df, "doc_id", chunking="sep", min_count=1)

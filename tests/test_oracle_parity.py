@@ -147,6 +147,10 @@ _FLOAT_COLUMN_SEAMS: dict[tuple[str, str], int | None] = {
     ("cdm_transform", "value_as_number"): None,
     ("lab_loinc_swap", "value_as_number"): None,
     ("r_dose_update", "effective_drug_dose"): None,
+    # IEEE min/max of stored doubles — passthrough, engine-identical
+    # (the mean/median seams are folded to booleans in the query itself)
+    ("table_profile", "min_val"): None,
+    ("table_profile", "max_val"): None,
 }
 
 _FLOAT_TYPES = ("DOUBLE", "FLOAT", "REAL")
