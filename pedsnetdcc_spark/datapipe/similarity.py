@@ -1397,3 +1397,266 @@ def quantized_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "cosine")
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — the FAISS-style compression step past SQ8:
+# each unit-normalized vector is split into m subvectors, each subvector
+# replaced by the id of its nearest sub-codebook centroid, so a d-dim
+# float32 vector becomes m small ints (64-dim, m=8, 256 centroids → 8
+# bytes, 32× smaller than float32).  Query scoring is ADC (asymmetric
+# distance computation): per query, ONE m×codebook_size lookup table of
+# subspace dot products; a candidate's approximate cosine is m table
+# lookups summed — no per-candidate float math at all.
+# ---------------------------------------------------------------------------
+
+
+def _lloyd_euclidean(X: np.ndarray, k: int, iters: int, seed: int) -> np.ndarray:
+    """Seeded k-means++ init + Lloyd iterations under the EUCLIDEAN
+    objective (plain k-means, centroids NOT normalized) — PQ minimizes
+    subvector reconstruction error, so spherical k-means
+    (:func:`_lloyd_numpy`) is the wrong objective here.  Returns a
+    ``(k, dim)`` array; deterministic for a fixed sample and seed."""
+    k = min(k, len(X))
+    rng = np.random.RandomState(seed)
+    idx = [int(rng.randint(len(X)))]
+    best = ((X - X[idx[0]]) ** 2).sum(axis=1)
+    for _ in range(1, k):
+        total = best.sum()
+        if total <= 0:
+            probs = np.full(len(X), 1.0 / len(X))
+        else:
+            probs = best / total
+        j = int(rng.choice(len(X), p=probs))
+        idx.append(j)
+        np.minimum(best, ((X - X[j]) ** 2).sum(axis=1), out=best)
+    C = X[idx].copy()
+    for _ in range(iters):
+        d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for j in range(k):
+            members = X[assign == j]
+            if len(members):
+                C[j] = members.mean(axis=0)
+    return C
+
+
+def train_pq_codebooks(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    codebook_size: int = 256,
+    sample_size: int = 4096,
+    iters: int = 10,
+    seed: int = 0,
+) -> np.ndarray:
+    """Train the ``(m, codebook_size, dim/m)`` PQ sub-codebooks on a
+    bounded deterministic sample (same partition-independent
+    smallest-xxhash64 sample + TakeOrderedAndProject shape as
+    :func:`train_kmeans_centroids` — no full sort, no shuffle at any
+    table size).  Vectors are unit-normalized BEFORE splitting (cosine
+    regime: approximate inner product of normalized vectors = cosine),
+    then each of the ``m`` subspaces gets an independent Euclidean
+    k-means with seed ``seed + j``.  ``dim`` must divide evenly by
+    ``m``."""
+    rows = (
+        df.select(
+            F.col(vec_col).cast("array<double>").alias("__v"),
+            F.xxhash64(F.col(id_col), F.lit(seed)).alias("__h"),
+        )
+        .orderBy("__h")
+        .limit(sample_size)
+        .collect()
+    )
+    if not rows:
+        raise ValueError("cannot train PQ codebooks on an empty table")
+    X = np.stack([r["__v"] for r in rows]).astype(np.float64)
+    dim = X.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    n = np.linalg.norm(X, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    Xn = X / n
+    dsub = dim // m
+    return np.stack(
+        [
+            _lloyd_euclidean(
+                Xn[:, j * dsub : (j + 1) * dsub], codebook_size, iters, seed + j
+            )
+            for j in range(m)
+        ]
+    )
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_col: str = "pq_code",
+) -> DataFrame:
+    """Encode every vector as its ``m`` nearest-sub-centroid ids —
+    one Arrow-vectorized pass (per batch: normalize rows, then per
+    subspace one argmax of ``2x·cᵀ − |c|²`` over the codebook; no
+    python-per-row).  Output column is ``array<int>`` of length ``m``.
+    """
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    m, ksub, dsub = codebooks.shape
+    C = codebooks.astype(np.float64)
+    c2 = (C ** 2).sum(axis=2)  # (m, ksub)
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def _encode(v: pd.Series) -> pd.Series:
+        X = np.stack(v.to_numpy()).astype(np.float64)
+        n = np.linalg.norm(X, axis=1, keepdims=True)
+        n[n == 0] = 1.0
+        Xn = X / n
+        codes = np.empty((len(X), m), dtype=np.int32)
+        for j in range(m):
+            xj = Xn[:, j * dsub : (j + 1) * dsub]
+            codes[:, j] = (2.0 * xj @ C[j].T - c2[j]).argmax(axis=1)
+        return pd.Series(list(codes))
+
+    return df.withColumn(out_col, _encode(F.col(vec_col).cast("array<double>")))
+
+
+def pq_topk(
+    candidates: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    m: int = 8,
+    codebook_size: int = 256,
+    rerank_factor: int = 4,
+    sample_size: int = 4096,
+    iters: int = 10,
+    seed: int = 0,
+    codebooks: np.ndarray | None = None,
+) -> DataFrame:
+    """Two-stage PQ/ADC ANN: coarse top-``k*rerank_factor`` by
+    asymmetric-distance lookup over the PQ codes, exact float64 cosine
+    re-rank of the survivors — same contract and output shape as
+    :func:`quantized_topk` (``(query_id, rank, neighbor_id, cosine)``),
+    one more compression decade (m ints per vector vs d int8s).
+
+    Scale shape: codebooks train on a bounded sample; the probe set is
+    collected driver-side (bounded by contract — queries are the small
+    side, exactly as every topk variant broadcasts them) and turned
+    into per-query ``(m, codebook_size)`` float32 lookup tables; ONE
+    Arrow pass over the candidates encodes each batch and scores ALL
+    queries against it with pure numpy gathers (``nq × batch`` adds, no
+    per-candidate dot products), keeping only the per-batch top-R per
+    query — output is bounded at ``nq·R`` rows per batch, merged
+    exactly by a global window (the (score desc, id asc) order is
+    total, so batch-local top-R contains the batch's global-top-R
+    members).  The exact re-rank touches ``k*rerank_factor`` rows per
+    query.  Deterministic end to end: seeded sample + seeded k-means,
+    float32 LUT sums in fixed subspace order, ties broken on id.
+    """
+    from pedsnetdcc_spark.util import ensure_parallelism
+
+    if codebooks is None:
+        codebooks = train_pq_codebooks(
+            candidates, id_col, vec_col, m=m, codebook_size=codebook_size,
+            sample_size=sample_size, iters=iters, seed=seed,
+        )
+    m, ksub, dsub = codebooks.shape
+    C = codebooks.astype(np.float64)
+    c2 = (C ** 2).sum(axis=2)
+    qrows = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("__qv"),
+    ).collect()  # bounded by contract: the probe set
+    if not qrows:
+        return candidates.sparkSession.createDataFrame(
+            [], "query_id long, rank int, neighbor_id long, cosine double"
+        )
+    qids = np.array([r["query_id"] for r in qrows])
+    Q = np.stack([r["__qv"] for r in qrows]).astype(np.float64)
+    qn = np.linalg.norm(Q, axis=1, keepdims=True)
+    qn[qn == 0] = 1.0
+    Qn = Q / qn
+    # per-query ADC tables: T[q, j, c] = q_sub_j . codebook_j[c]
+    T = np.stack(
+        [Qn[:, j * dsub : (j + 1) * dsub] @ C[j].T for j in range(m)], axis=1
+    ).astype(np.float32)  # (nq, m, ksub)
+    R = k * rerank_factor
+
+    def _score(batches):
+        for pdf in batches:
+            X = np.stack(pdf["__cv"].to_numpy()).astype(np.float64)
+            n = np.linalg.norm(X, axis=1, keepdims=True)
+            n[n == 0] = 1.0
+            Xn = X / n
+            codes = np.empty((len(X), m), dtype=np.int64)
+            for j in range(m):
+                xj = Xn[:, j * dsub : (j + 1) * dsub]
+                codes[:, j] = (2.0 * xj @ C[j].T - c2[j]).argmax(axis=1)
+            scores = np.zeros((len(qids), len(X)), dtype=np.float32)
+            for j in range(m):
+                scores += T[:, j, codes[:, j]]
+            nb = np.asarray(pdf["neighbor_id"].to_numpy())
+            # R+1: the query's own row (filtered AFTER this) may occupy
+            # one batch-local slot; the spare keeps the merge exact
+            r = min(R + 1, len(X))
+            # total order (score desc, neighbor asc): sort ids ascending
+            # first, then stable-argsort scores descending
+            order = np.argsort(nb, kind="stable")
+            s_sorted, nb_sorted = scores[:, order], nb[order]
+            top = np.argsort(-s_sorted, axis=1, kind="stable")[:, :r]
+            yield pd.DataFrame(
+                {
+                    "query_id": np.repeat(qids, r),
+                    "neighbor_id": nb_sorted[top].ravel(),
+                    "__adc": np.take_along_axis(s_sorted, top, axis=1)
+                    .astype(np.float64)
+                    .ravel(),
+                }
+            )
+
+    enc_in = ensure_parallelism(candidates).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("__cv"),
+    )
+    scored = enc_in.mapInPandas(
+        _score, "query_id long, neighbor_id long, __adc double"
+    ).where(F.col("neighbor_id") != F.col("query_id"))
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("__adc").desc(), F.col("neighbor_id").asc()
+    )
+    shortlist = (
+        scored.withColumn("__crank", F.row_number().over(wq))
+        .where(F.col("__crank") <= R)
+        .select("query_id", "neighbor_id")
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("__qv"),
+    ).withColumn("__qn", _norm(F.col("__qv")))
+    c = candidates.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("__cv"),
+    ).withColumn("__cn", _norm(F.col("__cv")))
+    sims = (
+        shortlist.join(F.broadcast(q), "query_id")
+        .join(c, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            (
+                _dot(F.col("__qv"), F.col("__cv"))
+                / (F.col("__qn") * F.col("__cn"))
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cosine")
+    )

@@ -1932,6 +1932,72 @@ def q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "line_dedup",
+    # passage_dedup's chunking='sep' mode = C4/RefinedWeb line-level
+    # dedup.  The corpus has no newlines, so both engines first insert
+    # '\n' after every 12 tokens (deterministic re-lining), then drop
+    # every line repeated corpus-wide except its globally-first copy.
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS arr FROM documents
+    ),
+    lines AS (
+        SELECT doc_id, CAST(u.i AS INTEGER) AS i,
+               array_to_string(arr[u.i * 12 + 1 : u.i * 12 + 12], ' ') AS line
+        FROM toks,
+             LATERAL (SELECT unnest(range(0, CAST(ceil(len(arr) / 12.0) AS BIGINT))) AS i) u
+    ),
+    tagged AS (
+        SELECT doc_id, i, line,
+               COUNT(*) OVER (PARTITION BY line) AS c,
+               ROW_NUMBER() OVER (PARTITION BY line ORDER BY doc_id, i) AS rn
+        FROM lines
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(CASE WHEN c >= 2 AND rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_chunks_dropped,
+           md5(COALESCE(string_agg(
+               CASE WHEN c < 2 OR rn = 1 THEN line END, chr(10) ORDER BY i
+           ), '')) AS clean_md5
+    FROM tagged GROUP BY doc_id
+    """,
+)
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LINE-level corpus dedup (C4: drop repeated lines keeping one
+    copy; RefinedWeb: lines occurring >= N times) via passage_dedup's
+    separator mode — one digest-keyed aggregate over exploded lines, a
+    join back, and a doc-keyed reassembly, identical cost shape to the
+    token-window form.  Documents are deterministically re-lined
+    (newline after every 12 tokens) because the harness corpus is
+    single-line; each output row folds the reassembled document to
+    counts + md5 for the hash gate."""
+    from pedsnetdcc_spark.datapipe.dedup import passage_dedup
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.array_join(
+            F.expr(
+                "transform(sequence(0, cast(ceil(size(split(text, ' ')) / 12.0)"
+                " as int) - 1), i -> array_join(slice(split(text, ' '),"
+                " i * 12 + 1, 12), ' '))"
+            ),
+            "\n",
+        ).alias("text"),
+    )
+    out = passage_dedup(
+        docs, "doc_id", "text", chunking="sep", sep="\n",
+        min_count=2, keep="first",
+    )
+    return out.select(
+        "doc_id",
+        F.col("n_chunks").cast("long").alias("n_chunks"),
+        F.col("n_chunks_dropped").cast("long").alias("n_chunks_dropped"),
+        F.md5(F.col("text_deduped")).alias("clean_md5"),
+    )
+
+
+@query(
     "ngram_jaccard_dedup",
     # Jaccard over the DF-capped shingle universe (max_df=100): shingles
     # in >100 docs are dropped from BOTH the pair join and the sizes, so
@@ -2836,6 +2902,37 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries_df = emb.filter(F.col("vec_id") < 8)
     prod = lsh_bucketed_topk(
         emb, queries_df, "vec_id", "embedding", k=5, bits=4, tables=8, dim=64
+    )
+    exact = cosine_topk(emb, queries_df, "vec_id", "embedding", k=5)
+    return topk_recall_per_query(prod, exact, min_common=3)
+
+
+@query(
+    "ann_pq_topk",
+    oracle="""
+    SELECT vec_id AS query_id, CAST(5 AS BIGINT) AS k_returned,
+           TRUE AS recall_ok
+    FROM embeddings WHERE vec_id < 8
+    """,
+)
+def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (similarity.pq_topk: 8 subspaces × 64
+    Euclidean sub-centroids, ADC lookup-table coarse stage, exact
+    cosine re-rank of the top-40) scored per query against the
+    oracle-checked exact top-k, like ann_lsh_topk: every query must
+    return a full k=5 and recover ≥3 of its 5 exact neighbors
+    (measured at sf0.01: ≥4/5 for every query, 35/40 total).
+    Deterministic end to end — partition-independent training sample,
+    seeded k-means, fixed-order float32 LUT sums — so the scorecard is
+    a stable query result."""
+    from pedsnetdcc_spark.datapipe.agreement import topk_recall_per_query
+    from pedsnetdcc_spark.datapipe.similarity import cosine_topk, pq_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 8)
+    prod = pq_topk(
+        emb, queries_df, "vec_id", "embedding",
+        k=5, m=8, codebook_size=64, rerank_factor=8,
     )
     exact = cosine_topk(emb, queries_df, "vec_id", "embedding", k=5)
     return topk_recall_per_query(prod, exact, min_common=3)
@@ -5588,6 +5685,12 @@ _QUERY_ORDER = [
     "contamination_report",
     "key_skew_profile",
     "hashed_bow",
+    # -- 5: NEW below the cutoff — landed mid-round-10 with full DuckDB
+    #       oracles (green in tests/test_oracle_parity.py every session)
+    #       but no driver verdict yet; they take round 11's free slot +
+    #       one melt when the rotation brings them into the window ------
+    "line_dedup",
+    "ann_pq_topk",
 ]
 
 assert set(_QUERY_ORDER) == set(QUERIES), (

@@ -2128,3 +2128,76 @@ def test_passage_dedup_sep_mode_line_dedup(spark):
 
     with _pytest.raises(ValueError):
         passage_dedup(df, "doc_id", chunking="sep", min_count=1)
+
+
+def test_pq_encode_shape_and_determinism(spark, emb):
+    import numpy as np
+
+    from pedsnetdcc_spark.datapipe.similarity import (
+        pq_encode,
+        train_pq_codebooks,
+    )
+
+    cb = train_pq_codebooks(emb, "vec_id", "embedding", m=8, codebook_size=16)
+    assert cb.shape == (8, 16, 8)  # 64-dim / 8 subspaces
+    # training is partition-independent: same sample, same codebooks
+    cb2 = train_pq_codebooks(
+        emb.repartition(7), "vec_id", "embedding", m=8, codebook_size=16
+    )
+    assert np.allclose(cb, cb2)
+    enc = pq_encode(emb, cb, "vec_id", "embedding").select("vec_id", "pq_code")
+    rows = {r["vec_id"]: r["pq_code"] for r in enc.collect()}
+    assert all(len(c) == 8 for c in rows.values())
+    assert all(0 <= x < 16 for c in rows.values() for x in c)
+    rows2 = {
+        r["vec_id"]: r["pq_code"]
+        for r in pq_encode(emb.repartition(5), cb, "vec_id", "embedding")
+        .select("vec_id", "pq_code")
+        .collect()
+    }
+    assert rows == rows2
+
+
+def test_pq_train_rejects_indivisible_dim(spark, emb):
+    import pytest as _pytest
+
+    from pedsnetdcc_spark.datapipe.similarity import train_pq_codebooks
+
+    with _pytest.raises(ValueError):
+        train_pq_codebooks(emb, "vec_id", "embedding", m=7)
+
+
+def test_pq_topk_recall_and_shape(spark, emb):
+    """PQ/ADC with exact re-rank must recover most exact neighbors and
+    return exactly k full-cosine rows per query, self excluded, rank
+    dense — and be identical across partitionings."""
+    from pyspark.sql import functions as F
+
+    from pedsnetdcc_spark.datapipe.similarity import cosine_topk, pq_topk
+
+    qdf = emb.filter(F.col("vec_id") < 8)
+    prod = pq_topk(
+        emb, qdf, "vec_id", "embedding", k=5, m=8, codebook_size=64,
+        rerank_factor=8,
+    ).collect()
+    assert len(prod) == 40
+    by_q = {}
+    for r in prod:
+        assert r["neighbor_id"] != r["query_id"]
+        by_q.setdefault(r["query_id"], []).append(r["rank"])
+    assert all(sorted(v) == [1, 2, 3, 4, 5] for v in by_q.values())
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk(emb, qdf, "vec_id", "embedding", k=5).collect()
+    }
+    got = {(r["query_id"], r["neighbor_id"]) for r in prod}
+    per_q = {q: len({n for qq, n in got & exact if qq == q}) for q in by_q}
+    assert all(v >= 3 for v in per_q.values()), per_q
+    rep = {
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in pq_topk(
+            emb.repartition(9), qdf, "vec_id", "embedding", k=5, m=8,
+            codebook_size=64, rerank_factor=8,
+        ).collect()
+    }
+    assert rep == {(r["query_id"], r["neighbor_id"], r["rank"]) for r in prod}
