@@ -81,6 +81,13 @@ QUERIES_TO_PROBE = [
     # round 8: the split-out deep scorecard (cap-bounded provers — its
     # exponent should read ~0 like its sibling's capped exact stages)
     "near_dup_scorecard_deep",
+    # round 10 second half: exact-substring spans (shingle-linear, no
+    # pair materialization — expect exponent ~1), line dedup (same
+    # shape over coarser units), PQ/ADC ANN (fixed probe set: the
+    # candidate-side Arrow pass should scale ~linearly)
+    "duplicate_spans",
+    "line_dedup",
+    "ann_pq_topk",
 ]
 
 
