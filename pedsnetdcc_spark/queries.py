@@ -1974,16 +1974,23 @@ def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts + md5 for the hash gate."""
     from pedsnetdcc_spark.datapipe.dedup import passage_dedup
 
-    docs = _t(spark, sf_dir, "documents").select(
-        "doc_id",
-        F.array_join(
-            F.expr(
-                "transform(sequence(0, cast(ceil(size(split(text, ' ')) / 12.0)"
-                " as int) - 1), i -> array_join(slice(split(text, ' '),"
-                " i * 12 + 1, 12), ' '))"
-            ),
-            "\n",
-        ).alias("text"),
+    # stage the token array first: a split() referenced inside the
+    # re-lining lambda would re-tokenize the document PER LINE
+    # (the O(len^2) re-evaluation trap test_plan_quality polices)
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", F.split(F.col("text"), " ").alias("__arr"))
+        .select(
+            "doc_id",
+            F.array_join(
+                F.expr(
+                    "transform(sequence(0, cast(ceil(size(__arr) / 12.0)"
+                    " as int) - 1), i -> array_join(slice(__arr,"
+                    " i * 12 + 1, 12), ' '))"
+                ),
+                "\n",
+            ).alias("text"),
+        )
     )
     out = passage_dedup(
         docs, "doc_id", "text", chunking="sep", sep="\n",
@@ -2936,6 +2943,103 @@ def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     exact = cosine_topk(emb, queries_df, "vec_id", "embedding", k=5)
     return topk_recall_per_query(prod, exact, min_common=3)
+
+
+@query(
+    "ann_index_roundtrip",
+    # Agreement gate for the persistent IVF index lifecycle: the
+    # handle's answers must EXACTLY equal ivf_topk run with the same
+    # frozen codebook over the full corpus (same cells, same cosines,
+    # same tie-breaks), after a build + two streaming append epochs +
+    # a compaction.  DuckDB enumerates the probe set and pins TRUE.
+    oracle="""
+    SELECT vec_id AS query_id, TRUE AS full_k, TRUE AS matches_ivf
+    FROM embeddings WHERE vec_id < 8
+    """,
+)
+def q_ann_index_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The persistent IVF index, full lifecycle under one gate
+    (similarity.build_ivf_index / stream_ivf_index_append /
+    compact_ivf_index / open_ivf_index): build the cell-partitioned
+    base on 80% of the corpus, append the other 20% as TWO real
+    micro-batches through the frozen-codebook streaming sink
+    (``maxFilesPerTrigger=1`` + ``availableNow``, epoch-atomic delta
+    dirs), fold the deltas back with compaction (one file per cell
+    restored), then answer a query batch through the handle
+    (partition-pruned scan).  Scored per query: full k=5 returned and
+    EXACT equality — (rank, neighbor, cosine) — with ivf_topk given the
+    same codebook over the full corpus, so the index layout, the
+    append path, and the compaction are all proven answer-preserving.
+    """
+    import shutil
+    import tempfile
+
+    from pedsnetdcc_spark.datapipe.similarity import (
+        build_ivf_index,
+        compact_ivf_index,
+        ivf_topk,
+        open_ivf_index,
+        stream_ivf_index_append,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    base = emb.where(F.col("vec_id") % 5 != 0)
+    newv = emb.select("vec_id", "embedding").where(F.col("vec_id") % 5 == 0)
+    root = tempfile.mkdtemp(prefix="pedsnetdcc_ann_index_")
+    idx, src, ckpt = f"{root}/idx", f"{root}/src", f"{root}/ckpt"
+    build_ivf_index(
+        base, idx, "vec_id", "embedding", n_centroids=16, assign="flat",
+        seed=0,
+    )
+    # two source files -> two frozen-codebook append epochs
+    newv.where(F.col("vec_id") % 2 == 0).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    newv.where(F.col("vec_id") % 2 == 1).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<float>")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        stream_ivf_index_append(stream, idx)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        if not q.awaitTermination(600):
+            raise TimeoutError("ann_index_roundtrip append did not drain")
+    finally:
+        q.stop()
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+    folded = compact_ivf_index(spark, idx)
+    assert folded["epochs_folded"] == 2, folded
+    handle = open_ivf_index(spark, idx)
+    queries_df = emb.where(F.col("vec_id") < 8)
+    got = handle.query(queries_df, k=5, nprobe=4)
+    ref = ivf_topk(
+        emb, queries_df, "vec_id", "embedding", k=5, nprobe=4,
+        centroids=handle.centroids, assign="flat",
+    )
+    joined = got.alias("g").join(
+        ref.alias("r"),
+        (F.col("g.query_id") == F.col("r.query_id"))
+        & (F.col("g.rank") == F.col("r.rank")),
+        "full_outer",
+    )
+    return joined.groupBy(
+        F.coalesce(F.col("g.query_id"), F.col("r.query_id")).alias("query_id")
+    ).agg(
+        (F.count(F.col("g.rank")) == 5).alias("full_k"),
+        F.min(
+            F.col("g.neighbor_id").eqNullSafe(F.col("r.neighbor_id"))
+            & F.col("g.cosine").eqNullSafe(F.col("r.cosine"))
+        ).alias("matches_ivf"),
+    )
 
 
 def _multimodal_features_oracle() -> str:
@@ -5691,6 +5795,7 @@ _QUERY_ORDER = [
     #       one melt when the rotation brings them into the window ------
     "line_dedup",
     "ann_pq_topk",
+    "ann_index_roundtrip",
 ]
 
 assert set(_QUERY_ORDER) == set(QUERIES), (
