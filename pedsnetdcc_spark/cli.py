@@ -517,8 +517,34 @@ def cmd_passage_dedup(args: argparse.Namespace) -> int:
     out = passage_dedup(
         docs, args.id_col, args.text_col,
         chunk_tokens=args.chunk_tokens, keep=args.keep,
-        chunking=args.chunking,
+        chunking=args.chunking, min_count=args.min_count, sep=args.sep,
     )
+    _publish(spark, args.output, {args.table: out})
+    return 0
+
+
+def cmd_dup_spans(args: argparse.Namespace) -> int:
+    """Exact-substring dedup (Lee et al. 2022 formulation): report the
+    maximal duplicated k-token spans per document, or with ``--clean``
+    cut them (keep-first/unique) and write the reassembled corpus
+    (datapipe/dedup.duplicate_spans / drop_duplicate_spans)."""
+    from pedsnetdcc_spark.datapipe.dedup import (
+        drop_duplicate_spans,
+        duplicate_spans,
+    )
+
+    spark = _session(args)
+    docs = _read(spark, args.input, args.table)
+    if args.clean:
+        out = drop_duplicate_spans(
+            docs, args.id_col, args.text_col, k=args.k,
+            min_count=args.min_count, keep=args.keep,
+        )
+    else:
+        out = duplicate_spans(
+            docs, args.id_col, args.text_col, k=args.k,
+            min_count=args.min_count,
+        )
     _publish(spark, args.output, {args.table: out})
     return 0
 
@@ -1109,9 +1135,31 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--text-col", default="text")
     sp.add_argument("--chunk-tokens", type=int, default=32)
     sp.add_argument("--keep", choices=("first", "unique"), default="first")
-    sp.add_argument("--chunking", choices=("fixed", "cdc"), default="fixed",
-                    help="cdc = content-defined boundaries (shift-robust)")
+    sp.add_argument("--chunking", choices=("fixed", "cdc", "sep"), default="fixed",
+                    help="cdc = content-defined boundaries (shift-robust); "
+                    "sep = literal-separator lines (C4/RefinedWeb)")
+    sp.add_argument("--sep", default="\n",
+                    help="separator for --chunking sep (literal, default newline)")
+    sp.add_argument("--min-count", type=int, default=2,
+                    help="a passage is repeated when it occurs >= this many times")
     sp.set_defaults(fn=cmd_passage_dedup)
+
+    sp = sub.add_parser(
+        "dup-spans",
+        help="exact-substring duplicate spans (report, or --clean to cut them)",
+    )
+    ns(sp)
+    sp.add_argument("--table", default="documents")
+    sp.add_argument("--id-col", default="doc_id")
+    sp.add_argument("--text-col", default="text")
+    sp.add_argument("--k", type=int, default=8, help="shingle length in tokens")
+    sp.add_argument("--min-count", type=int, default=2)
+    sp.add_argument(
+        "--clean", action="store_true",
+        help="write the cleaned corpus instead of the span report",
+    )
+    sp.add_argument("--keep", choices=("first", "unique"), default="first")
+    sp.set_defaults(fn=cmd_dup_spans)
 
     sp = sub.add_parser("semantic-dedup", help="embedding cell dedup with canonical keep")
     ns(sp)

@@ -683,3 +683,43 @@ def test_cli_wds_import_quarantine(spark, sf_dir, tmp_path, capsys):
     assert 0 < rep["samples"] < docs.count()
     q = [json.loads(l) for l in open(wds / "_quarantine.jsonl")]
     assert [e["shard"] for e in q] == [victim]
+
+
+def test_cli_dup_spans_report_and_clean(spark, sf_dir, tmp_path):
+    import shutil
+
+    from pedsnetdcc_spark.cli import main
+    from pedsnetdcc_spark.sources.io import read_table
+
+    ns = tmp_path / "ns"
+    ns.mkdir()
+    docs = read_table(spark, sf_dir, "documents")
+    docs.write.parquet(str(ns / "documents"))
+    n_docs = docs.count()
+
+    out1 = tmp_path / "spans_out"
+    assert main(["dup-spans", "-i", str(ns), "-o", str(out1)]) == 0
+    spans = read_table(spark, str(out1 / "current"), "documents")
+    assert {"doc_id", "span_start", "span_end", "n_tokens"} <= set(spans.columns)
+    assert spans.count() > 0  # the corpus has planted near-dups
+    assert spans.where("n_tokens < 8").count() == 0  # spans are >= k
+
+    out2 = tmp_path / "clean_out"
+    assert main([
+        "dup-spans", "-i", str(ns), "-o", str(out2), "--clean",
+        "--keep", "first",
+    ]) == 0
+    cleaned = read_table(spark, str(out2 / "current"), "documents")
+    assert cleaned.count() == n_docs  # one row per doc, always
+    assert {"text_deduped", "n_tokens", "n_tokens_dropped"} <= set(cleaned.columns)
+    assert cleaned.where("n_tokens_dropped > 0").count() > 0
+
+    # sep-mode passage dedup drives through the CLI too (line dedup)
+    out3 = tmp_path / "line_out"
+    assert main([
+        "passage-dedup", "-i", str(ns), "-o", str(out3),
+        "--chunking", "sep", "--sep", " ", "--min-count", "3",
+    ]) == 0
+    lines = read_table(spark, str(out3 / "current"), "documents")
+    assert lines.count() == n_docs
+    shutil.rmtree(ns, ignore_errors=True)
