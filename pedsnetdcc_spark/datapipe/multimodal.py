@@ -587,3 +587,159 @@ def sample_frames(
     return out.select(
         id_col, "frame_idx", frame.alias("frame_bytes")
     )
+
+
+# ---------------------------------------------------------------------------
+# Image near-dup: perceptual difference hash (dHash) + Hamming band join.
+# ---------------------------------------------------------------------------
+
+
+def image_dhash(
+    df: DataFrame,
+    id_col: str,
+    payload_col: str = "payload",
+    out_col: str = "dhash",
+) -> DataFrame:
+    """Perceptual difference hash (dHash) per image: decode → channel-0
+    grid → nearest-neighbor resample to 9×8 (the same integer index
+    grid as :func:`resize_images`) → 64 horizontal-gradient bits
+    (``left > right``, row-major, bit ``r*8+c``) packed into a signed
+    64-bit long — scale-invariant by construction (any pixel-repetition
+    upscale resamples to the identical 9×8 grid), which is what makes
+    it the standard image near-dup signature.  Undecodable rows keep
+    their row with ``decodable = false`` and a NULL hash.
+
+    Returns ``(id, dhash, decodable)``.  One Arrow-batched pass; the
+    per-row Python cost is the codec work, like the rest of the module.
+    """
+    import pandas as pd  # noqa: F401
+
+    schema = f"{id_col} long, {out_col} long, decodable boolean"
+
+    def op(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        weights = np.uint64(1) << np.arange(64, dtype=np.uint64)
+
+        for pdf in batches:
+            ids, hashes, flags = [], [], []
+            for rid, payload in zip(pdf[id_col], pdf[payload_col]):
+                buf = bytes(payload)
+                hdr = parse_image_header(buf)
+                ok = hdr is not None and hdr["format"] == "png"
+                if ok:
+                    try:
+                        meta, pix = decode_png(buf)
+                    except (NotImplementedError, ValueError, zlib.error, IndexError):
+                        ok = False
+                ids.append(rid)
+                if not ok:
+                    hashes.append(None)
+                    flags.append(False)
+                    continue
+                w, h, ch = meta["width"], meta["height"], meta["channels"]
+                grid = pix.reshape(h, w, ch)[:, :, 0].astype(np.int16)
+                ys = (np.arange(8) * h) // 8
+                xs = (np.arange(9) * w) // 9
+                small = grid[np.ix_(ys, xs)]
+                bits = (small[:, :-1] > small[:, 1:]).ravel()
+                val = int((bits.astype(np.uint64) * weights).sum())
+                if val >= 1 << 63:
+                    val -= 1 << 64  # two's-complement into a signed long
+                hashes.append(val)
+                flags.append(True)
+            yield pd.DataFrame(
+                {id_col: ids, out_col: hashes, "decodable": flags}
+            )
+
+    from pedsnetdcc_spark.util import ensure_parallelism
+
+    return ensure_parallelism(df.select(id_col, payload_col)).mapInPandas(
+        op, schema=schema
+    )
+
+
+def upscale_images(
+    df: DataFrame,
+    id_col: str,
+    payload_col: str = "payload",
+    factor: int = 2,
+) -> DataFrame:
+    """Pixel-repetition upscale (decode → ``np.kron`` → re-encode), one
+    Arrow-batched pass — the inverse-direction twin of
+    :func:`resize_images`, used to manufacture true scale variants
+    (``image_dhash`` of an upscale equals the original's exactly:
+    ``((r·f·h)//8)//f == (r·h)//8`` for any integer factor).
+    Undecodable rows pass through unchanged with ``resized = false``.
+    """
+    import pandas as pd  # noqa: F401
+
+    schema = f"{id_col} long, payload binary, resized boolean"
+
+    def op(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            ids, payloads, flags = [], [], []
+            for rid, payload in zip(pdf[id_col], pdf[payload_col]):
+                buf = bytes(payload)
+                hdr = parse_image_header(buf)
+                ok = hdr is not None and hdr["format"] == "png"
+                if ok:
+                    try:
+                        meta, pix = decode_png(buf)
+                    except (NotImplementedError, ValueError, zlib.error, IndexError):
+                        ok = False
+                ids.append(rid)
+                if not ok:
+                    payloads.append(buf)
+                    flags.append(False)
+                    continue
+                w, h, ch = meta["width"], meta["height"], meta["channels"]
+                grid = pix.reshape(h, w, ch)[:, :, 0]
+                big = np.kron(grid, np.ones((factor, factor), dtype=grid.dtype))
+                payloads.append(
+                    encode_png(w * factor, h * factor, big.tobytes(), channels=1)
+                )
+                flags.append(True)
+            yield pd.DataFrame(
+                {id_col: ids, "payload": payloads, "resized": flags}
+            )
+
+    from pedsnetdcc_spark.util import ensure_parallelism
+
+    return ensure_parallelism(df.select(id_col, payload_col)).mapInPandas(
+        op, schema=schema
+    )
+
+
+def image_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    payload_col: str = "payload",
+    max_hamming: int = 6,
+    num_bands: int | None = None,
+) -> DataFrame:
+    """Image near-duplicate pairs: dHash signatures joined by the
+    pigeonhole-complete block-and-band Hamming join the SimHash family
+    already proves (``dedup.simhash_band_pairs`` — EXACT for the given
+    ``max_hamming``, no recall loss).  Undecodable images are excluded
+    (they have no signature).  Returns ``(id_a, id_b, hamming)``.
+
+    Scale shape: one codec pass for signatures, then the banded join —
+    candidates only for images sharing a band block, exact Hamming
+    verify after; no all-pairs stage anywhere.
+    """
+    from pedsnetdcc_spark.datapipe.dedup import simhash_band_pairs
+
+    sigs = (
+        image_dhash(df, id_col, payload_col)
+        .where(F.col("decodable"))
+        .select(id_col, "dhash")
+    )
+    return simhash_band_pairs(
+        sigs, id_col, sig_col="dhash",
+        max_hamming=max_hamming, num_bands=num_bands,
+    )

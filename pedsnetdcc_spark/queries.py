@@ -3042,6 +3042,105 @@ def q_ann_index_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "image_near_dup",
+    # The REAL codec path (encode_png → decode → 9×8 nearest-neighbor
+    # resample → dHash → pigeonhole-complete Hamming band join), with
+    # 2×-upscaled variants of every 10th image planted as true scale
+    # duplicates — replayed in DuckDB as PURE ARITHMETIC on the text
+    # (the harness PNG payload is bijective: pixel p of doc text is
+    # byte p, width = 1 + len % 61), proving decode/resample/hash/join
+    # end to end.  Upscaled variants replay as the SAME formula
+    # because integer resampling composes: ((r·2h)//8)//2 == (r·h)//8.
+    oracle="""
+    WITH src AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 10000000, text FROM documents WHERE doc_id % 10 = 0
+    ),
+    dims AS (
+        SELECT doc_id, text, LENGTH(text) AS len,
+               1 + LENGTH(text) % 61 AS w,
+               GREATEST(1, CAST(ceil(LENGTH(text) / (1.0 + LENGTH(text) % 61))
+                                AS BIGINT)) AS h
+        FROM src
+    ),
+    expanded AS (
+        SELECT doc_id, text, len, w, h, u.i,
+               ((u.i // 8) * h) // 8 AS ly,
+               ((u.i % 8) * w) // 9 AS lx,
+               (((u.i % 8) + 1) * w) // 9 AS rx
+        FROM dims, LATERAL (SELECT unnest(range(64)) AS i) u
+    ),
+    wgts AS (
+        SELECT doc_id,
+               CASE WHEN
+                   COALESCE(unicode(NULLIF(
+                       substr(text, CAST(ly*w+lx+1 AS BIGINT), 1), '')), 0)
+                 > COALESCE(unicode(NULLIF(
+                       substr(text, CAST(ly*w+rx+1 AS BIGINT), 1), '')), 0)
+               THEN (CAST(1 AS HUGEINT) << i) ELSE CAST(0 AS HUGEINT) END AS wgt
+        FROM expanded
+    ),
+    hashes AS (
+        SELECT doc_id,
+               CAST(CASE WHEN s >= CAST(9223372036854775808 AS HUGEINT)
+                         THEN s - CAST(18446744073709551616 AS HUGEINT)
+                         ELSE s END AS BIGINT) AS dhash
+        FROM (SELECT doc_id, SUM(wgt) AS s FROM wgts GROUP BY doc_id)
+    ),
+    pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(bit_count(xor(a.dhash, b.dhash)) AS BIGINT) AS ham
+        FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.dhash, b.dhash)) <= 6
+    )
+    SELECT 'hash' AS part, doc_id AS a, dhash AS b, CAST(NULL AS BIGINT) AS c
+    FROM hashes
+    UNION ALL
+    SELECT 'pair', id_a, id_b, ham FROM pairs
+    """,
+)
+def q_image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-duplicate detection under the hash gate
+    (datapipe/multimodal.image_dhash / upscale_images /
+    image_near_dup_pairs): every document becomes a REAL greyscale PNG
+    (with_png_payload), every 10th image additionally rides as a
+    2×-pixel-repetition upscale (decode → np.kron → re-encode), and the
+    corpus is deduped by perceptual dHash + the pigeonhole-complete
+    Hamming band join (dedup.simhash_band_pairs machinery).  part='hash'
+    pins every 64-bit signature; part='pair' pins the exact near-dup
+    pair set at Hamming ≤ 6 — the planted scale variants surface at
+    Hamming 0 (dHash's defining invariance), plus any incidental
+    near pairs, both computed identically by the SQL twin."""
+    from pedsnetdcc_spark.datapipe.multimodal import (
+        image_dhash,
+        image_near_dup_pairs,
+        upscale_images,
+        with_png_payload,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    imgs = with_png_payload(docs, "doc_id", "text").select("doc_id", "payload")
+    variants = upscale_images(
+        imgs.where(F.col("doc_id") % 10 == 0), "doc_id", factor=2
+    ).select((F.col("doc_id") + 10_000_000).alias("doc_id"), "payload")
+    allimgs = imgs.unionByName(variants)
+    hashes = image_dhash(allimgs, "doc_id").select(
+        F.lit("hash").alias("part"),
+        F.col("doc_id").alias("a"),
+        F.col("dhash").alias("b"),
+        F.lit(None).cast("long").alias("c"),
+    )
+    pairs = image_near_dup_pairs(allimgs, "doc_id", max_hamming=6).select(
+        F.lit("pair").alias("part"),
+        F.col("id_a").alias("a"),
+        F.col("id_b").alias("b"),
+        F.col("hamming").cast("long").alias("c"),
+    )
+    return hashes.unionByName(pairs)
+
+
 def _multimodal_features_oracle() -> str:
     """Recompute the full decode result from the text: geometry from the
     harness's deterministic dimensions, pixel histogram from character
@@ -5796,6 +5895,7 @@ _QUERY_ORDER = [
     "line_dedup",
     "ann_pq_topk",
     "ann_index_roundtrip",
+    "image_near_dup",
 ]
 
 assert set(_QUERY_ORDER) == set(QUERIES), (

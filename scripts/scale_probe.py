@@ -88,6 +88,9 @@ QUERIES_TO_PROBE = [
     "duplicate_spans",
     "line_dedup",
     "ann_pq_topk",
+    # image near-dup: the codec (encode+decode+resample per row) IS the
+    # cost — expect ~linear in docs, Arrow-batched python
+    "image_near_dup",
 ]
 
 

@@ -2201,3 +2201,70 @@ def test_pq_topk_recall_and_shape(spark, emb):
         ).collect()
     }
     assert rep == {(r["query_id"], r["neighbor_id"], r["rank"]) for r in prod}
+
+
+def test_image_dhash_scale_invariance_and_corrupt(spark, docs):
+    """dHash of a pixel-repetition upscale equals the original exactly
+    (integer resampling composes: ((r*f*h)//8)//f == (r*h)//8), and
+    undecodable payloads keep their row with decodable=false."""
+    from pedsnetdcc_spark.datapipe.multimodal import (
+        image_dhash,
+        upscale_images,
+        with_png_payload,
+    )
+
+    imgs = with_png_payload(docs.limit(25), "doc_id", "text").select(
+        "doc_id", "payload"
+    )
+    base = {r["doc_id"]: r["dhash"] for r in image_dhash(imgs, "doc_id").collect()}
+    assert len(base) == 25 and all(v is not None for v in base.values())
+    for factor in (2, 3):
+        up = upscale_images(imgs, "doc_id", factor=factor)
+        scaled = {
+            r["doc_id"]: r["dhash"] for r in image_dhash(up, "doc_id").collect()
+        }
+        assert scaled == base, f"dHash not invariant under x{factor} upscale"
+    corrupt = spark.createDataFrame(
+        [(999, bytearray(b"not a png"))], "doc_id long, payload binary"
+    )
+    row = image_dhash(corrupt, "doc_id").collect()[0]
+    assert row["decodable"] is False and row["dhash"] is None
+    passthru = upscale_images(corrupt, "doc_id").collect()[0]
+    assert passthru["resized"] is False and bytes(passthru["payload"]) == b"not a png"
+
+
+def test_image_near_dup_pairs_exact_vs_bruteforce(spark, docs):
+    """The banded Hamming join over dHashes is pigeonhole-complete:
+    pair set == brute force, and planted 2x upscales pair at Hamming 0."""
+    from pyspark.sql import functions as F
+
+    from pedsnetdcc_spark.datapipe.multimodal import (
+        image_dhash,
+        image_near_dup_pairs,
+        upscale_images,
+        with_png_payload,
+    )
+
+    imgs = with_png_payload(docs.limit(30), "doc_id", "text").select(
+        "doc_id", "payload"
+    )
+    variants = upscale_images(
+        imgs.where(F.col("doc_id") % 10 == 0), "doc_id", factor=2
+    ).select((F.col("doc_id") + 1000).alias("doc_id"), "payload")
+    allimgs = imgs.unionByName(variants)
+    pairs = image_near_dup_pairs(allimgs, "doc_id", max_hamming=6).collect()
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs}
+    hashes = {
+        r["doc_id"]: r["dhash"]
+        for r in image_dhash(allimgs, "doc_id").collect()
+    }
+    import itertools
+
+    brute = {}
+    for a, b in itertools.combinations(sorted(hashes), 2):
+        ham = bin((hashes[a] ^ hashes[b]) & ((1 << 64) - 1)).count("1")
+        if ham <= 6:
+            brute[(a, b)] = ham
+    assert got == brute
+    planted = {k for k in got if k[1] - k[0] == 1000}
+    assert planted and all(got[k] == 0 for k in planted)
