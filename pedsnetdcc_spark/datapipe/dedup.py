@@ -523,16 +523,48 @@ def simhash_band_pairs(
     max_hamming: int = 3,
     bits: int = 64,
     num_bands: int | None = None,
+    probe_radius: int = 0,
 ) -> DataFrame:
     """The block-and-band join of :func:`simhash_near_dup_pairs`, over a
     PRECOMPUTED signature table ``(id, sig_col)`` — use when signatures
-    are already materialized (or shared with another consumer)."""
+    are already materialized (or shared with another consumer).
+
+    ``probe_radius=1`` switches to MULTI-INDEX HASHING (Norouzi et al.):
+    instead of ``max_hamming+1`` exact-match bands, use
+    ``ceil((max_hamming+1)/2)`` bands — each twice as wide — and join
+    one side's exact blocks against the other side's 1-bit-flip probe
+    neighborhood.  Pigeonhole completeness holds because ``b`` blocks
+    with per-block radius ρ cover total Hamming ``b·(ρ+1) − 1``; both
+    modes return the IDENTICAL exact pair set (equality-tested).
+
+    Which mode, measured at 550k 64-bit signatures / max_hamming=6
+    (SCALE.md round 10): pair-collision probability is ~12× lower
+    under MIH (4×16-bit bands probed 17× ⇒ 1/964 per pair, vs 7×~9-bit
+    exact bands ⇒ 1/81), but the probe stream is 17× larger.  On a
+    TRUE-PAIR-DENSE corpus (the image probe corpus: 203M real pairs,
+    candidate ≈ true pair) MIH wins — 150 → 123 s — because it cuts
+    the per-pair band multiplicity the distinct must absorb.  On
+    UNIFORM signatures (near-zero true pairs) plain banding wins —
+    33 vs 50 s — the broadcast hash join streams its larger candidate
+    set through codegen at memory speed while MIH pays real shuffle
+    for the 17× probe stream.  Default stays 0; near-dup-dense media
+    corpora (image_near_dup_pairs) pass 1.
+    """
+    if probe_radius not in (0, 1):
+        raise ValueError(f"probe_radius must be 0 or 1, got {probe_radius}")
     if num_bands is None:
-        num_bands = max_hamming + 1
-    if num_bands < max_hamming + 1:
+        num_bands = (
+            max_hamming + 1 if probe_radius == 0
+            else -(-(max_hamming + 1) // 2)
+        )
+    min_bands = (
+        max_hamming + 1 if probe_radius == 0
+        else -(-(max_hamming + 1) // 2)
+    )
+    if num_bands < min_bands:
         raise ValueError(
-            f"num_bands={num_bands} < max_hamming+1={max_hamming + 1}: "
-            "pigeonhole completeness needs at least max_hamming+1 bands"
+            f"num_bands={num_bands} < {min_bands}: pigeonhole completeness "
+            f"needs ceil((max_hamming+1)/(probe_radius+1)) bands"
         )
     if num_bands > bits:
         raise ValueError(f"num_bands={num_bands} > bits={bits}")
@@ -540,6 +572,7 @@ def simhash_band_pairs(
         sigs = sigs.withColumnRenamed(sig_col, "simhash")
     width = bits // num_bands
     entries = []
+    probe_entries = []
     for b in range(num_bands):
         start = b * width
         w = width if b < num_bands - 1 else bits - start
@@ -547,6 +580,14 @@ def simhash_band_pairs(
         if w < 64:
             block = block.bitwiseAND(F.lit((1 << w) - 1))
         entries.append(F.struct(F.lit(b).alias("band"), block.alias("block")))
+        if probe_radius:
+            # the block plus its 1-bit-flip neighborhood (w+1 keys)
+            probes = F.array(
+                block, *[block.bitwiseXOR(F.lit(1 << j)) for j in range(w)]
+            )
+            probe_entries.append(
+                F.struct(F.lit(b).alias("band"), probes.alias("probes"))
+            )
     banded = sigs.select(
         F.col(id_col), F.col("simhash"), F.explode(F.array(*entries)).alias("__bb")
     ).select(
@@ -558,19 +599,40 @@ def simhash_band_pairs(
     a = banded.select(
         F.col(id_col).alias("id_a"), F.col("simhash").alias("__ha"), "band", "block"
     )
-    b2 = banded.select(
-        F.col(id_col).alias("id_b"), F.col("simhash").alias("__hb"), "band", "block"
-    )
-    cands = (
+    if probe_radius:
+        b2 = (
+            sigs.select(
+                F.col(id_col),
+                F.col("simhash"),
+                F.explode(F.array(*probe_entries)).alias("__bp"),
+            )
+            .select(
+                F.col(id_col).alias("id_b"),
+                F.col("simhash").alias("__hb"),
+                F.col("__bp.band").alias("band"),
+                F.explode(F.col("__bp.probes")).alias("block"),
+            )
+        )
+    else:
+        b2 = banded.select(
+            F.col(id_col).alias("id_b"), F.col("simhash").alias("__hb"), "band", "block"
+        )
+    # verify-before-distinct: the Hamming test is a few xor/popcount
+    # instructions on columns already in the join output, so it runs
+    # INSIDE the join's codegen stage and the distinct's input shrinks
+    # from every candidate collision to true pairs (× band
+    # multiplicity).  Measured neutral at 550k uniform signatures (the
+    # broadcast join streams candidates at memory speed either way) and
+    # neutral on the true-pair-dense corpus (candidates ≈ true pairs
+    # there) — kept because the distinct's worst-case input is now
+    # bounded by the OUTPUT size, not the candidate count.
+    return (
         a.join(b2, ["band", "block"])
         .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "__ha", "__hb")
-        .distinct()  # a pair can collide in several bands
-    )
-    return (
-        cands.withColumn("hamming", hamming64(F.col("__ha"), F.col("__hb")))
+        .withColumn("hamming", hamming64(F.col("__ha"), F.col("__hb")))
         .where(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
+        .distinct()  # a pair can collide in several bands
     )
 
 

@@ -728,9 +728,19 @@ def image_near_dup_pairs(
     ``max_hamming``, no recall loss).  Undecodable images are excluded
     (they have no signature).  Returns ``(id_a, id_b, hamming)``.
 
-    Scale shape: one codec pass for signatures, then the banded join —
-    candidates only for images sharing a band block, exact Hamming
-    verify after; no all-pairs stage anywhere.
+    Scale shape: one codec pass for signatures (5.6 s for 550k images
+    at local[32] — linear, embarrassingly parallel), then the banded
+    join in MULTI-INDEX-HASHING mode (``probe_radius=1``: half as many
+    bands, twice as wide, one side probed with the 1-bit-flip
+    neighborhood — same exact pair set as plain banding, both
+    pigeonhole-complete and equality-tested).  Image corpora are
+    near-dup DENSE (the 550k probe corpus holds 203M true pairs at
+    Hamming ≤ 6), which is exactly the regime where MIH wins (150 →
+    123 s: fewer bands ⇒ lower per-pair multiplicity into the
+    distinct); see simhash_band_pairs for the measured mode trade.
+    Cost at this density is OUTPUT-bound — a consumer should feed the
+    pairs straight into clusters/survivor selection rather than
+    materializing them.
     """
     from pedsnetdcc_spark.datapipe.dedup import simhash_band_pairs
 
@@ -741,5 +751,5 @@ def image_near_dup_pairs(
     )
     return simhash_band_pairs(
         sigs, id_col, sig_col="dhash",
-        max_hamming=max_hamming, num_bands=num_bands,
+        max_hamming=max_hamming, num_bands=num_bands, probe_radius=1,
     )

@@ -2268,3 +2268,56 @@ def test_image_near_dup_pairs_exact_vs_bruteforce(spark, docs):
     assert got == brute
     planted = {k for k in got if k[1] - k[0] == 1000}
     assert planted and all(got[k] == 0 for k in planted)
+
+
+def test_band_join_mih_probe_mode_equals_plain(spark):
+    """probe_radius=1 (multi-index hashing: half the bands, twice the
+    width, 1-bit-flip probing) returns the IDENTICAL pair set as plain
+    banding and as brute force, at several radii — both constructions
+    are pigeonhole-complete, they differ only in bucket geometry."""
+    import itertools
+
+    import numpy as np
+
+    from pedsnetdcc_spark.datapipe.dedup import simhash_band_pairs
+
+    rng = np.random.RandomState(7)
+    M = (1 << 64) - 1
+
+    def signed(u):
+        return u - (1 << 64) if u >= 1 << 63 else u
+
+    base = rng.randint(-2**63, 2**63, size=200, dtype=np.int64)
+    rows = [(i, int(v)) for i, v in enumerate(base)]
+    for i in range(30):
+        u = int(base[i]) & M
+        for f in rng.choice(64, size=rng.randint(0, 8), replace=False):
+            u ^= 1 << int(f)
+        rows.append((1000 + i, signed(u)))
+    df = spark.createDataFrame(rows, "vid long, sig long")
+    sigs = dict(rows)
+    for mh in (2, 3, 6):
+        plain = {
+            (r["id_a"], r["id_b"], r["hamming"])
+            for r in simhash_band_pairs(df, "vid", "sig", max_hamming=mh).collect()
+        }
+        mih = {
+            (r["id_a"], r["id_b"], r["hamming"])
+            for r in simhash_band_pairs(
+                df, "vid", "sig", max_hamming=mh, probe_radius=1
+            ).collect()
+        }
+        brute = {
+            (a, b, bin((sigs[a] ^ sigs[b]) & M).count("1"))
+            for a, b in itertools.combinations(sorted(sigs), 2)
+            if bin((sigs[a] ^ sigs[b]) & M).count("1") <= mh
+        }
+        assert plain == brute and mih == brute, mh
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        simhash_band_pairs(df, "vid", "sig", probe_radius=2)
+    with _pytest.raises(ValueError):
+        # too few bands for the probe radius
+        simhash_band_pairs(df, "vid", "sig", max_hamming=6, num_bands=3,
+                           probe_radius=1)
