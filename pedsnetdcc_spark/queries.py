@@ -830,42 +830,82 @@ def q_streaming_interval_eras(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "integrity_counts",
+    # Round-10 melt of integrity_counts + integrity_samples: part
+    # 'count' pins every probe's (total, dangling) counts; part
+    # 'sample' pins the deterministic min-by-key exemplars (O2).
     oracle="""
-    SELECT CAST('orders_open' AS VARCHAR) AS probe,
-           CAST(COUNT(*) AS BIGINT) AS total,
-           CAST(COUNT(CASE WHEN o.o_orderkey IS NULL THEN 1 END) AS BIGINT) AS bad
+    SELECT 'count' AS part, CAST('orders_open' AS VARCHAR) AS probe,
+           CAST(COUNT(*) AS BIGINT) AS a,
+           CAST(COUNT(CASE WHEN o.o_orderkey IS NULL THEN 1 END) AS BIGINT) AS b
     FROM lineitem l LEFT JOIN (SELECT o_orderkey FROM orders WHERE o_orderstatus = 'O') o
         ON l.l_orderkey = o.o_orderkey
     UNION ALL
-    SELECT 'part', COUNT(*),
+    SELECT 'count', 'part', COUNT(*),
            CAST(COUNT(CASE WHEN p.p_partkey IS NULL THEN 1 END) AS BIGINT)
     FROM lineitem l LEFT JOIN (SELECT p_partkey FROM part) p ON l.l_partkey = p.p_partkey
     UNION ALL
-    SELECT 'supplier_lownation', COUNT(*),
+    SELECT 'count', 'supplier_lownation', COUNT(*),
            CAST(COUNT(CASE WHEN s.s_suppkey IS NULL THEN 1 END) AS BIGINT)
     FROM lineitem l
     LEFT JOIN (SELECT s_suppkey FROM supplier WHERE s_nationkey < 13) s
         ON l.l_suppkey = s.s_suppkey
+    UNION ALL
+    SELECT 'sample', 'orders_open', exemplar_fk, CAST(NULL AS BIGINT) FROM (
+        SELECT DISTINCT l_orderkey AS exemplar_fk FROM lineitem
+        WHERE l_orderkey NOT IN
+              (SELECT o_orderkey FROM orders WHERE o_orderstatus = 'O')
+        ORDER BY exemplar_fk LIMIT 3)
+    UNION ALL
+    SELECT 'sample', 'supplier_lownation', exemplar_fk, NULL FROM (
+        SELECT DISTINCT l_suppkey AS exemplar_fk FROM lineitem
+        WHERE l_suppkey NOT IN
+              (SELECT s_suppkey FROM supplier WHERE s_nationkey < 13)
+        ORDER BY exemplar_fk LIMIT 3)
     """,
 )
 def q_integrity_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The referential-integrity family under one driver row (round-10
+    melt of integrity_counts + integrity_samples): part='count' is the
+    anti-join probe counts (J5/A1); part='sample' is the deterministic
+    exemplar sampling (O2) — the 3 smallest dangling FK values per
+    probe via min-by-key (operators/integrity.integrity_exemplars),
+    reproducible across engines and partitionings, replacing the
+    reference's arbitrary LIMIT 1 (check_fact_relationship.py:142-248).
+    """
+    from pedsnetdcc_spark.operators.integrity import integrity_exemplars
+
     li = _t(spark, sf_dir, "lineitem")
     orders = _t(spark, sf_dir, "orders")
     part = _t(spark, sf_dir, "part")
     supplier = _t(spark, sf_dir, "supplier")
+    open_orders = orders.filter(F.col("o_orderstatus") == "O")
+    low_suppliers = supplier.filter(F.col("s_nationkey") < 13)
     probes = [
-        IntegrityProbe(
-            "orders_open", "l_orderkey", orders.filter(F.col("o_orderstatus") == "O"), "o_orderkey"
-        ),
+        IntegrityProbe("orders_open", "l_orderkey", open_orders, "o_orderkey"),
         IntegrityProbe("part", "l_partkey", part, "p_partkey"),
         IntegrityProbe(
-            "supplier_lownation",
-            "l_suppkey",
-            supplier.filter(F.col("s_nationkey") < 13),
-            "s_suppkey",
+            "supplier_lownation", "l_suppkey", low_suppliers, "s_suppkey"
         ),
     ]
-    return referential_integrity_counts(li, probes)
+    counts = referential_integrity_counts(li, probes).select(
+        F.lit("count").alias("part"),
+        "probe",
+        F.col("total").alias("a"),
+        F.col("bad").alias("b"),
+    )
+    sample_probes = [
+        IntegrityProbe("orders_open", "l_orderkey", open_orders, "o_orderkey"),
+        IntegrityProbe(
+            "supplier_lownation", "l_suppkey", low_suppliers, "s_suppkey"
+        ),
+    ]
+    samples = integrity_exemplars(li, sample_probes, n=3).select(
+        F.lit("sample").alias("part"),
+        "probe",
+        F.col("exemplar_fk").alias("a"),
+        F.lit(None).cast("long").alias("b"),
+    )
+    return counts.unionByName(samples)
 
 
 # ---------------------------------------------------------------------------
@@ -2053,6 +2093,10 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "ann_cosine_topk",
+    # Round-10 melt of ann_cosine_topk + ann_lsh_topk: part 'exact'
+    # pins the brute-force cosine top-k values; part 'lsh' pins the
+    # hyperplane-LSH scorecard against that exact top-k (full k per
+    # query, recall >= 3/5 — measured 5/5 at sf0.01).
     oracle="""
     WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
                FROM embeddings WHERE vec_id < 8),
@@ -2063,19 +2107,49 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
                / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS cosine
         FROM q, c WHERE neighbor_id <> query_id
     )
-    SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, cosine
+    SELECT 'exact' AS part, query_id, CAST(rank AS BIGINT) AS a,
+           neighbor_id AS b, cosine
     FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
                                        ORDER BY cosine DESC, neighbor_id) AS rank
           FROM sims)
     WHERE rank <= 5
+    UNION ALL
+    SELECT 'lsh', vec_id, CAST(5 AS BIGINT), CAST(1 AS BIGINT),
+           CAST(NULL AS DOUBLE)
+    FROM embeddings WHERE vec_id < 8
     """,
 )
 def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pedsnetdcc_spark.datapipe.similarity import cosine_topk
+    """The exact-vs-LSH ANN pair under one driver row (round-10 melt of
+    ann_cosine_topk + ann_lsh_topk): part='exact' is the brute-force
+    cosine top-k, value-pinned; part='lsh' is the hyperplane-LSH path
+    (similarity.lsh_bucketed_topk, deterministic seeded planes) scored
+    per query against that same exact top-k — full k returned and
+    ≥3 of 5 exact neighbors recovered (oracle pins TRUE as 1)."""
+    from pedsnetdcc_spark.datapipe.agreement import topk_recall_per_query
+    from pedsnetdcc_spark.datapipe.similarity import cosine_topk, lsh_bucketed_topk
 
     emb = _t(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") < 8)
-    return cosine_topk(emb, queries_df, "vec_id", "embedding", k=5)
+    exact = cosine_topk(emb, queries_df, "vec_id", "embedding", k=5)
+    exact_part = exact.select(
+        F.lit("exact").alias("part"),
+        "query_id",
+        F.col("rank").cast("long").alias("a"),
+        F.col("neighbor_id").alias("b"),
+        "cosine",
+    )
+    lsh = lsh_bucketed_topk(
+        emb, queries_df, "vec_id", "embedding", k=5, bits=4, tables=8, dim=64
+    )
+    lsh_part = topk_recall_per_query(lsh, exact, min_common=3).select(
+        F.lit("lsh").alias("part"),
+        "query_id",
+        F.col("k_returned").cast("long").alias("a"),
+        F.col("recall_ok").cast("long").alias("b"),
+        F.lit(None).cast("double").alias("cosine"),
+    )
+    return exact_part.unionByName(lsh_part)
 
 
 @query(
@@ -2541,34 +2615,6 @@ def _simhash_portable_oracle(bits: int = 16, universe: str = "documents") -> str
     """
 
 
-@query("simhash_portable", oracle=_simhash_portable_oracle())
-def q_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """16-bit portable-hash SimHash, oracle-checked bit for bit."""
-    from pedsnetdcc_spark.datapipe.dedup import simhash
-
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    return simhash(docs, "doc_id", "text", bits=16, hash_family="portable")
-
-
-def q_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Production 64-bit xxhash64 SimHash scored for the locality
-    property that makes it useful: every exact near-duplicate pair
-    (DF-capped Jaccard ≥ 0.4, recomputed independently by DuckDB for
-    ``dup_pairs``) must sit within 16 of 64 signature bits (measured
-    max at sf0.01: 5), and every document must receive exactly one
-    signature."""
-    from pedsnetdcc_spark.datapipe.agreement import signature_locality
-    from pedsnetdcc_spark.datapipe.dedup import ngram_jaccard_pairs, simhash64
-
-    docs = _t(spark, sf_dir, "documents")
-    sigs = simhash64(docs, "doc_id", "text")
-    dup = ngram_jaccard_pairs(
-        docs, "doc_id", "text", n=3, threshold=0.4, max_df=100
-    )
-    corpus = docs.agg(F.count(F.lit(1)).alias("n_docs"))
-    return signature_locality(sigs, dup, corpus, max_hamming=16)
-
-
 def _simhash_near_dup_oracle(bits: int = 16, max_hamming: int = 2) -> str:
     """Brute-force ALL-PAIRS Hamming join over SQL-computed signatures.
     The Spark side runs the block-and-band candidate join instead —
@@ -2588,20 +2634,70 @@ def _simhash_near_dup_oracle(bits: int = 16, max_hamming: int = 2) -> str:
     """
 
 
-@query("simhash_near_dup", oracle=_simhash_near_dup_oracle())
-def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs via the lossless block-and-band join,
-    oracle-checked against the n² all-pairs Hamming join (portable hash
-    family, 16-bit signatures so the oracle stays brute-forceable), on
-    the capped proof universe."""
-    from pedsnetdcc_spark.datapipe.dedup import simhash_near_dup_pairs
+def _simhash_suite_oracle() -> str:
+    """The round-10 melt of simhash_portable + simhash_near_dup: part
+    'sig' pins every 16-bit portable signature over the full corpus;
+    part 'pair' pins the block-and-band near-dup join against the n²
+    all-pairs Hamming join on the capped proof universe."""
+    sig_sql = _simhash_portable_oracle()
+    pair_sql = _simhash_near_dup_oracle()
+    return f"""
+    SELECT 'sig' AS part, doc_id AS a, CAST(simhash AS BIGINT) AS b,
+           CAST(NULL AS BIGINT) AS c
+    FROM ({sig_sql})
+    UNION ALL
+    SELECT 'pair', id_a, id_b, CAST(hamming AS BIGINT) FROM ({pair_sql})
+    """
 
-    docs = _capped_universe(
-        _t(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id"
+
+@query("simhash_portable", oracle=_simhash_suite_oracle())
+def q_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The portable-SimHash family under one driver row (round-10 melt
+    of the former simhash_portable + simhash_near_dup entries):
+    part='sig' is the 16-bit portable-hash SimHash of EVERY document,
+    oracle-checked bit for bit; part='pair' is the lossless
+    block-and-band near-dup join (dedup.simhash_near_dup_pairs) on the
+    capped proof universe, oracle-checked against DuckDB's brute-force
+    all-pairs Hamming join — banding completeness AND verification
+    exactness under one hash gate."""
+    from pedsnetdcc_spark.datapipe.dedup import simhash, simhash_near_dup_pairs
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    sigs = simhash(docs, "doc_id", "text", bits=16, hash_family="portable").select(
+        F.lit("sig").alias("part"),
+        F.col("doc_id").alias("a"),
+        F.col("simhash").cast("long").alias("b"),
+        F.lit(None).cast("long").alias("c"),
     )
-    return simhash_near_dup_pairs(
-        docs, "doc_id", "text", max_hamming=2, bits=16, hash_family="portable"
+    capped = _capped_universe(docs, "doc_id")
+    pairs = simhash_near_dup_pairs(
+        capped, "doc_id", "text", max_hamming=2, bits=16, hash_family="portable"
+    ).select(
+        F.lit("pair").alias("part"),
+        F.col("id_a").alias("a"),
+        F.col("id_b").alias("b"),
+        F.col("hamming").cast("long").alias("c"),
     )
+    return sigs.unionByName(pairs)
+
+
+def q_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production 64-bit xxhash64 SimHash scored for the locality
+    property that makes it useful: every exact near-duplicate pair
+    (DF-capped Jaccard ≥ 0.4, recomputed independently by DuckDB for
+    ``dup_pairs``) must sit within 16 of 64 signature bits (measured
+    max at sf0.01: 5), and every document must receive exactly one
+    signature."""
+    from pedsnetdcc_spark.datapipe.agreement import signature_locality
+    from pedsnetdcc_spark.datapipe.dedup import ngram_jaccard_pairs, simhash64
+
+    docs = _t(spark, sf_dir, "documents")
+    sigs = simhash64(docs, "doc_id", "text")
+    dup = ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.4, max_df=100
+    )
+    corpus = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    return signature_locality(sigs, dup, corpus, max_hamming=16)
 
 
 def q_simhash_near_dup_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2886,32 +2982,6 @@ def q_ann_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quantized_topk(
         emb, queries_df, "vec_id", "embedding", k=5, rerank_factor=4
     )
-
-
-@query(
-    "ann_lsh_topk",
-    oracle="""
-    SELECT vec_id AS query_id, CAST(5 AS BIGINT) AS k_returned,
-           TRUE AS recall_ok
-    FROM embeddings WHERE vec_id < 8
-    """,
-)
-def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hyperplane-LSH ANN scored per query against the oracle-checked
-    exact top-k: every query must return a full k=5 (DuckDB enumerates
-    the query ids) and recover ≥3 of its 5 exact neighbors (measured at
-    sf0.01: 5/5 for every query).  Deterministic seeded hyperplanes —
-    the scorecard is a stable query result."""
-    from pedsnetdcc_spark.datapipe.agreement import topk_recall_per_query
-    from pedsnetdcc_spark.datapipe.similarity import cosine_topk, lsh_bucketed_topk
-
-    emb = _t(spark, sf_dir, "embeddings")
-    queries_df = emb.filter(F.col("vec_id") < 8)
-    prod = lsh_bucketed_topk(
-        emb, queries_df, "vec_id", "embedding", k=5, bits=4, tables=8, dim=64
-    )
-    exact = cosine_topk(emb, queries_df, "vec_id", "embedding", k=5)
-    return topk_recall_per_query(prod, exact, min_common=3)
 
 
 @query(
@@ -3582,45 +3652,6 @@ def q_subset_pcornet(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
-
-
-@query(
-    "integrity_samples",
-    oracle="""
-    SELECT CAST('orders_open' AS VARCHAR) AS probe, exemplar_fk FROM (
-        SELECT DISTINCT l_orderkey AS exemplar_fk FROM lineitem
-        WHERE l_orderkey NOT IN
-              (SELECT o_orderkey FROM orders WHERE o_orderstatus = 'O')
-        ORDER BY exemplar_fk LIMIT 3)
-    UNION ALL
-    SELECT 'supplier_lownation', exemplar_fk FROM (
-        SELECT DISTINCT l_suppkey AS exemplar_fk FROM lineitem
-        WHERE l_suppkey NOT IN
-              (SELECT s_suppkey FROM supplier WHERE s_nationkey < 13)
-        ORDER BY exemplar_fk LIMIT 3)
-    """,
-)
-def q_integrity_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic exemplar sampling (O2): min-by-key instead of the
-    reference's arbitrary LIMIT 1 (check_fact_relationship.py:142-248) —
-    the 3 smallest dangling FK values per probe, reproducible across
-    engines and partitionings (operators/integrity.integrity_exemplars)."""
-    from pedsnetdcc_spark.operators.integrity import integrity_exemplars
-
-    li = _t(spark, sf_dir, "lineitem")
-    orders = _t(spark, sf_dir, "orders")
-    supplier = _t(spark, sf_dir, "supplier")
-    probes = [
-        IntegrityProbe(
-            "orders_open", "l_orderkey",
-            orders.filter(F.col("o_orderstatus") == "O"), "o_orderkey",
-        ),
-        IntegrityProbe(
-            "supplier_lownation", "l_suppkey",
-            supplier.filter(F.col("s_nationkey") < 13), "s_suppkey",
-        ),
-    ]
-    return integrity_exemplars(li, probes, n=3)
 
 
 # ---------------------------------------------------------------------------
@@ -5866,13 +5897,10 @@ _QUERY_ORDER = [
     "temperature_mixture",
     "pricing_summary",
     "integrity_counts",
-    "integrity_samples",
     "subset_polymorphic",
     "ann_cosine_topk",
     "embedding_near_dup",
     "simhash_portable",
-    "simhash_near_dup",
-    "ann_lsh_topk",
     "embedding_dedup_clusters",
     "r_dose_update",
     "lab_loinc_swap",
@@ -5890,13 +5918,19 @@ _QUERY_ORDER = [
     "hashed_bow",
     # -- 5: NEW below the cutoff — landed mid-round-10 with full DuckDB
     #       oracles (green in tests/test_oracle_parity.py every session)
-    #       but no driver verdict yet; they take round 11's free slot +
-    #       one melt when the rotation brings them into the window ------
+    #       but no driver verdict yet --------------------------------------
     "line_dedup",
     "ann_pq_topk",
     "ann_index_roundtrip",
     "image_near_dup",
 ]
+
+# Round-11 window arithmetic, pre-funded by the three tier-4 melts
+# executed this round (simhash_portable absorbed simhash_near_dup,
+# ann_cosine_topk absorbed ann_lsh_topk, integrity_counts absorbed
+# integrity_samples — each pair now proves both halves in ONE slot):
+# 39 due tier-4 entries + 7 keep-green + the 4 never-scored tier-5
+# entries above = exactly 50.  Zero free slots, zero melts owed.
 
 assert set(_QUERY_ORDER) == set(QUERIES), (
     "query registry and _QUERY_ORDER disagree: "
