@@ -3383,8 +3383,37 @@ def q_multimodal_png_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id,
                list_transform(regexp_extract_all(text, '.'), ch -> ascii(ch)) AS cs
         FROM documents
+    ),
+    samp AS (
+        SELECT doc_id,
+               CASE WHEN LEN(cs) = 0 THEN 1 ELSE LEN(cs) END AS n, u.i,
+               CASE WHEN LEN(cs) = 0 THEN -128 ELSE cs[u.i + 1] - 128 END AS v
+        FROM c, LATERAL (SELECT unnest(range(
+            CASE WHEN LEN(cs) = 0 THEN 1 ELSE LEN(cs) END)) AS i) u
+    ),
+    en AS (
+        SELECT doc_id, (i * 65) // n AS f, SUM(CAST(v * v AS BIGINT)) AS e
+        FROM samp GROUP BY doc_id, (i * 65) // n
+    ),
+    grid AS (SELECT doc_id, g.f FROM c,
+             LATERAL (SELECT unnest(range(65)) AS f) g),
+    ee AS (SELECT grid.doc_id, grid.f, COALESCE(en.e, 0) AS e
+           FROM grid LEFT JOIN en ON en.doc_id = grid.doc_id AND en.f = grid.f),
+    fb AS (
+        SELECT doc_id, f,
+               CASE WHEN lead(e) OVER (PARTITION BY doc_id ORDER BY f) > e
+                    THEN CAST(1 AS HUGEINT) << CAST(f AS INTEGER)
+                    ELSE CAST(0 AS HUGEINT) END AS wgt
+        FROM ee QUALIFY f < 64
+    ),
+    afp AS (
+        SELECT doc_id,
+               CAST(CASE WHEN s >= CAST(9223372036854775808 AS HUGEINT)
+                         THEN s - CAST(18446744073709551616 AS HUGEINT)
+                         ELSE s END AS BIGINT) AS afp
+        FROM (SELECT doc_id, SUM(wgt) AS s FROM fb GROUP BY doc_id)
     )
-    SELECT doc_id,
+    SELECT c.doc_id,
            CAST(1 AS INTEGER) AS channels,
            CAST(8000 AS INTEGER) AS sample_rate,
            CAST(8 AS INTEGER) AS bit_depth,
@@ -3393,24 +3422,32 @@ def q_multimodal_png_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
                 p -> (p[1] < 128) <> (p[2] < 128))) AS BIGINT) AS zero_crossings,
            CAST(CASE WHEN LEN(cs) = 0 THEN 128
                      ELSE list_max(list_transform(cs, x -> abs(x - 128)))
-                END AS INTEGER) AS peak
-    FROM c
+                END AS INTEGER) AS peak,
+           afp.afp
+    FROM c JOIN afp ON afp.doc_id = c.doc_id
     """,
 )
 def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio pipeline on REAL PCM WAV payloads: text bytes → encode_wav
     (RIFF container) → binary column → decode_wav (chunk walk + sample
-    extraction) → per-clip features.  RMS is excluded from the checked
+    extraction) → per-clip features, PLUS (round-10) the perceptual
+    audio fingerprint (multimodal.audio_fingerprint: 65 exact integer
+    frame energies → 64 sign-of-delta bits → signed long — the WAV
+    twin of image_dhash, feeding audio_near_dup_pairs), replayed by the
+    oracle from character codes.  RMS is excluded from the checked
     columns only because numpy's pairwise summation is not
     bit-comparable to sequential SQL; it is unit-tested instead."""
     from pedsnetdcc_spark.datapipe.multimodal import (
+        audio_fingerprint,
         extract_audio_features,
         with_wav_payload,
     )
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     media = with_wav_payload(docs, "doc_id", "text")
-    return extract_audio_features(media, "doc_id").drop("rms")
+    feats = extract_audio_features(media, "doc_id").drop("rms")
+    fp = audio_fingerprint(media, "doc_id").select("doc_id", "afp")
+    return feats.join(fp, "doc_id")
 
 
 # ---------------------------------------------------------------------------

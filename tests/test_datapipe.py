@@ -2321,3 +2321,55 @@ def test_band_join_mih_probe_mode_equals_plain(spark):
         # too few bands for the probe radius
         simhash_band_pairs(df, "vid", "sig", max_hamming=6, num_bands=3,
                            probe_radius=1)
+
+
+def test_audio_fingerprint_copy_locality_and_corrupt(spark, docs):
+    """Exact audio copies fingerprint identically (Hamming 0); a local
+    corruption moves only the bits of the frames it touches; corrupt
+    containers keep their row with decodable=false."""
+    from pyspark.sql import functions as F
+
+    from pedsnetdcc_spark.datapipe.multimodal import (
+        audio_fingerprint,
+        audio_near_dup_pairs,
+        with_wav_payload,
+    )
+
+    base = with_wav_payload(docs.limit(20), "doc_id", "text").select(
+        "doc_id", "payload"
+    )
+    fps = {r["doc_id"]: r["afp"] for r in audio_fingerprint(base, "doc_id").collect()}
+    assert len(fps) == 20 and all(v is not None for v in fps.values())
+    # exact copies planted at doc_id + 1000
+    copies = base.select((F.col("doc_id") + 1000).alias("doc_id"), "payload")
+    allwav = base.unionByName(copies)
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in audio_near_dup_pairs(allwav, "doc_id", max_hamming=6).collect()
+    }
+    for i in fps:
+        assert pairs.get((i, i + 1000)) == 0, i
+    # local corruption: flipping a handful of adjacent samples moves
+    # few frame energies -> small but nonzero Hamming
+    import numpy as np
+
+    from pedsnetdcc_spark.datapipe.multimodal import decode_wav, encode_wav
+
+    row = base.orderBy("doc_id").limit(1).collect()[0]
+    buf = bytes(row["payload"])
+    meta = decode_wav(buf)
+    s = np.array(meta["samples"], dtype=np.uint8).copy()
+    s[3:6] = 255  # one locality
+    tweaked = encode_wav(s.tobytes(), sample_rate=8000, channels=1, bits=8)
+    two = spark.createDataFrame(
+        [(1, bytearray(buf)), (2, bytearray(tweaked))],
+        "doc_id long, payload binary",
+    )
+    got = {r["doc_id"]: r["afp"] for r in audio_fingerprint(two, "doc_id").collect()}
+    ham = bin((got[1] ^ got[2]) & ((1 << 64) - 1)).count("1")
+    assert 1 <= ham <= 10, ham
+    corrupt = spark.createDataFrame(
+        [(9, bytearray(b"RIFFnope"))], "doc_id long, payload binary"
+    )
+    bad = audio_fingerprint(corrupt, "doc_id").collect()[0]
+    assert bad["decodable"] is False and bad["afp"] is None
