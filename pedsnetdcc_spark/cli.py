@@ -523,6 +523,24 @@ def cmd_passage_dedup(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_media_near_dup(args: argparse.Namespace) -> int:
+    """Image/audio near-duplicate pairs by perceptual hash (dHash for
+    images, frame-energy fingerprint for audio) + the exact MIH Hamming
+    band join (multimodal.image_near_dup_pairs / audio_near_dup_pairs).
+    """
+    from pedsnetdcc_spark.datapipe.multimodal import (
+        audio_near_dup_pairs,
+        image_near_dup_pairs,
+    )
+
+    spark = _session(args)
+    media = _read(spark, args.input, args.table)
+    fn = image_near_dup_pairs if args.kind == "image" else audio_near_dup_pairs
+    out = fn(media, args.id_col, args.payload_col, max_hamming=args.max_hamming)
+    _publish(spark, args.output, {args.table: out})
+    return 0
+
+
 def cmd_dup_spans(args: argparse.Namespace) -> int:
     """Exact-substring dedup (Lee et al. 2022 formulation): report the
     maximal duplicated k-token spans per document, or with ``--clean``
@@ -1143,6 +1161,18 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--min-count", type=int, default=2,
                     help="a passage is repeated when it occurs >= this many times")
     sp.set_defaults(fn=cmd_passage_dedup)
+
+    sp = sub.add_parser(
+        "media-near-dup",
+        help="image/audio near-dup pairs by perceptual hash + Hamming join",
+    )
+    ns(sp)
+    sp.add_argument("--table", default="images")
+    sp.add_argument("--kind", choices=("image", "audio"), default="image")
+    sp.add_argument("--id-col", default="doc_id")
+    sp.add_argument("--payload-col", default="payload")
+    sp.add_argument("--max-hamming", type=int, default=6)
+    sp.set_defaults(fn=cmd_media_near_dup)
 
     sp = sub.add_parser(
         "dup-spans",

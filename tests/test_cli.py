@@ -723,3 +723,42 @@ def test_cli_dup_spans_report_and_clean(spark, sf_dir, tmp_path):
     lines = read_table(spark, str(out3 / "current"), "documents")
     assert lines.count() == n_docs
     shutil.rmtree(ns, ignore_errors=True)
+
+
+def test_cli_media_near_dup(spark, sf_dir, tmp_path):
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from pedsnetdcc_spark.cli import main
+    from pedsnetdcc_spark.datapipe.multimodal import with_png_payload, with_wav_payload
+    from pedsnetdcc_spark.sources.io import read_table
+
+    ns = tmp_path / "ns"
+    ns.mkdir()
+    docs = read_table(spark, sf_dir, "documents").limit(15)
+    imgs = with_png_payload(docs, "doc_id", "text").select("doc_id", "payload")
+    # plant exact copies so pairs exist at Hamming 0
+    imgs.unionByName(
+        imgs.select((F.col("doc_id") + 500).alias("doc_id"), "payload")
+    ).write.parquet(str(ns / "images"))
+    wavs = with_wav_payload(docs, "doc_id", "text").select("doc_id", "payload")
+    wavs.unionByName(
+        wavs.select((F.col("doc_id") + 500).alias("doc_id"), "payload")
+    ).write.parquet(str(ns / "clips"))
+
+    out1 = tmp_path / "img_pairs"
+    assert main(["media-near-dup", "-i", str(ns), "-o", str(out1)]) == 0
+    pairs = read_table(spark, str(out1 / "current"), "images")
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs.collect()}
+    assert all(got.get((i, i + 500)) == 0 for i in range(15))
+
+    out2 = tmp_path / "wav_pairs"
+    assert main([
+        "media-near-dup", "-i", str(ns), "-o", str(out2),
+        "--kind", "audio", "--table", "clips",
+    ]) == 0
+    apairs = read_table(spark, str(out2 / "current"), "clips")
+    agot = {(r["id_a"], r["id_b"]): r["hamming"] for r in apairs.collect()}
+    assert all(agot.get((i, i + 500)) == 0 for i in range(15))
+    shutil.rmtree(ns, ignore_errors=True)
