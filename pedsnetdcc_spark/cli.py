@@ -880,6 +880,7 @@ def cmd_ann_index(args: argparse.Namespace) -> int:
     meta = build_ivf_index(
         df, args.output, id_col=args.id_col, vec_col=args.vec_col,
         n_centroids=args.cells or "auto", assign=args.assign,
+        pq_m=args.pq_m,
     )
     print(json.dumps({"index": args.output, **meta}))
     return 0
@@ -887,13 +888,13 @@ def cmd_ann_index(args: argparse.Namespace) -> int:
 
 def cmd_ann_query(args: argparse.Namespace) -> int:
     """Query a persistent IVF index: per-query top-k written as
-    parquet; the scan is partition-pruned to the probed cells."""
-    from pedsnetdcc_spark.datapipe.similarity import query_ivf_index
-
+    parquet; the scan is partition-pruned to the probed cells
+    (--scoring pq: ADC over stored codes, exact re-rank)."""
     spark = _session(args)
     q = _read(spark, args.input, args.table)
-    hits = query_ivf_index(
-        spark, args.index, q, k=args.k, nprobe=args.nprobe,
+    from pedsnetdcc_spark.datapipe.similarity import open_ivf_index
+    hits = open_ivf_index(spark, args.index).query(
+        q, k=args.k, nprobe=args.nprobe, scoring=args.scoring,
     )
     hits.write.mode("overwrite").parquet(args.output)
     n = spark.read.parquet(args.output).count()
@@ -1373,6 +1374,9 @@ def build_parser() -> argparse.ArgumentParser:
                     help="cell count (default: auto-sized from the corpus)")
     sp.add_argument("--assign", choices=["flat", "hierarchical"],
                     default="hierarchical")
+    sp.add_argument("--pq-m", type=int, default=None,
+                    help="store m-subspace PQ codes in the cells (IVF-PQ: "
+                    "ann-query --scoring pq reads codes, not vectors)")
     sp.set_defaults(fn=cmd_ann_index)
 
     sp = sub.add_parser(
@@ -1386,6 +1390,7 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--table", default="embeddings")
     sp.add_argument("-k", type=int, default=5)
     sp.add_argument("--nprobe", type=int, default=4)
+    sp.add_argument("--scoring", choices=["exact", "pq"], default="exact")
     sp.set_defaults(fn=cmd_ann_query)
 
     sp = sub.add_parser(

@@ -590,6 +590,8 @@ def build_ivf_index(
     seed: int = 0,
     assign: str = "hierarchical",
     n: int | None = None,
+    pq_m: int | None = None,
+    pq_codebook_size: int = 64,
 ) -> dict:
     """PERSISTENT IVF index: train the codebook once, assign every
     vector to its cell, and lay the corpus out on disk PARTITIONED BY
@@ -649,6 +651,28 @@ def build_ivf_index(
         )
         .withColumn("centroid_id", assign_cell(F.col(vec_col)))
     )
+    if pq_m is not None:
+        # IVF-PQ: store each vector's PQ codes IN the cells so a query
+        # batch's coarse (ADC) stage reads m small ints per row instead
+        # of the full vector — column pruning turns the pruned-cell
+        # scan into a ~dim/m-times-smaller read; the exact re-rank
+        # fetches real vectors only for the shortlist.
+        pq_cb = train_pq_codebooks(
+            df, id_col, vec_col, m=pq_m, codebook_size=pq_codebook_size,
+            sample_size=sample_size, iters=iters, seed=seed + 1,
+        )
+        assigned = pq_encode(assigned, pq_cb, id_col, vec_col)
+        spark0 = df.sparkSession
+        cb_rows = [
+            (j, c, [float(x) for x in pq_cb[j, c]])
+            for j in range(pq_cb.shape[0])
+            for c in range(pq_cb.shape[1])
+        ]
+        spark0.createDataFrame(
+            cb_rows, "subspace int, code int, centroid array<double>"
+        ).coalesce(1).write.mode("overwrite").parquet(
+            _os.path.join(path, "pq_codebooks.parquet")
+        )
     # cluster rows by cell BEFORE the partitioned write: without this,
     # every write task emits a file into every cell directory it holds
     # rows for (tasks × cells small files); hashed on centroid_id, each
@@ -670,6 +694,8 @@ def build_ivf_index(
         "assign": assign,
         "seed": seed,
         "iters": iters,
+        "pq_m": pq_m,
+        "pq_codebook_size": pq_codebook_size if pq_m is not None else None,
     }
     with open(_os.path.join(path, "meta.json"), "w") as f:
         _json.dump(meta, f, sort_keys=True)
@@ -701,6 +727,18 @@ class IvfIndexHandle:
         self.centroids = np.array(
             [r["centroid"] for r in crows], dtype=np.float64
         )
+        self.pq_codebooks = None
+        if self.meta.get("pq_m"):
+            pq_rows = (
+                spark.read.parquet(_os.path.join(path, "pq_codebooks.parquet"))
+                .orderBy("subspace", "code")
+                .collect()
+            )
+            m = self.meta["pq_m"]
+            k = self.meta["pq_codebook_size"]
+            self.pq_codebooks = np.array(
+                [r["centroid"] for r in pq_rows], dtype=np.float64
+            ).reshape(m, k, -1)
         # ONE listing; the FileIndex (and its partition spec) is cached
         # on this DataFrame and reused by every query plan
         self.cells = spark.read.parquet(_os.path.join(path, "cells"))
@@ -720,6 +758,8 @@ class IvfIndexHandle:
         nprobe: int = 4,
         id_col: str | None = None,
         vec_col: str | None = None,
+        scoring: str = "exact",
+        rerank_factor: int = 4,
     ) -> DataFrame:
         """Probe each query's ``nprobe`` nearest cells, scan ONLY those
         cell directories (partition pruning — plan-asserted and proven
@@ -748,6 +788,12 @@ class IvfIndexHandle:
             r["centroid_id"]
             for r in qa.select("centroid_id").distinct().collect()
         )
+        if scoring == "pq":
+            return self._query_pq(
+                queries, qa, probed, k, id_col, vec_col, rerank_factor
+            )
+        if scoring != "exact":
+            raise ValueError(f"scoring must be 'exact' or 'pq', got {scoring!r}")
         cand = self.cells.where(F.col("centroid_id").isin(probed)).select(
             F.col("centroid_id"),
             F.col(id_col).alias("neighbor_id"),
@@ -759,6 +805,96 @@ class IvfIndexHandle:
         sims = pairs.select(
             "query_id", "neighbor_id",
             _cosine_batch(F.col("__qv"), F.col("__cv")).alias("cosine"),
+        )
+        wk = Window.partitionBy("query_id").orderBy(
+            F.col("cosine").desc(), F.col("neighbor_id").asc()
+        )
+        return (
+            sims.withColumn("rank", F.row_number().over(wk))
+            .where(F.col("rank") <= k)
+            .select("query_id", "rank", "neighbor_id", "cosine")
+        )
+
+    def _query_pq(
+        self, queries, qa, probed, k, id_col, vec_col, rerank_factor
+    ) -> DataFrame:
+        """IVF-PQ (ADC) serving path: the coarse stage scans ONLY
+        ``(id, pq_code, centroid_id)`` of the probed cells — column
+        pruning makes the read ~dim·8/(m bytes) smaller than the
+        vector scan — scores every candidate by per-query lookup-table
+        sums (one Arrow pass, no per-candidate float math), and the
+        exact cosine re-rank reads real vectors for just the
+        ``k·rerank_factor`` shortlist.  Same output contract as the
+        exact path; recall is bounded by the PQ approximation
+        (recall-tested)."""
+        import pandas as pd
+
+        if self.pq_codebooks is None:
+            raise ValueError(
+                "index was built without pq_m; rebuild with "
+                "build_ivf_index(..., pq_m=...) to use scoring='pq'"
+            )
+        cb = self.pq_codebooks
+        m, ksub, dsub = cb.shape
+        qrows = queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).cast("array<double>").alias("__qv"),
+        ).collect()  # bounded by contract: the probe set
+        qids = [r["query_id"] for r in qrows]
+        qidx = {q: i for i, q in enumerate(qids)}
+        Q = np.stack([r["__qv"] for r in qrows]).astype(np.float64)
+        qn = np.linalg.norm(Q, axis=1, keepdims=True)
+        qn[qn == 0] = 1.0
+        Qn = Q / qn
+        T = np.stack(
+            [Qn[:, j * dsub : (j + 1) * dsub] @ cb[j].T for j in range(m)],
+            axis=1,
+        ).astype(np.float32)  # (nq, m, ksub)
+
+        @F.pandas_udf("double")
+        def _adc(qid: pd.Series, codes: pd.Series) -> pd.Series:
+            qi = qid.map(qidx).to_numpy(dtype=np.int64)
+            Cn = np.stack(codes.to_numpy()).astype(np.int64)
+            out = np.zeros(len(qi), dtype=np.float64)
+            for j in range(m):
+                out += T[qi, j, Cn[:, j]]
+            return pd.Series(out)
+
+        coarse_in = self.cells.where(F.col("centroid_id").isin(probed)).select(
+            F.col("centroid_id"),
+            F.col(id_col).alias("neighbor_id"),
+            F.col("pq_code"),
+        )
+        joined = (
+            coarse_in.join(
+                F.broadcast(qa.select("query_id", "centroid_id")), "centroid_id"
+            )
+            .where(F.col("neighbor_id") != F.col("query_id"))
+            .withColumn("__adc", _adc(F.col("query_id"), F.col("pq_code")))
+        )
+        wq = Window.partitionBy("query_id").orderBy(
+            F.col("__adc").desc(), F.col("neighbor_id").asc()
+        )
+        shortlist = (
+            joined.withColumn("__crank", F.row_number().over(wq))
+            .where(F.col("__crank") <= k * rerank_factor)
+            .select("query_id", "neighbor_id")
+        )
+        vecs = self.cells.where(F.col("centroid_id").isin(probed)).select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
+        )
+        q = queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).cast("array<double>").alias("__qv"),
+        )
+        sims = (
+            shortlist.join(vecs, "neighbor_id")
+            .join(F.broadcast(q), "query_id")
+            .select(
+                "query_id",
+                "neighbor_id",
+                _cosine_batch(F.col("__qv"), F.col("__cv")).alias("cosine"),
+            )
         )
         wk = Window.partitionBy("query_id").orderBy(
             F.col("cosine").desc(), F.col("neighbor_id").asc()
@@ -829,6 +965,19 @@ def _append_ivf_epoch(batch_df: DataFrame, epoch_id: int, path: str) -> None:
         F.col(id_col),
         F.col(vec_col).cast("array<double>").alias(vec_col),
     ).withColumn("centroid_id", assign_cell(F.col(vec_col)))
+    if meta.get("pq_m"):
+        # frozen PQ codebooks, like the frozen cell codebook above
+        pq_rows = (
+            batch_df.sparkSession.read.parquet(
+                _os.path.join(path, "pq_codebooks.parquet")
+            )
+            .orderBy("subspace", "code")
+            .collect()
+        )
+        pq_cb = np.array(
+            [r["centroid"] for r in pq_rows], dtype=np.float64
+        ).reshape(meta["pq_m"], meta["pq_codebook_size"], -1)
+        assigned = pq_encode(assigned, pq_cb, id_col, vec_col)
     final = _os.path.join(path, "cells_delta", f"epoch={epoch_id:06d}")
     # dot-prefixed temp: Spark's partition discovery IGNORES dot/underscore
     # paths, so an orphaned temp from a crashed epoch can never be read

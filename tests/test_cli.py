@@ -642,6 +642,26 @@ def test_cli_ann_index_and_query(spark, sf_dir, tmp_path, capsys):
     assert set(back.columns) == {"query_id", "rank", "neighbor_id", "cosine"}
     assert back.groupBy("query_id").count().where("count > 3").count() == 0
 
+    # IVF-PQ flavor: codes stored at build, ADC serving via --scoring pq
+    idx2 = tmp_path / "ivfpq"
+    assert main([
+        "ann-index", "-i", str(ns), "-o", str(idx2), "--cells", "16",
+        "--assign", "flat", "--pq-m", "8",
+    ]) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["pq_m"] == 8
+    hits2 = tmp_path / "hits_pq"
+    assert main([
+        "ann-query", "-i", str(qns), "--index", str(idx2),
+        "-o", str(hits2), "-k", "3", "--nprobe", "4", "--scoring", "pq",
+    ]) == 0
+    back2 = spark.read.parquet(str(hits2))
+    assert back2.count() > 0
+    # the two scorings agree on most neighbors (exact re-rank on both)
+    a = {(r["query_id"], r["neighbor_id"]) for r in back.collect()}
+    b = {(r["query_id"], r["neighbor_id"]) for r in back2.collect()}
+    assert len(a & b) >= len(a) // 2
+
 
 def test_cli_wds_import_quarantine(spark, sf_dir, tmp_path, capsys):
     """--quarantine keeps the intact shards' samples when one tar is

@@ -2373,3 +2373,63 @@ def test_audio_fingerprint_copy_locality_and_corrupt(spark, docs):
     )
     bad = audio_fingerprint(corrupt, "doc_id").collect()[0]
     assert bad["decodable"] is False and bad["afp"] is None
+
+
+def test_ivf_pq_index_lifecycle(spark, emb, tmp_path):
+    """IVF-PQ: PQ codes stored in the cells survive epoch append and
+    compaction; the ADC serving path recalls the exact-scoring path's
+    neighbors, is deterministic, finds appended vectors, and refuses
+    to run on an index built without codes."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from pedsnetdcc_spark.datapipe.similarity import (
+        _append_ivf_epoch,
+        build_ivf_index,
+        compact_ivf_index,
+        open_ivf_index,
+    )
+
+    root = str(tmp_path / "ivfpq")
+    base = emb.where(F.col("vec_id") % 5 != 0)
+    newv = emb.select("vec_id", "embedding").where(F.col("vec_id") % 5 == 0)
+    build_ivf_index(
+        base, root, n_centroids=16, assign="flat", seed=0,
+        pq_m=8, pq_codebook_size=64,
+    )
+    _append_ivf_epoch(newv, 0, root)
+    rep = compact_ivf_index(spark, root)
+    assert rep["epochs_folded"] == 1
+    h = open_ivf_index(spark, root)
+    assert h.pq_codebooks is not None and h.pq_codebooks.shape == (8, 64, 8)
+    qdf = emb.where(F.col("vec_id") < 8)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in h.query(qdf, k=5, nprobe=4).collect()
+    }
+    pq = [
+        (r["query_id"], r["rank"], r["neighbor_id"])
+        for r in h.query(qdf, k=5, nprobe=4, scoring="pq", rerank_factor=8).collect()
+    ]
+    got = {(q, n) for q, _, n in pq}
+    per_q = {q: len({n for qq, n in got & exact if qq == q}) for q in range(8)}
+    assert all(v >= 3 for v in per_q.values()), per_q
+    # appended (vec_id % 5 == 0) vectors are visible to the pq path
+    assert any(n % 5 == 0 for _, _, n in pq)
+    pq2 = [
+        (r["query_id"], r["rank"], r["neighbor_id"])
+        for r in h.query(qdf, k=5, nprobe=4, scoring="pq", rerank_factor=8).collect()
+    ]
+    assert sorted(pq) == sorted(pq2)
+    # coarse stage must not read the vector column (column pruning is
+    # the point of storing codes): assert on the scan's ReadSchema
+    plan = h.cells.where(F.col("centroid_id").isin([0, 1])).select(
+        "centroid_id", "vec_id", "pq_code"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "pq_code" in plan
+    root2 = str(tmp_path / "plain")
+    build_ivf_index(base, root2, n_centroids=16, assign="flat", seed=0)
+    with _pytest.raises(ValueError):
+        open_ivf_index(spark, root2).query(qdf, scoring="pq")
+    with _pytest.raises(ValueError):
+        h.query(qdf, scoring="bogus")
