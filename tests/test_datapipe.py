@@ -2433,3 +2433,47 @@ def test_ivf_pq_index_lifecycle(spark, emb, tmp_path):
         open_ivf_index(spark, root2).query(qdf, scoring="pq")
     with _pytest.raises(ValueError):
         h.query(qdf, scoring="bogus")
+
+
+def test_media_dedup_composition_pairs_to_survivors(spark, docs):
+    """The media family composes with the generic dedup machinery:
+    image near-dup pairs -> connected components -> quality-ranked
+    survivor per cluster.  Planted 2x upscales must cluster with their
+    originals, and exactly one member per cluster survives."""
+    from pyspark.sql import functions as F
+
+    from pedsnetdcc_spark.datapipe.clusters import (
+        assign_clusters,
+        select_survivors,
+    )
+    from pedsnetdcc_spark.datapipe.multimodal import (
+        image_near_dup_pairs,
+        upscale_images,
+        with_png_payload,
+    )
+
+    imgs = with_png_payload(docs.limit(20), "doc_id", "text").select(
+        "doc_id", "payload", "n_bytes"
+    )
+    variants = upscale_images(imgs, "doc_id", factor=2).select(
+        (F.col("doc_id") + 1000).alias("doc_id"),
+        "payload",
+        F.octet_length("payload").alias("n_bytes"),
+    )
+    allimgs = imgs.unionByName(variants)
+    pairs = image_near_dup_pairs(allimgs, "doc_id", max_hamming=2)
+    labeled = assign_clusters(allimgs, "doc_id", pairs)
+    survivors = select_survivors(
+        labeled, "cluster_id",
+        [F.col("n_bytes").desc(), F.col("doc_id")],  # keep the biggest
+    )
+    rows = survivors.collect()
+    by_cluster = {}
+    for r in rows:
+        by_cluster.setdefault(r["cluster_id"], []).append(r)
+    # every planted pair shares a cluster, one survivor per cluster
+    for base in range(20):
+        cl = {r["cluster_id"] for r in rows if r["doc_id"] in (base, base + 1000)}
+        assert len(cl) == 1, base
+    for cl, members in by_cluster.items():
+        assert sum(1 for r in members if r["is_survivor"]) == 1, cl
