@@ -4487,6 +4487,13 @@ def q_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "key_skew_profile",
+    # Round-10 melt: part 'exact' = the groupBy top-k; part 'sketch' =
+    # operators/profile.heavy_hitters (per-partition Misra-Gries
+    # candidates + exact broadcast recount).  At capacity 4096 every
+    # distinct l_suppkey clears the pigeonhole bound, so the sketch
+    # path's output is PINNED EQUAL to the exact top-k by the same SQL
+    # — the bounded-state path is now under the hash gate, not just
+    # equality-tested.
     oracle="""
     WITH c AS (
         SELECT CAST(l_suppkey AS VARCHAR) AS key, COUNT(*) AS n
@@ -4494,22 +4501,40 @@ def q_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     tot AS (SELECT SUM(n) AS t FROM c),
     r AS (SELECT key, n, ROW_NUMBER() OVER (ORDER BY n DESC, key) AS rank
-          FROM c)
-    SELECT key, CAST(n AS BIGINT) AS n, CAST(rank AS INTEGER) AS rank,
-           CAST(n AS DOUBLE) / CAST(t AS DOUBLE) AS share
-    FROM r CROSS JOIN tot WHERE rank <= 10
+          FROM c),
+    topk AS (
+        SELECT key, CAST(n AS BIGINT) AS n, CAST(rank AS INTEGER) AS rank,
+               CAST(n AS DOUBLE) / CAST(t AS DOUBLE) AS share
+        FROM r CROSS JOIN tot WHERE rank <= 10
+    )
+    SELECT 'exact' AS part, * FROM topk
+    UNION ALL
+    SELECT 'sketch', * FROM topk
     """,
 )
 def q_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Heavy-hitter profile of a join key (operators/profile.
-    key_skew_profile): top-10 ``l_suppkey`` values by exact row count
-    with share-of-table — the pre-join skew diagnostic feeding the
-    salting / AQE-skew decision.  Distributed TakeOrdered top-k, no
-    global sort."""
-    from pedsnetdcc_spark.operators.profile import key_skew_profile
+    """Heavy-hitter profile of a join key, both paths under one row:
+    part='exact' is operators/profile.key_skew_profile (groupBy top-10
+    ``l_suppkey`` with share-of-table — distributed TakeOrdered, no
+    global sort), part='sketch' is heavy_hitters (per-partition
+    Misra-Gries summaries → exact broadcast recount, the
+    billion-distinct-column path whose state is bounded by capacity,
+    not cardinality) — at capacity 4096 the pigeonhole guarantee makes
+    its output exactly the true top-k, so the oracle pins both parts
+    to the same SQL."""
+    from pedsnetdcc_spark.operators.profile import (
+        heavy_hitters,
+        key_skew_profile,
+    )
 
     li = _t(spark, sf_dir, "lineitem")
-    return key_skew_profile(li, "l_suppkey", k=10)
+    exact = key_skew_profile(li, "l_suppkey", k=10).select(
+        F.lit("exact").alias("part"), "key", "n", "rank", "share"
+    )
+    sketch = heavy_hitters(li, "l_suppkey", k=10, capacity=4096).select(
+        F.lit("sketch").alias("part"), "key", "n", "rank", "share"
+    )
+    return exact.unionByName(sketch)
 
 
 def _hashed_bow_oracle(dim: int = 64, seed: int = 0) -> str:
