@@ -5938,7 +5938,12 @@ _QUERY_ORDER = [
     # -- 4: past the 50-entry cutoff — every entry below was driver-green
     #       in round 9 and still runs through the IDENTICAL DuckDB
     #       row/schema/hash compare in tests/test_oracle_parity.py every
-    #       session; they rotate back up in round 11 ----------------------
+    #       session; they rotate back up in round 11.  Four of them were
+    #       MELTED mid-round-10 into two-part rows (simhash_portable +=
+    #       simhash_near_dup, ann_cosine_topk += ann_lsh_topk,
+    #       integrity_counts += integrity_samples, key_skew_profile +=
+    #       the heavy_hitters sketch part) — changed form, so they are
+    #       due as new/changed in round 11 like the rest of this tier ----
     "bmi_derivation",
     "multimodal_features",
     "corpus_io_roundtrip",

@@ -1155,6 +1155,10 @@ def main() -> None:
                 # readers, so the deep corpus suffices)
                 "lm_perplexity",
                 "corpus_pipeline",
+                # round-10 second half: the exact-substring dedup family
+                # (documents-only readers; shingle-linear by design)
+                "duplicate_spans",
+                "line_dedup",
             ]
             if not args.only or q in args.only.split(",")
         ]
