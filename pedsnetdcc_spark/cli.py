@@ -536,7 +536,25 @@ def cmd_media_near_dup(args: argparse.Namespace) -> int:
     spark = _session(args)
     media = _read(spark, args.input, args.table)
     fn = image_near_dup_pairs if args.kind == "image" else audio_near_dup_pairs
-    out = fn(media, args.id_col, args.payload_col, max_hamming=args.max_hamming)
+    pairs = fn(media, args.id_col, args.payload_col, max_hamming=args.max_hamming)
+    if args.survivors:
+        # pairs -> connected components -> one canonical row per
+        # cluster (largest payload wins, id tie-break) — the full
+        # dedup, not just the pair report
+        from pyspark.sql import functions as F
+
+        from pedsnetdcc_spark.datapipe.clusters import (
+            assign_clusters,
+            select_survivors,
+        )
+
+        labeled = assign_clusters(media, args.id_col, pairs)
+        out = select_survivors(
+            labeled, "cluster_id",
+            [F.octet_length(args.payload_col).desc(), F.col(args.id_col)],
+        )
+    else:
+        out = pairs
     _publish(spark, args.output, {args.table: out})
     return 0
 
@@ -1173,6 +1191,11 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--id-col", default="doc_id")
     sp.add_argument("--payload-col", default="payload")
     sp.add_argument("--max-hamming", type=int, default=6)
+    sp.add_argument(
+        "--survivors", action="store_true",
+        help="write the clustered table with one flagged survivor per "
+        "near-dup cluster instead of the raw pair report",
+    )
     sp.set_defaults(fn=cmd_media_near_dup)
 
     sp = sub.add_parser(

@@ -781,4 +781,18 @@ def test_cli_media_near_dup(spark, sf_dir, tmp_path):
     apairs = read_table(spark, str(out2 / "current"), "clips")
     agot = {(r["id_a"], r["id_b"]): r["hamming"] for r in apairs.collect()}
     assert all(agot.get((i, i + 500)) == 0 for i in range(15))
+
+    # --survivors: full dedup in one verb — one flagged row per cluster
+    out3 = tmp_path / "img_surv"
+    assert main([
+        "media-near-dup", "-i", str(ns), "-o", str(out3), "--survivors",
+    ]) == 0
+    surv = read_table(spark, str(out3 / "current"), "images").collect()
+    clusters = {}
+    for r in surv:
+        clusters.setdefault(r["cluster_id"], []).append(r["is_survivor"])
+    assert all(sum(flags) == 1 for flags in clusters.values())
+    # each planted copy pairs with its base -> shares a cluster
+    cl = {r["doc_id"]: r["cluster_id"] for r in surv}
+    assert all(cl[i] == cl[i + 500] for i in range(15))
     shutil.rmtree(ns, ignore_errors=True)
