@@ -2477,3 +2477,55 @@ def test_media_dedup_composition_pairs_to_survivors(spark, docs):
         assert len(cl) == 1, base
     for cl, members in by_cluster.items():
         assert sum(1 for r in members if r["is_survivor"]) == 1, cl
+
+
+def test_passage_dedup_sep_mode_property_vs_reference(spark):
+    """Property: for ANY corpus of short lines over a tiny alphabet and
+    any (min_count, keep), sep-mode passage_dedup matches a direct
+    python simulation of the C4/RefinedWeb rule."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from pedsnetdcc_spark.datapipe.dedup import passage_dedup
+
+    corpus = st.lists(
+        st.lists(
+            st.sampled_from(["aa", "bb", "cc"]), min_size=1, max_size=5
+        ).map("\n".join),
+        min_size=1,
+        max_size=6,
+    )
+
+    @settings(max_examples=10, deadline=None)
+    @given(corpus, st.integers(2, 3), st.sampled_from(["first", "unique"]))
+    def check(texts, min_count, keep):
+        docs = list(enumerate(texts))
+        from collections import Counter
+
+        cnt = Counter(
+            line for _, t in docs for line in t.split("\n")
+        )
+        seen = set()
+        expected = {}
+        for i, t in docs:
+            kept = []
+            for j, line in enumerate(t.split("\n")):
+                if cnt[line] < min_count:
+                    kept.append(line)
+                elif keep == "first" and (line not in seen or (i, j) in seen):
+                    # globally-first occurrence survives; mark it
+                    kept.append(line)
+                    seen.add(line)
+                    seen.add((i, j))
+            expected[i] = "\n".join(kept)
+        df = spark.createDataFrame(docs, ["doc_id", "text"])
+        got = {
+            r["doc_id"]: r["text_deduped"]
+            for r in passage_dedup(
+                df, "doc_id", chunking="sep", sep="\n",
+                min_count=min_count, keep=keep,
+            ).collect()
+        }
+        assert got == expected, (texts, min_count, keep)
+
+    check()
