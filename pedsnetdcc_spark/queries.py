@@ -3185,7 +3185,6 @@ def q_image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     near pairs, both computed identically by the SQL twin."""
     from pedsnetdcc_spark.datapipe.multimodal import (
         image_dhash,
-        image_near_dup_pairs,
         upscale_images,
         with_png_payload,
     )
@@ -3196,13 +3195,22 @@ def q_image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         imgs.where(F.col("doc_id") % 10 == 0), "doc_id", factor=2
     ).select((F.col("doc_id") + 10_000_000).alias("doc_id"), "payload")
     allimgs = imgs.unionByName(variants)
-    hashes = image_dhash(allimgs, "doc_id").select(
+    # ONE codec pass: the signature part and the pair join share the
+    # same cached dHash table (image_near_dup_pairs would re-decode)
+    sigs = image_dhash(allimgs, "doc_id").where(F.col("decodable")).select(
+        "doc_id", "dhash"
+    ).cache()
+    hashes = sigs.select(
         F.lit("hash").alias("part"),
         F.col("doc_id").alias("a"),
         F.col("dhash").alias("b"),
         F.lit(None).cast("long").alias("c"),
     )
-    pairs = image_near_dup_pairs(allimgs, "doc_id", max_hamming=6).select(
+    from pedsnetdcc_spark.datapipe.dedup import simhash_band_pairs
+
+    pairs = simhash_band_pairs(
+        sigs, "doc_id", sig_col="dhash", max_hamming=6, probe_radius=1
+    ).select(
         F.lit("pair").alias("part"),
         F.col("id_a").alias("a"),
         F.col("id_b").alias("b"),
