@@ -1246,7 +1246,8 @@ def duplicate_spans(
     from pyspark.sql import Window
 
     toks = df.select(
-        F.col(id_col), F.split(F.col(text_col), sep).alias("__arr")
+        # \Q...\E: the separator is a literal, not a regex
+        F.col(id_col), F.split(F.col(text_col), f"\\Q{sep}\\E").alias("__arr")
     ).where(F.size("__arr") >= k)
     sh = toks.select(
         id_col,
@@ -1317,7 +1318,9 @@ def drop_duplicate_spans(
         raise ValueError(f"keep must be 'first' or 'unique', got {keep!r}")
     from pyspark.sql import Window  # noqa: F401  (parity with duplicate_spans)
 
-    toks = df.select(F.col(id_col), F.split(F.col(text_col), sep).alias("__arr"))
+    toks = df.select(
+        F.col(id_col), F.split(F.col(text_col), f"\\Q{sep}\\E").alias("__arr")
+    )
     sh = toks.where(F.size("__arr") >= k).select(
         id_col,
         F.posexplode(

@@ -1757,6 +1757,8 @@ def pq_topk(
 
     def _score(batches):
         for pdf in batches:
+            if not len(pdf):  # empty partition batch: nothing to score
+                continue
             X = np.stack(pdf["__cv"].to_numpy()).astype(np.float64)
             n = np.linalg.norm(X, axis=1, keepdims=True)
             n[n == 0] = 1.0
