@@ -175,6 +175,18 @@ def portable_hash64_sql(expr: str, seed: int) -> str:
     return f"(('0x' || substr(md5('{seed}:' || {expr}), 1, 15))::BIGINT)"
 
 
+def _regex_literal(s: str) -> str:
+    """Quote ``s`` as a LITERAL for Java-regex contexts (``F.split``),
+    exactly the way ``java.util.regex.Pattern.quote`` does: wrap in
+    ``\\Q...\\E`` and re-split around any EMBEDDED ``\\E`` so the quote
+    block cannot be terminated early (a separator containing the
+    two-character sequence ``\\E`` would otherwise leak its remainder
+    into regex position — silent mis-splits).  Each embedded ``\\E``
+    becomes ``\\E\\\\E\\Q``: end the quote, match a literal backslash
+    then ``E``, reopen the quote."""
+    return "\\Q" + s.replace("\\E", "\\E\\\\E\\Q") + "\\E"
+
+
 def _seeded_hash(col: Column, seed: int, family: str) -> Column:
     if family == "xxhash64":
         return F.xxhash64(col, F.lit(seed))
@@ -581,9 +593,18 @@ def simhash_band_pairs(
             block = block.bitwiseAND(F.lit((1 << w) - 1))
         entries.append(F.struct(F.lit(b).alias("band"), block.alias("block")))
         if probe_radius:
-            # the block plus its 1-bit-flip neighborhood (w+1 keys)
+            # the block plus its 1-bit-flip neighborhood (w+1 keys);
+            # bit 63's flip mask is Long.MIN_VALUE in signed two's
+            # complement — 1 << 63 would overflow LongType and break
+            # the XOR when the widest band spans all 64 bits
             probes = F.array(
-                block, *[block.bitwiseXOR(F.lit(1 << j)) for j in range(w)]
+                block,
+                *[
+                    block.bitwiseXOR(
+                        F.lit((1 << j) - (1 << 64) if j == 63 else 1 << j)
+                    )
+                    for j in range(w)
+                ],
             )
             probe_entries.append(
                 F.struct(F.lit(b).alias("band"), probes.alias("probes"))
@@ -1159,8 +1180,8 @@ def passage_dedup(
         # line mode: one chunk per separator-delimited segment
         raw = df.select(
             F.col(id_col),
-            # \Q...\E: the separator is a literal, not a regex
-            F.posexplode(F.split(F.col(text_col), f"\\Q{sep}\\E")).alias(
+            # Pattern.quote-style literalization (handles embedded \E)
+            F.posexplode(F.split(F.col(text_col), _regex_literal(sep))).alias(
                 "chunk_id", "chunk_text"
             ),
         )
@@ -1207,6 +1228,21 @@ def passage_dedup(
     )
 
 
+def _shingle_texts(k: int, sep: str) -> Column:
+    """The k-token shingle texts of a tokenized document ``__arr``, one
+    per start position — scan-fused (higher-order functions, no UDF).
+    Shingles are joined with the CALLER'S separator: tokens cannot
+    contain ``sep`` (they were produced by splitting on it), so
+    ``sep``-joining is injective on token sequences — a hard-coded
+    ``' '`` would let distinct sequences collide whenever ``sep != ' '``
+    and tokens contain spaces.  ``array_join`` takes the delimiter as a
+    plain Python string, so no SQL-literal escaping is involved."""
+    return F.transform(
+        F.sequence(F.lit(0), F.size("__arr") - k),
+        lambda p: F.array_join(F.slice(F.col("__arr"), p + 1, k), sep),
+    )
+
+
 def duplicate_spans(
     df: DataFrame,
     id_col: str,
@@ -1246,17 +1282,12 @@ def duplicate_spans(
     from pyspark.sql import Window
 
     toks = df.select(
-        # \Q...\E: the separator is a literal, not a regex
-        F.col(id_col), F.split(F.col(text_col), f"\\Q{sep}\\E").alias("__arr")
+        # Pattern.quote-style literalization (handles embedded \E)
+        F.col(id_col), F.split(F.col(text_col), _regex_literal(sep)).alias("__arr")
     ).where(F.size("__arr") >= k)
     sh = toks.select(
         id_col,
-        F.posexplode(
-            F.expr(
-                f"transform(sequence(0, size(__arr) - {k}), "
-                f"p -> array_join(slice(__arr, p + 1, {k}), ' '))"
-            )
-        ).alias("__pos", "__sh"),
+        F.posexplode(_shingle_texts(k, sep)).alias("__pos", "__sh"),
     ).withColumn("__key", F.md5(F.col("__sh"))).drop("__sh")
     per_key = sh.groupBy("__key").agg(F.count(F.lit(1)).alias("__cnt"))
     dup = (
@@ -1319,16 +1350,11 @@ def drop_duplicate_spans(
     from pyspark.sql import Window  # noqa: F401  (parity with duplicate_spans)
 
     toks = df.select(
-        F.col(id_col), F.split(F.col(text_col), f"\\Q{sep}\\E").alias("__arr")
+        F.col(id_col), F.split(F.col(text_col), _regex_literal(sep)).alias("__arr")
     )
     sh = toks.where(F.size("__arr") >= k).select(
         id_col,
-        F.posexplode(
-            F.expr(
-                f"transform(sequence(0, size(__arr) - {k}), "
-                f"p -> array_join(slice(__arr, p + 1, {k}), ' '))"
-            )
-        ).alias("__pos", "__sh"),
+        F.posexplode(_shingle_texts(k, sep)).alias("__pos", "__sh"),
     ).withColumn("__key", F.md5(F.col("__sh"))).drop("__sh")
     per_key = sh.groupBy("__key").agg(
         F.count(F.lit(1)).alias("__cnt"),
@@ -1357,7 +1383,7 @@ def drop_duplicate_spans(
                 ),
                 lambda s: s["__tok"],
             ),
-            " ",
+            sep,  # reassemble with the caller's separator, not ' '
         ).alias("__text"),
         F.count(F.lit(1)).alias("__kept"),
     )

@@ -5853,10 +5853,11 @@ def q_jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 #
 # 1. Queries that are NEW or CHANGED this round come first — they have
 #    never been driver-scored in their current form.  The window has
-#    zero free slots (92 entries = 50 scored + 42 past the cutoff), so
-#    every addition pairs with a consolidation ("melt") that folds an
-#    existing proof into another entry; COVERAGE.md's rotation note
-#    records the arithmetic each round.
+#    zero free slots (the split is asserted below the list: 50 scored +
+#    the rest past the cutoff), so every addition pairs with a
+#    consolidation ("melt") that folds an existing proof into another
+#    entry; COVERAGE.md's rotation note records the arithmetic each
+#    round.
 # 2. Then the tier due back for a current verdict: entries whose last
 #    driver verdict is two rounds old (they sat past the 50-entry
 #    cutoff last round).
@@ -5876,82 +5877,29 @@ def q_jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ===========================================================================
 
 _QUERY_ORDER = [
-    # -- 1: NEW / CHANGED in round 10 (window arithmetic: three melts
-    #       fund the three net-new entries, so the registry stays at 92 —
-    #       interval_months absorbed interval_months_monthend's LAST_DAY
-    #       clamp/borrow stress as a second output column; doc_signals
-    #       absorbed the whole text_signals projection plus the new NFC
-    #       unicode-normalization proof; table_profile absorbed
-    #       table_profile_approx's HLL-tolerance proof plus the round-9
-    #       numeric_profile operator (min/max pinned, DECIMAL-exact mean
-    #       and median-rank booleans); generation_diff is the
-    #       cycle-refresh diff operator, streaming_wds_export the
-    #       foreachBatch WebDataset sink, and duplicate_spans the
-    #       Lee-et-al.-2022 exact-substring dedup (maximal spans +
-    #       keep-first removal under one hash gate) -----------------------
-    "generation_diff",
-    "streaming_wds_export",
-    "duplicate_spans",
-    "table_profile",
-    "doc_signals",
-    "interval_months",
-    # -- 2: due back for a current verdict (green r8, then unscored
-    #       past the 50-entry cutoff in round 9) --------------------------
-    "near_dup_scorecard_deep",
-    "streaming_interval_eras",
-    "streaming_lsh_index",
-    "jdbc_roundtrip",
-    "knn_label_eval",
-    "id_mapping",
-    "corpus_pipeline",
-    "vocab_stats",
-    "corpus_report",
-    "covid_post_shape",
-    "not_null_audit",
-    "corpus_prep",
-    "multimodal_png_meta",
+    # -- 1: NEVER DRIVER-SCORED — the four rows that landed mid-round-10
+    #       below the cutoff with full DuckDB oracles (green in
+    #       tests/test_oracle_parity.py every session since) but no
+    #       driver verdict yet.  ann_index_roundtrip is CHANGED this
+    #       round: it grew a PQ serving part (build with pq_m, query the
+    #       handle with scoring="pq", pin agreement vs the exact-scored
+    #       handle on the same codebook), putting similarity.py's
+    #       _query_pq ADC path under the hash gate for the first time ----
+    "ann_index_roundtrip",
+    "ann_pq_topk",
+    "image_near_dup",
+    "line_dedup",
+    # -- 2: due back for a current verdict — driver-green in round 9,
+    #       then rotated past the 50-entry cutoff in round 10.  The four
+    #       round-10 melts (simhash_portable += simhash_near_dup,
+    #       ann_cosine_topk += ann_lsh_topk, integrity_counts +=
+    #       integrity_samples, key_skew_profile += heavy_hitters) earn
+    #       their first driver verdicts in melted form here.
+    #       audio_features is additionally CHANGED this round: a
+    #       part='pair' block now pins the composed audio_near_dup_pairs
+    #       set (planted exact-copy WAVs at Hamming 0), mirroring
+    #       image_near_dup's two-part shape ------------------------------
     "audio_features",
-    "top_unshipped_orders",
-    "regional_supplier_volume",
-    "dimension_names",
-    "distinct_cohort",
-    "cohort_subset",
-    "merge_sites",
-    "group_counts",
-    "id_map_varchar_suite",
-    "polymorphic_map",
-    "classify_domains",
-    "value_quality",
-    "insert_missing",
-    "recompute_column",
-    "lms_z_score",
-    "doc_fingerprint",
-    "dedup_exact",
-    "pk_violations",
-    "bpe_encode",
-    "cdc_passage_dedup",
-    "subset_pcornet",
-    "interval_summary",
-    "asof_backward",
-    "ann_quantized_topk",
-    # -- 3: keep driver-green (flagship relational pipelines whose
-    #       verdicts we want current every round; green r8 AND r9) --------
-    "eras",
-    "rollup_eras",
-    "era_ids_pipeline",
-    "cdm_transform",
-    "cdm_drug_era",
-    "dedup_clusters",
-    "near_dup_scorecard",
-    # -- 4: past the 50-entry cutoff — every entry below was driver-green
-    #       in round 9 and still runs through the IDENTICAL DuckDB
-    #       row/schema/hash compare in tests/test_oracle_parity.py every
-    #       session; they rotate back up in round 11.  Four of them were
-    #       MELTED mid-round-10 into two-part rows (simhash_portable +=
-    #       simhash_near_dup, ann_cosine_topk += ann_lsh_topk,
-    #       integrity_counts += integrity_samples, key_skew_profile +=
-    #       the heavy_hitters sketch part) — changed form, so they are
-    #       due as new/changed in round 11 like the rest of this tier ----
     "bmi_derivation",
     "multimodal_features",
     "corpus_io_roundtrip",
@@ -5991,21 +5939,75 @@ _QUERY_ORDER = [
     "contamination_report",
     "key_skew_profile",
     "hashed_bow",
-    # -- 5: NEW below the cutoff — landed mid-round-10 with full DuckDB
-    #       oracles (green in tests/test_oracle_parity.py every session)
-    #       but no driver verdict yet --------------------------------------
-    "line_dedup",
-    "ann_pq_topk",
-    "ann_index_roundtrip",
-    "image_near_dup",
+    # -- 3: keep driver-green (flagship relational pipelines whose
+    #       verdicts we want current every round; green r8, r9 AND r10) --
+    "eras",
+    "rollup_eras",
+    "era_ids_pipeline",
+    "cdm_transform",
+    "cdm_drug_era",
+    "dedup_clusters",
+    "near_dup_scorecard",
+    # -- 4: past the 50-entry cutoff — every entry below was driver-green
+    #       in round 10 and still runs through the IDENTICAL DuckDB
+    #       row/schema/hash compare in tests/test_oracle_parity.py every
+    #       session; they rotate back up in round 12 ---------------------
+    "generation_diff",
+    "streaming_wds_export",
+    "duplicate_spans",
+    "table_profile",
+    "doc_signals",
+    "interval_months",
+    "near_dup_scorecard_deep",
+    "streaming_interval_eras",
+    "streaming_lsh_index",
+    "jdbc_roundtrip",
+    "knn_label_eval",
+    "id_mapping",
+    "corpus_pipeline",
+    "vocab_stats",
+    "corpus_report",
+    "covid_post_shape",
+    "not_null_audit",
+    "corpus_prep",
+    "multimodal_png_meta",
+    "top_unshipped_orders",
+    "regional_supplier_volume",
+    "dimension_names",
+    "distinct_cohort",
+    "cohort_subset",
+    "merge_sites",
+    "group_counts",
+    "id_map_varchar_suite",
+    "polymorphic_map",
+    "classify_domains",
+    "value_quality",
+    "insert_missing",
+    "recompute_column",
+    "lms_z_score",
+    "doc_fingerprint",
+    "dedup_exact",
+    "pk_violations",
+    "bpe_encode",
+    "cdc_passage_dedup",
+    "subset_pcornet",
+    "interval_summary",
+    "asof_backward",
+    "ann_quantized_topk",
 ]
 
-# Round-11 window arithmetic, pre-funded by the three tier-4 melts
-# executed this round (simhash_portable absorbed simhash_near_dup,
-# ann_cosine_topk absorbed ann_lsh_topk, integrity_counts absorbed
-# integrity_samples — each pair now proves both halves in ONE slot):
-# 39 due tier-4 entries + 7 keep-green + the 4 never-scored tier-5
-# entries above = exactly 50.  Zero free slots, zero melts owed.
+# Round-11 window arithmetic: 4 never-scored tier-1 rows + 39 due
+# tier-2 entries + 7 keep-green = exactly 50 scored; the 43 rows
+# driver-green in round 10 sit past the cutoff and rotate back up in
+# round 12.  Zero free slots, zero melts owed.  (The registry size and
+# the 50/past-cutoff split are asserted below from the list itself so
+# the numbers cannot drift from the executed state.)
+_SCORING_WINDOW = 50
+assert len(_QUERY_ORDER) == 93 and len(set(_QUERY_ORDER)) == 93, (
+    f"registry drifted: {len(_QUERY_ORDER)} entries "
+    f"({len(set(_QUERY_ORDER))} unique); the window-arithmetic comments "
+    "above assume 50 scored + 43 past the cutoff = 93"
+)
 
 assert set(_QUERY_ORDER) == set(QUERIES), (
     "query registry and _QUERY_ORDER disagree: "

@@ -2296,7 +2296,10 @@ def test_band_join_mih_probe_mode_equals_plain(spark):
         rows.append((1000 + i, signed(u)))
     df = spark.createDataFrame(rows, "vid long, sig long")
     sigs = dict(rows)
-    for mh in (2, 3, 6):
+    # mh=1 drives MIH to ONE band spanning all 64 bits: the bit-63
+    # probe mask is Long.MIN_VALUE in two's complement (1 << 63 would
+    # overflow LongType — the round-11 literal fix)
+    for mh in (1, 2, 3, 6):
         plain = {
             (r["id_a"], r["id_b"], r["hamming"])
             for r in simhash_band_pairs(df, "vid", "sig", max_hamming=mh).collect()
@@ -2529,3 +2532,72 @@ def test_passage_dedup_sep_mode_property_vs_reference(spark):
         assert got == expected, (texts, min_count, keep)
 
     check()
+
+
+def test_regex_literal_separator_containing_quote_end(spark):
+    """A separator that itself contains the two-character sequence \\E
+    must still split as a LITERAL — the naive \\Q{sep}\\E quoting would
+    terminate the quote block early and parse the remainder as regex
+    (the Pattern.quote re-splitting fix, round 11)."""
+    from pedsnetdcc_spark.datapipe.dedup import _regex_literal, passage_dedup
+
+    sep = "a\\Eb"  # literally: a \ E b
+    # '.' after the embedded \E would be a regex wildcard if the quote
+    # block were terminated early
+    sep_dot = "\\E."
+    df = spark.createDataFrame(
+        [(1, f"x{sep}y{sep}x"), (2, f"x{sep}y{sep}x")], ["doc_id", "text"]
+    )
+    out = {
+        r["doc_id"]: r["text_deduped"]
+        for r in passage_dedup(
+            df, "doc_id", chunking="sep", sep=sep, keep="unique"
+        ).collect()
+    }
+    # both docs' every segment repeats corpus-wide -> all dropped;
+    # an early-terminated quote would mis-split and leave segments
+    assert out == {1: "", 2: ""}
+    df2 = spark.createDataFrame([(1, f"p{sep_dot}qZr")], ["doc_id", "text"])
+    segs = df2.select(
+        F.split(F.col("text"), _regex_literal(sep_dot)).alias("s")
+    ).head()["s"]
+    # literal split: the '.' must NOT match 'Z'
+    assert segs == ["p", "qZr"]
+
+
+def test_duplicate_spans_custom_sep_tokens_with_spaces(spark):
+    """With a non-space separator, tokens may CONTAIN spaces: shingles
+    must be joined with the caller's separator so distinct token
+    sequences never collide ('a b'|'c' vs 'a'|'b c'), and the cleaned
+    text must be reassembled with the same separator (round-11 fix —
+    both paths previously hard-coded ' ')."""
+    from pedsnetdcc_spark.datapipe.dedup import (
+        drop_duplicate_spans,
+        duplicate_spans,
+    )
+
+    # doc 1 and 2: the SAME two-token sequence, repeated -> true dup.
+    # doc 3 and 4: sequences whose ' '-joined rendering collides with
+    # doc 1's ('a b' + 'c' vs 'a' + 'b c') but whose token sequences
+    # differ -> NOT duplicates of each other or of doc 1.
+    rows = [
+        (1, "a b\nc\nZ1"),
+        (2, "a b\nc\nZ2"),
+        (3, "a\nb c\nZ3"),
+        (4, "a\nb Qc\nZ4"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    spans = {
+        (r["doc_id"], r["span_start"], r["span_end"])
+        for r in duplicate_spans(df, "doc_id", k=2, sep="\n").collect()
+    }
+    assert spans == {(1, 0, 1), (2, 0, 1)}
+    cleaned = {
+        r["doc_id"]: r["text_deduped"]
+        for r in drop_duplicate_spans(
+            df, "doc_id", k=2, keep="unique", sep="\n"
+        ).collect()
+    }
+    # the duplicated spans are cut; survivors rejoin with '\n', not ' '
+    assert cleaned[1] == "Z1" and cleaned[2] == "Z2"
+    assert cleaned[3] == "a\nb c\nZ3" and cleaned[4] == "a\nb Qc\nZ4"
