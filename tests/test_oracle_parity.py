@@ -103,7 +103,9 @@ _FLOAT_COLUMN_SEAMS: dict[tuple[str, str], int | None] = {
     ("regional_supplier_volume", "revenue"): 6,
     # exactly-rounded IEEE arithmetic (single divisions, sqrt, exact
     # products) — deterministic without a rounding seam
-    ("decontaminate", "jaccard"): None,
+    # round-11 melt: decontaminate.frac carries the pair part's jaccard
+    # and the doc part's overlap share (both single exact divisions)
+    ("decontaminate", "frac"): None,
     ("shared_passages", "jaccard"): None,
     ("minhash_lsh_portable", "jaccard"): None,
     ("streaming_lsh_index", "est_jaccard"): None,  # n/16 dyadic rational
@@ -117,7 +119,6 @@ _FLOAT_COLUMN_SEAMS: dict[tuple[str, str], int | None] = {
     ("gopher_quality", "mean_word_len"): None,
     ("gopher_quality", "symbol_ratio"): None,
     ("gopher_quality", "alpha_word_ratio"): None,
-    ("contamination_report", "overlap_frac"): None,
     ("key_skew_profile", "share"): None,
     ("hashed_bow", "weight"): None,
     ("corpus_prep", "quality_score"): None,
