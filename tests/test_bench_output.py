@@ -28,7 +28,11 @@ def _fake_out(n_queries: int, with_isolated: bool = True) -> dict:
         "sf": 0.1,
     }
     if with_isolated:
-        out["isolated"] = {k: v for k, v in list(qs.items())[:10]}
+        # round-11 shape: two fresh-JVM arms per isolated query
+        out["isolated"] = {
+            k: {"best": v, "spread": 0.12, "runs": [v, round(v + 0.12, 3)]}
+            for k, v in list(qs.items())[:10]
+        }
     return out
 
 
