@@ -1243,6 +1243,84 @@ def _shingle_texts(k: int, sep: str) -> Column:
     )
 
 
+# Rolling-digest channel constants for the span family: two independent
+# polynomial hashes over pre-hashed tokens, packed into one long.
+# Tokens hash mod 2^20 so acc*B + x stays far below 2^63 (acc < M ~
+# 2^31, B ~ 2^20 -> products ~ 2^51); M1/M2 are distinct primes just
+# under 2^31 so the packed key k1*M2 + k2 is injective and fits a
+# long.  Combined space M1*M2 ~ 4.6e18: at 5e9 corpus shingles the
+# expected number of colliding shingle PAIRS is ~3 (birthday bound) —
+# a handful of false duplicate positions corpus-wide, the usual
+# fingerprint-dedup trade (Lee et al. 2022 use a 64-bit suffix-automaton
+# fingerprint with the same property).  md5 mode stays the exact /
+# oracle-replayable digest.
+_SPAN_TMOD = 1 << 20
+_SPAN_B1, _SPAN_M1 = 1_048_573, 2_147_483_647
+_SPAN_B2, _SPAN_M2 = 1_048_583, 2_147_483_629
+
+
+def _span_shingle_keys(
+    toks: DataFrame, id_col: str, k: int, sep: str, digest: str
+) -> DataFrame:
+    """``(id, __pos, __key)`` for every k-token shingle start position
+    of a tokenized corpus ``toks = (id, __arr)`` — the shared candidate
+    stage of :func:`duplicate_spans` / :func:`drop_duplicate_spans`.
+
+    ``digest="md5"`` (default, the oracle mode): ``__key`` is the md5
+    of the sep-joined shingle TEXT — 128-bit, replayable by DuckDB, but
+    each position materializes its k-token string in the scan stream
+    (~k× transient byte amplification; never shuffled — only the digest
+    moves).
+
+    ``digest="rolling"``: the shingle string is NEVER materialized —
+    each token pre-hashes once per channel (xxhash64 mod 2^20), and
+    each position folds its k-token window with a polynomial hash in
+    two independent channels packed into ONE long (see the constants
+    above for the collision bound).  The key is 8 bytes instead of a
+    32-char string, so the duplicate-detection aggregate and join
+    shuffle ~4× fewer key bytes too.  Spans found are equality-tested
+    against md5 mode; use rolling at scan-bound scale, md5 where the
+    DuckDB replay matters."""
+    if digest == "md5":
+        return toks.select(
+            id_col,
+            F.posexplode(_shingle_texts(k, sep)).alias("__pos", "__sh"),
+        ).withColumn("__key", F.md5(F.col("__sh"))).drop("__sh")
+    if digest != "rolling":
+        raise ValueError(f"digest must be 'md5' or 'rolling', got {digest!r}")
+    # stage the per-channel token-hash arrays in a projection FIRST:
+    # referencing a transform() expression inside the per-position
+    # lambda would re-evaluate it per position (O(n^2) token hashes
+    # per document — the staging rule test_plan_quality enforces)
+    staged = toks.select(
+        id_col,
+        F.transform(
+            "__arr",
+            lambda t: F.pmod(F.xxhash64(t, F.lit(1)), F.lit(_SPAN_TMOD)),
+        ).alias("__t1"),
+        F.transform(
+            "__arr",
+            lambda t: F.pmod(F.xxhash64(t, F.lit(2)), F.lit(_SPAN_TMOD)),
+        ).alias("__t2"),
+    )
+
+    def _fold(arr: Column, p: Column, mult: int, mod: int) -> Column:
+        return F.aggregate(
+            F.slice(arr, p + 1, k),
+            F.lit(0).cast("long"),
+            lambda acc, x: F.pmod(acc * mult + x, F.lit(mod)),
+        )
+
+    keys = F.transform(
+        F.sequence(F.lit(0), F.size("__t1") - k),
+        lambda p: _fold(F.col("__t1"), p, _SPAN_B1, _SPAN_M1) * _SPAN_M2
+        + _fold(F.col("__t2"), p, _SPAN_B2, _SPAN_M2),
+    )
+    return staged.select(
+        id_col, F.posexplode(keys).alias("__pos", "__key")
+    )
+
+
 def duplicate_spans(
     df: DataFrame,
     id_col: str,
@@ -1250,6 +1328,7 @@ def duplicate_spans(
     k: int = 8,
     min_count: int = 2,
     sep: str = " ",
+    digest: str = "md5",
 ) -> DataFrame:
     """MAXIMAL duplicated token spans — the exact-substring dedup
     formulation of Lee et al. 2022 ("Deduplicating Training Data Makes
@@ -1271,13 +1350,18 @@ def duplicate_spans(
 
     Scale shape: shingling is scan-fused (split + slice higher-order
     functions, no shuffle, no UDF); duplicate detection is ONE hash
-    aggregate keyed on the 128-bit md5 digest of the shingle (slim
-    fixed-width key, map-side partial combine absorbs hot boilerplate
-    shingles) + a shuffle join back on the digest (groupBy+join, not a
-    window over the shingle, so AQE's skew-split can break up a shingle
-    repeated millions of times); the island merge is one per-document
-    window.  Never materializes pairs — cost is linear in total
-    shingle occurrences, not Σ bucket².
+    aggregate keyed on the shingle digest (slim fixed-width key,
+    map-side partial combine absorbs hot boilerplate shingles) + a
+    shuffle join back on the digest (groupBy+join, not a window over
+    the shingle, so AQE's skew-split can break up a shingle repeated
+    millions of times); the island merge is one per-document window.
+    Never materializes pairs — cost is linear in total shingle
+    occurrences, not Σ bucket².  ``digest="md5"`` (default) hashes the
+    sep-joined shingle text — exact and DuckDB-replayable;
+    ``digest="rolling"`` folds pre-hashed tokens into a packed
+    two-channel polynomial long so the shingle string is never built
+    (see :func:`_span_shingle_keys` for the collision bound) — the
+    scan-stage mode for 100-TB corpora.
     """
     from pyspark.sql import Window
 
@@ -1285,10 +1369,7 @@ def duplicate_spans(
         # Pattern.quote-style literalization (handles embedded \E)
         F.col(id_col), F.split(F.col(text_col), _regex_literal(sep)).alias("__arr")
     ).where(F.size("__arr") >= k)
-    sh = toks.select(
-        id_col,
-        F.posexplode(_shingle_texts(k, sep)).alias("__pos", "__sh"),
-    ).withColumn("__key", F.md5(F.col("__sh"))).drop("__sh")
+    sh = _span_shingle_keys(toks, id_col, k, sep, digest)
     per_key = sh.groupBy("__key").agg(F.count(F.lit(1)).alias("__cnt"))
     dup = (
         sh.join(per_key, "__key")
@@ -1323,6 +1404,7 @@ def drop_duplicate_spans(
     min_count: int = 2,
     keep: str = "first",
     sep: str = " ",
+    digest: str = "md5",
 ) -> DataFrame:
     """Remove the duplicated spans found by :func:`duplicate_spans`
     from every document and reassemble the survivors in order.
@@ -1340,7 +1422,8 @@ def drop_duplicate_spans(
     unchanged).
 
     Scale shape: same single digest-keyed aggregate + join as
-    :func:`duplicate_spans`; covered positions explode only the
+    :func:`duplicate_spans` (and the same ``digest="rolling"`` mode —
+    shingle strings never materialized); covered positions explode only the
     REMOVABLE shingle occurrences (k× those rows, not the corpus) and
     dedup per document; reassembly is one doc-keyed aggregate over the
     token positions (sort_array of (pos, token) structs).  No UDFs.
@@ -1352,10 +1435,9 @@ def drop_duplicate_spans(
     toks = df.select(
         F.col(id_col), F.split(F.col(text_col), _regex_literal(sep)).alias("__arr")
     )
-    sh = toks.where(F.size("__arr") >= k).select(
-        id_col,
-        F.posexplode(_shingle_texts(k, sep)).alias("__pos", "__sh"),
-    ).withColumn("__key", F.md5(F.col("__sh"))).drop("__sh")
+    sh = _span_shingle_keys(
+        toks.where(F.size("__arr") >= k), id_col, k, sep, digest
+    )
     per_key = sh.groupBy("__key").agg(
         F.count(F.lit(1)).alias("__cnt"),
         F.min(F.struct(F.col(id_col), F.col("__pos"))).alias("__first"),

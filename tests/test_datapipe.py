@@ -2601,3 +2601,54 @@ def test_duplicate_spans_custom_sep_tokens_with_spaces(spark):
     # the duplicated spans are cut; survivors rejoin with '\n', not ' '
     assert cleaned[1] == "Z1" and cleaned[2] == "Z2"
     assert cleaned[3] == "a\nb c\nZ3" and cleaned[4] == "a\nb Qc\nZ4"
+
+
+def test_duplicate_spans_rolling_digest_equals_md5(spark):
+    """digest='rolling' (two-channel polynomial fold over pre-hashed
+    tokens, shingle string never materialized) must find the IDENTICAL
+    span sets and cleaned docs as the exact md5 digest — planted
+    repeats at several offsets, phases, and separators, plus a
+    random-corpus sweep."""
+    import random
+
+    from pedsnetdcc_spark.datapipe.dedup import (
+        drop_duplicate_spans,
+        duplicate_spans,
+    )
+
+    rng = random.Random(17)
+    vocab = [f"w{i}" for i in range(40)]
+    boiler = " ".join(vocab[7:19])  # a 12-token boilerplate run
+    rows = []
+    for i in range(60):
+        toks = [rng.choice(vocab) for _ in range(rng.randint(0, 30))]
+        if i % 4 == 0:  # plant the boilerplate at a random offset
+            at = rng.randint(0, len(toks))
+            toks[at:at] = boiler.split(" ")
+        rows.append((i, " ".join(toks)))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    for k in (3, 8):
+        want = {
+            tuple(r)
+            for r in duplicate_spans(df, "doc_id", k=k).collect()
+        }
+        got = {
+            tuple(r)
+            for r in duplicate_spans(
+                df, "doc_id", k=k, digest="rolling"
+            ).collect()
+        }
+        assert got == want, k
+    want_c = {
+        tuple(r)
+        for r in drop_duplicate_spans(df, "doc_id", k=4, keep="unique").collect()
+    }
+    got_c = {
+        tuple(r)
+        for r in drop_duplicate_spans(
+            df, "doc_id", k=4, keep="unique", digest="rolling"
+        ).collect()
+    }
+    assert got_c == want_c
+    with pytest.raises(ValueError):
+        duplicate_spans(df, "doc_id", digest="sha1")
