@@ -70,6 +70,33 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return read_table(spark, sf_dir, name)
 
 
+_SCRATCH_ROOTS: list[str] = []
+
+
+def _scratch_dir(prefix: str) -> str:
+    """mkdtemp + deferred cleanup: several queries return DataFrames
+    that LAZILY read from their scratch dir (streaming sinks, staged
+    TableStores, the Derby db), so the dir cannot be removed before the
+    caller collects — but leaving it leaks a dir per query run.  Roots
+    registered here are removed at interpreter exit, after every
+    possible collect.  (Queries whose result can be materialized
+    eagerly — bounded-row comparisons like ann_index_roundtrip — still
+    clean up inline instead.)"""
+    import atexit
+    import shutil
+    import tempfile
+
+    root = tempfile.mkdtemp(prefix=prefix)
+    if not _SCRATCH_ROOTS:
+        atexit.register(
+            lambda: [
+                shutil.rmtree(r, ignore_errors=True) for r in _SCRATCH_ROOTS
+            ]
+        )
+    _SCRATCH_ROOTS.append(root)
+    return root
+
+
 # ---------------------------------------------------------------------------
 # Flagship: pricing summary (scan → filter → hash aggregate; SURVEY §2.4).
 # Sums are ACCUMULATED in DECIMAL so Spark and the oracle agree bit-for-bit
@@ -537,7 +564,7 @@ def q_streaming_interval_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pedsnetdcc_spark.streaming.sync import incremental_interval_sync
 
     ev = _t(spark, sf_dir, "events").select("user_id", "ts")
-    root = tempfile.mkdtemp(prefix="pedsnetdcc_stream_sync_")
+    root = _scratch_dir("pedsnetdcc_stream_sync_")
     src, ckpt = f"{root}/src", f"{root}/ckpt"
     # two source files → two micro-batches under maxFilesPerTrigger=1
     ev.where(F.col("user_id") % 2 == 0).coalesce(1).write.mode(
@@ -607,7 +634,7 @@ def q_streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pedsnetdcc_spark.streaming.incremental import streaming_event_counts
 
     ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts", "event_type")
-    root = tempfile.mkdtemp(prefix="pedsnetdcc_stream_win_")
+    root = _scratch_dir("pedsnetdcc_stream_win_")
     src, ckpt, sink = f"{root}/src", f"{root}/ckpt", f"{root}/sink"
     ev.where(F.col("event_id") % 2 == 0).coalesce(1).write.mode(
         "append"
@@ -761,7 +788,7 @@ def q_streaming_interval_eras(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = ev.join(F.broadcast(uni), "user_id")
     lo, hi = ev.agg(F.min("start_ts"), F.max("start_ts")).first()
     mid = lo + (hi - lo) / 2
-    root = tempfile.mkdtemp(prefix="pedsnetdcc_stream_eras_")
+    root = _scratch_dir("pedsnetdcc_stream_eras_")
     src, ckpt, sink = f"{root}/src", f"{root}/ckpt", f"{root}/sink"
     # two source files in event-time order → two in-order micro-batches
     # under maxFilesPerTrigger=1.  FileStreamSource drains oldest-mtime
@@ -2497,7 +2524,7 @@ def q_streaming_lsh_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _capped_universe(
         _t(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id"
     )
-    root = tempfile.mkdtemp(prefix="pedsnetdcc_stream_lsh_")
+    root = _scratch_dir("pedsnetdcc_stream_lsh_")
     stage = f"{root}/stage"
     src, ckpt, sink = f"{root}/src", f"{root}/ckpt", f"{root}/sink"
     # ONE documents scan materializes the capped universe; the two
@@ -3967,7 +3994,7 @@ def q_lab_loinc_swap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_id").alias("measurement_id"),
         (F.col("value") * 2).alias("value_as_number"),
     )
-    store = TableStore(tempfile.mkdtemp(prefix="lab_loinc_"))
+    store = TableStore(_scratch_dir("lab_loinc_"))
     store.stage(measurement, "measurement")
     store.stage(updated, "updated_measurement")
     store.publish()
@@ -5526,7 +5553,7 @@ def q_csv_id_map_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pedsnetdcc_spark.operators.ids import IdAllocator
     from pedsnetdcc_spark.sources.csv_maps import map_external_ids
 
-    root = tempfile.mkdtemp(prefix="pedsnetdcc_csvmap_")
+    root = _scratch_dir("pedsnetdcc_csvmap_")
     pats = (
         _t(spark, sf_dir, "customer")
         .select(
@@ -5617,7 +5644,7 @@ def q_corpus_io_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select(F.lit(fmt).alias("format"), "*")
 
     docs = _t(spark, sf_dir, "documents")
-    root = tempfile.mkdtemp(prefix="pedsnetdcc_corpus_io_")
+    root = _scratch_dir("pedsnetdcc_corpus_io_")
 
     write_jsonl(docs, f"{root}/jsonl", compression="gzip", shards=4)
     jl = read_jsonl(spark, f"{root}/jsonl", docs.schema)
@@ -5679,7 +5706,7 @@ def q_streaming_wds_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").select(
         F.col("doc_id").cast("string").alias("doc_id"), "text"
     )
-    root = tempfile.mkdtemp(prefix="pedsnetdcc_stream_wds_")
+    root = _scratch_dir("pedsnetdcc_stream_wds_")
     src, ckpt, out = f"{root}/src", f"{root}/ckpt", f"{root}/out"
     # two source files → two micro-batches under maxFilesPerTrigger=1
     docs.where(F.col("doc_id").cast("long") % 2 == 0).coalesce(1).write.mode(
@@ -5770,7 +5797,7 @@ def q_publish_undo(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pedsnetdcc_spark.sources.io import TableStore
 
     region = _t(spark, sf_dir, "region")
-    root = tempfile.mkdtemp(prefix="pedsnetdcc_pub_")
+    root = _scratch_dir("pedsnetdcc_pub_")
     gen1 = TableStore(root)
     gen1.stage(region, "region")
     gen1.publish()
@@ -5846,7 +5873,7 @@ def q_generation_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_orderpriority")
         ).alias("o_orderpriority"),
     )
-    root = tempfile.mkdtemp(prefix="pedsnetdcc_gendiff_")
+    root = _scratch_dir("pedsnetdcc_gendiff_")
     store = TableStore(root)
     store.stage(old, "orders")
     store.publish()
@@ -5922,7 +5949,7 @@ def q_jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("total_acctbal"),
         )
     )
-    root = tempfile.mkdtemp(prefix="pedsnetdcc_jdbc_")
+    root = _scratch_dir("pedsnetdcc_jdbc_")
     url = f"jdbc:derby:{root}/db;create=true"
     write_jdbc_table(
         summary, url, "nation_summary", user="app", password="x",
