@@ -647,6 +647,19 @@ def simhash_band_pairs(
     # neutral on the true-pair-dense corpus (candidates ≈ true pairs
     # there) — kept because the distinct's worst-case input is now
     # bounded by the OUTPUT size, not the candidate count.
+    if probe_radius:
+        # Pin the MIH join to shuffle-hash with the BANDED side as the
+        # build side.  Catalyst's Generate (the explode) does not scale
+        # sizeInBytes, so both sides carry the SOURCE's estimate even
+        # though the probe side is (w+1)/num_bands ≈ 8x larger — and a
+        # signature table whose file size sits just under the broadcast
+        # threshold gets its multi-hundred-million-row probe stream
+        # STATICALLY broadcast (measured: 5.5M sigs from an 8.8 MB
+        # parquet -> a 4.7 GiB hashed relation -> OOM).  Shuffle-hash
+        # keeps the probe stream unsorted and unbroadcast at every
+        # scale and matches the measured MIH cost model (the probe
+        # shuffle IS the mode's cost; SCALE.md round 10/11).
+        a = a.hint("shuffle_hash")
     return (
         a.join(b2, ["band", "block"])
         .where(F.col("id_a") < F.col("id_b"))
@@ -1243,22 +1256,6 @@ def _shingle_texts(k: int, sep: str) -> Column:
     )
 
 
-# Rolling-digest channel constants for the span family: two independent
-# polynomial hashes over pre-hashed tokens, packed into one long.
-# Tokens hash mod 2^20 so acc*B + x stays far below 2^63 (acc < M ~
-# 2^31, B ~ 2^20 -> products ~ 2^51); M1/M2 are distinct primes just
-# under 2^31 so the packed key k1*M2 + k2 is injective and fits a
-# long.  Combined space M1*M2 ~ 4.6e18: at 5e9 corpus shingles the
-# expected number of colliding shingle PAIRS is ~3 (birthday bound) —
-# a handful of false duplicate positions corpus-wide, the usual
-# fingerprint-dedup trade (Lee et al. 2022 use a 64-bit suffix-automaton
-# fingerprint with the same property).  md5 mode stays the exact /
-# oracle-replayable digest.
-_SPAN_TMOD = 1 << 20
-_SPAN_B1, _SPAN_M1 = 1_048_573, 2_147_483_647
-_SPAN_B2, _SPAN_M2 = 1_048_583, 2_147_483_629
-
-
 def _span_shingle_keys(
     toks: DataFrame, id_col: str, k: int, sep: str, digest: str
 ) -> DataFrame:
@@ -1272,49 +1269,40 @@ def _span_shingle_keys(
     (~k× transient byte amplification; never shuffled — only the digest
     moves).
 
-    ``digest="rolling"``: the shingle string is NEVER materialized —
-    each token pre-hashes once per channel (xxhash64 mod 2^20), and
-    each position folds its k-token window with a polynomial hash in
-    two independent channels packed into ONE long (see the constants
-    above for the collision bound).  The key is 8 bytes instead of a
-    32-char string, so the duplicate-detection aggregate and join
-    shuffle ~4× fewer key bytes too.  Spans found are equality-tested
-    against md5 mode; use rolling at scan-bound scale, md5 where the
-    DuckDB replay matters."""
+    ``digest="xxh64"``: the shingle string is NEVER materialized — each
+    token pre-hashes ONCE (one interpreted pass over n tokens, not
+    n·k), and each position's key is the JVM-native xxhash64 of the
+    k-long SLICE of the token-hash array — fixed-width input, no
+    string building, and an 8-byte key so the dedup aggregate + join
+    shuffle ~4× fewer key bytes than md5's 32-char digest.  64-bit
+    space: at 5e9 corpus shingles the expected number of colliding
+    shingle PAIRS is < 1 (birthday bound) — the usual fingerprint-dedup
+    trade (Lee et al. 2022's 64-bit fingerprints share it).  Measured
+    at 500k docs (SCALE.md round 11): ties md5 at k=8, wins ~11% at
+    k=50 where the string path's byte amplification grows; a
+    two-channel interpreted polynomial fold was tried first and
+    measured SLOWER than both at every k (per-element interpreted
+    lambdas cost more than the strings they avoid) — native-width
+    hashing, not arithmetic cleverness, is what beats the string path.
+    Span sets are equality-tested against md5 mode."""
     if digest == "md5":
         return toks.select(
             id_col,
             F.posexplode(_shingle_texts(k, sep)).alias("__pos", "__sh"),
         ).withColumn("__key", F.md5(F.col("__sh"))).drop("__sh")
-    if digest != "rolling":
-        raise ValueError(f"digest must be 'md5' or 'rolling', got {digest!r}")
-    # stage the per-channel token-hash arrays in a projection FIRST:
-    # referencing a transform() expression inside the per-position
-    # lambda would re-evaluate it per position (O(n^2) token hashes
-    # per document — the staging rule test_plan_quality enforces)
+    if digest != "xxh64":
+        raise ValueError(f"digest must be 'md5' or 'xxh64', got {digest!r}")
+    # stage the token-hash array in a projection FIRST: referencing a
+    # transform() expression inside the per-position lambda would
+    # re-evaluate it per position (O(n^2) token hashes per document —
+    # the staging rule test_plan_quality enforces)
     staged = toks.select(
         id_col,
-        F.transform(
-            "__arr",
-            lambda t: F.pmod(F.xxhash64(t, F.lit(1)), F.lit(_SPAN_TMOD)),
-        ).alias("__t1"),
-        F.transform(
-            "__arr",
-            lambda t: F.pmod(F.xxhash64(t, F.lit(2)), F.lit(_SPAN_TMOD)),
-        ).alias("__t2"),
+        F.transform("__arr", lambda t: F.xxhash64(t)).alias("__th"),
     )
-
-    def _fold(arr: Column, p: Column, mult: int, mod: int) -> Column:
-        return F.aggregate(
-            F.slice(arr, p + 1, k),
-            F.lit(0).cast("long"),
-            lambda acc, x: F.pmod(acc * mult + x, F.lit(mod)),
-        )
-
     keys = F.transform(
-        F.sequence(F.lit(0), F.size("__t1") - k),
-        lambda p: _fold(F.col("__t1"), p, _SPAN_B1, _SPAN_M1) * _SPAN_M2
-        + _fold(F.col("__t2"), p, _SPAN_B2, _SPAN_M2),
+        F.sequence(F.lit(0), F.size("__th") - k),
+        lambda p: F.xxhash64(F.slice(F.col("__th"), p + 1, k)),
     )
     return staged.select(
         id_col, F.posexplode(keys).alias("__pos", "__key")
@@ -1358,10 +1346,10 @@ def duplicate_spans(
     Never materializes pairs — cost is linear in total shingle
     occurrences, not Σ bucket².  ``digest="md5"`` (default) hashes the
     sep-joined shingle text — exact and DuckDB-replayable;
-    ``digest="rolling"`` folds pre-hashed tokens into a packed
-    two-channel polynomial long so the shingle string is never built
-    (see :func:`_span_shingle_keys` for the collision bound) — the
-    scan-stage mode for 100-TB corpora.
+    ``digest="xxh64"`` hashes the k-long slice of the pre-hashed token
+    array JVM-natively so the shingle string is never built (see
+    :func:`_span_shingle_keys` for the collision bound and the measured
+    regime) — the scan-stage mode for 100-TB corpora.
     """
     from pyspark.sql import Window
 
@@ -1422,7 +1410,7 @@ def drop_duplicate_spans(
     unchanged).
 
     Scale shape: same single digest-keyed aggregate + join as
-    :func:`duplicate_spans` (and the same ``digest="rolling"`` mode —
+    :func:`duplicate_spans` (and the same ``digest="xxh64"`` mode —
     shingle strings never materialized); covered positions explode only the
     REMOVABLE shingle occurrences (k× those rows, not the corpus) and
     dedup per document; reassembly is one doc-keyed aggregate over the

@@ -2603,9 +2603,9 @@ def test_duplicate_spans_custom_sep_tokens_with_spaces(spark):
     assert cleaned[3] == "a\nb c\nZ3" and cleaned[4] == "a\nb Qc\nZ4"
 
 
-def test_duplicate_spans_rolling_digest_equals_md5(spark):
-    """digest='rolling' (two-channel polynomial fold over pre-hashed
-    tokens, shingle string never materialized) must find the IDENTICAL
+def test_duplicate_spans_xxh64_digest_equals_md5(spark):
+    """digest='xxh64' (JVM-native xxhash64 over the k-long slice of the
+    token-hash array, shingle string never materialized) must find the IDENTICAL
     span sets and cleaned docs as the exact md5 digest — planted
     repeats at several offsets, phases, and separators, plus a
     random-corpus sweep."""
@@ -2635,7 +2635,7 @@ def test_duplicate_spans_rolling_digest_equals_md5(spark):
         got = {
             tuple(r)
             for r in duplicate_spans(
-                df, "doc_id", k=k, digest="rolling"
+                df, "doc_id", k=k, digest="xxh64"
             ).collect()
         }
         assert got == want, k
@@ -2646,7 +2646,7 @@ def test_duplicate_spans_rolling_digest_equals_md5(spark):
     got_c = {
         tuple(r)
         for r in drop_duplicate_spans(
-            df, "doc_id", k=4, keep="unique", digest="rolling"
+            df, "doc_id", k=4, keep="unique", digest="xxh64"
         ).collect()
     }
     assert got_c == want_c
