@@ -574,12 +574,13 @@ def cmd_dup_spans(args: argparse.Namespace) -> int:
     if args.clean:
         out = drop_duplicate_spans(
             docs, args.id_col, args.text_col, k=args.k,
-            min_count=args.min_count, keep=args.keep,
+            min_count=args.min_count, keep=args.keep, sep=args.sep,
+            digest=args.digest,
         )
     else:
         out = duplicate_spans(
             docs, args.id_col, args.text_col, k=args.k,
-            min_count=args.min_count,
+            min_count=args.min_count, sep=args.sep, digest=args.digest,
         )
     _publish(spark, args.output, {args.table: out})
     return 0
@@ -1213,6 +1214,13 @@ def build_parser() -> argparse.ArgumentParser:
         help="write the cleaned corpus instead of the span report",
     )
     sp.add_argument("--keep", choices=("first", "unique"), default="first")
+    sp.add_argument("--sep", default=" ", help="token separator (literal)")
+    sp.add_argument(
+        "--digest", choices=("md5", "xxh64"), default="xxh64",
+        help="shingle digest: md5 (exact, oracle-replayable) or xxh64 "
+        "(native-width token-hash slices, the scan-stage mode — "
+        "measured faster at every k; see SCALE.md round 11)",
+    )
     sp.set_defaults(fn=cmd_dup_spans)
 
     sp = sub.add_parser("semantic-dedup", help="embedding cell dedup with canonical keep")
