@@ -1364,6 +1364,17 @@ def duplicate_spans(
         .where(F.col("__cnt") >= min_count)
         .select(id_col, "__pos")
     )
+    return _merge_span_islands(dup, id_col, k)
+
+
+def _merge_span_islands(dup: DataFrame, id_col: str, k: int) -> DataFrame:
+    """Gaps-and-islands merge of duplicated shingle START positions
+    ``(id, __pos)`` into maximal spans ``(id, span_start, span_end,
+    n_tokens)`` — positions whose shingles overlap or abut (gap ≤ k)
+    fuse; one per-document window, shared by :func:`duplicate_spans`
+    and the persisted-index form."""
+    from pyspark.sql import Window
+
     w = Window.partitionBy(id_col).orderBy("__pos")
     brk = F.when(
         F.col("__pos") - F.lag("__pos").over(w) <= k, F.lit(0)
@@ -1459,6 +1470,259 @@ def drop_duplicate_spans(
     )
     # left join from the full doc list so a document whose EVERY token
     # was covered keeps its row with an empty text_deduped
+    return (
+        toks.select(id_col, F.size("__arr").alias("__total"))
+        .join(survivors, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("__text"), F.lit("")).alias("text_deduped"),
+            F.coalesce(F.col("__kept"), F.lit(0)).alias("n_tokens"),
+            (F.col("__total") - F.coalesce(F.col("__kept"), F.lit(0))).alias(
+                "n_tokens_dropped"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Persisted span-digest index: incremental exact-substring dedup.
+#
+# The 100-TB pattern (FineWeb/Dolma dedup each new crawl dump against
+# everything already published): keep ONLY the per-shingle digest counts
+# as durable state — 8-32 bytes per DISTINCT shingle, not the corpus —
+# and dedup each new generation against that state without ever
+# re-scanning the old text.  The dedup-family twin of the persistent
+# IVF index (similarity.build_ivf_index): build offline, append each
+# generation as an atomic delta, compact when the delta pile grows,
+# query (= dedup new docs) against base ∪ deltas.
+# ---------------------------------------------------------------------------
+
+
+def build_span_index(
+    df: DataFrame,
+    path: str,
+    id_col: str,
+    text_col: str = "text",
+    k: int = 8,
+    sep: str = " ",
+    digest: str = "md5",
+) -> dict:
+    """Persist the span-dedup digest state of a corpus: one row per
+    DISTINCT k-token shingle digest with its occurrence count.
+
+    Layout under ``path``::
+
+        keys/            (__key, cnt)   — one parquet dir, key-clustered
+        keys_delta/gen=N/ ...           — per-generation appends
+        meta.json        (k, sep, digest, generations)
+
+    One hash aggregate over the corpus (map-side partial combine
+    absorbs hot boilerplate shingles) + one clustered write; the text
+    itself is never stored.  ``digest`` fixes the key family for the
+    index's whole life (meta-enforced): ``"xxh64"`` for production
+    (8-byte keys), ``"md5"`` where a DuckDB replay matters."""
+    import json as _json
+    import os as _os
+
+    from pedsnetdcc_spark.util import repartition_by_key
+
+    toks = df.select(
+        F.col(id_col), F.split(F.col(text_col), _regex_literal(sep)).alias("__arr")
+    ).where(F.size("__arr") >= k)
+    counts = (
+        _span_shingle_keys(toks, id_col, k, sep, digest)
+        .groupBy("__key")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    repartition_by_key(counts, "__key").write.mode("overwrite").parquet(
+        _os.path.join(path, "keys")
+    )
+    meta = {"k": k, "sep": sep, "digest": digest, "id_col": id_col}
+    with open(_os.path.join(path, "meta.json"), "w") as f:
+        _json.dump(meta, f, sort_keys=True)
+    return meta
+
+
+def _span_index_meta(path: str) -> dict:
+    import json as _json
+    import os as _os
+
+    with open(_os.path.join(path, "meta.json")) as f:
+        return _json.load(f)
+
+
+def append_span_index(df: DataFrame, path: str, text_col: str = "text") -> dict:
+    """Fold a NEW generation of documents into the index as an atomic
+    ``keys_delta/gen=N`` directory — per-key counts of the new docs
+    only, written to a dot-prefixed temp and renamed (a crashed append
+    leaves no readable partial; Spark's discovery ignores dot-paths).
+    The shingle parameters come from the index's meta, so an append can
+    never silently mix key families."""
+    import os as _os
+    import shutil as _shutil
+
+    from pedsnetdcc_spark.util import repartition_by_key
+
+    meta = _span_index_meta(path)
+    k, sep, digest = meta["k"], meta["sep"], meta["digest"]
+    id_col = meta["id_col"]
+    toks = df.select(
+        F.col(id_col), F.split(F.col(text_col), _regex_literal(sep)).alias("__arr")
+    ).where(F.size("__arr") >= k)
+    counts = (
+        _span_shingle_keys(toks, id_col, k, sep, digest)
+        .groupBy("__key")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    delta_root = _os.path.join(path, "keys_delta")
+    gens = (
+        [
+            int(g.split("=", 1)[1])
+            for g in _os.listdir(delta_root)
+            if g.startswith("gen=")
+        ]
+        if _os.path.isdir(delta_root)
+        else []
+    )
+    n = max(gens, default=-1) + 1
+    final = _os.path.join(delta_root, f"gen={n}")
+    tmp = _os.path.join(delta_root, f".tmp-gen-{n}")
+    _shutil.rmtree(tmp, ignore_errors=True)
+    repartition_by_key(counts, "__key").write.mode("overwrite").parquet(tmp)
+    _os.makedirs(delta_root, exist_ok=True)
+    _os.rename(tmp, final)
+    return {"generation": n}
+
+
+def _span_index_counts(spark, path: str) -> DataFrame:
+    """The index's current per-key counts: base ∪ deltas, summed."""
+    import os as _os
+
+    keys = spark.read.parquet(_os.path.join(path, "keys"))
+    delta = _os.path.join(path, "keys_delta")
+    if _os.path.isdir(delta):
+        keys = keys.unionByName(spark.read.parquet(delta).select("__key", "cnt"))
+    return keys.groupBy("__key").agg(F.sum("cnt").alias("cnt"))
+
+
+def compact_span_index(spark, path: str) -> dict:
+    """Fold the generation deltas back into the base keys — sum counts
+    per key, restore the one-directory key-clustered layout, swap by
+    rename (old layout or new, never half), drop the deltas.  Bounds
+    the per-query union fan-in the way compact_ivf_index does for
+    cells."""
+    import os as _os
+    import shutil as _shutil
+
+    from pedsnetdcc_spark.util import repartition_by_key
+
+    delta_dir = _os.path.join(path, "keys_delta")
+    gens = (
+        [g for g in _os.listdir(delta_dir) if g.startswith("gen=")]
+        if _os.path.isdir(delta_dir)
+        else []
+    )
+    if not gens:
+        return {"keys": None, "generations_folded": 0}
+    merged = _span_index_counts(spark, path)
+    keys_dir = _os.path.join(path, "keys")
+    tmp = _os.path.join(path, ".keys.compact.tmp")
+    _shutil.rmtree(tmp, ignore_errors=True)
+    repartition_by_key(merged, "__key").write.mode("overwrite").parquet(tmp)
+    old = _os.path.join(path, ".keys.old")
+    _shutil.rmtree(old, ignore_errors=True)
+    _os.rename(keys_dir, old)
+    _os.rename(tmp, keys_dir)
+    _shutil.rmtree(old, ignore_errors=True)
+    _shutil.rmtree(delta_dir, ignore_errors=True)
+    n = spark.read.parquet(keys_dir).count()
+    return {"keys": n, "generations_folded": len(gens)}
+
+
+def duplicate_spans_against_index(
+    df: DataFrame,
+    path: str,
+    text_col: str = "text",
+    min_count: int = 2,
+) -> DataFrame:
+    """Maximal duplicated token spans of NEW documents against a
+    persisted corpus: a position is duplicated when its shingle's
+    combined count — occurrences in the indexed corpus PLUS in the new
+    batch itself — reaches ``min_count``, so both cross-generation
+    repeats and repeats internal to the new batch surface.  Same output
+    contract as :func:`duplicate_spans`; the indexed corpus's text is
+    never read (only its slim digest counts).
+
+    Scale shape: one hash aggregate over the NEW batch + one join
+    against the index counts (left join — an unindexed shingle still
+    counts its in-batch occurrences) + the per-doc island window.  The
+    index side arrives key-clustered from the build/compact write."""
+    spark = df.sparkSession
+    meta = _span_index_meta(path)
+    k, sep, digest = meta["k"], meta["sep"], meta["digest"]
+    id_col = meta["id_col"]
+    toks = df.select(
+        F.col(id_col), F.split(F.col(text_col), _regex_literal(sep)).alias("__arr")
+    ).where(F.size("__arr") >= k)
+    sh = _span_shingle_keys(toks, id_col, k, sep, digest)
+    own = sh.groupBy("__key").agg(F.count(F.lit(1)).alias("__own"))
+    idx = _span_index_counts(spark, path).withColumnRenamed("cnt", "__idx")
+    combined = own.join(idx, "__key", "left").select(
+        "__key",
+        (F.col("__own") + F.coalesce(F.col("__idx"), F.lit(0))).alias("__cnt"),
+    )
+    dup = (
+        sh.join(combined, "__key")
+        .where(F.col("__cnt") >= min_count)
+        .select(id_col, "__pos")
+    )
+    return _merge_span_islands(dup, id_col, k)
+
+
+def drop_duplicate_spans_against_index(
+    df: DataFrame,
+    path: str,
+    text_col: str = "text",
+    min_count: int = 2,
+) -> DataFrame:
+    """Cut the spans :func:`duplicate_spans_against_index` finds and
+    reassemble each new document — existing-corpus-wins semantics: the
+    indexed occurrences are already published, so EVERY covered
+    position in the new batch is removed (the keep="first" survivor is
+    by construction in the old corpus whenever the index count is
+    non-zero; a shingle repeated only within the new batch keeps no
+    copy either, matching keep="unique" locally — the conservative
+    incremental-publish behavior).  Output contract matches
+    :func:`drop_duplicate_spans`."""
+    meta = _span_index_meta(path)
+    k, sep = meta["k"], meta["sep"]
+    id_col = meta["id_col"]
+    spans = duplicate_spans_against_index(
+        df, path, text_col=text_col, min_count=min_count
+    )
+    toks = df.select(
+        F.col(id_col), F.split(F.col(text_col), _regex_literal(sep)).alias("__arr")
+    )
+    covered = spans.select(
+        id_col,
+        F.explode(F.expr("sequence(span_start, span_end)")).alias("__pos"),
+    )
+    positions = toks.select(
+        id_col, F.posexplode(F.col("__arr")).alias("__pos", "__tok")
+    )
+    kept = positions.join(covered, [id_col, "__pos"], "left_anti")
+    survivors = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("__pos"), F.col("__tok")))
+                ),
+                lambda s: s["__tok"],
+            ),
+            sep,
+        ).alias("__text"),
+        F.count(F.lit(1)).alias("__kept"),
+    )
     return (
         toks.select(id_col, F.size("__arr").alias("__total"))
         .join(survivors, id_col, "left")

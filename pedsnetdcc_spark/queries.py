@@ -1999,6 +1999,138 @@ def q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "span_index_dedup",
+    # The persisted span-digest index (round 11): FineWeb-style
+    # incremental dedup — build the index on the 'published' half of
+    # the corpus (src0-3), fold src4 in as a generation append, compact,
+    # then dedup the NEW half (src5-9) against it without re-reading old
+    # text.  Combined counts (index + in-batch) equal corpus-wide
+    # counts, so the oracle replays the whole semantics from raw text:
+    # part='span' = maximal duplicated spans of new docs at combined
+    # count >= 2; part='clean' = new docs with EVERY covered position
+    # removed (existing-corpus-wins), folded to counts + md5.  The
+    # index runs digest='xxh64' — this row is the production key
+    # family's first hash gate (the duplicate_spans row gates md5).
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, source, string_split(text, ' ') AS arr FROM documents
+        WHERE source IN ('src0','src1','src2','src3','src4',
+                         'src5','src6','src7','src8','src9')
+    ),
+    sh AS (
+        SELECT doc_id, source, CAST(u.p AS BIGINT) AS p,
+               array_to_string(arr[u.p + 1 : u.p + 8], ' ') AS s
+        FROM toks, LATERAL (SELECT unnest(range(0, len(arr) - 7)) AS p) u
+        WHERE len(arr) >= 8
+    ),
+    cnts AS (SELECT s, COUNT(*) AS c FROM sh GROUP BY s),
+    dup AS (
+        SELECT doc_id, p FROM sh JOIN cnts USING (s)
+        WHERE source IN ('src5','src6','src7','src8','src9') AND c >= 2
+    ),
+    isl AS (
+        SELECT doc_id, p,
+               CASE WHEN p - lag(p) OVER w <= 8 THEN 0 ELSE 1 END AS brk
+        FROM dup WINDOW w AS (PARTITION BY doc_id ORDER BY p)
+    ),
+    grp AS (
+        SELECT doc_id, p,
+               SUM(brk) OVER (PARTITION BY doc_id ORDER BY p
+                              ROWS UNBOUNDED PRECEDING) AS g
+        FROM isl
+    ),
+    spans AS (
+        SELECT doc_id, MIN(p) AS span_start, MAX(p) + 7 AS span_end
+        FROM grp GROUP BY doc_id, g
+    ),
+    covered AS (
+        SELECT DISTINCT doc_id, q FROM (
+            SELECT doc_id, unnest(range(span_start, span_end + 1)) AS q
+            FROM spans
+        )
+    ),
+    newtoks AS (
+        SELECT doc_id, arr FROM toks
+        WHERE source IN ('src5','src6','src7','src8','src9')
+    ),
+    positions AS (
+        SELECT doc_id, unnest(arr) AS tok,
+               CAST(generate_subscripts(arr, 1) - 1 AS BIGINT) AS q
+        FROM newtoks
+    ),
+    kept AS (
+        SELECT po.doc_id, po.tok, po.q
+        FROM positions po LEFT JOIN covered c
+          ON c.doc_id = po.doc_id AND c.q = po.q
+        WHERE c.doc_id IS NULL
+    ),
+    clean AS (
+        SELECT doc_id, string_agg(tok, ' ' ORDER BY q) AS txt,
+               COUNT(*) AS n FROM kept GROUP BY doc_id
+    )
+    SELECT 'span' AS part, doc_id, span_start AS a, span_end AS b,
+           CAST(NULL AS VARCHAR) AS payload
+    FROM spans
+    UNION ALL
+    SELECT 'clean', t.doc_id, COALESCE(c.n, 0),
+           len(t.arr) - COALESCE(c.n, 0), md5(COALESCE(c.txt, ''))
+    FROM newtoks t LEFT JOIN clean c USING (doc_id)
+    """,
+)
+def q_span_index_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental exact-substring dedup against the persisted
+    span-digest index (dedup.build_span_index / append_span_index /
+    compact_span_index / duplicate_spans_against_index /
+    drop_duplicate_spans_against_index): the published half of the
+    corpus exists only as slim per-shingle digest counts (built on
+    src0-3, one generation append for src4, compacted back to one
+    key-clustered layout), and the new half (src5-9) dedups against
+    those counts plus its own — part='span' pins the maximal duplicated
+    spans, part='clean' the reassembled documents with every covered
+    position cut (existing-corpus-wins).  The index keys are the
+    production ``digest="xxh64"`` family (native token-hash-slice
+    hashing, shingle strings never materialized), so a hash match here
+    proves the whole incremental lifecycle AND the xxh64 digest agree
+    with the text-replayed semantics."""
+    import tempfile
+
+    from pedsnetdcc_spark.datapipe.dedup import (
+        append_span_index,
+        build_span_index,
+        compact_span_index,
+        drop_duplicate_spans_against_index,
+        duplicate_spans_against_index,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.where(F.col("source").isin("src0", "src1", "src2", "src3"))
+    gen1 = docs.where(F.col("source") == "src4")
+    new = docs.where(
+        F.col("source").isin("src5", "src6", "src7", "src8", "src9")
+    )
+    idx = _scratch_dir("pedsnetdcc_span_idx_")
+    build_span_index(base, idx, "doc_id", "text", k=8, digest="xxh64")
+    append_span_index(gen1, idx)
+    folded = compact_span_index(spark, idx)
+    assert folded["generations_folded"] == 1, folded
+    spans = duplicate_spans_against_index(new, idx, min_count=2).select(
+        F.lit("span").alias("part"),
+        "doc_id",
+        F.col("span_start").cast("long").alias("a"),
+        F.col("span_end").cast("long").alias("b"),
+        F.lit(None).cast("string").alias("payload"),
+    )
+    clean = drop_duplicate_spans_against_index(new, idx, min_count=2).select(
+        F.lit("clean").alias("part"),
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("a"),
+        F.col("n_tokens_dropped").cast("long").alias("b"),
+        F.md5(F.col("text_deduped")).alias("payload"),
+    )
+    return spans.unionByName(clean)
+
+
+@query(
     "line_dedup",
     # passage_dedup's chunking='sep' mode = C4/RefinedWeb line-level
     # dedup.  The corpus has no newlines, so both engines first insert
@@ -6118,6 +6250,11 @@ _QUERY_ORDER = [
     "interval_summary",
     "asof_backward",
     "ann_quantized_topk",
+    # -- 5: NEW below the cutoff — landed mid-round-11 with a full
+    #       DuckDB oracle (green in tests/test_oracle_parity.py every
+    #       session) but no driver verdict yet; due in the round-12
+    #       window like round 10's four ------------------------------
+    "span_index_dedup",
 ]
 
 # Round-11 window arithmetic: 4 never-scored tier-1 rows + 39 due
@@ -6132,10 +6269,11 @@ _QUERY_ORDER = [
 # 50/past-cutoff split are asserted below from the list itself so the
 # numbers cannot drift from the executed state.)
 _SCORING_WINDOW = 50
-assert len(_QUERY_ORDER) == 92 and len(set(_QUERY_ORDER)) == 92, (
+assert len(_QUERY_ORDER) == 93 and len(set(_QUERY_ORDER)) == 93, (
     f"registry drifted: {len(_QUERY_ORDER)} entries "
     f"({len(set(_QUERY_ORDER))} unique); the window-arithmetic comments "
-    "above assume 50 scored + 42 past the cutoff = 92"
+    "above assume 50 scored + 42 past the cutoff + 1 new below-cutoff "
+    "(span_index_dedup) = 93"
 )
 
 assert set(_QUERY_ORDER) == set(QUERIES), (

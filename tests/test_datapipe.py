@@ -2652,3 +2652,95 @@ def test_duplicate_spans_xxh64_digest_equals_md5(spark):
     assert got_c == want_c
     with pytest.raises(ValueError):
         duplicate_spans(df, "doc_id", digest="sha1")
+
+
+def test_span_index_incremental_equals_full_corpus(spark, tmp_path):
+    """Dedup-new-against-index must find EXACTLY the spans that a full
+    duplicate_spans over (old ∪ new) finds in the new docs — the
+    combined count (index + in-batch) reproduces the corpus-wide
+    min_count semantics without re-scanning old text.  Lifecycle: the
+    result is identical whether the index was built in one shot, or
+    built + appended, or compacted."""
+    import random
+
+    from pedsnetdcc_spark.datapipe.dedup import (
+        append_span_index,
+        build_span_index,
+        compact_span_index,
+        duplicate_spans,
+        duplicate_spans_against_index,
+    )
+
+    rng = random.Random(23)
+    vocab = [f"w{i}" for i in range(50)]
+    boiler = [f"b{i}" for i in range(10)]
+
+    def doc(i):
+        toks = [rng.choice(vocab) for _ in range(rng.randint(0, 25))]
+        if i % 3 == 0:
+            at = rng.randint(0, len(toks))
+            toks[at:at] = boiler
+        return " ".join(toks)
+
+    old_rows = [(i, doc(i)) for i in range(40)]
+    mid_rows = [(100 + i, doc(i)) for i in range(20)]
+    new_rows = [(200 + i, doc(i)) for i in range(30)]
+    old = spark.createDataFrame(old_rows, ["doc_id", "text"])
+    mid = spark.createDataFrame(mid_rows, ["doc_id", "text"])
+    new = spark.createDataFrame(new_rows, ["doc_id", "text"])
+    full = spark.createDataFrame(
+        old_rows + mid_rows + new_rows, ["doc_id", "text"]
+    )
+    want = {
+        tuple(r)
+        for r in duplicate_spans(full, "doc_id", k=4).collect()
+        if r["doc_id"] >= 200
+    }
+
+    idx = str(tmp_path / "span_idx")
+    build_span_index(old, idx, "doc_id", k=4, digest="xxh64")
+    append_span_index(mid, idx)
+    got_delta = {
+        tuple(r)
+        for r in duplicate_spans_against_index(new, idx).collect()
+    }
+    assert got_delta == want
+    folded = compact_span_index(spark, idx)
+    assert folded["generations_folded"] == 1
+    got_compacted = {
+        tuple(r)
+        for r in duplicate_spans_against_index(new, idx).collect()
+    }
+    assert got_compacted == want
+    # compacting an already-compacted index is a no-op
+    assert compact_span_index(spark, idx)["generations_folded"] == 0
+
+
+def test_span_index_drop_existing_wins(spark, tmp_path):
+    """drop_duplicate_spans_against_index removes EVERY covered
+    position of the new batch (the published corpus keeps the
+    survivor), reassembles with the index's separator, and passes
+    unaffected docs through unchanged."""
+    from pedsnetdcc_spark.datapipe.dedup import (
+        build_span_index,
+        drop_duplicate_spans_against_index,
+    )
+
+    old = spark.createDataFrame(
+        [(1, "a b c d e f")], ["doc_id", "text"]
+    )
+    new = spark.createDataFrame(
+        [
+            (2, "X a b c d Y"),   # 4-token repeat of the indexed doc
+            (3, "p q r s t u"),   # untouched
+        ],
+        ["doc_id", "text"],
+    )
+    idx = str(tmp_path / "span_idx2")
+    build_span_index(old, idx, "doc_id", k=4)
+    out = {
+        r["doc_id"]: (r["text_deduped"], r["n_tokens"], r["n_tokens_dropped"])
+        for r in drop_duplicate_spans_against_index(new, idx).collect()
+    }
+    assert out[2] == ("X Y", 2, 4)
+    assert out[3] == ("p q r s t u", 6, 0)
