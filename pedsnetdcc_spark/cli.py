@@ -932,6 +932,64 @@ def cmd_ann_compact(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_span_index(args: argparse.Namespace) -> int:
+    """Build (or append a generation to) the persisted span-digest
+    index (datapipe/dedup.build_span_index / append_span_index): the
+    published corpus's per-shingle digest counts — the durable state
+    incremental exact-substring dedup runs against."""
+    from pedsnetdcc_spark.datapipe.dedup import (
+        append_span_index,
+        build_span_index,
+    )
+
+    spark = _session(args)
+    df = _read(spark, args.input, args.table)
+    if args.append:
+        rep = append_span_index(df, args.index, text_col=args.text_col)
+    else:
+        rep = build_span_index(
+            df, args.index, args.id_col, args.text_col,
+            k=args.k, sep=args.sep, digest=args.digest,
+        )
+    print(json.dumps({"index": args.index, **rep}))
+    return 0
+
+
+def cmd_span_index_compact(args: argparse.Namespace) -> int:
+    """Fold generation deltas back into the span index's base keys."""
+    from pedsnetdcc_spark.datapipe.dedup import compact_span_index
+
+    spark = _session(args)
+    rep = compact_span_index(spark, args.index)
+    print(json.dumps({"index": args.index, **rep}))
+    return 0
+
+
+def cmd_span_dedup(args: argparse.Namespace) -> int:
+    """Incremental exact-substring dedup of NEW documents against a
+    span index: report the duplicated spans, or with --clean cut them
+    (existing-corpus-wins) and write the reassembled corpus."""
+    from pedsnetdcc_spark.datapipe.dedup import (
+        drop_duplicate_spans_against_index,
+        duplicate_spans_against_index,
+    )
+
+    spark = _session(args)
+    docs = _read(spark, args.input, args.table)
+    if args.clean:
+        out = drop_duplicate_spans_against_index(
+            docs, args.index, text_col=args.text_col,
+            min_count=args.min_count,
+        )
+    else:
+        out = duplicate_spans_against_index(
+            docs, args.index, text_col=args.text_col,
+            min_count=args.min_count,
+        )
+    _publish(spark, args.output, {args.table: out})
+    return 0
+
+
 def cmd_dataset_card(args: argparse.Namespace) -> int:
     """Compose the profiling/quality/dedup operators into a markdown
     dataset card — the human-readable summary published with a corpus
@@ -1430,6 +1488,48 @@ def build_parser() -> argparse.ArgumentParser:
     )
     sp.add_argument("--index", required=True, help="ann-index root dir")
     sp.set_defaults(fn=cmd_ann_compact)
+
+    sp = sub.add_parser(
+        "span-index",
+        help="build (or --append a generation to) the span-digest index",
+    )
+    sp.add_argument("--input", "-i", required=True, help="input namespace dir")
+    sp.add_argument("--index", required=True, help="index root dir")
+    sp.add_argument("--table", default="documents")
+    sp.add_argument("--id-col", default="doc_id")
+    sp.add_argument("--text-col", default="text")
+    sp.add_argument("--k", type=int, default=8, help="shingle length in tokens")
+    sp.add_argument("--sep", default=" ", help="token separator (literal)")
+    sp.add_argument("--digest", choices=("md5", "xxh64"), default="xxh64")
+    sp.add_argument(
+        "--append", action="store_true",
+        help="fold this table in as a new generation delta (shingle "
+        "parameters come from the index's meta)",
+    )
+    sp.set_defaults(fn=cmd_span_index)
+
+    sp = sub.add_parser(
+        "span-index-compact",
+        help="fold generation deltas back into the span index base",
+    )
+    sp.add_argument("--index", required=True, help="index root dir")
+    sp.set_defaults(fn=cmd_span_index_compact)
+
+    sp = sub.add_parser(
+        "span-dedup",
+        help="incremental exact-substring dedup against a span index "
+        "(report, or --clean to cut; existing corpus wins)",
+    )
+    ns(sp)
+    sp.add_argument("--index", required=True, help="index root dir")
+    sp.add_argument("--table", default="documents")
+    sp.add_argument("--text-col", default="text")
+    sp.add_argument("--min-count", type=int, default=2)
+    sp.add_argument(
+        "--clean", action="store_true",
+        help="write the cleaned corpus instead of the span report",
+    )
+    sp.set_defaults(fn=cmd_span_dedup)
 
     sp = sub.add_parser(
         "diff", help="what changed vs the previous published generation"

@@ -796,3 +796,48 @@ def test_cli_media_near_dup(spark, sf_dir, tmp_path):
     cl = {r["doc_id"]: r["cluster_id"] for r in surv}
     assert all(cl[i] == cl[i + 500] for i in range(15))
     shutil.rmtree(ns, ignore_errors=True)
+
+
+def test_cli_span_index_lifecycle(spark, sf_dir, tmp_path, capsys):
+    """span-index build -> --append -> span-index-compact -> span-dedup
+    (report + --clean): the incremental dedup CLI surface end to end."""
+    import json as _json
+    import shutil
+
+    from pedsnetdcc_spark.cli import main
+    from pedsnetdcc_spark.sources.io import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    old_ns, gen_ns, new_ns = tmp_path / "old", tmp_path / "gen", tmp_path / "new"
+    for d, pred in (
+        (old_ns, "doc_id % 3 = 0"),
+        (gen_ns, "doc_id % 3 = 1"),
+        (new_ns, "doc_id % 3 = 2"),
+    ):
+        d.mkdir()
+        docs.where(pred).write.parquet(str(d / "documents"))
+    idx = str(tmp_path / "idx")
+
+    assert main(["span-index", "-i", str(old_ns), "--index", idx]) == 0
+    assert main(["span-index", "-i", str(gen_ns), "--index", idx,
+                 "--append"]) == 0
+    assert main(["span-index-compact", "--index", idx]) == 0
+    rep = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["generations_folded"] == 1 and rep["keys"] > 0
+
+    out1 = tmp_path / "spans"
+    assert main(["span-dedup", "-i", str(new_ns), "-o", str(out1),
+                 "--index", idx]) == 0
+    spans = read_table(spark, str(out1 / "current"), "documents")
+    assert spans.count() > 0  # the corpus has planted near-dups
+    assert {"doc_id", "span_start", "span_end", "n_tokens"} <= set(spans.columns)
+
+    out2 = tmp_path / "clean"
+    assert main(["span-dedup", "-i", str(new_ns), "-o", str(out2),
+                 "--index", idx, "--clean"]) == 0
+    cleaned = read_table(spark, str(out2 / "current"), "documents")
+    n_new = docs.where("doc_id % 3 = 2").count()
+    assert cleaned.count() == n_new
+    assert cleaned.where("n_tokens_dropped > 0").count() > 0
+    for d in (old_ns, gen_ns, new_ns):
+        shutil.rmtree(d, ignore_errors=True)
