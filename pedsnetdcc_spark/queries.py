@@ -6268,6 +6268,11 @@ _QUERY_ORDER = [
 # part is free (tier-1 was never scored).  (The registry size and the
 # 50/past-cutoff split are asserted below from the list itself so the
 # numbers cannot drift from the executed state.)
+#
+# Round-12 window, PRE-FUNDED by this layout: the 42 tier-4 rows due
+# back + span_index_dedup (never scored) + the 7 keep-green flagships
+# = exactly 50.  Zero free slots, zero melts owed — the rotation just
+# has to execute.
 _SCORING_WINDOW = 50
 assert len(_QUERY_ORDER) == 93 and len(set(_QUERY_ORDER)) == 93, (
     f"registry drifted: {len(_QUERY_ORDER)} entries "
