@@ -1595,13 +1595,18 @@ def append_span_index(df: DataFrame, path: str, text_col: str = "text") -> dict:
 
 
 def _span_index_counts(spark, path: str) -> DataFrame:
-    """The index's current per-key counts: base ∪ deltas, summed."""
+    """The index's current per-key counts: base ∪ deltas, summed.  A
+    compacted index (no delta dir — the common serving state) skips the
+    re-aggregation entirely: the base is one-row-per-key by
+    construction, so the sum would be a full extra shuffle of the
+    largest table in the query for nothing."""
     import os as _os
 
     keys = spark.read.parquet(_os.path.join(path, "keys"))
     delta = _os.path.join(path, "keys_delta")
-    if _os.path.isdir(delta):
-        keys = keys.unionByName(spark.read.parquet(delta).select("__key", "cnt"))
+    if not _os.path.isdir(delta):
+        return keys
+    keys = keys.unionByName(spark.read.parquet(delta).select("__key", "cnt"))
     return keys.groupBy("__key").agg(F.sum("cnt").alias("cnt"))
 
 
