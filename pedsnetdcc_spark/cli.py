@@ -942,14 +942,35 @@ def cmd_span_index(args: argparse.Namespace) -> int:
         build_span_index,
     )
 
+    if args.append:
+        # the index's meta is authoritative for an append — an
+        # explicitly passed shingle flag would be silently ignored,
+        # so make the conflict loud (and fast: before any read)
+        explicit = [
+            name
+            for name, v in (
+                ("--k", args.k), ("--sep", args.sep),
+                ("--digest", args.digest), ("--id-col", args.id_col),
+            )
+            if v is not None
+        ]
+        if explicit:
+            raise SystemExit(
+                f"span-index --append takes its shingle parameters from "
+                f"the index's meta.json; drop {', '.join(explicit)}"
+            )
     spark = _session(args)
     df = _read(spark, args.input, args.table)
     if args.append:
         rep = append_span_index(df, args.index, text_col=args.text_col)
     else:
         rep = build_span_index(
-            df, args.index, args.id_col, args.text_col,
-            k=args.k, sep=args.sep, digest=args.digest,
+            df, args.index,
+            args.id_col if args.id_col is not None else "doc_id",
+            args.text_col,
+            k=args.k if args.k is not None else 8,
+            sep=args.sep if args.sep is not None else " ",
+            digest=args.digest if args.digest is not None else "xxh64",
         )
     print(json.dumps({"index": args.index, **rep}))
     return 0
@@ -1496,11 +1517,16 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--input", "-i", required=True, help="input namespace dir")
     sp.add_argument("--index", required=True, help="index root dir")
     sp.add_argument("--table", default="documents")
-    sp.add_argument("--id-col", default="doc_id")
+    # None defaults so --append can detect (and reject) explicitly
+    # passed shingle flags; build fills doc_id/8/' '/xxh64
+    sp.add_argument("--id-col", default=None, help="build default: doc_id")
     sp.add_argument("--text-col", default="text")
-    sp.add_argument("--k", type=int, default=8, help="shingle length in tokens")
-    sp.add_argument("--sep", default=" ", help="token separator (literal)")
-    sp.add_argument("--digest", choices=("md5", "xxh64"), default="xxh64")
+    sp.add_argument("--k", type=int, default=None,
+                    help="shingle length in tokens (build default: 8)")
+    sp.add_argument("--sep", default=None,
+                    help="token separator, literal (build default: ' ')")
+    sp.add_argument("--digest", choices=("md5", "xxh64"), default=None,
+                    help="build default: xxh64")
     sp.add_argument(
         "--append", action="store_true",
         help="fold this table in as a new generation delta (shingle "

@@ -1351,8 +1351,6 @@ def duplicate_spans(
     :func:`_span_shingle_keys` for the collision bound and the measured
     regime) — the scan-stage mode for 100-TB corpora.
     """
-    from pyspark.sql import Window
-
     toks = df.select(
         # Pattern.quote-style literalization (handles embedded \E)
         F.col(id_col), F.split(F.col(text_col), _regex_literal(sep)).alias("__arr")
@@ -1429,7 +1427,6 @@ def drop_duplicate_spans(
     """
     if keep not in ("first", "unique"):
         raise ValueError(f"keep must be 'first' or 'unique', got {keep!r}")
-    from pyspark.sql import Window  # noqa: F401  (parity with duplicate_spans)
 
     toks = df.select(
         F.col(id_col), F.split(F.col(text_col), _regex_literal(sep)).alias("__arr")
@@ -1520,9 +1517,17 @@ def build_span_index(
     absorbs hot boilerplate shingles) + one clustered write; the text
     itself is never stored.  ``digest`` fixes the key family for the
     index's whole life (meta-enforced): ``"xxh64"`` for production
-    (8-byte keys), ``"md5"`` where a DuckDB replay matters."""
+    (8-byte keys), ``"md5"`` where a DuckDB replay matters.
+
+    Building REPLACES the index wholesale: any existing keys, deltas,
+    and meta at ``path`` are removed first, so a rebuild can never mix
+    a fresh base with stale generation deltas or an old meta's shingle
+    parameters (counts inflated / key families mixed).  A crashed build
+    leaves a LOUDLY unreadable index (missing meta or uncommitted
+    keys), never a quietly wrong one — re-run the build."""
     import json as _json
     import os as _os
+    import shutil as _shutil
 
     from pedsnetdcc_spark.util import repartition_by_key
 
@@ -1534,12 +1539,15 @@ def build_span_index(
         .groupBy("__key")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+    _shutil.rmtree(path, ignore_errors=True)
     repartition_by_key(counts, "__key").write.mode("overwrite").parquet(
         _os.path.join(path, "keys")
     )
     meta = {"k": k, "sep": sep, "digest": digest, "id_col": id_col}
-    with open(_os.path.join(path, "meta.json"), "w") as f:
+    tmp_meta = _os.path.join(path, ".meta.json.tmp")
+    with open(tmp_meta, "w") as f:
         _json.dump(meta, f, sort_keys=True)
+    _os.replace(tmp_meta, _os.path.join(path, "meta.json"))
     return meta
 
 
@@ -1575,15 +1583,7 @@ def append_span_index(df: DataFrame, path: str, text_col: str = "text") -> dict:
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
     delta_root = _os.path.join(path, "keys_delta")
-    gens = (
-        [
-            int(g.split("=", 1)[1])
-            for g in _os.listdir(delta_root)
-            if g.startswith("gen=")
-        ]
-        if _os.path.isdir(delta_root)
-        else []
-    )
+    gens = [int(g.split("=", 1)[1]) for g in _span_index_gens(path)]
     n = max(gens, default=-1) + 1
     final = _os.path.join(delta_root, f"gen={n}")
     tmp = _os.path.join(delta_root, f".tmp-gen-{n}")
@@ -1594,18 +1594,50 @@ def append_span_index(df: DataFrame, path: str, text_col: str = "text") -> dict:
     return {"generation": n}
 
 
-def _span_index_counts(spark, path: str) -> DataFrame:
-    """The index's current per-key counts: base ∪ deltas, summed.  A
-    compacted index (no delta dir — the common serving state) skips the
-    re-aggregation entirely: the base is one-row-per-key by
-    construction, so the sum would be a full extra shuffle of the
-    largest table in the query for nothing."""
+def _span_index_gens(path: str) -> list[str]:
+    """The COMMITTED generation deltas (``gen=N`` dirs) — a crashed
+    append's dot-prefixed temp is invisible here, so a stranded temp
+    can neither be read nor make the delta dir look non-empty."""
     import os as _os
 
-    keys = spark.read.parquet(_os.path.join(path, "keys"))
     delta = _os.path.join(path, "keys_delta")
     if not _os.path.isdir(delta):
+        return []
+    return sorted(g for g in _os.listdir(delta) if g.startswith("gen="))
+
+
+def _span_index_counts(spark, path: str) -> DataFrame:
+    """The index's current per-key counts: base ∪ deltas, summed.  A
+    compacted index (no COMMITTED deltas — the common serving state;
+    a crashed append's stranded temp does not count) skips the
+    re-aggregation entirely: the base is one-row-per-key by
+    construction, so the sum would be a full extra shuffle of the
+    largest table in the query for nothing.  If a compaction crashed
+    between its two renames (base at ``.keys.old``, complete new base
+    at ``.keys.compact.tmp``), the swap is FINISHED here before
+    reading — the temp was fully written before the base moved aside,
+    so rolling forward is always safe."""
+    import os as _os
+    import shutil as _shutil
+
+    keys_dir = _os.path.join(path, "keys")
+    tmp = _os.path.join(path, ".keys.compact.tmp")
+    if not _os.path.isdir(keys_dir) and _os.path.isdir(tmp):
+        # crashed-compaction recovery: roll the swap forward.  The temp
+        # is complete by construction (the base only moves aside after
+        # it is fully written) and already CONTAINS every delta, so the
+        # delta dir — whichever name the crash left it under — must go.
+        _os.rename(tmp, keys_dir)
+        _shutil.rmtree(_os.path.join(path, ".keys.old"), ignore_errors=True)
+        _shutil.rmtree(_os.path.join(path, "keys_delta"), ignore_errors=True)
+        _shutil.rmtree(
+            _os.path.join(path, ".keys_delta.old"), ignore_errors=True
+        )
+    keys = spark.read.parquet(keys_dir)
+    gens = _span_index_gens(path)
+    if not gens:
         return keys
+    delta = _os.path.join(path, "keys_delta")
     keys = keys.unionByName(spark.read.parquet(delta).select("__key", "cnt"))
     return keys.groupBy("__key").agg(F.sum("cnt").alias("cnt"))
 
@@ -1613,33 +1645,40 @@ def _span_index_counts(spark, path: str) -> DataFrame:
 def compact_span_index(spark, path: str) -> dict:
     """Fold the generation deltas back into the base keys — sum counts
     per key, restore the one-directory key-clustered layout, swap by
-    rename (old layout or new, never half), drop the deltas.  Bounds
-    the per-query union fan-in the way compact_ivf_index does for
-    cells."""
+    rename, drop the deltas.  Bounds the per-query union fan-in the way
+    compact_ivf_index does for cells.
+
+    Crash-safety contract: the folded layout is FULLY written to a
+    dot-prefixed temp before anything moves; the base and the delta
+    dir are then renamed aside BEFORE the temp lands, so no reachable
+    crash state double-counts a delta (the folded temp already contains
+    it) or loses one (the delta only moves aside after the temp that
+    absorbed it is complete).  The one crash window with no ``keys/``
+    directory is rolled FORWARD by the next reader
+    (:func:`_span_index_counts`); dot-prefixed debris is invisible to
+    readers and swept by the next compaction."""
     import os as _os
     import shutil as _shutil
 
     from pedsnetdcc_spark.util import repartition_by_key
 
     delta_dir = _os.path.join(path, "keys_delta")
-    gens = (
-        [g for g in _os.listdir(delta_dir) if g.startswith("gen=")]
-        if _os.path.isdir(delta_dir)
-        else []
-    )
+    gens = _span_index_gens(path)
     if not gens:
         return {"keys": None, "generations_folded": 0}
     merged = _span_index_counts(spark, path)
     keys_dir = _os.path.join(path, "keys")
     tmp = _os.path.join(path, ".keys.compact.tmp")
-    _shutil.rmtree(tmp, ignore_errors=True)
-    repartition_by_key(merged, "__key").write.mode("overwrite").parquet(tmp)
     old = _os.path.join(path, ".keys.old")
-    _shutil.rmtree(old, ignore_errors=True)
+    delta_old = _os.path.join(path, ".keys_delta.old")
+    for stale in (tmp, old, delta_old):
+        _shutil.rmtree(stale, ignore_errors=True)
+    repartition_by_key(merged, "__key").write.mode("overwrite").parquet(tmp)
     _os.rename(keys_dir, old)
+    _os.rename(delta_dir, delta_old)
     _os.rename(tmp, keys_dir)
     _shutil.rmtree(old, ignore_errors=True)
-    _shutil.rmtree(delta_dir, ignore_errors=True)
+    _shutil.rmtree(delta_old, ignore_errors=True)
     n = spark.read.parquet(keys_dir).count()
     return {"keys": n, "generations_folded": len(gens)}
 
@@ -1700,7 +1739,7 @@ def drop_duplicate_spans_against_index(
     incremental-publish behavior).  Output contract matches
     :func:`drop_duplicate_spans`."""
     meta = _span_index_meta(path)
-    k, sep = meta["k"], meta["sep"]
+    sep = meta["sep"]
     id_col = meta["id_col"]
     spans = duplicate_spans_against_index(
         df, path, text_col=text_col, min_count=min_count

@@ -17,6 +17,7 @@ CDM configuration would.
 
 from __future__ import annotations
 
+import tempfile
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -84,7 +85,6 @@ def _scratch_dir(prefix: str) -> str:
     clean up inline instead.)"""
     import atexit
     import shutil
-    import tempfile
 
     root = tempfile.mkdtemp(prefix=prefix)
     if not _SCRATCH_ROOTS:
@@ -558,7 +558,6 @@ def q_streaming_interval_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
     be returned unexecuted); each invocation uses a fresh temp
     source/checkpoint/store, so repeat runs re-execute honestly."""
     import shutil
-    import tempfile
 
     from pedsnetdcc_spark.sources.io import TableStore
     from pedsnetdcc_spark.streaming.sync import incremental_interval_sync
@@ -629,7 +628,6 @@ def q_streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     Eager micro-batch execution inside the call, like
     `streaming_interval_sync`."""
     import shutil
-    import tempfile
 
     from pedsnetdcc_spark.streaming.incremental import streaming_event_counts
 
@@ -763,7 +761,6 @@ def q_streaming_interval_eras(spark: SparkSession, sf_dir: str) -> DataFrame:
     Eager micro-batch execution inside the call, like
     `streaming_interval_sync`."""
     import shutil
-    import tempfile
 
     from pedsnetdcc_spark.streaming.incremental import streaming_interval_eras
 
@@ -1095,7 +1092,6 @@ _ID_BASE = 1_000_000
     """,
 )
 def q_id_map_varchar_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
 
     customer = _t(spark, sf_dir, "customer").select(
         "c_custkey",
@@ -1129,7 +1125,6 @@ def q_id_map_varchar_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_id_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
 
     orders = _t(spark, sf_dir, "orders")
     customer = _t(spark, sf_dir, "customer")
@@ -2092,7 +2087,6 @@ def q_span_index_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashing, shingle strings never materialized), so a hash match here
     proves the whole incremental lifecycle AND the xxh64 digest agree
     with the text-replayed semantics."""
-    import tempfile
 
     from pedsnetdcc_spark.datapipe.dedup import (
         append_span_index,
@@ -2646,7 +2640,6 @@ def q_streaming_lsh_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     `minhash_lsh_portable`; NoTimeout state (the index IS the product)
     so no watermark negotiation is involved."""
     import shutil
-    import tempfile
 
     from pedsnetdcc_spark.streaming.incremental import streaming_lsh_near_dup
 
@@ -3212,7 +3205,6 @@ def q_ann_index_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows, bounded by the probe-set contract) so the scratch index
     directory can be removed before returning."""
     import shutil
-    import tempfile
 
     from pedsnetdcc_spark.datapipe.agreement import topk_recall_per_query
     from pedsnetdcc_spark.datapipe.similarity import (
@@ -3997,7 +3989,6 @@ def q_era_ids_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     reserve_negative + insert_missing.  Conflicting eras keep the master
     row (ON CONFLICT DO NOTHING), including its extent when the site
     derivation would merge differently."""
-    import tempfile
 
     from pedsnetdcc_spark.operators.ids import (
         IdAllocator,
@@ -4112,7 +4103,6 @@ def q_lab_loinc_swap(spark: SparkSession, sf_dir: str) -> DataFrame:
     TableStore generation swap; the result reads both tables back from
     the published namespace.  Events stand in for measurement; the
     'click' slice with doubled values for the package's update."""
-    import tempfile
 
     from pedsnetdcc_spark.plans.derivations import publish_updated_measurement
     from pedsnetdcc_spark.sources.io import TableStore
@@ -5680,7 +5670,6 @@ def q_csv_id_map_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return the OUTPUT CSV read back — not the in-memory map — so the
     sink format itself is under the hash gate.  Eager staging writes,
     like every TableStore entry; fresh temp dirs per call."""
-    import tempfile
 
     from pedsnetdcc_spark.operators.ids import IdAllocator
     from pedsnetdcc_spark.sources.csv_maps import map_external_ids
@@ -5759,7 +5748,6 @@ def q_corpus_io_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     (escaping, unicode, tar member framing), not merely row counts.
     Eager staging writes, fresh temp dirs per call, like the CSV
     round-trip."""
-    import tempfile
 
     from pedsnetdcc_spark.datapipe.dedup import portable_hash64
     from pedsnetdcc_spark.sources.jsonl import read_jsonl, write_jsonl
@@ -5828,7 +5816,6 @@ def q_streaming_wds_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic.  Eager micro-batch execution inside the call, like
     ``streaming_interval_sync``."""
     import shutil
-    import tempfile
 
     from pedsnetdcc_spark.sources.webdataset import (
         read_webdataset,
@@ -5924,7 +5911,6 @@ def q_publish_undo(spark: SparkSession, sf_dir: str) -> DataFrame:
     publish the good generation, publish a second (truncated) one over
     it, then UNDO — the returned read must be the original data
     bit-for-bit, which is exactly what the driver hash asserts."""
-    import tempfile
 
     from pedsnetdcc_spark.sources.io import TableStore
 
@@ -5986,7 +5972,6 @@ def q_generation_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     null-flagged xxhash64 signatures), the join shuffles only those
     slim columns, and unchanged keys — the overwhelming majority of a
     real cycle — never leave the join."""
-    import tempfile
 
     from pedsnetdcc_spark.operators.diff import diff_previous_generation
     from pedsnetdcc_spark.sources.io import TableStore
@@ -6048,7 +6033,6 @@ def q_jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale note: the partitioned read is the 100 TB contract — bounds +
     numPartitions turn the ingest into parallel range scans; Derby is
     the test double, Postgres differs only in URL/driver."""
-    import tempfile
 
     from pedsnetdcc_spark.sources.jdbc import read_jdbc_table, write_jdbc_table
 
@@ -6279,6 +6263,19 @@ assert len(_QUERY_ORDER) == 93 and len(set(_QUERY_ORDER)) == 93, (
     f"({len(set(_QUERY_ORDER))} unique); the window-arithmetic comments "
     "above assume 50 scored + 42 past the cutoff + 1 new below-cutoff "
     "(span_index_dedup) = 93"
+)
+# Pin the cutoff LOCATION, not just the total: the keep-green
+# flagships must be the last seven entries INSIDE the scoring window,
+# so any edit that silently shifts a row across the 50-entry boundary
+# fails here instead of drifting the scored/unscored split.
+assert _QUERY_ORDER[_SCORING_WINDOW - 7 : _SCORING_WINDOW] == [
+    "eras", "rollup_eras", "era_ids_pipeline", "cdm_transform",
+    "cdm_drug_era", "dedup_clusters", "near_dup_scorecard",
+], (
+    "scoring-window boundary drifted: positions "
+    f"{_SCORING_WINDOW - 7}..{_SCORING_WINDOW - 1} are "
+    f"{_QUERY_ORDER[_SCORING_WINDOW - 7:_SCORING_WINDOW]}, expected the "
+    "seven keep-green flagships closing the window"
 )
 
 assert set(_QUERY_ORDER) == set(QUERIES), (

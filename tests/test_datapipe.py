@@ -2744,3 +2744,68 @@ def test_span_index_drop_existing_wins(spark, tmp_path):
     }
     assert out[2] == ("X Y", 2, 4)
     assert out[3] == ("p q r s t u", 6, 0)
+
+
+def test_span_index_crash_states_are_safe(spark, tmp_path):
+    """Lifecycle crash windows must never yield quiet wrongness:
+    (a) a stranded append temp (crashed first append) is invisible —
+    queries still run and see only committed generations; (b) a
+    compaction that died between its renames (no keys/ dir) is rolled
+    FORWARD by the next reader with deltas removed exactly once; (c) a
+    rebuild over an index that still has deltas replaces the index
+    wholesale (stale generations cannot inflate counts)."""
+    import os
+    import shutil
+
+    from pedsnetdcc_spark.datapipe.dedup import (
+        append_span_index,
+        build_span_index,
+        duplicate_spans_against_index,
+    )
+
+    old = spark.createDataFrame([(1, "a b c d e f")], ["doc_id", "text"])
+    gen = spark.createDataFrame([(2, "g h i j k l")], ["doc_id", "text"])
+    new = spark.createDataFrame([(3, "a b c d X Y")], ["doc_id", "text"])
+    idx = str(tmp_path / "idx")
+    build_span_index(old, idx, "doc_id", k=4)
+
+    # (a) stranded append temp: simulate a crash mid-first-append
+    os.makedirs(os.path.join(idx, "keys_delta", ".tmp-gen-0"))
+    spans = duplicate_spans_against_index(new, idx).collect()
+    assert {(r["doc_id"], r["span_start"], r["span_end"]) for r in spans} == {
+        (3, 0, 3)
+    }
+
+    # (b) crashed compaction: full tmp written, base renamed aside,
+    # delta renamed aside, process died before tmp -> keys
+    append_span_index(gen, idx)
+    import pedsnetdcc_spark.datapipe.dedup as D
+
+    merged = D._span_index_counts(spark, idx)
+    from pedsnetdcc_spark.util import repartition_by_key
+
+    repartition_by_key(merged, "__key").write.mode("overwrite").parquet(
+        os.path.join(idx, ".keys.compact.tmp")
+    )
+    os.rename(os.path.join(idx, "keys"), os.path.join(idx, ".keys.old"))
+    os.rename(
+        os.path.join(idx, "keys_delta"), os.path.join(idx, ".keys_delta.old")
+    )
+    # next reader rolls the swap forward; gen's shingles are counted ONCE
+    new2 = spark.createDataFrame([(4, "g h i j Z Q")], ["doc_id", "text"])
+    spans2 = duplicate_spans_against_index(new2, idx).collect()
+    assert {(r["doc_id"], r["span_start"], r["span_end"]) for r in spans2} == {
+        (4, 0, 3)
+    }
+    assert os.path.isdir(os.path.join(idx, "keys"))
+    assert not os.path.isdir(os.path.join(idx, "keys_delta"))
+    assert not os.path.isdir(os.path.join(idx, ".keys.old"))
+
+    # (c) rebuild-in-place with leftover deltas: stale generations die
+    append_span_index(gen, idx)
+    build_span_index(old, idx, "doc_id", k=4)
+    assert not os.path.isdir(os.path.join(idx, "keys_delta"))
+    # gen's shingles are no longer indexed -> no cross-corpus span
+    spans3 = duplicate_spans_against_index(new2, idx).collect()
+    assert spans3 == []
+    shutil.rmtree(idx, ignore_errors=True)
