@@ -740,7 +740,10 @@ class IvfIndexHandle:
                 [r["centroid"] for r in pq_rows], dtype=np.float64
             ).reshape(m, k, -1)
         # ONE listing; the FileIndex (and its partition spec) is cached
-        # on this DataFrame and reused by every query plan
+        # on this DataFrame and reused by every query plan.  (A
+        # compaction that crashed between its renames is rolled forward
+        # first — see _recover_ivf_compaction.)
+        _recover_ivf_compaction(path)
         self.cells = spark.read.parquet(_os.path.join(path, "cells"))
         delta = _os.path.join(path, "cells_delta")
         if _os.path.isdir(delta):
@@ -1015,6 +1018,24 @@ def _append_ivf_epoch(batch_df: DataFrame, epoch_id: int, path: str) -> None:
     _os.rename(tmp, final)
 
 
+def _recover_ivf_compaction(path: str) -> None:
+    """Roll a crashed compaction FORWARD: if ``cells/`` is missing but
+    the fully-written ``.cells.compact.tmp`` exists (the temp is always
+    complete before the base moves aside), finish the swap and drop the
+    delta — whichever name the crash left it under; the temp already
+    contains every epoch, so removing it can never lose data and
+    keeping it would double-count."""
+    import os as _os
+    import shutil as _shutil
+
+    cells_dir = _os.path.join(path, "cells")
+    tmp = _os.path.join(path, ".cells.compact.tmp")
+    if not _os.path.isdir(cells_dir) and _os.path.isdir(tmp):
+        _os.rename(tmp, cells_dir)
+        for leftover in (".cells.old", "cells_delta", ".cells_delta.old"):
+            _shutil.rmtree(_os.path.join(path, leftover), ignore_errors=True)
+
+
 def compact_ivf_index(spark, path: str) -> dict:
     """Fold the streaming epoch deltas back into the base cells — the
     LSM compaction step: read base ∪ delta, re-cluster by cell (one
@@ -1023,17 +1044,20 @@ def compact_ivf_index(spark, path: str) -> dict:
     Assignments are already consistent (the append path froze the
     codebook), so compaction is pure layout maintenance: it bounds the
     handle's listing cost (epochs × cells directories shrink back to
-    cells) and restores one-file-per-cell reads.  The swap is
-    rename-based: the new layout is fully written to a dot-prefixed
-    temp before the base moves aside, so a crash leaves either the old
-    complete layout or the new one plus debris — never a half layout
-    (debris dirs are dot-prefixed and invisible to readers).  Returns
+    cells) and restores one-file-per-cell reads.  Crash-safety
+    contract (matched with dedup.compact_span_index, round 11): the
+    folded layout is FULLY written to a dot-prefixed temp before
+    anything moves, and the delta dir is renamed aside BEFORE the temp
+    lands — so no reachable crash state double-counts an epoch (the
+    temp already contains it) or loses one; the single no-``cells/``
+    window is rolled forward by the next open/compact.  Returns
     ``{"cells": n, "rows": m, "epochs_folded": e}``."""
     import os as _os
     import shutil as _shutil
 
     from pedsnetdcc_spark.util import repartition_by_key
 
+    _recover_ivf_compaction(path)
     cells_dir = _os.path.join(path, "cells")
     delta_dir = _os.path.join(path, "cells_delta")
     epochs = (
@@ -1047,16 +1071,18 @@ def compact_ivf_index(spark, path: str) -> dict:
     delta = spark.read.parquet(delta_dir).drop("epoch")
     merged = base.unionByName(delta)
     tmp = _os.path.join(path, ".cells.compact.tmp")
-    _shutil.rmtree(tmp, ignore_errors=True)
+    old = _os.path.join(path, ".cells.old")
+    delta_old = _os.path.join(path, ".cells_delta.old")
+    for stale in (tmp, old, delta_old):
+        _shutil.rmtree(stale, ignore_errors=True)
     repartition_by_key(merged, "centroid_id").write.mode(
         "overwrite"
     ).partitionBy("centroid_id").parquet(tmp)
-    old = _os.path.join(path, ".cells.old")
-    _shutil.rmtree(old, ignore_errors=True)
     _os.rename(cells_dir, old)
+    _os.rename(delta_dir, delta_old)
     _os.rename(tmp, cells_dir)
     _shutil.rmtree(old, ignore_errors=True)
-    _shutil.rmtree(delta_dir, ignore_errors=True)
+    _shutil.rmtree(delta_old, ignore_errors=True)
     compacted = spark.read.parquet(cells_dir)
     n_cells = compacted.select("centroid_id").distinct().count()
     return {

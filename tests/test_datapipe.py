@@ -2809,3 +2809,60 @@ def test_span_index_crash_states_are_safe(spark, tmp_path):
     spans3 = duplicate_spans_against_index(new2, idx).collect()
     assert spans3 == []
     shutil.rmtree(idx, ignore_errors=True)
+
+
+def test_ivf_compaction_crash_states_roll_forward(spark, emb, tmp_path):
+    """A compaction that died between its renames (complete folded temp
+    written, cells/ moved aside) must be rolled FORWARD by the next
+    open or compact — with the delta counted exactly once — and a
+    post-swap crash (delta already renamed aside) must not double-count
+    epochs (round-11 hardening, matched with the span index)."""
+    import os
+
+    from pedsnetdcc_spark.datapipe.similarity import (
+        build_ivf_index,
+        compact_ivf_index,
+        open_ivf_index,
+        stream_ivf_index_append,
+    )
+
+    root = str(tmp_path / "ivf_crash")
+    base = emb.where(F.col("vec_id") % 5 != 0)
+    newv = emb.select("vec_id", "embedding").where(F.col("vec_id") % 5 == 0)
+    build_ivf_index(base, root, n_centroids=8, assign="flat", seed=3)
+    src, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
+    newv.coalesce(1).write.parquet(src)
+    q = (
+        stream_ivf_index_append(
+            spark.readStream.schema("vec_id long, embedding array<float>")
+            .parquet(src),
+            root,
+        )
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300)
+    total = emb.count()
+
+    # simulate the crash: fold fully to tmp, move base + delta aside,
+    # die before tmp -> cells
+    from pedsnetdcc_spark.util import repartition_by_key
+
+    merged = spark.read.parquet(f"{root}/cells").unionByName(
+        spark.read.parquet(f"{root}/cells_delta").drop("epoch")
+    )
+    repartition_by_key(merged, "centroid_id").write.mode(
+        "overwrite"
+    ).partitionBy("centroid_id").parquet(f"{root}/.cells.compact.tmp")
+    os.rename(f"{root}/cells", f"{root}/.cells.old")
+    os.rename(f"{root}/cells_delta", f"{root}/.cells_delta.old")
+
+    # next open rolls forward; every vector exactly once
+    handle = open_ivf_index(spark, root)
+    assert handle.cells.count() == total
+    assert handle.cells.select("vec_id").distinct().count() == total
+    assert os.path.isdir(f"{root}/cells")
+    assert not os.path.isdir(f"{root}/cells_delta")
+    # and a compact on the recovered index is a clean no-op
+    assert compact_ivf_index(spark, root)["epochs_folded"] == 0
