@@ -149,14 +149,79 @@ def _isolated_pass(timings: dict[str, float]) -> dict[str, dict]:
     return out
 
 
+def _marker(text: str) -> None:
+    """Write an attribution marker onto fd 2 (the redirected stderr
+    log).  The JVM inherits fd 2 at launch, so everything it prints —
+    progress bars, log4j output, async-thread stack traces — lands in
+    the log under the most recent marker.  Attribution is approximate
+    for ASYNC writers (a streaming/shutdown thread can emit after the
+    next marker), which is exactly the round-11 artifact problem this
+    solves: the trace is at least captured, named, and kept OUT of the
+    recorded stdout tail."""
+    try:
+        os.write(2, f"\n=== bench marker: {text} ===\n".encode())
+    except OSError:
+        pass
+
+
+# Exception HEADERS only — "\tat ..." frame lines are continuations of
+# the same exception and would inflate one benign trace into hundreds
+# of "exceptions" (a caught FileNotFoundException's stack is ~80 frames)
+_EXC_RE = re.compile(
+    r"(Exception|Traceback \(most recent call last\)|^\w+Error[:\s])"
+)
+
+
+def _summarize_stderr_log(path: str) -> dict[str, int]:
+    """Group exception headers in the redirected stderr log by the
+    marker they fell under — the self-explaining replacement for the
+    unattributed trace fragment BENCH_r11's tail carried.  Returns
+    {marker: n_exceptions}, empty when the log is clean."""
+    counts: dict[str, int] = {}
+    marker = "startup"
+    try:
+        with open(path, errors="replace") as f:
+            for line in f:
+                m = re.match(r"^=== bench marker: (.+) ===$", line.strip())
+                if m:
+                    marker = m.group(1)
+                elif _EXC_RE.search(line):
+                    counts[marker] = counts.get(marker, 0) + 1
+    except OSError:
+        pass
+    return counts
+
+
 def main() -> None:
     sf_dir = _sf_dir()
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1).rstrip(".")) if m else None
 
+    # Redirect fd 2 to a log file BEFORE the JVM launches (it inherits
+    # the fd): Spark progress bars, log4j noise, and — the round-11
+    # artifact problem — benign async shutdown stack traces must never
+    # reach the recorded stdout/stderr tail unattributed.  Exception
+    # lines in the log are summarized per-marker in the JSON output.
+    repo_dir = os.path.dirname(os.path.abspath(__file__))
+    stderr_log = os.path.join(repo_dir, "BENCH_STDERR.log")
+    orig_fd2 = os.dup(2)
+    log_fd = os.open(stderr_log, os.O_CREAT | os.O_TRUNC | os.O_WRONLY)
+    os.dup2(log_fd, 2)
+    os.close(log_fd)
+    try:
+        _main_timed(sf_dir, sf, stderr_log)
+    finally:
+        # restore the real stderr so a crash after this point (and the
+        # interpreter's own teardown messages) stay visible
+        os.dup2(orig_fd2, 2)
+        os.close(orig_fd2)
+
+
+def _main_timed(sf_dir: str, sf: float | None, stderr_log: str) -> None:
     from pedsnetdcc_spark.queries import QUERIES
     from pedsnetdcc_spark.session import build_session
 
+    _marker("session start")
     spark = build_session(app_name="pedsnetdcc_spark_bench")
     # warm the JVM/IO path once so per-query numbers measure the queries
     next(iter(QUERIES.values()))(spark, sf_dir).count()
@@ -170,6 +235,7 @@ def main() -> None:
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
     timings: dict[str, float] = {}
     for name, fn in QUERIES.items():
+        _marker(name)
         # collect garbage OUTSIDE the timed window: across ~90 queries
         # the JVM otherwise amortizes old-gen collections into whichever
         # query happens to trigger them, charging one query for the
@@ -183,6 +249,7 @@ def main() -> None:
             print(f"bench: {name} failed: {exc!r}", file=sys.stderr)
             timings[name] = -1.0
             spark.catalog.clearCache()
+    _marker("session shutdown")
     spark.stop()
 
     out = {
@@ -196,7 +263,17 @@ def main() -> None:
         "sf": sf,
     }
     if os.environ.get("SPARK_GRAFT_BENCH_ISOLATED", "1") != "0":
+        _marker("isolated pass")
         out["isolated"] = _isolated_pass(timings)
+    _marker("end")
+    exc = _summarize_stderr_log(stderr_log)
+    if exc:
+        # attributed, bounded: which phase/query the exception lines
+        # fell under and how many — the raw text stays in the log file.
+        # "session shutdown" / "isolated pass" entries are the benign
+        # async-teardown noise class BENCH_r11's tail carried raw.
+        out["stderr_exceptions"] = exc
+        out["stderr_log"] = os.path.basename(stderr_log)
 
     # Full detail (all queries, 3-decimal, isolated block) goes to a
     # file; stdout gets ONE line guaranteed to fit in a 2000-char
@@ -242,6 +319,13 @@ def _compact_line(out: dict, budget: int = 1850) -> dict:
         compact["isolated"] = {
             k: round(v["best"], 2) for k, v in out["isolated"].items()
         }
+    if out.get("stderr_exceptions"):
+        # attributed JVM-noise summary (full text in BENCH_STDERR.log):
+        # the recorded tail must never carry an unexplained trace again
+        compact["stderr_exceptions"] = dict(
+            sorted(out["stderr_exceptions"].items(), key=lambda kv: -kv[1])[:5]
+        )
+        compact["stderr_log"] = out["stderr_log"]
     omitted: list[float] = []
     while len(json.dumps(compact, separators=(",", ":"))) > budget and compact["queries"]:
         name, sec = min(compact["queries"].items(), key=lambda kv: kv[1])

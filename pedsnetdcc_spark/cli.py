@@ -971,6 +971,7 @@ def cmd_span_index(args: argparse.Namespace) -> int:
             k=args.k if args.k is not None else 8,
             sep=args.sep if args.sep is not None else " ",
             digest=args.digest if args.digest is not None else "xxh64",
+            force=args.force,
         )
     print(json.dumps({"index": args.index, **rep}))
     return 0
@@ -1531,6 +1532,11 @@ def build_parser() -> argparse.ArgumentParser:
         "--append", action="store_true",
         help="fold this table in as a new generation delta (shingle "
         "parameters come from the index's meta)",
+    )
+    sp.add_argument(
+        "--force", action="store_true",
+        help="build only: replace a non-empty --index directory that "
+        "does not look like a span index (default: refuse)",
     )
     sp.set_defaults(fn=cmd_span_index)
 

@@ -1503,6 +1503,7 @@ def build_span_index(
     k: int = 8,
     sep: str = " ",
     digest: str = "md5",
+    force: bool = False,
 ) -> dict:
     """Persist the span-dedup digest state of a corpus: one row per
     DISTINCT k-token shingle digest with its occurrence count.
@@ -1524,13 +1525,34 @@ def build_span_index(
     a fresh base with stale generation deltas or an old meta's shingle
     parameters (counts inflated / key families mixed).  A crashed build
     leaves a LOUDLY unreadable index (missing meta or uncommitted
-    keys), never a quietly wrong one — re-run the build."""
+    keys), never a quietly wrong one — re-run the build.
+
+    Because the replace is destructive, a ``path`` that already exists,
+    is non-empty, and does NOT look like a span index (no ``meta.json``
+    and no crashed-build/compaction debris) is REFUSED unless
+    ``force=True`` — so an operator who transposes the corpus and index
+    arguments (or points the CLI verb at a data directory) cannot
+    silently delete it."""
     import json as _json
     import os as _os
     import shutil as _shutil
 
     from pedsnetdcc_spark.util import repartition_by_key
 
+    if not force and _os.path.isdir(path) and _os.listdir(path):
+        # A real index always has meta.json; a crashed build/compaction
+        # leaves keys/ or dot-prefixed debris.  Anything else is some
+        # other directory the caller almost certainly did not mean.
+        looks_like_index = any(
+            _os.path.exists(_os.path.join(path, p))
+            for p in ("meta.json", "keys", ".keys.compact.tmp")
+        )
+        if not looks_like_index:
+            raise ValueError(
+                f"refusing to replace {path!r}: it exists, is non-empty, "
+                "and does not look like a span index (no meta.json). "
+                "Pass force=True (CLI: --force) to overwrite it anyway."
+            )
     toks = df.select(
         F.col(id_col), F.split(F.col(text_col), _regex_literal(sep)).alias("__arr")
     ).where(F.size("__arr") >= k)
@@ -1559,19 +1581,65 @@ def _span_index_meta(path: str) -> dict:
         return _json.load(f)
 
 
+def _recover_span_compaction(path: str, recover: bool = True) -> None:
+    """Roll a crashed compaction FORWARD: if ``keys/`` is missing but
+    the fully-written ``.keys.compact.tmp`` exists (the temp is always
+    complete before the base moves aside), finish the swap and drop the
+    delta — whichever name the crash left it under; the temp already
+    contains every generation, so removing it can never lose data and
+    keeping it would double-count.  EVERY lifecycle entry point (read,
+    append, compact) runs this first, so no writer can commit a new
+    generation into a delta dir that a later recovery would delete.
+
+    ``recover=False`` (for read-only mounts) raises instead of
+    mutating when the crashed state is present."""
+    import os as _os
+    import shutil as _shutil
+
+    keys_dir = _os.path.join(path, "keys")
+    tmp = _os.path.join(path, ".keys.compact.tmp")
+    if _os.path.isdir(keys_dir) or not _os.path.isdir(tmp):
+        return
+    if not recover:
+        raise RuntimeError(
+            f"span index at {path!r} has a crashed compaction (keys/ "
+            "missing, .keys.compact.tmp complete) and recover=False was "
+            "requested; run compact_span_index (or any read with "
+            "recover=True) on a writable mount to roll the swap forward"
+        )
+    _os.rename(tmp, keys_dir)
+    _shutil.rmtree(_os.path.join(path, ".keys.old"), ignore_errors=True)
+    _shutil.rmtree(_os.path.join(path, "keys_delta"), ignore_errors=True)
+    _shutil.rmtree(_os.path.join(path, ".keys_delta.old"), ignore_errors=True)
+
+
 def append_span_index(df: DataFrame, path: str, text_col: str = "text") -> dict:
     """Fold a NEW generation of documents into the index as an atomic
     ``keys_delta/gen=N`` directory — per-key counts of the new docs
     only, written to a dot-prefixed temp and renamed (a crashed append
     leaves no readable partial; Spark's discovery ignores dot-paths).
     The shingle parameters come from the index's meta, so an append can
-    never silently mix key families."""
+    never silently mix key families.
+
+    A compaction that crashed in its no-``keys/`` window is rolled
+    forward FIRST (:func:`_recover_span_compaction`) — otherwise this
+    append could commit ``gen=N`` into a ``keys_delta`` whose contents
+    the next reader's recovery is contractually required to delete,
+    silently losing the generation.
+
+    SINGLE-WRITER contract: at most one ``append_span_index`` (or
+    ``compact_span_index``) may run against an index at a time.  Two
+    appends that race the same generation number fail LOUDLY — the
+    loser's ``os.rename`` onto the winner's committed non-empty
+    ``gen=N`` directory raises — never silently corrupt; serialize
+    writers externally (the reference serializes DDL the same way)."""
     import os as _os
     import shutil as _shutil
 
     from pedsnetdcc_spark.util import repartition_by_key
 
     meta = _span_index_meta(path)
+    _recover_span_compaction(path)
     k, sep, digest = meta["k"], meta["sep"], meta["digest"]
     id_col = meta["id_col"]
     toks = df.select(
@@ -1606,7 +1674,7 @@ def _span_index_gens(path: str) -> list[str]:
     return sorted(g for g in _os.listdir(delta) if g.startswith("gen="))
 
 
-def _span_index_counts(spark, path: str) -> DataFrame:
+def _span_index_counts(spark, path: str, recover: bool = True) -> DataFrame:
     """The index's current per-key counts: base ∪ deltas, summed.  A
     compacted index (no COMMITTED deltas — the common serving state;
     a crashed append's stranded temp does not count) skips the
@@ -1615,25 +1683,13 @@ def _span_index_counts(spark, path: str) -> DataFrame:
     largest table in the query for nothing.  If a compaction crashed
     between its two renames (base at ``.keys.old``, complete new base
     at ``.keys.compact.tmp``), the swap is FINISHED here before
-    reading — the temp was fully written before the base moved aside,
-    so rolling forward is always safe."""
+    reading (:func:`_recover_span_compaction`) — note this means a
+    read can perform recovery WRITES; pass ``recover=False`` on a
+    read-only mount to raise loudly instead of mutating."""
     import os as _os
-    import shutil as _shutil
 
-    keys_dir = _os.path.join(path, "keys")
-    tmp = _os.path.join(path, ".keys.compact.tmp")
-    if not _os.path.isdir(keys_dir) and _os.path.isdir(tmp):
-        # crashed-compaction recovery: roll the swap forward.  The temp
-        # is complete by construction (the base only moves aside after
-        # it is fully written) and already CONTAINS every delta, so the
-        # delta dir — whichever name the crash left it under — must go.
-        _os.rename(tmp, keys_dir)
-        _shutil.rmtree(_os.path.join(path, ".keys.old"), ignore_errors=True)
-        _shutil.rmtree(_os.path.join(path, "keys_delta"), ignore_errors=True)
-        _shutil.rmtree(
-            _os.path.join(path, ".keys_delta.old"), ignore_errors=True
-        )
-    keys = spark.read.parquet(keys_dir)
+    _recover_span_compaction(path, recover=recover)
+    keys = spark.read.parquet(_os.path.join(path, "keys"))
     gens = _span_index_gens(path)
     if not gens:
         return keys
@@ -1656,12 +1712,19 @@ def compact_span_index(spark, path: str) -> dict:
     absorbed it is complete).  The one crash window with no ``keys/``
     directory is rolled FORWARD by the next reader
     (:func:`_span_index_counts`); dot-prefixed debris is invisible to
-    readers and swept by the next compaction."""
+    readers and swept by the next compaction.
+
+    A PREVIOUS compaction's crash is rolled forward before the
+    generation listing (mirroring ``compact_ivf_index``), so a crashed
+    index compacts as a clean no-op instead of raising mid-swap on a
+    delta dir the recovery just removed.  Single-writer contract: see
+    :func:`append_span_index`."""
     import os as _os
     import shutil as _shutil
 
     from pedsnetdcc_spark.util import repartition_by_key
 
+    _recover_span_compaction(path)
     delta_dir = _os.path.join(path, "keys_delta")
     gens = _span_index_gens(path)
     if not gens:
@@ -1688,6 +1751,7 @@ def duplicate_spans_against_index(
     path: str,
     text_col: str = "text",
     min_count: int = 2,
+    recover: bool = True,
 ) -> DataFrame:
     """Maximal duplicated token spans of NEW documents against a
     persisted corpus: a position is duplicated when its shingle's
@@ -1700,7 +1764,11 @@ def duplicate_spans_against_index(
     Scale shape: one hash aggregate over the NEW batch + one join
     against the index counts (left join — an unindexed shingle still
     counts its in-batch occurrences) + the per-doc island window.  The
-    index side arrives key-clustered from the build/compact write."""
+    index side arrives key-clustered from the build/compact write.
+
+    Opening an index whose compaction crashed performs recovery WRITES
+    (:func:`_recover_span_compaction`); on a read-only mount pass
+    ``recover=False`` to raise loudly instead."""
     spark = df.sparkSession
     meta = _span_index_meta(path)
     k, sep, digest = meta["k"], meta["sep"], meta["digest"]
@@ -1710,7 +1778,9 @@ def duplicate_spans_against_index(
     ).where(F.size("__arr") >= k)
     sh = _span_shingle_keys(toks, id_col, k, sep, digest)
     own = sh.groupBy("__key").agg(F.count(F.lit(1)).alias("__own"))
-    idx = _span_index_counts(spark, path).withColumnRenamed("cnt", "__idx")
+    idx = _span_index_counts(spark, path, recover=recover).withColumnRenamed(
+        "cnt", "__idx"
+    )
     combined = own.join(idx, "__key", "left").select(
         "__key",
         (F.col("__own") + F.coalesce(F.col("__idx"), F.lit(0))).alias("__cnt"),

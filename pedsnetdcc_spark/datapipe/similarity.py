@@ -959,7 +959,20 @@ def _append_ivf_epoch(batch_df: DataFrame, epoch_id: int, path: str) -> None:
     ``cells_delta/epoch=NNNNNN`` directory, cell-partitioned like the
     base layout.  Write-to-temp + rename, so a replayed epoch REPLACES
     its partial output instead of appending duplicates (the
-    exactly-once pattern of the streaming WebDataset export)."""
+    exactly-once pattern of the streaming WebDataset export).
+
+    A compaction that crashed in its no-``cells/`` window is rolled
+    forward FIRST (:func:`_recover_ivf_compaction`) — otherwise this
+    epoch could land in a ``cells_delta`` whose contents the next
+    open's recovery is contractually required to delete, silently
+    losing the epoch.  SINGLE-WRITER contract: at most one append
+    stream (or compaction) may run against an index at a time.  Within
+    ONE stream the checkpoint serializes epoch numbering and a replayed
+    epoch must REPLACE its partial output (hence the pre-rename rmtree
+    of ``final``); that same replacement semantics means a SECOND
+    independent stream pointed at the index would silently clobber the
+    first's epochs — never share an index between append streams (give
+    each stream its own checkpoint AND its own index, or serialize)."""
     import json as _json
     import math
     import os as _os
@@ -967,6 +980,7 @@ def _append_ivf_epoch(batch_df: DataFrame, epoch_id: int, path: str) -> None:
 
     from pedsnetdcc_spark.util import repartition_by_key
 
+    _recover_ivf_compaction(path)
     with open(_os.path.join(path, "meta.json")) as f:
         meta = _json.load(f)
     crows = (

@@ -84,3 +84,45 @@ def test_failed_queries_stay_visible_on_overbudget_line():
     assert all(v >= 0 for v in c["queries"].values())
     recon = sum(c["queries"].values()) + c.get("omitted_sum", 0.0)
     assert abs(recon - c["value"]) <= 0.005 * 122 + 0.01
+
+
+def test_stderr_summary_counts_headers_not_frames(tmp_path):
+    """One benign trace (~80 "\tat" frames) must count as ONE exception
+    under the marker it fell under — the round-11 artifact fix: the
+    recorded tail gets {marker: n}, the raw text stays in the log."""
+    from bench import _summarize_stderr_log
+
+    log = tmp_path / "stderr.log"
+    frames = "\n".join("\tat org.apache.spark.Foo.bar(Foo.scala:%d)" % i
+                       for i in range(80))
+    log.write_text(
+        "=== bench marker: session start ===\n"
+        "WARNING: Using incubator modules\n"
+        "=== bench marker: streaming_wds_export ===\n"
+        "java.io.FileNotFoundException: File /tmp/x/out/batch=* does not exist\n"
+        f"{frames}\n"
+        "Caused by: java.io.IOException: glob miss\n"
+        "\tat org.apache.spark.Baz.qux(Baz.scala:1)\n"
+        "=== bench marker: session shutdown ===\n"
+        "ordinary shutdown line\n"
+    )
+    counts = _summarize_stderr_log(str(log))
+    assert counts == {"streaming_wds_export": 2}  # header + Caused by
+
+
+def test_stderr_summary_clean_log_is_empty(tmp_path):
+    from bench import _summarize_stderr_log
+
+    log = tmp_path / "stderr.log"
+    log.write_text("=== bench marker: q1 ===\nall good\n")
+    assert _summarize_stderr_log(str(log)) == {}
+
+
+def test_compact_line_carries_stderr_attribution():
+    out = _fake_out(120)
+    out["stderr_exceptions"] = {"streaming_wds_export": 2, "session shutdown": 1}
+    out["stderr_log"] = "BENCH_STDERR.log"
+    c = _compact_line(out)
+    assert c["stderr_exceptions"] == out["stderr_exceptions"]
+    assert c["stderr_log"] == "BENCH_STDERR.log"
+    assert len(json.dumps(c, separators=(",", ":"))) <= 1850

@@ -2866,3 +2866,196 @@ def test_ivf_compaction_crash_states_roll_forward(spark, emb, tmp_path):
     assert not os.path.isdir(f"{root}/cells_delta")
     # and a compact on the recovered index is a clean no-op
     assert compact_ivf_index(spark, root)["epochs_folded"] == 0
+
+
+def test_span_index_append_survives_crashed_compaction(spark, tmp_path):
+    """An append scheduled AFTER a compaction crashed in its no-keys/
+    window must not land a generation that the next reader's recovery
+    deletes (round-11 advice): every lifecycle entry point rolls the
+    crash forward first, so the post-crash generation's counts survive
+    and are counted exactly once."""
+    import os
+
+    import pedsnetdcc_spark.datapipe.dedup as D
+    from pedsnetdcc_spark.datapipe.dedup import (
+        append_span_index,
+        build_span_index,
+        compact_span_index,
+        duplicate_spans_against_index,
+    )
+    from pedsnetdcc_spark.util import repartition_by_key
+
+    old = spark.createDataFrame([(1, "a b c d e f")], ["doc_id", "text"])
+    gen1 = spark.createDataFrame([(2, "g h i j k l")], ["doc_id", "text"])
+    gen2 = spark.createDataFrame([(3, "m n o p q r")], ["doc_id", "text"])
+    idx = str(tmp_path / "idx")
+    build_span_index(old, idx, "doc_id", k=4)
+    append_span_index(gen1, idx)
+
+    # crash a compaction in the no-keys/ window: folded temp complete,
+    # base and delta renamed aside, process died before tmp -> keys
+    merged = D._span_index_counts(spark, idx)
+    repartition_by_key(merged, "__key").write.mode("overwrite").parquet(
+        os.path.join(idx, ".keys.compact.tmp")
+    )
+    os.rename(os.path.join(idx, "keys"), os.path.join(idx, ".keys.old"))
+    os.rename(
+        os.path.join(idx, "keys_delta"), os.path.join(idx, ".keys_delta.old")
+    )
+
+    # the scheduled append arrives BEFORE any reader: it must recover
+    # first, then commit gen2 as a delta the recovery will NOT delete
+    rep = append_span_index(gen2, idx)
+    assert os.path.isdir(os.path.join(idx, "keys"))
+    assert os.path.isdir(
+        os.path.join(idx, "keys_delta", f"gen={rep['generation']}")
+    )
+
+    # gen2's shingles are queryable (would have been silently lost
+    # pre-fix) and gen1's are counted exactly once via the rolled-
+    # forward base
+    new = spark.createDataFrame(
+        [(4, "m n o p X Y"), (5, "g h i j Z Q")], ["doc_id", "text"]
+    )
+    spans = {
+        (r["doc_id"], r["span_start"], r["span_end"])
+        for r in duplicate_spans_against_index(new, idx).collect()
+    }
+    assert spans == {(4, 0, 3), (5, 0, 3)}
+
+    # advice item 2: compacting an index whose PREVIOUS compaction
+    # crashed recovers first — clean fold, no mid-swap FileNotFoundError
+    merged = D._span_index_counts(spark, idx)
+    repartition_by_key(merged, "__key").write.mode("overwrite").parquet(
+        os.path.join(idx, ".keys.compact.tmp")
+    )
+    os.rename(os.path.join(idx, "keys"), os.path.join(idx, ".keys.old"))
+    rep2 = compact_span_index(spark, idx)
+    assert rep2["generations_folded"] == 0  # recovery absorbed the delta
+    assert os.path.isdir(os.path.join(idx, "keys"))
+    assert not os.path.isdir(os.path.join(idx, "keys_delta"))
+    spans2 = {
+        (r["doc_id"], r["span_start"], r["span_end"])
+        for r in duplicate_spans_against_index(new, idx).collect()
+    }
+    assert spans2 == spans
+
+
+def test_span_index_readonly_recover_false_raises(spark, tmp_path):
+    """recover=False (read-only mounts) must raise on a crashed index
+    instead of performing recovery writes inside a read path."""
+    import os
+
+    import pedsnetdcc_spark.datapipe.dedup as D
+    from pedsnetdcc_spark.datapipe.dedup import (
+        build_span_index,
+        duplicate_spans_against_index,
+    )
+
+    old = spark.createDataFrame([(1, "a b c d e f")], ["doc_id", "text"])
+    idx = str(tmp_path / "idx_ro")
+    build_span_index(old, idx, "doc_id", k=4)
+    new = spark.createDataFrame([(2, "a b c d X Y")], ["doc_id", "text"])
+    # healthy index: recover=False is a no-op gate
+    assert duplicate_spans_against_index(new, idx, recover=False).count() == 1
+
+    # crash it: keys/ gone, complete compact temp present
+    os.rename(
+        os.path.join(idx, "keys"), os.path.join(idx, ".keys.compact.tmp")
+    )
+    with pytest.raises(RuntimeError, match="crashed compaction"):
+        duplicate_spans_against_index(new, idx, recover=False).count()
+    # nothing was mutated; a recover=True read then rolls forward
+    assert os.path.isdir(os.path.join(idx, ".keys.compact.tmp"))
+    assert duplicate_spans_against_index(new, idx).count() == 1
+    assert os.path.isdir(os.path.join(idx, "keys"))
+
+
+def test_span_index_build_refuses_mispath(spark, tmp_path):
+    """build_span_index replaces wholesale — so a non-empty target that
+    is NOT a span index (e.g. the corpus directory itself, transposed
+    arguments) must be refused, not rmtree'd (round-11 verdict task).
+    force=True overrides; a real index (or crashed-build debris)
+    replaces without the flag."""
+    import os
+
+    from pedsnetdcc_spark.datapipe.dedup import (
+        build_span_index,
+        duplicate_spans_against_index,
+    )
+
+    docs = spark.createDataFrame([(1, "a b c d e f")], ["doc_id", "text"])
+    corpus_dir = str(tmp_path / "corpus")
+    docs.coalesce(1).write.parquet(corpus_dir)
+    with pytest.raises(ValueError, match="does not look like a span index"):
+        build_span_index(docs, corpus_dir, "doc_id", k=4)
+    # the mistaken target is untouched
+    assert spark.read.parquet(corpus_dir).count() == 1
+
+    # a REAL index replaces in place without force (rebuild path)
+    idx = str(tmp_path / "idx_guard")
+    build_span_index(docs, idx, "doc_id", k=4)
+    build_span_index(docs, idx, "doc_id", k=4)
+    assert os.path.exists(os.path.join(idx, "meta.json"))
+
+    # force=True overrides the guard for a deliberate overwrite
+    build_span_index(docs, corpus_dir, "doc_id", k=4, force=True)
+    new = spark.createDataFrame([(2, "a b c d X Y")], ["doc_id", "text"])
+    assert duplicate_spans_against_index(new, corpus_dir).count() == 1
+
+
+def test_span_index_racing_appends_fail_loudly(spark, tmp_path, monkeypatch):
+    """Single-writer contract: two appends that race the same generation
+    number must fail LOUDLY (the loser's os.rename onto the winner's
+    committed non-empty gen=N raises), never silently merge or clobber.
+    Simulated by pinning the loser's generation listing to the stale
+    pre-race state."""
+    import pedsnetdcc_spark.datapipe.dedup as D
+    from pedsnetdcc_spark.datapipe.dedup import (
+        append_span_index,
+        build_span_index,
+    )
+
+    old = spark.createDataFrame([(1, "a b c d e f")], ["doc_id", "text"])
+    gen = spark.createDataFrame([(2, "g h i j k l")], ["doc_id", "text"])
+    idx = str(tmp_path / "idx_race")
+    build_span_index(old, idx, "doc_id", k=4)
+
+    # writer A listed generations (none) ... then writer B commits gen=0
+    append_span_index(gen, idx)
+    # ... writer A proceeds with its stale listing and tries gen=0 too
+    monkeypatch.setattr(D, "_span_index_gens", lambda _path: [])
+    with pytest.raises(OSError):
+        append_span_index(gen, idx)
+
+
+def test_ivf_append_survives_crashed_compaction(spark, emb, tmp_path):
+    """The IVF twin of the span-index advice fix: an epoch append that
+    arrives after a compaction crashed in its no-cells/ window must
+    recover first, so its delta is never deleted by a later open."""
+    import os
+
+    from pedsnetdcc_spark.datapipe.similarity import (
+        _append_ivf_epoch,
+        build_ivf_index,
+        open_ivf_index,
+    )
+    from pedsnetdcc_spark.util import repartition_by_key
+
+    root = str(tmp_path / "ivf_adv")
+    base = emb.where(F.col("vec_id") % 5 != 0)
+    newv = emb.select("vec_id", "embedding").where(F.col("vec_id") % 5 == 0)
+    build_ivf_index(base, root, n_centroids=8, assign="flat", seed=3)
+
+    # crash a compaction in the no-cells/ window (no deltas yet: the
+    # folded temp is just the base)
+    os.rename(f"{root}/cells", f"{root}/.cells.compact.tmp")
+
+    # a scheduled epoch append arrives before any open: must recover,
+    # then land as a delta the next open keeps
+    _append_ivf_epoch(newv, 0, root)
+    assert os.path.isdir(f"{root}/cells")
+    assert os.path.isdir(f"{root}/cells_delta/epoch=000000")
+    handle = open_ivf_index(spark, root)
+    assert handle.cells.count() == emb.count()
+    assert handle.cells.select("vec_id").distinct().count() == emb.count()
