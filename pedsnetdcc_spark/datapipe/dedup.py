@@ -1798,6 +1798,7 @@ def drop_duplicate_spans_against_index(
     path: str,
     text_col: str = "text",
     min_count: int = 2,
+    recover: bool = True,
 ) -> DataFrame:
     """Cut the spans :func:`duplicate_spans_against_index` finds and
     reassemble each new document — existing-corpus-wins semantics: the
@@ -1812,7 +1813,7 @@ def drop_duplicate_spans_against_index(
     sep = meta["sep"]
     id_col = meta["id_col"]
     spans = duplicate_spans_against_index(
-        df, path, text_col=text_col, min_count=min_count
+        df, path, text_col=text_col, min_count=min_count, recover=recover
     )
     toks = df.select(
         F.col(id_col), F.split(F.col(text_col), _regex_literal(sep)).alias("__arr")

@@ -668,9 +668,14 @@ def build_ivf_index(
             for j in range(pq_cb.shape[0])
             for c in range(pq_cb.shape[1])
         ]
+        # repartition(1), NOT coalesce(1): a parallelized local
+        # collection is 32 pickled partitions, and coalesce strings
+        # ALL of them through one task's serial Python-deserialization
+        # loop (~5 s measured for 512 rows); repartition deserializes
+        # in parallel and shuffles JVM rows to the single writer (~0.5 s)
         spark0.createDataFrame(
             cb_rows, "subspace int, code int, centroid array<double>"
-        ).coalesce(1).write.mode("overwrite").parquet(
+        ).repartition(1).write.mode("overwrite").parquet(
             _os.path.join(path, "pq_codebooks.parquet")
         )
     # cluster rows by cell BEFORE the partitioned write: without this,
@@ -680,10 +685,12 @@ def build_ivf_index(
     repartition_by_key(assigned, "centroid_id").write.mode(
         "overwrite"
     ).partitionBy("centroid_id").parquet(_os.path.join(path, "cells"))
+    # repartition(1) for the same serial-deserialization reason as the
+    # PQ codebook write above
     spark.createDataFrame(
         [(i, [float(x) for x in row]) for i, row in enumerate(C)],
         "centroid_id int, centroid array<double>",
-    ).coalesce(1).write.mode("overwrite").parquet(
+    ).repartition(1).write.mode("overwrite").parquet(
         _os.path.join(path, "centroids.parquet")
     )
     meta = {
@@ -713,7 +720,7 @@ class IvfIndexHandle:
     partition pruning still applies per batch but the listing cost is
     paid once per process, not per query."""
 
-    def __init__(self, spark, path: str):
+    def __init__(self, spark, path: str, recover: bool = True):
         import json as _json
         import os as _os
 
@@ -742,8 +749,10 @@ class IvfIndexHandle:
         # ONE listing; the FileIndex (and its partition spec) is cached
         # on this DataFrame and reused by every query plan.  (A
         # compaction that crashed between its renames is rolled forward
-        # first — see _recover_ivf_compaction.)
-        _recover_ivf_compaction(path)
+        # first — see _recover_ivf_compaction; note this means an OPEN
+        # can perform recovery writes — pass recover=False on a
+        # read-only mount to raise loudly instead.)
+        _recover_ivf_compaction(path, recover=recover)
         self.cells = spark.read.parquet(_os.path.join(path, "cells"))
         delta = _os.path.join(path, "cells_delta")
         if _os.path.isdir(delta):
@@ -930,10 +939,12 @@ class IvfIndexHandle:
         )
 
 
-def open_ivf_index(spark, path: str) -> IvfIndexHandle:
+def open_ivf_index(spark, path: str, recover: bool = True) -> IvfIndexHandle:
     """Open a persistent IVF index for repeated query batches (one
-    directory listing + codebook load, amortized across queries)."""
-    return IvfIndexHandle(spark, path)
+    directory listing + codebook load, amortized across queries).
+    ``recover=False`` raises instead of rolling a crashed compaction
+    forward (read-only mounts)."""
+    return IvfIndexHandle(spark, path, recover=recover)
 
 
 def query_ivf_index(
@@ -1032,22 +1043,35 @@ def _append_ivf_epoch(batch_df: DataFrame, epoch_id: int, path: str) -> None:
     _os.rename(tmp, final)
 
 
-def _recover_ivf_compaction(path: str) -> None:
+def _recover_ivf_compaction(path: str, recover: bool = True) -> None:
     """Roll a crashed compaction FORWARD: if ``cells/`` is missing but
     the fully-written ``.cells.compact.tmp`` exists (the temp is always
     complete before the base moves aside), finish the swap and drop the
     delta — whichever name the crash left it under; the temp already
     contains every epoch, so removing it can never lose data and
-    keeping it would double-count."""
+    keeping it would double-count.  EVERY lifecycle entry point (open,
+    epoch append, compact) runs this first, so no writer can commit an
+    epoch into a delta dir a later recovery would delete.
+
+    ``recover=False`` (for read-only mounts) raises instead of
+    mutating when the crashed state is present."""
     import os as _os
     import shutil as _shutil
 
     cells_dir = _os.path.join(path, "cells")
     tmp = _os.path.join(path, ".cells.compact.tmp")
-    if not _os.path.isdir(cells_dir) and _os.path.isdir(tmp):
-        _os.rename(tmp, cells_dir)
-        for leftover in (".cells.old", "cells_delta", ".cells_delta.old"):
-            _shutil.rmtree(_os.path.join(path, leftover), ignore_errors=True)
+    if _os.path.isdir(cells_dir) or not _os.path.isdir(tmp):
+        return
+    if not recover:
+        raise RuntimeError(
+            f"IVF index at {path!r} has a crashed compaction (cells/ "
+            "missing, .cells.compact.tmp complete) and recover=False was "
+            "requested; run compact_ivf_index (or open with recover=True) "
+            "on a writable mount to roll the swap forward"
+        )
+    _os.rename(tmp, cells_dir)
+    for leftover in (".cells.old", "cells_delta", ".cells_delta.old"):
+        _shutil.rmtree(_os.path.join(path, leftover), ignore_errors=True)
 
 
 def compact_ivf_index(spark, path: str) -> dict:

@@ -3252,7 +3252,11 @@ def q_ann_index_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         assert folded["epochs_folded"] == 2, folded
         handle = open_ivf_index(spark, idx)
         queries_df = emb.where(F.col("vec_id") < 8)
-        got = handle.query(queries_df, k=5, nprobe=4)
+        # cached: the exact handle answers feed BOTH the equality check
+        # against ivf_topk and the PQ-path recall join below — without
+        # the cache the pruned-cell query DAG executes twice in the one
+        # final action (bounded: <= 8 queries x k rows by contract)
+        got = handle.query(queries_df, k=5, nprobe=4).cache()
         ref = ivf_topk(
             emb, queries_df, "vec_id", "embedding", k=5, nprobe=4,
             centroids=handle.centroids, assign="flat",
@@ -3286,6 +3290,7 @@ def q_ann_index_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         # cell-partitioned copy of the embeddings) must not outlive the
         # query, and the result is 8 rows by the probe-set contract
         rows = exact_part.join(pq_part, "query_id").collect()
+        got.unpersist()
     finally:
         shutil.rmtree(root, ignore_errors=True)
     return spark.createDataFrame(

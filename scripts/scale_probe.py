@@ -940,9 +940,16 @@ def main() -> None:
         "--family",
         choices=[
             "pair", "cdm", "streaming", "cdm_deep", "pair_deep", "pair_deep4",
-            "sim_deep", "media_deep", "r10", "all",
+            "sim_deep", "media_deep", "span_index", "r10", "all",
         ],
         default="all",
+    )
+    ap.add_argument(
+        "--span-10000x",
+        action="store_true",
+        help="add the x10000 point to the span_index family (50M docs "
+        "split 90/10 — the fourth measured decade; generates the "
+        "pair_x10000 corpus, ~15 GB, on first use)",
     )
     ap.add_argument(
         "--cdm-100x",
@@ -1418,6 +1425,145 @@ def main() -> None:
             )
         )
         out["families"]["media_deep"] = fam
+
+    if args.family == "span_index":
+        # The persisted span-digest index lifecycle at scale (round-11
+        # receipts re-runnable + the round-12 fourth decade): build the
+        # index on the first 90% of the corpus (doc_id % 10 != 0), then
+        # incremental-dedup the held-out 10% generation against it —
+        # the FineWeb/Dolma incremental-publish shape.  Decades reuse
+        # the pair corpora (identical generator/profile at every
+        # scale): 50k -> 500k -> 5M, and 50M with --span-10000x.
+        # Build runs ONCE per point (it is the one-time cost the
+        # incremental path amortizes); the dedup query runs
+        # best-of-`--runs`.  xxh64 digest (production), k=8,
+        # min_count=2 — the registry row's parameters.
+        import shutil as _sh
+
+        from pyspark.sql import functions as F
+
+        from pedsnetdcc_spark.datapipe.dedup import (
+            build_span_index,
+            duplicate_spans_against_index,
+        )
+
+        points = [
+            ("d50k", build_scale("x10", docs=50_000, embs=20_000,
+                                 names=20_000, seed=7), 1),
+            ("d500k", build_scale("x100", docs=500_000, embs=200_000,
+                                  names=200_000, seed=7), 10),
+            ("d5000k", build_pair_deep_scale("pair_x1000", docs=5_000_000,
+                                             seed=7), 100),
+        ]
+        if args.span_10000x:
+            points.append(
+                ("d50000k",
+                 build_pair_deep_scale("pair_x10000", docs=50_000_000,
+                                       seed=7),
+                 1000)
+            )
+        only = set(args.only.split(",")) if args.only else None
+        build_times: dict[str, float] = {}
+        dedup_times: dict[str, float] = {}
+        sizes_mb: dict[str, float] = {}
+        spans_found: dict[str, int] = {}
+        for tag, d, _mult in points:
+            docs = spark.read.parquet(
+                os.path.join(d, "documents.parquet")
+            ).select("doc_id", "text")
+            old = docs.where(F.col("doc_id") % 10 != 0)
+            new = docs.where(F.col("doc_id") % 10 == 0)
+            idx = os.path.join(SCALE_DIR, f"span_probe_idx_{tag}")
+            _sh.rmtree(idx, ignore_errors=True)
+            if only is None or "span_index_build_90pct" in only:
+                gc.collect()
+                t0 = time.time()
+                build_span_index(old, idx, "doc_id", k=8, digest="xxh64")
+                build_times[tag] = round(time.time() - t0, 3)
+                sizes_mb[tag] = round(
+                    sum(
+                        os.path.getsize(os.path.join(r, f))
+                        for r, _dirs, fs in os.walk(idx)
+                        for f in fs
+                    )
+                    / 1e6,
+                    1,
+                )
+            if only is None or "span_index_dedup_10pct_new" in only:
+                best = math.inf
+                for _ in range(args.runs):
+                    gc.collect()
+                    t0 = time.time()
+                    n = duplicate_spans_against_index(new, idx).count()
+                    best = min(best, time.time() - t0)
+                    spark.catalog.clearCache()
+                dedup_times[tag] = round(best, 3)
+                spans_found[tag] = int(n)
+            print(
+                f"span_index {tag}: build={build_times.get(tag)}s "
+                f"dedup={dedup_times.get(tag)}s index={sizes_mb.get(tag)}MB "
+                f"spans={spans_found.get(tag)}",
+                flush=True,
+            )
+            _sh.rmtree(idx, ignore_errors=True)
+
+        def _entry(times: dict[str, float]) -> dict:
+            entry: dict = dict(times)
+            have = [p for p in points if p[0] in times]
+            for (t_a, _, m_a), (t_b, _, m_b) in zip(have, have[1:]):
+                entry[f"exponent_{t_a}_{t_b}"] = round(
+                    math.log(times[t_b] / times[t_a]) / math.log(m_b / m_a), 3
+                )
+            if len(have) >= 2:
+                f_, l_ = have[0], have[-1]
+                entry["exponent"] = round(
+                    math.log(times[l_[0]] / times[f_[0]])
+                    / math.log(l_[2] / f_[2]),
+                    3,
+                )
+            return entry
+
+        fam = out["families"].get(
+            "span_index",
+            {
+                "invariant": "xxh64 digest; k=8; min_count=2; 90/10 "
+                "doc_id%10 split; build once, dedup best-of-runs; "
+                "equivalence to full-corpus duplicate_spans pinned by "
+                "unit test",
+                "queries": {},
+            },
+        )
+        fam["decades"] = {
+            **fam.get("decades", {}),
+            **{tag: mult * 50_000 for tag, _, mult in points},
+        }
+        prev_sizes = fam.get("index_size_mb")
+        fam["index_size_mb"] = {
+            **(prev_sizes if isinstance(prev_sizes, dict) else {}),
+            **sizes_mb,
+        }
+        prev_spans = fam.get("incremental_spans_found")
+        fam["incremental_spans_found"] = {
+            **(prev_spans if isinstance(prev_spans, dict) else {}),
+            **spans_found,
+        }
+        if build_times:
+            merged = {
+                **fam["queries"].get("span_index_build_90pct", {}),
+                **build_times,
+            }
+            fam["queries"]["span_index_build_90pct"] = _entry(
+                {t: merged[t] for t, _, _ in points if t in merged}
+            ) | {k: v for k, v in merged.items() if k.startswith("d")}
+        if dedup_times:
+            merged = {
+                **fam["queries"].get("span_index_dedup_10pct_new", {}),
+                **dedup_times,
+            }
+            fam["queries"]["span_index_dedup_10pct_new"] = _entry(
+                {t: merged[t] for t, _, _ in points if t in merged}
+            ) | {k: v for k, v in merged.items() if k.startswith("d")}
+        out["families"]["span_index"] = fam
 
     if args.family == "r10":
         # Round-10 additions: generation diff (slim-signature full-outer

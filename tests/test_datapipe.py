@@ -3059,3 +3059,28 @@ def test_ivf_append_survives_crashed_compaction(spark, emb, tmp_path):
     handle = open_ivf_index(spark, root)
     assert handle.cells.count() == emb.count()
     assert handle.cells.select("vec_id").distinct().count() == emb.count()
+
+
+def test_ivf_readonly_recover_false_raises(spark, emb, tmp_path):
+    """open_ivf_index(recover=False) must raise on a crashed index
+    instead of performing recovery writes inside the open (read-only
+    mounts) — the IVF twin of the span-index recover gate."""
+    import os
+
+    from pedsnetdcc_spark.datapipe.similarity import (
+        build_ivf_index,
+        open_ivf_index,
+    )
+
+    root = str(tmp_path / "ivf_ro")
+    build_ivf_index(emb, root, n_centroids=8, assign="flat", seed=3)
+    # healthy index: recover=False is a no-op gate
+    assert open_ivf_index(spark, root, recover=False).cells.count() == emb.count()
+
+    os.rename(f"{root}/cells", f"{root}/.cells.compact.tmp")
+    with pytest.raises(RuntimeError, match="crashed compaction"):
+        open_ivf_index(spark, root, recover=False)
+    # nothing was mutated; a recover=True open then rolls forward
+    assert os.path.isdir(f"{root}/.cells.compact.tmp")
+    assert open_ivf_index(spark, root).cells.count() == emb.count()
+    assert os.path.isdir(f"{root}/cells")
