@@ -949,7 +949,15 @@ def main() -> None:
         action="store_true",
         help="add the x10000 point to the span_index family (50M docs "
         "split 90/10 — the fourth measured decade; generates the "
-        "pair_x10000 corpus, ~15 GB, on first use)",
+        "pair_x10000 corpus, ~5.8 GB, on first use)",
+    )
+    ap.add_argument(
+        "--span-points",
+        help="span_index family: comma-separated decade tags to run "
+        "(e.g. d50000k) — earlier decades' numbers are kept from the "
+        "merged output file, so one point can be (re-)measured without "
+        "re-running the rest; exponents recompute over every decade "
+        "present after the merge",
     )
     ap.add_argument(
         "--cdm-100x",
@@ -1462,12 +1470,16 @@ def main() -> None:
                                        seed=7),
                  1000)
             )
+        run_points = points
+        if args.span_points:
+            keep_tags = set(args.span_points.split(","))
+            run_points = [p for p in points if p[0] in keep_tags]
         only = set(args.only.split(",")) if args.only else None
         build_times: dict[str, float] = {}
         dedup_times: dict[str, float] = {}
         sizes_mb: dict[str, float] = {}
         spans_found: dict[str, int] = {}
-        for tag, d, _mult in points:
+        for tag, d, _mult in run_points:
             docs = spark.read.parquet(
                 os.path.join(d, "documents.parquet")
             ).select("doc_id", "text")
