@@ -3084,3 +3084,124 @@ def test_ivf_readonly_recover_false_raises(spark, emb, tmp_path):
     assert os.path.isdir(f"{root}/.cells.compact.tmp")
     assert open_ivf_index(spark, root).cells.count() == emb.count()
     assert os.path.isdir(f"{root}/cells")
+
+
+@pytest.mark.parametrize("crash_point", ["after_tmp", "after_keys_aside",
+                                         "after_both_aside"])
+@pytest.mark.parametrize("next_op", ["read", "append", "compact"])
+def test_span_index_crash_matrix(spark, tmp_path, crash_point, next_op):
+    """Exhaustive compaction crash matrix: for EVERY reachable crash
+    point in compact_span_index's rename sequence x EVERY possible next
+    lifecycle operation, the index's counts must equal the ground truth
+    (a fresh build over the same committed documents) — the quantified
+    form of the crash-safety contract the round-11/12 fixes enforce.
+
+    Crash points (compact = write tmp -> keys aside -> delta aside ->
+    tmp lands -> sweep): after_tmp (all originals in place; stale tmp
+    must be ignored/swept, NOT rolled forward), after_keys_aside (the
+    one no-keys/ window; roll forward, delta already absorbed),
+    after_both_aside (same window, delta renamed aside)."""
+    import os
+
+    import pedsnetdcc_spark.datapipe.dedup as D
+    from pedsnetdcc_spark.datapipe.dedup import (
+        append_span_index,
+        build_span_index,
+        compact_span_index,
+    )
+    from pedsnetdcc_spark.util import repartition_by_key
+
+    old = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "a b c d x y")], ["doc_id", "text"]
+    )
+    gen1 = spark.createDataFrame([(3, "g h i j k l")], ["doc_id", "text"])
+    gen2 = spark.createDataFrame([(4, "m n o p q r")], ["doc_id", "text"])
+    idx = str(tmp_path / "idx")
+    build_span_index(old, idx, "doc_id", k=4)
+    append_span_index(gen1, idx)
+
+    # reproduce compact's exact sequence up to the crash point
+    merged = D._span_index_counts(spark, idx)
+    repartition_by_key(merged, "__key").write.mode("overwrite").parquet(
+        os.path.join(idx, ".keys.compact.tmp")
+    )
+    if crash_point in ("after_keys_aside", "after_both_aside"):
+        os.rename(os.path.join(idx, "keys"), os.path.join(idx, ".keys.old"))
+    if crash_point == "after_both_aside":
+        os.rename(
+            os.path.join(idx, "keys_delta"),
+            os.path.join(idx, ".keys_delta.old"),
+        )
+
+    committed = [old, gen1]
+    if next_op == "append":
+        append_span_index(gen2, idx)
+        committed.append(gen2)
+    elif next_op == "compact":
+        compact_span_index(spark, idx)
+    # next_op == "read": _span_index_counts below IS the read
+
+    # ground truth: a fresh index over exactly the committed documents
+    truth_idx = str(tmp_path / "truth")
+    union = committed[0]
+    for df in committed[1:]:
+        union = union.unionByName(df)
+    build_span_index(union, truth_idx, "doc_id", k=4)
+    got = {
+        (r["__key"], r["cnt"])
+        for r in D._span_index_counts(spark, idx).collect()
+    }
+    want = {
+        (r["__key"], r["cnt"])
+        for r in D._span_index_counts(spark, truth_idx).collect()
+    }
+    assert got == want, (crash_point, next_op)
+
+
+@pytest.mark.parametrize("crash_point", ["after_tmp", "after_cells_aside",
+                                         "after_both_aside"])
+@pytest.mark.parametrize("next_op", ["open", "append", "compact"])
+def test_ivf_crash_matrix(spark, emb, tmp_path, crash_point, next_op):
+    """The IVF twin of the span-index crash matrix: every compaction
+    crash point x every next lifecycle operation must leave every
+    committed vector in the index exactly once (frozen-codebook
+    assignment makes multiplicity the whole contract)."""
+    import os
+
+    from pedsnetdcc_spark.datapipe.similarity import (
+        _append_ivf_epoch,
+        build_ivf_index,
+        compact_ivf_index,
+        open_ivf_index,
+    )
+    from pedsnetdcc_spark.util import repartition_by_key
+
+    base = emb.where(F.col("vec_id") % 5 > 1)
+    ep0 = emb.select("vec_id", "embedding").where(F.col("vec_id") % 5 == 0)
+    ep1 = emb.select("vec_id", "embedding").where(F.col("vec_id") % 5 == 1)
+    root = str(tmp_path / "ivf")
+    build_ivf_index(base, root, n_centroids=8, assign="flat", seed=3)
+    _append_ivf_epoch(ep0, 0, root)
+    committed = base.count() + ep0.count()
+
+    # compact's exact sequence up to the crash point
+    merged = spark.read.parquet(f"{root}/cells").unionByName(
+        spark.read.parquet(f"{root}/cells_delta").drop("epoch")
+    )
+    repartition_by_key(merged, "centroid_id").write.mode(
+        "overwrite"
+    ).partitionBy("centroid_id").parquet(f"{root}/.cells.compact.tmp")
+    if crash_point in ("after_cells_aside", "after_both_aside"):
+        os.rename(f"{root}/cells", f"{root}/.cells.old")
+    if crash_point == "after_both_aside":
+        os.rename(f"{root}/cells_delta", f"{root}/.cells_delta.old")
+
+    if next_op == "append":
+        _append_ivf_epoch(ep1, 1, root)
+        committed += ep1.count()
+    elif next_op == "compact":
+        compact_ivf_index(spark, root)
+
+    cells = open_ivf_index(spark, root).cells
+    assert cells.count() == committed, (crash_point, next_op)
+    assert cells.select("vec_id").distinct().count() == committed
