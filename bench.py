@@ -164,12 +164,15 @@ def _marker(text: str) -> None:
         pass
 
 
-# Exception HEADERS only — "\tat ..." frame lines are continuations of
-# the same exception and would inflate one benign trace into hundreds
-# of "exceptions" (a caught FileNotFoundException's stack is ~80 frames)
+# Exception HEADERS only — "\tat ..." frame lines and "Caused by:"
+# chain links are continuations of the SAME exception, and frame lines
+# routinely contain the word Exception in class/method names
+# (tryOrIOException, SparkException$.internalError, ...), so counting
+# them would inflate one benign trace into dozens of "exceptions"
 _EXC_RE = re.compile(
     r"(Exception|Traceback \(most recent call last\)|^\w+Error[:\s])"
 )
+_CONTINUATION_RE = re.compile(r"^(\t+at |\s+at |Caused by: |Suppressed: )")
 
 
 def _summarize_stderr_log(path: str) -> dict[str, int]:
@@ -185,7 +188,7 @@ def _summarize_stderr_log(path: str) -> dict[str, int]:
                 m = re.match(r"^=== bench marker: (.+) ===$", line.strip())
                 if m:
                     marker = m.group(1)
-                elif _EXC_RE.search(line):
+                elif not _CONTINUATION_RE.match(line) and _EXC_RE.search(line):
                     counts[marker] = counts.get(marker, 0) + 1
     except OSError:
         pass

@@ -983,7 +983,13 @@ def _append_ivf_epoch(batch_df: DataFrame, epoch_id: int, path: str) -> None:
     of ``final``); that same replacement semantics means a SECOND
     independent stream pointed at the index would silently clobber the
     first's epochs — never share an index between append streams (give
-    each stream its own checkpoint AND its own index, or serialize)."""
+    each stream its own checkpoint AND its own index, or serialize).
+
+    A replayed epoch at or below meta's ``folded_through_epoch``
+    watermark is a NO-OP: a compaction already folded its rows into
+    the base (legal between a stream crash and its restart), so
+    re-writing the delta would double-count — see
+    :func:`compact_ivf_index`."""
     import json as _json
     import math
     import os as _os
@@ -994,6 +1000,12 @@ def _append_ivf_epoch(batch_df: DataFrame, epoch_id: int, path: str) -> None:
     _recover_ivf_compaction(path)
     with open(_os.path.join(path, "meta.json")) as f:
         meta = _json.load(f)
+    if epoch_id <= meta.get("folded_through_epoch", -1):
+        # a compaction already folded this epoch into the base between
+        # the original commit and this replay (stream crashed before
+        # its checkpoint committed) — re-writing it would double-count
+        # every row next to its folded copy; the replay is a no-op
+        return
     crows = (
         batch_df.sparkSession.read.parquet(
             _os.path.join(path, "centroids.parquet")
@@ -1088,8 +1100,19 @@ def compact_ivf_index(spark, path: str) -> dict:
     anything moves, and the delta dir is renamed aside BEFORE the temp
     lands — so no reachable crash state double-counts an epoch (the
     temp already contains it) or loses one; the single no-``cells/``
-    window is rolled forward by the next open/compact.  Returns
+    window is rolled forward by the next open/compact.
+
+    Streaming-replay seam (round-12 review finding): a stream can
+    crash AFTER its epoch's delta landed but BEFORE the checkpoint
+    committed; if a compaction folds that epoch before the stream
+    restarts, the replay would re-write the epoch's rows NEXT TO their
+    folded copies — double-counting.  Compaction therefore records the
+    highest epoch id it folded in ``meta.json`` (atomic replace,
+    BEFORE any rename so every crash state is covered), and
+    :func:`_append_ivf_epoch` drops a replayed epoch at or below that
+    watermark as an idempotent no-op.  Returns
     ``{"cells": n, "rows": m, "epochs_folded": e}``."""
+    import json as _json
     import os as _os
     import shutil as _shutil
 
@@ -1116,6 +1139,22 @@ def compact_ivf_index(spark, path: str) -> dict:
     repartition_by_key(merged, "centroid_id").write.mode(
         "overwrite"
     ).partitionBy("centroid_id").parquet(tmp)
+    # Watermark BEFORE the swap: if we crash between here and the
+    # renames, the delta is still in place and counted exactly once
+    # (the stale tmp is invisible), and a replayed epoch <= watermark
+    # is skipped while its rows still live in the delta — still
+    # exactly once.  After the swap the folded rows live in the base
+    # and the watermark keeps the replay out.
+    max_folded = max(int(e.split("=", 1)[1]) for e in epochs)
+    meta_path = _os.path.join(path, "meta.json")
+    with open(meta_path) as f:
+        meta = _json.load(f)
+    if meta.get("folded_through_epoch", -1) < max_folded:
+        meta["folded_through_epoch"] = max_folded
+        tmp_meta = _os.path.join(path, ".meta.json.tmp")
+        with open(tmp_meta, "w") as f:
+            _json.dump(meta, f, sort_keys=True)
+        _os.replace(tmp_meta, meta_path)
     _os.rename(cells_dir, old)
     _os.rename(delta_dir, delta_old)
     _os.rename(tmp, cells_dir)
@@ -1130,7 +1169,31 @@ def compact_ivf_index(spark, path: str) -> dict:
     }
 
 
-def stream_ivf_index_append(stream: DataFrame, path: str):
+def next_epoch_offset(path: str) -> int:
+    """The epoch id a FRESH append stream must start from on an index
+    with history: one past everything ever committed (folded epochs
+    via meta's ``folded_through_epoch`` watermark, unfolded ones via
+    the delta listing).  A new checkpoint restarts Spark's epoch ids
+    at 0, and an id at or below the watermark is indistinguishable
+    from a crash-replay — without the offset it would be silently
+    dropped (or, pre-watermark, silently clobber an existing delta)."""
+    import json as _json
+    import os as _os
+
+    with open(_os.path.join(path, "meta.json")) as f:
+        folded = _json.load(f).get("folded_through_epoch", -1)
+    delta = _os.path.join(path, "cells_delta")
+    existing = (
+        [int(e.split("=", 1)[1]) for e in _os.listdir(delta)
+         if e.startswith("epoch=")]
+        if _os.path.isdir(delta)
+        else []
+    )
+    return max([folded, *existing]) + 1
+
+
+def stream_ivf_index_append(stream: DataFrame, path: str,
+                            epoch_offset: int = 0):
     """Continuous index maintenance: a streaming sink that assigns each
     micro-batch of new vectors to cells with the index's FROZEN codebook
     and lands it as an atomic ``cells_delta/epoch=NNNNNN`` directory —
@@ -1143,10 +1206,20 @@ def stream_ivf_index_append(stream: DataFrame, path: str):
     must stay consistent with the base cells or recall silently decays);
     rebuild-and-swap via TableStore is the compaction story.  Returns a
     ``DataStreamWriter`` — caller adds trigger/checkpoint and
-    ``.start()``, like the WebDataset streaming export."""
+    ``.start()``, like the WebDataset streaming export.
+
+    Epoch identity contract: within ONE checkpoint lineage Spark's
+    epoch ids are monotonic and replay-safe (a replayed crashed batch
+    REPLACES its partial delta; one already folded by an intervening
+    compaction is a no-op via the watermark).  A stream started with a
+    FRESH checkpoint on an index with history restarts ids at 0 and
+    MUST pass ``epoch_offset=next_epoch_offset(path)`` — the offset is
+    fixed for the checkpoint's whole lifetime (reuse the same value on
+    every restart of that checkpoint), which is why it is an explicit
+    argument and not read inside the sink."""
 
     def _append(batch_df: DataFrame, epoch_id: int) -> None:
-        _append_ivf_epoch(batch_df, epoch_id, path)
+        _append_ivf_epoch(batch_df, epoch_id + epoch_offset, path)
 
     return stream.writeStream.foreachBatch(_append).outputMode("append")
 

@@ -3220,6 +3220,7 @@ def q_ann_index_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     newv = emb.select("vec_id", "embedding").where(F.col("vec_id") % 5 == 0)
     root = tempfile.mkdtemp(prefix="pedsnetdcc_ann_index_")
     idx, src, ckpt = f"{root}/idx", f"{root}/src", f"{root}/ckpt"
+    got = None
     try:
         build_ivf_index(
             base, idx, "vec_id", "embedding", n_centroids=16, assign="flat",
@@ -3290,8 +3291,12 @@ def q_ann_index_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         # cell-partitioned copy of the embeddings) must not outlive the
         # query, and the result is 8 rows by the probe-set contract
         rows = exact_part.join(pq_part, "query_id").collect()
-        got.unpersist()
     finally:
+        # unpersist in the finally: a contract-assert or collect failure
+        # must not pin the cached result in executor storage for the
+        # rest of the session (round-12 review finding)
+        if got is not None:
+            got.unpersist()
         shutil.rmtree(root, ignore_errors=True)
     return spark.createDataFrame(
         rows,

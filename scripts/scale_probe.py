@@ -1455,39 +1455,44 @@ def main() -> None:
             duplicate_spans_against_index,
         )
 
-        points = [
-            ("d50k", build_scale("x10", docs=50_000, embs=20_000,
-                                 names=20_000, seed=7), 1),
-            ("d500k", build_scale("x100", docs=500_000, embs=200_000,
-                                  names=200_000, seed=7), 10),
-            ("d5000k", build_pair_deep_scale("pair_x1000", docs=5_000_000,
-                                             seed=7), 100),
+        # builders are LAZY (called only for decades actually run) so a
+        # --span-points re-measure of one decade never generates the
+        # other decades' corpora (round-12 review finding)
+        decades = [
+            ("d50k", lambda: build_scale(
+                "x10", docs=50_000, embs=20_000, names=20_000, seed=7), 1),
+            ("d500k", lambda: build_scale(
+                "x100", docs=500_000, embs=200_000, names=200_000, seed=7),
+             10),
+            ("d5000k", lambda: build_pair_deep_scale(
+                "pair_x1000", docs=5_000_000, seed=7), 100),
         ]
         if args.span_10000x:
-            points.append(
-                ("d50000k",
-                 build_pair_deep_scale("pair_x10000", docs=50_000_000,
-                                       seed=7),
-                 1000)
+            decades.append(
+                ("d50000k", lambda: build_pair_deep_scale(
+                    "pair_x10000", docs=50_000_000, seed=7), 1000)
             )
-        run_points = points
+        run_points = decades
         if args.span_points:
             keep_tags = set(args.span_points.split(","))
-            run_points = [p for p in points if p[0] in keep_tags]
+            run_points = [p for p in decades if p[0] in keep_tags]
         only = set(args.only.split(",")) if args.only else None
+        build_requested = only is None or "span_index_build_90pct" in only
+        dedup_requested = only is None or "span_index_dedup_10pct_new" in only
         build_times: dict[str, float] = {}
         dedup_times: dict[str, float] = {}
         sizes_mb: dict[str, float] = {}
         spans_found: dict[str, int] = {}
-        for tag, d, _mult in run_points:
+        for tag, build_dir, _mult in run_points:
+            d = build_dir()
             docs = spark.read.parquet(
                 os.path.join(d, "documents.parquet")
             ).select("doc_id", "text")
             old = docs.where(F.col("doc_id") % 10 != 0)
             new = docs.where(F.col("doc_id") % 10 == 0)
             idx = os.path.join(SCALE_DIR, f"span_probe_idx_{tag}")
-            _sh.rmtree(idx, ignore_errors=True)
-            if only is None or "span_index_build_90pct" in only:
+            if build_requested:
+                _sh.rmtree(idx, ignore_errors=True)
                 gc.collect()
                 t0 = time.time()
                 build_span_index(old, idx, "doc_id", k=8, digest="xxh64")
@@ -1501,7 +1506,14 @@ def main() -> None:
                     / 1e6,
                     1,
                 )
-            if only is None or "span_index_dedup_10pct_new" in only:
+            elif dedup_requested and not os.path.exists(
+                os.path.join(idx, "meta.json")
+            ):
+                # dedup-only re-measure needs an index to query; build
+                # it UNTIMED as setup (a --only dedup run used to
+                # rmtree the index and crash — round-12 review finding)
+                build_span_index(old, idx, "doc_id", k=8, digest="xxh64")
+            if dedup_requested:
                 best = math.inf
                 for _ in range(args.runs):
                     gc.collect()
@@ -1519,18 +1531,27 @@ def main() -> None:
             )
             _sh.rmtree(idx, ignore_errors=True)
 
+        # canonical decade order/multipliers, independent of which
+        # decades THIS invocation ran: exponents recompute over every
+        # decade present after the merge, exactly as --span-points
+        # documents (round-12 review finding)
+        _span_mult = {"d50k": 1, "d500k": 10, "d5000k": 100,
+                      "d50000k": 1000}
+        _span_order = ["d50k", "d500k", "d5000k", "d50000k"]
+
         def _entry(times: dict[str, float]) -> dict:
             entry: dict = dict(times)
-            have = [p for p in points if p[0] in times]
-            for (t_a, _, m_a), (t_b, _, m_b) in zip(have, have[1:]):
+            have = [t for t in _span_order if t in times]
+            for t_a, t_b in zip(have, have[1:]):
                 entry[f"exponent_{t_a}_{t_b}"] = round(
-                    math.log(times[t_b] / times[t_a]) / math.log(m_b / m_a), 3
+                    math.log(times[t_b] / times[t_a])
+                    / math.log(_span_mult[t_b] / _span_mult[t_a]),
+                    3,
                 )
             if len(have) >= 2:
-                f_, l_ = have[0], have[-1]
                 entry["exponent"] = round(
-                    math.log(times[l_[0]] / times[f_[0]])
-                    / math.log(l_[2] / f_[2]),
+                    math.log(times[have[-1]] / times[have[0]])
+                    / math.log(_span_mult[have[-1]] / _span_mult[have[0]]),
                     3,
                 )
             return entry
@@ -1547,7 +1568,7 @@ def main() -> None:
         )
         fam["decades"] = {
             **fam.get("decades", {}),
-            **{tag: mult * 50_000 for tag, _, mult in points},
+            **{tag: mult * 50_000 for tag, _, mult in run_points},
         }
         prev_sizes = fam.get("index_size_mb")
         fam["index_size_mb"] = {
@@ -1559,22 +1580,16 @@ def main() -> None:
             **(prev_spans if isinstance(prev_spans, dict) else {}),
             **spans_found,
         }
-        if build_times:
-            merged = {
-                **fam["queries"].get("span_index_build_90pct", {}),
-                **build_times,
-            }
-            fam["queries"]["span_index_build_90pct"] = _entry(
-                {t: merged[t] for t, _, _ in points if t in merged}
-            ) | {k: v for k, v in merged.items() if k.startswith("d")}
-        if dedup_times:
-            merged = {
-                **fam["queries"].get("span_index_dedup_10pct_new", {}),
-                **dedup_times,
-            }
-            fam["queries"]["span_index_dedup_10pct_new"] = _entry(
-                {t: merged[t] for t, _, _ in points if t in merged}
-            ) | {k: v for k, v in merged.items() if k.startswith("d")}
+        for qname, fresh in (
+            ("span_index_build_90pct", build_times),
+            ("span_index_dedup_10pct_new", dedup_times),
+        ):
+            if not fresh:
+                continue
+            merged = {**fam["queries"].get(qname, {}), **fresh}
+            fam["queries"][qname] = _entry(
+                {t: merged[t] for t in _span_order if t in merged}
+            )
         out["families"]["span_index"] = fam
 
     if args.family == "r10":

@@ -87,9 +87,12 @@ def test_failed_queries_stay_visible_on_overbudget_line():
 
 
 def test_stderr_summary_counts_headers_not_frames(tmp_path):
-    """One benign trace (~80 "\tat" frames) must count as ONE exception
-    under the marker it fell under — the round-11 artifact fix: the
-    recorded tail gets {marker: n}, the raw text stays in the log."""
+    """One benign trace (header + ~80 "\tat" frames + a Caused-by chain
+    link) must count as ONE exception under the marker it fell under —
+    the round-11 artifact fix: the recorded tail gets {marker: n}, the
+    raw text stays in the log.  Frame lines containing the word
+    Exception in class/method names (tryOrIOException, ...) must not
+    count either (round-12 review finding)."""
     from bench import _summarize_stderr_log
 
     log = tmp_path / "stderr.log"
@@ -101,13 +104,15 @@ def test_stderr_summary_counts_headers_not_frames(tmp_path):
         "=== bench marker: streaming_wds_export ===\n"
         "java.io.FileNotFoundException: File /tmp/x/out/batch=* does not exist\n"
         f"{frames}\n"
+        "\tat org.apache.spark.util.Utils$.tryOrIOException(Utils.scala:1432)\n"
+        "\tat org.apache.spark.SparkException$.internalError(SparkException.scala:107)\n"
         "Caused by: java.io.IOException: glob miss\n"
         "\tat org.apache.spark.Baz.qux(Baz.scala:1)\n"
         "=== bench marker: session shutdown ===\n"
         "ordinary shutdown line\n"
     )
     counts = _summarize_stderr_log(str(log))
-    assert counts == {"streaming_wds_export": 2}  # header + Caused by
+    assert counts == {"streaming_wds_export": 1}  # one trace = one exception
 
 
 def test_stderr_summary_clean_log_is_empty(tmp_path):

@@ -3205,3 +3205,93 @@ def test_ivf_crash_matrix(spark, emb, tmp_path, crash_point, next_op):
     cells = open_ivf_index(spark, root).cells
     assert cells.count() == committed, (crash_point, next_op)
     assert cells.select("vec_id").distinct().count() == committed
+
+
+def test_ivf_epoch_replay_after_compact_is_noop(spark, emb, tmp_path):
+    """Exactly-once across the compaction boundary (round-12 review
+    finding): a stream can crash after its epoch's delta landed but
+    before the checkpoint committed; if a compaction folds the epoch
+    before the stream restarts, the replay must be a NO-OP — without
+    the folded_through_epoch watermark the replayed delta would sit
+    next to its folded copy and every vector would count twice."""
+    import json
+    import os
+
+    from pedsnetdcc_spark.datapipe.similarity import (
+        _append_ivf_epoch,
+        build_ivf_index,
+        compact_ivf_index,
+        open_ivf_index,
+    )
+
+    base = emb.where(F.col("vec_id") % 5 != 0)
+    ep0 = emb.select("vec_id", "embedding").where(F.col("vec_id") % 5 == 0)
+    root = str(tmp_path / "ivf_replay")
+    build_ivf_index(base, root, n_centroids=8, assign="flat", seed=3)
+    total = emb.count()
+
+    _append_ivf_epoch(ep0, 0, root)          # epoch lands...
+    assert compact_ivf_index(spark, root)["epochs_folded"] == 1
+    with open(os.path.join(root, "meta.json")) as f:
+        assert json.load(f)["folded_through_epoch"] == 0
+
+    _append_ivf_epoch(ep0, 0, root)          # ...checkpoint replays it
+    assert not os.path.isdir(f"{root}/cells_delta")  # no-op: no new delta
+    cells = open_ivf_index(spark, root).cells
+    assert cells.count() == total
+    assert cells.select("vec_id").distinct().count() == total
+
+    # a genuinely NEW epoch above the watermark still appends
+    _append_ivf_epoch(
+        emb.select("vec_id", "embedding").where(F.col("vec_id") < 0), 1, root
+    )  # empty but committed
+    assert os.path.isdir(f"{root}/cells_delta/epoch=000001")
+
+
+def test_ivf_sequential_streams_with_offset(spark, emb, tmp_path):
+    """Two sequential append streams (fresh checkpoints, legal under
+    single-writer-at-a-time) around a compaction: the second stream's
+    Spark epoch ids restart at 0, which post-watermark would silently
+    drop them (and pre-watermark would clobber) — next_epoch_offset
+    gives the second lineage fresh identities and every vector lands
+    exactly once."""
+    from pedsnetdcc_spark.datapipe.similarity import (
+        build_ivf_index,
+        compact_ivf_index,
+        next_epoch_offset,
+        open_ivf_index,
+        stream_ivf_index_append,
+    )
+
+    base = emb.where(F.col("vec_id") % 5 > 1)
+    first = emb.select("vec_id", "embedding").where(F.col("vec_id") % 5 == 0)
+    second = emb.select("vec_id", "embedding").where(F.col("vec_id") % 5 == 1)
+    root = str(tmp_path / "ivf_seq")
+    build_ivf_index(base, root, n_centroids=8, assign="flat", seed=3)
+
+    def run_stream(df, src, ckpt, offset):
+        df.coalesce(1).write.parquet(src)
+        q = (
+            stream_ivf_index_append(
+                spark.readStream.schema("vec_id long, embedding array<float>")
+                .parquet(src),
+                root,
+                epoch_offset=offset,
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(300)
+
+    run_stream(first, str(tmp_path / "s1"), str(tmp_path / "c1"),
+               next_epoch_offset(root))
+    assert compact_ivf_index(spark, root)["epochs_folded"] == 1
+    # the second lineage's epoch 0 would collide with the folded epoch 0
+    off = next_epoch_offset(root)
+    assert off >= 1
+    run_stream(second, str(tmp_path / "s2"), str(tmp_path / "c2"), off)
+
+    cells = open_ivf_index(spark, root).cells
+    assert cells.count() == emb.count()
+    assert cells.select("vec_id").distinct().count() == emb.count()
