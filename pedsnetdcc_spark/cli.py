@@ -899,7 +899,7 @@ def cmd_ann_index(args: argparse.Namespace) -> int:
     meta = build_ivf_index(
         df, args.output, id_col=args.id_col, vec_col=args.vec_col,
         n_centroids=args.cells or "auto", assign=args.assign,
-        pq_m=args.pq_m,
+        pq_m=args.pq_m, force=args.force,
     )
     print(json.dumps({"index": args.output, **meta}))
     return 0
@@ -1488,6 +1488,11 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--pq-m", type=int, default=None,
                     help="store m-subspace PQ codes in the cells (IVF-PQ: "
                     "ann-query --scoring pq reads codes, not vectors)")
+    sp.add_argument(
+        "--force", action="store_true",
+        help="replace a non-empty --output directory that does not "
+        "look like an IVF index (default: refuse)",
+    )
     sp.set_defaults(fn=cmd_ann_index)
 
     sp = sub.add_parser(

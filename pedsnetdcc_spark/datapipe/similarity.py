@@ -592,6 +592,7 @@ def build_ivf_index(
     n: int | None = None,
     pq_m: int | None = None,
     pq_codebook_size: int = 64,
+    force: bool = False,
 ) -> dict:
     """PERSISTENT IVF index: train the codebook once, assign every
     vector to its cell, and lay the corpus out on disk PARTITIONED BY
@@ -616,13 +617,36 @@ def build_ivf_index(
 
     ``assign``/sizing semantics match :func:`ivf_topk` (hierarchical
     assignment lifts the 1024-cell cap; ``n=`` skips the count).
-    Returns the meta dict (also persisted as ``meta.json``)."""
+    Returns the meta dict (also persisted as ``meta.json``).
+
+    Building REPLACES the index wholesale (matching
+    ``dedup.build_span_index``, round 12): any existing cells,
+    streaming epoch deltas, compaction debris, codebooks, and meta at
+    ``path`` are removed first — otherwise a rebuild would leave stale
+    ``cells_delta`` epochs (assigned under the OLD codebook) for the
+    next open to union with the new base, quietly corrupting counts
+    and recall.  A ``path`` that exists, is non-empty, and does not
+    look like an IVF index is REFUSED unless ``force=True``, so
+    transposed arguments cannot silently delete a data directory."""
     import json as _json
     import math
     import os as _os
+    import shutil as _shutil
 
     if assign not in ("flat", "hierarchical"):
         raise ValueError(f"unknown assign mode {assign!r}")
+    if _os.path.isdir(path) and _os.listdir(path):
+        looks_like_index = any(
+            _os.path.exists(_os.path.join(path, p))
+            for p in ("meta.json", "cells", ".cells.compact.tmp")
+        )
+        if not looks_like_index and not force:
+            raise ValueError(
+                f"refusing to replace {path!r}: it exists, is non-empty, "
+                "and does not look like an IVF index (no meta.json). "
+                "Pass force=True (CLI: --force) to overwrite it anyway."
+            )
+        _shutil.rmtree(path, ignore_errors=True)
     if n_centroids == "auto":
         if n is None:
             n = df.count()

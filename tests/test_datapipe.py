@@ -3295,3 +3295,54 @@ def test_ivf_sequential_streams_with_offset(spark, emb, tmp_path):
     cells = open_ivf_index(spark, root).cells
     assert cells.count() == emb.count()
     assert cells.select("vec_id").distinct().count() == emb.count()
+
+
+def test_ivf_rebuild_replaces_wholesale(spark, emb, tmp_path):
+    """Rebuilding an IVF index in place must remove stale streaming
+    deltas and the old watermark (round-12 fix, matching the span
+    index): pre-fix, the next open unioned old-codebook epoch deltas
+    with the new base — duplicate/phantom vectors, quiet wrongness.
+    And a non-empty non-index target is refused without force."""
+    import json
+    import os
+
+    from pedsnetdcc_spark.datapipe.similarity import (
+        _append_ivf_epoch,
+        build_ivf_index,
+        compact_ivf_index,
+        open_ivf_index,
+    )
+
+    base = emb.where(F.col("vec_id") % 5 != 0)
+    extra = emb.select("vec_id", "embedding").where(F.col("vec_id") % 5 == 0)
+    root = str(tmp_path / "ivf_rebuild")
+    build_ivf_index(base, root, n_centroids=8, assign="flat", seed=3)
+    _append_ivf_epoch(extra, 0, root)
+    compact_ivf_index(spark, root)
+    _append_ivf_epoch(
+        emb.select("vec_id", "embedding").where(F.col("vec_id") % 7 == 0),
+        1, root,
+    )  # an UNFOLDED delta left behind
+
+    # rebuild in place on just the base: deltas and watermark must die
+    build_ivf_index(base, root, n_centroids=8, assign="flat", seed=3)
+    assert not os.path.isdir(f"{root}/cells_delta")
+    with open(os.path.join(root, "meta.json")) as f:
+        assert "folded_through_epoch" not in json.load(f)
+    cells = open_ivf_index(spark, root).cells
+    assert cells.count() == base.count()
+    # and epoch 0 is appendable again on the fresh lineage
+    _append_ivf_epoch(extra, 0, root)
+    assert open_ivf_index(spark, root).cells.count() == emb.count()
+
+    # destructive-path guard: a corpus directory is refused...
+    corpus_dir = str(tmp_path / "not_an_index")
+    emb.limit(5).coalesce(1).write.parquet(corpus_dir)
+    with pytest.raises(ValueError, match="does not look like an IVF index"):
+        build_ivf_index(base, corpus_dir, n_centroids=8, assign="flat")
+    assert spark.read.parquet(corpus_dir).count() == 5
+    # ...unless forced
+    build_ivf_index(
+        base, corpus_dir, n_centroids=8, assign="flat", seed=3, force=True
+    )
+    assert open_ivf_index(spark, corpus_dir).cells.count() == base.count()
