@@ -6129,70 +6129,10 @@ def q_jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _QUERY_ORDER = [
     # -- 1: due back for a current verdict — every row below was
-    #       driver-green in round 10, sat past the 50-entry cutoff in
-    #       round 11 (re-verified by the identical local DuckDB compare
+    #       driver-green in round 11, sat past the 50-entry cutoff in
+    #       round 12 (re-verified by the identical local DuckDB compare
     #       every session), and rotates back up on the two-round
-    #       invariant (42 rows) ------------------------------------------
-    "generation_diff",
-    "streaming_wds_export",
-    "duplicate_spans",
-    "table_profile",
-    "doc_signals",
-    "interval_months",
-    "near_dup_scorecard_deep",
-    "streaming_interval_eras",
-    "streaming_lsh_index",
-    "jdbc_roundtrip",
-    "knn_label_eval",
-    "id_mapping",
-    "corpus_pipeline",
-    "vocab_stats",
-    "corpus_report",
-    "covid_post_shape",
-    "not_null_audit",
-    "corpus_prep",
-    "multimodal_png_meta",
-    "top_unshipped_orders",
-    "regional_supplier_volume",
-    "dimension_names",
-    "distinct_cohort",
-    "cohort_subset",
-    "merge_sites",
-    "group_counts",
-    "id_map_varchar_suite",
-    "polymorphic_map",
-    "classify_domains",
-    "value_quality",
-    "insert_missing",
-    "recompute_column",
-    "lms_z_score",
-    "doc_fingerprint",
-    "dedup_exact",
-    "pk_violations",
-    "bpe_encode",
-    "cdc_passage_dedup",
-    "subset_pcornet",
-    "interval_summary",
-    "asof_backward",
-    "ann_quantized_topk",
-    # -- 2: NEVER DRIVER-SCORED — the persisted span-digest index
-    #       lifecycle row landed mid-round-11 below the cutoff with a
-    #       full DuckDB oracle (green in tests/test_oracle_parity.py
-    #       every session since); earns its first driver verdict here ----
-    "span_index_dedup",
-    # -- 3: keep driver-green (flagship relational pipelines whose
-    #       verdicts we want current every round; green r9, r10 AND r11) --
-    "eras",
-    "rollup_eras",
-    "era_ids_pipeline",
-    "cdm_transform",
-    "cdm_drug_era",
-    "dedup_clusters",
-    "near_dup_scorecard",
-    # -- 4: past the 50-entry cutoff — every entry below was driver-green
-    #       in round 11 and still runs through the IDENTICAL DuckDB
-    #       row/schema/hash compare in tests/test_oracle_parity.py every
-    #       session; they rotate back up in round 13 (43 rows) ------------
+    #       invariant (43 rows) ------------------------------------------
     "ann_index_roundtrip",
     "ann_pq_topk",
     "image_near_dup",
@@ -6236,18 +6176,76 @@ _QUERY_ORDER = [
     "gopher_quality",
     "key_skew_profile",
     "hashed_bow",
+    # -- 2: keep driver-green (flagship relational pipelines whose
+    #       verdicts we want current every round; green r9..r12) ----------
+    "eras",
+    "rollup_eras",
+    "era_ids_pipeline",
+    "cdm_transform",
+    "cdm_drug_era",
+    "dedup_clusters",
+    "near_dup_scorecard",
+    # -- 3: past the 50-entry cutoff — every entry below was driver-green
+    #       in round 12 (CORRECTNESS_r12: 50/50, zero fail) and still runs
+    #       through the IDENTICAL DuckDB row/schema/hash compare in
+    #       tests/test_oracle_parity.py every session; they rotate back up
+    #       in round 14 (43 rows) -----------------------------------------
+    "generation_diff",
+    "streaming_wds_export",
+    "duplicate_spans",
+    "table_profile",
+    "doc_signals",
+    "interval_months",
+    "near_dup_scorecard_deep",
+    "streaming_interval_eras",
+    "streaming_lsh_index",
+    "jdbc_roundtrip",
+    "knn_label_eval",
+    "id_mapping",
+    "corpus_pipeline",
+    "vocab_stats",
+    "corpus_report",
+    "covid_post_shape",
+    "not_null_audit",
+    "corpus_prep",
+    "multimodal_png_meta",
+    "top_unshipped_orders",
+    "regional_supplier_volume",
+    "dimension_names",
+    "distinct_cohort",
+    "cohort_subset",
+    "merge_sites",
+    "group_counts",
+    "id_map_varchar_suite",
+    "polymorphic_map",
+    "classify_domains",
+    "value_quality",
+    "insert_missing",
+    "recompute_column",
+    "lms_z_score",
+    "doc_fingerprint",
+    "dedup_exact",
+    "pk_violations",
+    "bpe_encode",
+    "cdc_passage_dedup",
+    "subset_pcornet",
+    "interval_summary",
+    "asof_backward",
+    "ann_quantized_topk",
+    "span_index_dedup",
 ]
 
-# Round-12 window arithmetic (executing the layout round 11 pre-funded
-# exactly): 42 due tier-1 rows (driver-green r10, past the cutoff r11)
-# + span_index_dedup (never driver-scored; lands its first verdict) +
-# the 7 keep-green flagships = exactly 50 scored.  Zero free slots,
-# zero melts owed — no query's CONTRACT changed this round (the
-# round-12 changes are crash-safety hardening, a destructive-path
-# guard, and plan-level re-pricing, all output-identical and re-proven
-# by the local all-93 parity compare), so nothing re-enters the window.
-# The 43 rows driver-green in round 11 sit past the cutoff and rotate
-# back up in round 13.  (The registry size and the 50/past-cutoff
+# Round-13 window arithmetic (executing the layout round 12 pre-funded
+# exactly, VERDICT r12 task 1): the 43 rows driver-green in round 11
+# that sat past the cutoff in round 12 rotate back up + the 7
+# keep-green flagships = exactly 50 scored.  Zero free slots, zero
+# melts owed — no query's CONTRACT changed this round (the round-13
+# changes are API hardening on the persisted-index lifecycles, a
+# single-writer lock, auto-compact policy, and bench instrumentation,
+# all output-identical and re-proven by the local all-93 parity
+# compare), so nothing re-enters the window.  The 43 rows driver-green
+# in round 12 (CORRECTNESS_r12: 50/50) sit past the cutoff and rotate
+# back up in round 14.  (The registry size and the 50/past-cutoff
 # split are asserted below from the list itself so the numbers cannot
 # drift from the executed state.)
 _SCORING_WINDOW = 50
