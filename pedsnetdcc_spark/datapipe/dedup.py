@@ -1532,20 +1532,31 @@ def build_span_index(
     and no crashed-build/compaction debris) is REFUSED unless
     ``force=True`` — so an operator who transposes the corpus and index
     arguments (or points the CLI verb at a data directory) cannot
-    silently delete it."""
+    silently delete it.
+
+    SINGLE-WRITER: holds the index's ``.writer.lock``
+    (:func:`pedsnetdcc_spark.util.index_writer_lock`) for the whole
+    replace, so a concurrent build/append/compact fails immediately
+    with :class:`~pedsnetdcc_spark.util.IndexWriterLocked` instead of
+    racing the rmtree/rename window."""
     import json as _json
     import os as _os
-    import shutil as _shutil
 
-    from pedsnetdcc_spark.util import repartition_by_key
+    from pedsnetdcc_spark.util import (
+        clear_index_children,
+        index_writer_lock,
+        repartition_by_key,
+    )
 
     if not force and _os.path.isdir(path) and _os.listdir(path):
         # A real index always has meta.json; a crashed build/compaction
-        # leaves keys/ or dot-prefixed debris.  Anything else is some
-        # other directory the caller almost certainly did not mean.
+        # leaves keys/ or dot-prefixed debris (including a dead
+        # writer's .writer.lock).  Anything else is some other
+        # directory the caller almost certainly did not mean.
         looks_like_index = any(
             _os.path.exists(_os.path.join(path, p))
-            for p in ("meta.json", "keys", ".keys.compact.tmp")
+            for p in ("meta.json", "keys", ".keys.compact.tmp",
+                      ".writer.lock")
         )
         if not looks_like_index:
             raise ValueError(
@@ -1553,24 +1564,26 @@ def build_span_index(
                 "and does not look like a span index (no meta.json). "
                 "Pass force=True (CLI: --force) to overwrite it anyway."
             )
-    toks = df.select(
-        F.col(id_col), F.split(F.col(text_col), _regex_literal(sep)).alias("__arr")
-    ).where(F.size("__arr") >= k)
-    counts = (
-        _span_shingle_keys(toks, id_col, k, sep, digest)
-        .groupBy("__key")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
-    _shutil.rmtree(path, ignore_errors=True)
-    repartition_by_key(counts, "__key").write.mode("overwrite").parquet(
-        _os.path.join(path, "keys")
-    )
-    meta = {"k": k, "sep": sep, "digest": digest, "id_col": id_col}
-    tmp_meta = _os.path.join(path, ".meta.json.tmp")
-    with open(tmp_meta, "w") as f:
-        _json.dump(meta, f, sort_keys=True)
-    _os.replace(tmp_meta, _os.path.join(path, "meta.json"))
-    return meta
+    with index_writer_lock(path, "build"):
+        toks = df.select(
+            F.col(id_col),
+            F.split(F.col(text_col), _regex_literal(sep)).alias("__arr"),
+        ).where(F.size("__arr") >= k)
+        counts = (
+            _span_shingle_keys(toks, id_col, k, sep, digest)
+            .groupBy("__key")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        clear_index_children(path)
+        repartition_by_key(counts, "__key").write.mode("overwrite").parquet(
+            _os.path.join(path, "keys")
+        )
+        meta = {"k": k, "sep": sep, "digest": digest, "id_col": id_col}
+        tmp_meta = _os.path.join(path, ".meta.json.tmp")
+        with open(tmp_meta, "w") as f:
+            _json.dump(meta, f, sort_keys=True)
+        _os.replace(tmp_meta, _os.path.join(path, "meta.json"))
+        return meta
 
 
 def _span_index_meta(path: str) -> dict:
@@ -1613,7 +1626,12 @@ def _recover_span_compaction(path: str, recover: bool = True) -> None:
     _shutil.rmtree(_os.path.join(path, ".keys_delta.old"), ignore_errors=True)
 
 
-def append_span_index(df: DataFrame, path: str, text_col: str = "text") -> dict:
+def append_span_index(
+    df: DataFrame,
+    path: str,
+    text_col: str = "text",
+    generation: int | None = None,
+) -> dict:
     """Fold a NEW generation of documents into the index as an atomic
     ``keys_delta/gen=N`` directory — per-key counts of the new docs
     only, written to a dot-prefixed temp and renamed (a crashed append
@@ -1627,39 +1645,63 @@ def append_span_index(df: DataFrame, path: str, text_col: str = "text") -> dict:
     the next reader's recovery is contractually required to delete,
     silently losing the generation.
 
-    SINGLE-WRITER contract: at most one ``append_span_index`` (or
-    ``compact_span_index``) may run against an index at a time.  Two
-    appends that race the same generation number fail LOUDLY — the
-    loser's ``os.rename`` onto the winner's committed non-empty
-    ``gen=N`` directory raises — never silently corrupt; serialize
-    writers externally (the reference serializes DDL the same way)."""
+    SINGLE-WRITER contract (ENFORCED): holds the index's
+    ``.writer.lock`` for the whole append, so a concurrent
+    append/compact/build fails immediately with
+    :class:`~pedsnetdcc_spark.util.IndexWriterLocked` — it can no
+    longer rmtree this writer's in-progress temp before the rename
+    race surfaced (the pre-lock failure mode).  The reference
+    serializes DDL through its transaction runner the same way
+    (reference: pedsnetdcc/transform_runner.py:901-927).
+
+    RETRY IDEMPOTENCE: with ``generation=None`` (auto-numbering) the
+    append is NOT retry-idempotent — if the caller's job dies after
+    the ``gen=N`` rename but before recording success, a blind re-run
+    folds the same documents AGAIN as ``gen=N+1``, inflating every
+    count.  An at-least-once scheduler must pass an explicit
+    ``generation`` tag: a retried append then REPLACES its own
+    generation directory instead of duplicating it.  The tag only
+    covers retry-of-a-failed-append; re-running a generation AFTER a
+    compaction folded it still double-counts (the folded rows live in
+    the base and the replaced ``gen=N`` is new data to the next fold)
+    — record append success before compacting, as any at-least-once
+    pipeline must."""
     import os as _os
     import shutil as _shutil
 
-    from pedsnetdcc_spark.util import repartition_by_key
+    from pedsnetdcc_spark.util import index_writer_lock, repartition_by_key
 
     meta = _span_index_meta(path)
-    _recover_span_compaction(path)
-    k, sep, digest = meta["k"], meta["sep"], meta["digest"]
-    id_col = meta["id_col"]
-    toks = df.select(
-        F.col(id_col), F.split(F.col(text_col), _regex_literal(sep)).alias("__arr")
-    ).where(F.size("__arr") >= k)
-    counts = (
-        _span_shingle_keys(toks, id_col, k, sep, digest)
-        .groupBy("__key")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
-    delta_root = _os.path.join(path, "keys_delta")
-    gens = [int(g.split("=", 1)[1]) for g in _span_index_gens(path)]
-    n = max(gens, default=-1) + 1
-    final = _os.path.join(delta_root, f"gen={n}")
-    tmp = _os.path.join(delta_root, f".tmp-gen-{n}")
-    _shutil.rmtree(tmp, ignore_errors=True)
-    repartition_by_key(counts, "__key").write.mode("overwrite").parquet(tmp)
-    _os.makedirs(delta_root, exist_ok=True)
-    _os.rename(tmp, final)
-    return {"generation": n}
+    with index_writer_lock(path, "append"):
+        _recover_span_compaction(path)
+        k, sep, digest = meta["k"], meta["sep"], meta["digest"]
+        id_col = meta["id_col"]
+        toks = df.select(
+            F.col(id_col),
+            F.split(F.col(text_col), _regex_literal(sep)).alias("__arr"),
+        ).where(F.size("__arr") >= k)
+        counts = (
+            _span_shingle_keys(toks, id_col, k, sep, digest)
+            .groupBy("__key")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        delta_root = _os.path.join(path, "keys_delta")
+        if generation is None:
+            gens = [int(g.split("=", 1)[1]) for g in _span_index_gens(path)]
+            n = max(gens, default=-1) + 1
+        else:
+            n = int(generation)
+        final = _os.path.join(delta_root, f"gen={n}")
+        tmp = _os.path.join(delta_root, f".tmp-gen-{n}")
+        _shutil.rmtree(tmp, ignore_errors=True)
+        repartition_by_key(counts, "__key").write.mode("overwrite").parquet(tmp)
+        _os.makedirs(delta_root, exist_ok=True)
+        if generation is not None:
+            # explicit tag = retry semantics: replace this generation's
+            # previous (possibly partial-success) commit, never duplicate
+            _shutil.rmtree(final, ignore_errors=True)
+        _os.rename(tmp, final)
+        return {"generation": n}
 
 
 def _span_index_gens(path: str) -> list[str]:
@@ -1717,33 +1759,34 @@ def compact_span_index(spark, path: str) -> dict:
     A PREVIOUS compaction's crash is rolled forward before the
     generation listing (mirroring ``compact_ivf_index``), so a crashed
     index compacts as a clean no-op instead of raising mid-swap on a
-    delta dir the recovery just removed.  Single-writer contract: see
-    :func:`append_span_index`."""
+    delta dir the recovery just removed.  Single-writer contract
+    (ENFORCED via ``.writer.lock``): see :func:`append_span_index`."""
     import os as _os
     import shutil as _shutil
 
-    from pedsnetdcc_spark.util import repartition_by_key
+    from pedsnetdcc_spark.util import index_writer_lock, repartition_by_key
 
-    _recover_span_compaction(path)
-    delta_dir = _os.path.join(path, "keys_delta")
-    gens = _span_index_gens(path)
-    if not gens:
-        return {"keys": None, "generations_folded": 0}
-    merged = _span_index_counts(spark, path)
-    keys_dir = _os.path.join(path, "keys")
-    tmp = _os.path.join(path, ".keys.compact.tmp")
-    old = _os.path.join(path, ".keys.old")
-    delta_old = _os.path.join(path, ".keys_delta.old")
-    for stale in (tmp, old, delta_old):
-        _shutil.rmtree(stale, ignore_errors=True)
-    repartition_by_key(merged, "__key").write.mode("overwrite").parquet(tmp)
-    _os.rename(keys_dir, old)
-    _os.rename(delta_dir, delta_old)
-    _os.rename(tmp, keys_dir)
-    _shutil.rmtree(old, ignore_errors=True)
-    _shutil.rmtree(delta_old, ignore_errors=True)
-    n = spark.read.parquet(keys_dir).count()
-    return {"keys": n, "generations_folded": len(gens)}
+    with index_writer_lock(path, "compact"):
+        _recover_span_compaction(path)
+        delta_dir = _os.path.join(path, "keys_delta")
+        gens = _span_index_gens(path)
+        if not gens:
+            return {"keys": None, "generations_folded": 0}
+        merged = _span_index_counts(spark, path)
+        keys_dir = _os.path.join(path, "keys")
+        tmp = _os.path.join(path, ".keys.compact.tmp")
+        old = _os.path.join(path, ".keys.old")
+        delta_old = _os.path.join(path, ".keys_delta.old")
+        for stale in (tmp, old, delta_old):
+            _shutil.rmtree(stale, ignore_errors=True)
+        repartition_by_key(merged, "__key").write.mode("overwrite").parquet(tmp)
+        _os.rename(keys_dir, old)
+        _os.rename(delta_dir, delta_old)
+        _os.rename(tmp, keys_dir)
+        _shutil.rmtree(old, ignore_errors=True)
+        _shutil.rmtree(delta_old, ignore_errors=True)
+        n = spark.read.parquet(keys_dir).count()
+        return {"keys": n, "generations_folded": len(gens)}
 
 
 def duplicate_spans_against_index(

@@ -627,18 +627,26 @@ def build_ivf_index(
     next open to union with the new base, quietly corrupting counts
     and recall.  A ``path`` that exists, is non-empty, and does not
     look like an IVF index is REFUSED unless ``force=True``, so
-    transposed arguments cannot silently delete a data directory."""
+    transposed arguments cannot silently delete a data directory.
+
+    SINGLE-WRITER: holds the index's ``.writer.lock``
+    (:func:`pedsnetdcc_spark.util.index_writer_lock`) for the whole
+    replace, so a concurrent build/append/compact fails immediately
+    with :class:`~pedsnetdcc_spark.util.IndexWriterLocked` instead of
+    racing the replace window."""
     import json as _json
     import math
     import os as _os
-    import shutil as _shutil
+
+    from pedsnetdcc_spark.util import clear_index_children, index_writer_lock
 
     if assign not in ("flat", "hierarchical"):
         raise ValueError(f"unknown assign mode {assign!r}")
     if _os.path.isdir(path) and _os.listdir(path):
         looks_like_index = any(
             _os.path.exists(_os.path.join(path, p))
-            for p in ("meta.json", "cells", ".cells.compact.tmp")
+            for p in ("meta.json", "cells", ".cells.compact.tmp",
+                      ".writer.lock")
         )
         if not looks_like_index and not force:
             raise ValueError(
@@ -646,91 +654,97 @@ def build_ivf_index(
                 "and does not look like an IVF index (no meta.json). "
                 "Pass force=True (CLI: --force) to overwrite it anyway."
             )
-        _shutil.rmtree(path, ignore_errors=True)
-    if n_centroids == "auto":
-        if n is None:
-            n = df.count()
-        n_centroids = max(16, math.ceil(n / target_cell))
-        if assign == "flat":
-            n_centroids = min(1024, n_centroids)
-    if assign == "hierarchical":
-        sample_size = max(sample_size, 4 * int(n_centroids))
-    C = train_kmeans_centroids(
-        df, id_col, vec_col, k=int(n_centroids), sample_size=sample_size,
-        iters=iters, seed=seed,
-    )
-    spark = df.sparkSession
-    if assign == "hierarchical" and len(C) >= 64:
-        assign_cell, _ = _hier_assign_udf(
-            C, k1=math.ceil(math.sqrt(len(C))), iters=iters, seed=seed
+    with index_writer_lock(path, "build"):
+        clear_index_children(path)
+        if n_centroids == "auto":
+            if n is None:
+                n = df.count()
+            n_centroids = max(16, math.ceil(n / target_cell))
+            if assign == "flat":
+                n_centroids = min(1024, n_centroids)
+        if assign == "hierarchical":
+            sample_size = max(sample_size, 4 * int(n_centroids))
+        C = train_kmeans_centroids(
+            df, id_col, vec_col, k=int(n_centroids), sample_size=sample_size,
+            iters=iters, seed=seed,
         )
-    else:
-        assign_cell, _ = _cell_assign_udfs(C, nprobe=1)
-    from pedsnetdcc_spark.util import repartition_by_key
+        spark = df.sparkSession
+        if assign == "hierarchical" and len(C) >= 64:
+            assign_cell, _ = _hier_assign_udf(
+                C, k1=math.ceil(math.sqrt(len(C))), iters=iters, seed=seed
+            )
+        else:
+            assign_cell, _ = _cell_assign_udfs(C, nprobe=1)
+        from pedsnetdcc_spark.util import repartition_by_key
 
-    assigned = (
-        df.select(
-            F.col(id_col),
-            F.col(vec_col).cast("array<double>").alias(vec_col),
+        assigned = (
+            df.select(
+                F.col(id_col),
+                F.col(vec_col).cast("array<double>").alias(vec_col),
+            )
+            .withColumn("centroid_id", assign_cell(F.col(vec_col)))
         )
-        .withColumn("centroid_id", assign_cell(F.col(vec_col)))
-    )
-    if pq_m is not None:
-        # IVF-PQ: store each vector's PQ codes IN the cells so a query
-        # batch's coarse (ADC) stage reads m small ints per row instead
-        # of the full vector — column pruning turns the pruned-cell
-        # scan into a ~dim/m-times-smaller read; the exact re-rank
-        # fetches real vectors only for the shortlist.
-        pq_cb = train_pq_codebooks(
-            df, id_col, vec_col, m=pq_m, codebook_size=pq_codebook_size,
-            sample_size=sample_size, iters=iters, seed=seed + 1,
-        )
-        assigned = pq_encode(assigned, pq_cb, id_col, vec_col)
-        spark0 = df.sparkSession
-        cb_rows = [
-            (j, c, [float(x) for x in pq_cb[j, c]])
-            for j in range(pq_cb.shape[0])
-            for c in range(pq_cb.shape[1])
-        ]
-        # repartition(1), NOT coalesce(1): a parallelized local
-        # collection is 32 pickled partitions, and coalesce strings
-        # ALL of them through one task's serial Python-deserialization
-        # loop (~5 s measured for 512 rows); repartition deserializes
-        # in parallel and shuffles JVM rows to the single writer (~0.5 s)
-        spark0.createDataFrame(
-            cb_rows, "subspace int, code int, centroid array<double>"
+        if pq_m is not None:
+            # IVF-PQ: store each vector's PQ codes IN the cells so a query
+            # batch's coarse (ADC) stage reads m small ints per row instead
+            # of the full vector — column pruning turns the pruned-cell
+            # scan into a ~dim/m-times-smaller read; the exact re-rank
+            # fetches real vectors only for the shortlist.
+            pq_cb = train_pq_codebooks(
+                df, id_col, vec_col, m=pq_m, codebook_size=pq_codebook_size,
+                sample_size=sample_size, iters=iters, seed=seed + 1,
+            )
+            assigned = pq_encode(assigned, pq_cb, id_col, vec_col)
+            spark0 = df.sparkSession
+            cb_rows = [
+                (j, c, [float(x) for x in pq_cb[j, c]])
+                for j in range(pq_cb.shape[0])
+                for c in range(pq_cb.shape[1])
+            ]
+            # repartition(1), NOT coalesce(1): a parallelized local
+            # collection is 32 pickled partitions, and coalesce strings
+            # ALL of them through one task's serial Python-deserialization
+            # loop (~5 s measured for 512 rows); repartition deserializes
+            # in parallel and shuffles JVM rows to the single writer (~0.5 s)
+            spark0.createDataFrame(
+                cb_rows, "subspace int, code int, centroid array<double>"
+            ).repartition(1).write.mode("overwrite").parquet(
+                _os.path.join(path, "pq_codebooks.parquet")
+            )
+        # cluster rows by cell BEFORE the partitioned write: without this,
+        # every write task emits a file into every cell directory it holds
+        # rows for (tasks × cells small files); hashed on centroid_id, each
+        # cell's rows land in exactly one task → one file per cell
+        repartition_by_key(assigned, "centroid_id").write.mode(
+            "overwrite"
+        ).partitionBy("centroid_id").parquet(_os.path.join(path, "cells"))
+        # repartition(1) for the same serial-deserialization reason as the
+        # PQ codebook write above
+        spark.createDataFrame(
+            [(i, [float(x) for x in row]) for i, row in enumerate(C)],
+            "centroid_id int, centroid array<double>",
         ).repartition(1).write.mode("overwrite").parquet(
-            _os.path.join(path, "pq_codebooks.parquet")
+            _os.path.join(path, "centroids.parquet")
         )
-    # cluster rows by cell BEFORE the partitioned write: without this,
-    # every write task emits a file into every cell directory it holds
-    # rows for (tasks × cells small files); hashed on centroid_id, each
-    # cell's rows land in exactly one task → one file per cell
-    repartition_by_key(assigned, "centroid_id").write.mode(
-        "overwrite"
-    ).partitionBy("centroid_id").parquet(_os.path.join(path, "cells"))
-    # repartition(1) for the same serial-deserialization reason as the
-    # PQ codebook write above
-    spark.createDataFrame(
-        [(i, [float(x) for x in row]) for i, row in enumerate(C)],
-        "centroid_id int, centroid array<double>",
-    ).repartition(1).write.mode("overwrite").parquet(
-        _os.path.join(path, "centroids.parquet")
-    )
-    meta = {
-        "id_col": id_col,
-        "vec_col": vec_col,
-        "dim": int(C.shape[1]),
-        "n_centroids": int(len(C)),
-        "assign": assign,
-        "seed": seed,
-        "iters": iters,
-        "pq_m": pq_m,
-        "pq_codebook_size": pq_codebook_size if pq_m is not None else None,
-    }
-    with open(_os.path.join(path, "meta.json"), "w") as f:
-        _json.dump(meta, f, sort_keys=True)
-    return meta
+        meta = {
+            "id_col": id_col,
+            "vec_col": vec_col,
+            "dim": int(C.shape[1]),
+            "n_centroids": int(len(C)),
+            "assign": assign,
+            "seed": seed,
+            "iters": iters,
+            "pq_m": pq_m,
+            "pq_codebook_size": pq_codebook_size if pq_m is not None else None,
+        }
+        # atomic meta commit (tmp + replace), matching build_span_index
+        # and the compaction watermark: a crash mid-write must leave
+        # no truncated meta.json behind
+        tmp_meta = _os.path.join(path, ".meta.json.tmp")
+        with open(tmp_meta, "w") as f:
+            _json.dump(meta, f, sort_keys=True)
+        _os.replace(tmp_meta, _os.path.join(path, "meta.json"))
+        return meta
 
 
 class IvfIndexHandle:
@@ -1000,20 +1014,42 @@ def _append_ivf_epoch(batch_df: DataFrame, epoch_id: int, path: str) -> None:
     forward FIRST (:func:`_recover_ivf_compaction`) — otherwise this
     epoch could land in a ``cells_delta`` whose contents the next
     open's recovery is contractually required to delete, silently
-    losing the epoch.  SINGLE-WRITER contract: at most one append
-    stream (or compaction) may run against an index at a time.  Within
-    ONE stream the checkpoint serializes epoch numbering and a replayed
-    epoch must REPLACE its partial output (hence the pre-rename rmtree
-    of ``final``); that same replacement semantics means a SECOND
-    independent stream pointed at the index would silently clobber the
-    first's epochs — never share an index between append streams (give
+    losing the epoch.  SINGLE-WRITER contract (ENFORCED per epoch):
+    each micro-batch holds the index's ``.writer.lock``
+    (:func:`pedsnetdcc_spark.util.index_writer_lock`) for its whole
+    write+rename, so a concurrent compaction/build/second-stream epoch
+    fails immediately with
+    :class:`~pedsnetdcc_spark.util.IndexWriterLocked` instead of
+    racing; BETWEEN epochs the lock is released, so a compaction can
+    legally interleave with a live stream (the watermark below keeps
+    that interleaving exactly-once).  Within ONE stream the checkpoint
+    serializes epoch numbering and a replayed epoch must REPLACE its
+    partial output (hence the pre-rename rmtree of ``final``); that
+    same replacement semantics means a SECOND independent stream
+    pointed at the index clobbers the first's epochs whenever their
+    ids collide — never share an index between append streams (give
     each stream its own checkpoint AND its own index, or serialize).
 
     A replayed epoch at or below meta's ``folded_through_epoch``
     watermark is a NO-OP: a compaction already folded its rows into
     the base (legal between a stream crash and its restart), so
     re-writing the delta would double-count — see
-    :func:`compact_ivf_index`."""
+    :func:`compact_ivf_index`.
+
+    An EMPTY micro-batch commits nothing (early return): an
+    ``epoch=N`` directory holding zero parquet files would make
+    ``spark.read.parquet(cells_delta)`` schema inference fragile if
+    every sibling epoch were also empty, and there is nothing to
+    replay-protect — the checkpoint still advances."""
+    from pedsnetdcc_spark.util import index_writer_lock
+
+    with index_writer_lock(path, "append-epoch"):
+        _append_ivf_epoch_locked(batch_df, epoch_id, path)
+
+
+def _append_ivf_epoch_locked(
+    batch_df: DataFrame, epoch_id: int, path: str
+) -> None:
     import json as _json
     import math
     import os as _os
@@ -1029,6 +1065,10 @@ def _append_ivf_epoch(batch_df: DataFrame, epoch_id: int, path: str) -> None:
         # the original commit and this replay (stream crashed before
         # its checkpoint committed) — re-writing it would double-count
         # every row next to its folded copy; the replay is a no-op
+        return
+    if batch_df.isEmpty():
+        # nothing to commit; an all-empty epoch dir would also be the
+        # one delta state spark.read.parquet can fail schema inference on
         return
     crows = (
         batch_df.sparkSession.read.parquet(
@@ -1134,8 +1174,22 @@ def compact_ivf_index(spark, path: str) -> dict:
     highest epoch id it folded in ``meta.json`` (atomic replace,
     BEFORE any rename so every crash state is covered), and
     :func:`_append_ivf_epoch` drops a replayed epoch at or below that
-    watermark as an idempotent no-op.  Returns
+    watermark as an idempotent no-op.  Single-writer contract
+    (ENFORCED via ``.writer.lock``; a live stream's epochs interleave
+    legally because the sink holds the lock per-epoch, not
+    per-stream): see :func:`_append_ivf_epoch`.  Returns
     ``{"cells": n, "rows": m, "epochs_folded": e}``."""
+    import json as _json
+    import os as _os
+    import shutil as _shutil
+
+    from pedsnetdcc_spark.util import index_writer_lock, repartition_by_key
+
+    with index_writer_lock(path, "compact"):
+        return _compact_ivf_index_locked(spark, path)
+
+
+def _compact_ivf_index_locked(spark, path: str) -> dict:
     import json as _json
     import os as _os
     import shutil as _shutil
@@ -1216,8 +1270,69 @@ def next_epoch_offset(path: str) -> int:
     return max([folded, *existing]) + 1
 
 
-def stream_ivf_index_append(stream: DataFrame, path: str,
-                            epoch_offset: int = 0):
+def _validate_lineage_offset(path: str, checkpoint: str,
+                             epoch_offset: int) -> None:
+    """Persist-and-validate a stream lineage's epoch offset next to its
+    checkpoint, so a colliding fresh lineage RAISES instead of silently
+    losing batches.
+
+    First wiring of a checkpoint (no marker): the offset must be at
+    least :func:`next_epoch_offset` — a fresh lineage restarts Spark's
+    epoch ids at 0, so an offset below the index's committed frontier
+    would drop epochs ≤ ``folded_through_epoch`` as phantom replays and
+    clobber live deltas.  The offset is then written to
+    ``_ivf_epoch_offset.json`` in the checkpoint dir (atomic replace;
+    Spark ignores foreign files there).  Every later wiring of the SAME
+    checkpoint must pass the SAME offset against the SAME index — the
+    offset is part of the lineage's identity for its whole lifetime."""
+    import json as _json
+    import os as _os
+
+    _os.makedirs(checkpoint, exist_ok=True)
+    marker = _os.path.join(checkpoint, "_ivf_epoch_offset.json")
+    index_abs = _os.path.abspath(path)
+    if _os.path.exists(marker):
+        with open(marker) as f:
+            stored = _json.load(f)
+        if stored.get("index_path") != index_abs:
+            raise ValueError(
+                f"checkpoint {checkpoint!r} belongs to a stream on index "
+                f"{stored.get('index_path')!r}, not {index_abs!r}; a "
+                "checkpoint lineage is bound to one index for life — use "
+                "a fresh checkpoint directory"
+            )
+        if int(stored["epoch_offset"]) != int(epoch_offset):
+            raise ValueError(
+                f"checkpoint {checkpoint!r} was started with "
+                f"epoch_offset={stored['epoch_offset']}; restarting it "
+                f"with epoch_offset={epoch_offset} would re-key every "
+                "replayed epoch (silent loss/clobber). Reuse the "
+                "lineage's original offset — it is fixed for the "
+                "checkpoint's whole lifetime."
+            )
+        return
+    required = next_epoch_offset(path)
+    if int(epoch_offset) < required:
+        raise ValueError(
+            f"fresh checkpoint {checkpoint!r} on index {index_abs!r} "
+            f"with epoch_offset={epoch_offset}: the index's committed "
+            f"epoch frontier requires an offset of at least {required} "
+            "(pass epoch_offset=next_epoch_offset(path)). A lower "
+            "offset would silently drop epochs at or below the "
+            "compaction watermark and clobber live deltas."
+        )
+    tmp = marker + ".tmp"
+    with open(tmp, "w") as f:
+        _json.dump(
+            {"epoch_offset": int(epoch_offset), "index_path": index_abs},
+            f, sort_keys=True,
+        )
+    _os.replace(tmp, marker)
+
+
+def stream_ivf_index_append(stream: DataFrame, path: str, *,
+                            epoch_offset: int,
+                            checkpoint: str | None = None):
     """Continuous index maintenance: a streaming sink that assigns each
     micro-batch of new vectors to cells with the index's FROZEN codebook
     and lands it as an atomic ``cells_delta/epoch=NNNNNN`` directory —
@@ -1240,12 +1355,29 @@ def stream_ivf_index_append(stream: DataFrame, path: str,
     MUST pass ``epoch_offset=next_epoch_offset(path)`` — the offset is
     fixed for the checkpoint's whole lifetime (reuse the same value on
     every restart of that checkpoint), which is why it is an explicit
-    argument and not read inside the sink."""
+    KEYWORD-ONLY argument with NO DEFAULT (round-13 hardening: the old
+    ``epoch_offset=0`` default made the one omission whose consequence
+    is silent data loss type-check and run) and not read inside the
+    sink.  Pass an explicit ``0`` for a freshly built index.
+
+    Pass ``checkpoint=`` (instead of setting ``checkpointLocation``
+    yourself) to make the contract machine-checked: the offset is
+    persisted as ``_ivf_epoch_offset.json`` inside the checkpoint dir
+    on first wiring and validated on every restart, so a fresh lineage
+    colliding with the index's committed epoch frontier — or a restart
+    with a different offset or a different index — raises at wiring
+    time instead of silently losing batches
+    (:func:`_validate_lineage_offset`); the returned writer already
+    carries the ``checkpointLocation`` option."""
 
     def _append(batch_df: DataFrame, epoch_id: int) -> None:
         _append_ivf_epoch(batch_df, epoch_id + epoch_offset, path)
 
-    return stream.writeStream.foreachBatch(_append).outputMode("append")
+    writer = stream.writeStream.foreachBatch(_append).outputMode("append")
+    if checkpoint is not None:
+        _validate_lineage_offset(path, checkpoint, epoch_offset)
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer
 
 
 def hyperplane_sketch(vec: Column, bits: int = 8, seed: int = 0, dim: int = 64) -> Column:

@@ -3238,9 +3238,11 @@ def q_ann_index_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             .option("maxFilesPerTrigger", "1")
             .parquet(src)
         )
+        # epoch_offset=0 (fresh index, fresh lineage); checkpoint= routes
+        # through the persisted-offset validation and sets the option
         q = (
-            stream_ivf_index_append(stream, idx)
-            .option("checkpointLocation", ckpt)
+            stream_ivf_index_append(stream, idx, epoch_offset=0,
+                                    checkpoint=ckpt)
             .trigger(availableNow=True)
             .start()
         )

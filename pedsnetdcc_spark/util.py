@@ -146,3 +146,99 @@ def salted_join(
     )
     out = l.join(r, [key, "__salt"], how)
     return out.drop("__salt")
+
+
+def clear_index_children(path: str) -> None:
+    """Wholesale-replace helper for index builds: remove every child of
+    an index root EXCEPT ``.writer.lock``.  ``rmtree(path)`` would
+    delete the running build's own writer lock and reopen the index to
+    a second writer mid-replace."""
+    import contextlib
+    import os
+    import shutil
+
+    for child in os.listdir(path):
+        if child == ".writer.lock":
+            continue
+        full = os.path.join(path, child)
+        if os.path.isdir(full):
+            shutil.rmtree(full, ignore_errors=True)
+        else:
+            with contextlib.suppress(OSError):
+                os.remove(full)
+
+
+class IndexWriterLocked(RuntimeError):
+    """A second writer tried to build/append/compact a persisted index
+    while another writer held its ``.writer.lock``."""
+
+
+def index_writer_lock(path: str, op: str):
+    """O_EXCL writer lock serializing build/append/compact on a
+    persisted index directory (span index, IVF index).
+
+    The single-writer contract used to be documented convention only:
+    two racing appends failed loudly at the final ``os.rename``, but
+    shared dot-temp names meant the loser could rmtree the winner's
+    in-progress temp first, and a concurrent compact + append was safe
+    only by agreement.  This turns the convention into a mechanism —
+    one ``.writer.lock`` file created with ``O_CREAT | O_EXCL`` (the
+    atomic create-or-fail primitive on POSIX and on NFS ≥ v3), holding
+    ``{pid, op, started_unix}`` so the loser's error names the holder.
+    The reference serializes its DDL through a transaction runner the
+    same way (reference: pedsnetdcc/transform_runner.py:901-927).
+
+    Stale locks: the lock is removed in a ``finally``, so it outlives
+    its writer only on a kill -9 / machine crash.  There is no
+    timeout-based auto-steal — a wall-clock heuristic cannot tell a
+    dead writer from a slow 50M-doc compaction, and stealing from a
+    live one re-opens the corruption this lock closes.  The override
+    is manual and documented in the error: verify the pid is dead,
+    then delete ``<path>/.writer.lock``.
+
+    Scope: an OS-level file lock — correct on any filesystem with
+    atomic exclusive create (local disk, NFS, Lustre).  On an object
+    store (S3/GCS) there is no exclusive create; serialize writers
+    through a scheduler there, as the docstrings always required.
+
+    Usage::
+
+        with index_writer_lock(path, "append"):
+            ...mutate the index...
+    """
+    import contextlib
+    import json
+    import os
+    import time
+
+    @contextlib.contextmanager
+    def _lock():
+        os.makedirs(path, exist_ok=True)
+        lock = os.path.join(path, ".writer.lock")
+        try:
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY, 0o644)
+        except FileExistsError:
+            try:
+                with open(lock) as f:
+                    holder = f.read().strip() or "<empty>"
+            except OSError:
+                holder = "<unreadable>"
+            raise IndexWriterLocked(
+                f"refusing {op!r} on index {path!r}: another writer holds "
+                f"{lock} ({holder}). At most one build/append/compact may "
+                "run against an index at a time. If the holder process is "
+                f"dead (crashed writer), delete {lock} and retry."
+            ) from None
+        try:
+            os.write(fd, json.dumps(
+                {"pid": os.getpid(), "op": op,
+                 "started_unix": int(time.time())},
+                sort_keys=True,
+            ).encode())
+            os.close(fd)
+            yield
+        finally:
+            with contextlib.suppress(OSError):
+                os.remove(lock)
+
+    return _lock()

@@ -1877,7 +1877,7 @@ def test_ivf_index_streaming_append(spark, emb, tmp_path):
         .parquet(src)
     )
     q = (
-        stream_ivf_index_append(stream, root)
+        stream_ivf_index_append(stream, root, epoch_offset=0)
         .option("checkpointLocation", str(tmp_path / "ckpt"))
         .trigger(availableNow=True)
         .start()
@@ -2837,6 +2837,7 @@ def test_ivf_compaction_crash_states_roll_forward(spark, emb, tmp_path):
             spark.readStream.schema("vec_id long, embedding array<float>")
             .parquet(src),
             root,
+            epoch_offset=0,
         )
         .option("checkpointLocation", ckpt)
         .trigger(availableNow=True)
@@ -3241,11 +3242,20 @@ def test_ivf_epoch_replay_after_compact_is_noop(spark, emb, tmp_path):
     assert cells.count() == total
     assert cells.select("vec_id").distinct().count() == total
 
-    # a genuinely NEW epoch above the watermark still appends
+    # an EMPTY batch above the watermark commits nothing (round-13
+    # hardening: an all-empty delta dir is the one state parquet schema
+    # inference can fail on, and there is nothing to replay-protect)
     _append_ivf_epoch(
         emb.select("vec_id", "embedding").where(F.col("vec_id") < 0), 1, root
-    )  # empty but committed
-    assert os.path.isdir(f"{root}/cells_delta/epoch=000001")
+    )
+    assert not os.path.isdir(f"{root}/cells_delta/epoch=000001")
+    # the index stays openable after the skipped epoch
+    assert open_ivf_index(spark, root).cells.count() == total
+
+    # a genuinely NEW non-empty epoch above the watermark still appends
+    _append_ivf_epoch(ep0.limit(3), 2, root)
+    assert os.path.isdir(f"{root}/cells_delta/epoch=000002")
+    assert open_ivf_index(spark, root).cells.count() == total + 3
 
 
 def test_ivf_sequential_streams_with_offset(spark, emb, tmp_path):
@@ -3346,3 +3356,306 @@ def test_ivf_rebuild_replaces_wholesale(spark, emb, tmp_path):
         base, corpus_dir, n_centroids=8, assign="flat", seed=3, force=True
     )
     assert open_ivf_index(spark, corpus_dir).cells.count() == base.count()
+
+
+# ---------------------------------------------------------------------------
+# round-13: single-writer lock (enforced), retry-generation appends,
+# checkpoint-persisted lineage offsets
+# ---------------------------------------------------------------------------
+
+
+def _small_docs(spark):
+    return spark.createDataFrame(
+        [(i, f"tok{i} a b c d e f g h") for i in range(6)],
+        ["doc_id", "text"],
+    )
+
+
+def test_index_writer_lock_blocks_span_writers(spark, tmp_path):
+    """A held .writer.lock makes every span-index writer verb fail
+    immediately with the named error — the single-writer contract is
+    now a mechanism, not a convention."""
+    from pedsnetdcc_spark.datapipe.dedup import (
+        append_span_index,
+        build_span_index,
+        compact_span_index,
+    )
+    from pedsnetdcc_spark.util import IndexWriterLocked, index_writer_lock
+
+    docs = _small_docs(spark)
+    idx = str(tmp_path / "locked_span")
+    build_span_index(docs, idx, "doc_id", k=4)
+    with index_writer_lock(idx, "held-by-test"):
+        with pytest.raises(IndexWriterLocked, match="another writer"):
+            append_span_index(docs, idx)
+        with pytest.raises(IndexWriterLocked, match="another writer"):
+            compact_span_index(spark, idx)
+        with pytest.raises(IndexWriterLocked, match="another writer"):
+            build_span_index(docs, idx, "doc_id", k=4)
+    # released in finally -> writers work again, and the lock error
+    # left no partial state behind
+    append_span_index(docs, idx)
+    assert compact_span_index(spark, idx)["generations_folded"] == 1
+
+
+def test_index_writer_lock_blocks_ivf_writers(spark, emb, tmp_path):
+    """IVF twin: build / epoch-append / compact all refuse while the
+    lock is held, and work after release."""
+    from pedsnetdcc_spark.datapipe.similarity import (
+        _append_ivf_epoch,
+        build_ivf_index,
+        compact_ivf_index,
+        open_ivf_index,
+    )
+    from pedsnetdcc_spark.util import IndexWriterLocked, index_writer_lock
+
+    root = str(tmp_path / "locked_ivf")
+    base = emb.where(F.col("vec_id") % 5 != 0)
+    newv = emb.select("vec_id", "embedding").where(F.col("vec_id") % 5 == 0)
+    build_ivf_index(base, root, n_centroids=8, assign="flat", seed=3)
+    with index_writer_lock(root, "held-by-test"):
+        with pytest.raises(IndexWriterLocked, match="another writer"):
+            _append_ivf_epoch(newv, 0, root)
+        with pytest.raises(IndexWriterLocked, match="another writer"):
+            compact_ivf_index(spark, root)
+        with pytest.raises(IndexWriterLocked, match="another writer"):
+            build_ivf_index(base, root, n_centroids=8, assign="flat", seed=3)
+    _append_ivf_epoch(newv, 0, root)
+    assert compact_ivf_index(spark, root)["epochs_folded"] == 1
+    assert open_ivf_index(spark, root).cells.count() == emb.count()
+
+
+def test_index_writer_lock_two_process(spark, tmp_path):
+    """Cross-PROCESS enforcement: a separate OS process holds the lock
+    (the O_EXCL create is a filesystem primitive, not a Python one);
+    this process's real append fails with the named error and the
+    holder's pid is readable from the message."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    from pedsnetdcc_spark.datapipe.dedup import (
+        append_span_index,
+        build_span_index,
+    )
+    from pedsnetdcc_spark.util import IndexWriterLocked
+
+    docs = _small_docs(spark)
+    idx = str(tmp_path / "twoproc_span")
+    build_span_index(docs, idx, "doc_id", k=4)
+
+    holder = subprocess.Popen(
+        [sys.executable, "-c",
+         "import sys; sys.path.insert(0, %r)\n"
+         "from pedsnetdcc_spark.util import index_writer_lock\n"
+         "import sys as s\n"
+         "with index_writer_lock(%r, 'other-process'):\n"
+         "    print('HELD', flush=True)\n"
+         "    s.stdin.readline()\n" % (os.getcwd(), idx)],
+        stdin=subprocess.PIPE, stdout=subprocess.PIPE, text=True,
+    )
+    try:
+        assert holder.stdout.readline().strip() == "HELD"
+        with pytest.raises(IndexWriterLocked) as ei:
+            append_span_index(docs, idx)
+        # the error names the live holder
+        import re
+
+        lock_payload = json.loads(
+            re.search(r"\{.*?\}", str(ei.value)).group(0)
+        )
+        assert lock_payload["pid"] == holder.pid
+        assert lock_payload["op"] == "other-process"
+    finally:
+        holder.stdin.write("\n")
+        holder.stdin.close()
+        holder.wait(30)
+    # holder exited -> lock released -> append succeeds
+    assert append_span_index(docs, idx)["generation"] == 0
+
+
+def test_index_writer_lock_interleaved_appends(spark, tmp_path, monkeypatch):
+    """ACTUAL interleaving (verdict r12 task 8): writer A is paused
+    INSIDE its locked append (mid-write, before the rename) while
+    writer B attempts a concurrent append on another thread — B must
+    fail immediately with the named error, and A then completes
+    normally.  This exercises the exact window the pre-lock rename race
+    left open (the loser rmtree-ing the winner's in-progress temp)."""
+    import threading
+
+    import pedsnetdcc_spark.util as U
+    from pedsnetdcc_spark.datapipe.dedup import (
+        append_span_index,
+        build_span_index,
+    )
+    from pedsnetdcc_spark.util import IndexWriterLocked
+
+    docs = _small_docs(spark)
+    idx = str(tmp_path / "interleave_span")
+    build_span_index(docs, idx, "doc_id", k=4)
+
+    inside_write = threading.Event()
+    release_a = threading.Event()
+    real_rbk = U.repartition_by_key
+    a_err: list[BaseException] = []
+
+    def paused_rbk(df, *cols, **kw):
+        # only writer A's delta write pauses (builds already happened)
+        inside_write.set()
+        assert release_a.wait(120), "test deadlock: A never released"
+        return real_rbk(df, *cols, **kw)
+
+    monkeypatch.setattr(U, "repartition_by_key", paused_rbk)
+
+    def writer_a():
+        try:
+            append_span_index(docs, idx)
+        except BaseException as e:  # pragma: no cover - failure path
+            a_err.append(e)
+
+    ta = threading.Thread(target=writer_a)
+    ta.start()
+    try:
+        assert inside_write.wait(120), "A never reached its write"
+        # B races while A is mid-write INSIDE the lock
+        monkeypatch.setattr(U, "repartition_by_key", real_rbk)
+        with pytest.raises(IndexWriterLocked, match="another writer"):
+            append_span_index(docs, idx)
+    finally:
+        release_a.set()
+        ta.join(120)
+    assert not a_err, f"writer A failed: {a_err}"
+    # A's generation committed exactly once; B left nothing behind
+    from pedsnetdcc_spark.datapipe.dedup import _span_index_gens
+
+    assert _span_index_gens(idx) == ["gen=0"]
+
+
+def test_append_span_index_retry_generation(spark, tmp_path):
+    """At-least-once retry seam (ADVICE r12): an explicit generation
+    tag makes a retried append REPLACE its generation instead of
+    folding the same documents twice; auto-numbering keeps the old
+    (non-idempotent, documented) behavior."""
+    from pedsnetdcc_spark.datapipe.dedup import (
+        _span_index_counts,
+        append_span_index,
+        build_span_index,
+        duplicate_spans_against_index,
+    )
+
+    old = spark.createDataFrame([(1, "a b c d e f g h")], ["doc_id", "text"])
+    gen = spark.createDataFrame([(2, "p q r s t u v w")], ["doc_id", "text"])
+    idx = str(tmp_path / "retry_span")
+    build_span_index(old, idx, "doc_id", k=4)
+
+    assert append_span_index(gen, idx, generation=0) == {"generation": 0}
+    # the caller's job died before recording success; blind retry with
+    # the same tag replaces, never duplicates
+    assert append_span_index(gen, idx, generation=0) == {"generation": 0}
+    counts = {
+        r["__key"]: r["cnt"]
+        for r in _span_index_counts(spark, idx).collect()
+    }
+    assert counts and all(c == 1 for c in counts.values()), counts
+
+    # contrast: auto-numbered retry DOES double-count (the documented
+    # non-idempotence the tag exists to avoid)
+    append_span_index(gen, idx)  # lands as gen=1, same docs again
+    dup = duplicate_spans_against_index(
+        spark.createDataFrame([(9, "p q r s")], ["doc_id", "text"]), idx
+    )
+    assert dup.count() == 1  # p q r s now has index count 2 -> duplicated
+
+
+def test_stream_ivf_append_offset_is_required_keyword(spark, emb, tmp_path):
+    """The one parameter whose omission is silent data loss no longer
+    has a default: calling without epoch_offset raises TypeError at
+    wiring time (VERDICT r12 task 2)."""
+    from pedsnetdcc_spark.datapipe.similarity import (
+        build_ivf_index,
+        stream_ivf_index_append,
+    )
+
+    root = str(tmp_path / "kwonly_ivf")
+    build_ivf_index(emb, root, n_centroids=8, assign="flat", seed=3)
+    src = str(tmp_path / "kwonly_src")
+    emb.select("vec_id", "embedding").limit(4).coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(
+        "vec_id long, embedding array<float>"
+    ).parquet(src)
+    with pytest.raises(TypeError):
+        stream_ivf_index_append(stream, root)
+    with pytest.raises(TypeError):
+        stream_ivf_index_append(stream, root, 0)  # positional refused too
+
+
+def test_stream_ivf_append_lineage_offset_validation(spark, emb, tmp_path):
+    """checkpoint= persists the lineage's offset and validates it: a
+    colliding fresh lineage raises, a restart with a drifted offset
+    raises, a restart against a different index raises, and the correct
+    reuse runs (ADVICE r12: the misuse is now unrepresentable when the
+    checkpoint is routed through the sink)."""
+    import os
+
+    from pedsnetdcc_spark.datapipe.similarity import (
+        build_ivf_index,
+        compact_ivf_index,
+        next_epoch_offset,
+        open_ivf_index,
+        stream_ivf_index_append,
+    )
+
+    base = emb.where(F.col("vec_id") % 5 > 1)
+    first = emb.select("vec_id", "embedding").where(F.col("vec_id") % 5 == 0)
+    second = emb.select("vec_id", "embedding").where(F.col("vec_id") % 5 == 1)
+    root = str(tmp_path / "lineage_ivf")
+    build_ivf_index(base, root, n_centroids=8, assign="flat", seed=3)
+
+    def run(df, src, ckpt, offset):
+        if not os.path.isdir(src):
+            df.coalesce(1).write.parquet(src)
+        q = (
+            stream_ivf_index_append(
+                spark.readStream.schema("vec_id long, embedding array<float>")
+                .parquet(src),
+                root, epoch_offset=offset, checkpoint=ckpt,
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(300)
+
+    c1 = str(tmp_path / "c1")
+    run(first, str(tmp_path / "s1"), c1, 0)
+    assert os.path.exists(os.path.join(c1, "_ivf_epoch_offset.json"))
+    assert compact_ivf_index(spark, root)["epochs_folded"] == 1
+
+    # fresh lineage colliding with the committed frontier: raises at
+    # wiring time instead of silently dropping epoch 0 as a replay
+    stream2 = spark.readStream.schema(
+        "vec_id long, embedding array<float>"
+    ).parquet(str(tmp_path / "s1"))
+    with pytest.raises(ValueError, match="committed epoch frontier"):
+        stream_ivf_index_append(
+            stream2, root, epoch_offset=0, checkpoint=str(tmp_path / "c2")
+        )
+
+    # restarting lineage c1 with a drifted offset: raises
+    with pytest.raises(ValueError, match="was started with"):
+        stream_ivf_index_append(stream2, root, epoch_offset=7, checkpoint=c1)
+
+    # reusing lineage c1's checkpoint against another index: raises
+    other = str(tmp_path / "other_ivf")
+    build_ivf_index(base, other, n_centroids=8, assign="flat", seed=3)
+    with pytest.raises(ValueError, match="bound to one index"):
+        stream_ivf_index_append(stream2, other, epoch_offset=0, checkpoint=c1)
+
+    # the correct second lineage (offset from next_epoch_offset) lands
+    # every vector exactly once
+    off = next_epoch_offset(root)
+    assert off >= 1
+    run(second, str(tmp_path / "s2"), str(tmp_path / "c2b"), off)
+    cells = open_ivf_index(spark, root).cells
+    assert cells.count() == base.count() + first.count() + second.count()
+    assert cells.select("vec_id").distinct().count() == cells.count()
