@@ -923,11 +923,24 @@ def cmd_ann_query(args: argparse.Namespace) -> int:
 
 def cmd_ann_compact(args: argparse.Namespace) -> int:
     """Fold streaming epoch deltas back into the index's base cells
-    (one file per cell restored; bounds the handle's listing cost)."""
-    from pedsnetdcc_spark.datapipe.similarity import compact_ivf_index
+    (one file per cell restored; bounds the handle's listing cost).
+    With --if-epochs-over / --if-frac-over the fold only runs past the
+    threshold (maybe_compact_ivf_index) — the cron-able auto-compact
+    policy for a continuously appending index."""
+    from pedsnetdcc_spark.datapipe.similarity import (
+        compact_ivf_index,
+        maybe_compact_ivf_index,
+    )
 
     spark = _session(args)
-    rep = compact_ivf_index(spark, args.index)
+    if args.if_epochs_over is not None or args.if_frac_over is not None:
+        rep = maybe_compact_ivf_index(
+            spark, args.index,
+            max_epochs=args.if_epochs_over,
+            max_delta_fraction=args.if_frac_over,
+        )
+    else:
+        rep = compact_ivf_index(spark, args.index)
     print(json.dumps({"index": args.index, **rep}))
     return 0
 
@@ -959,10 +972,39 @@ def cmd_span_index(args: argparse.Namespace) -> int:
                 f"span-index --append takes its shingle parameters from "
                 f"the index's meta.json; drop {', '.join(explicit)}"
             )
+    else:
+        appendish = [
+            name
+            for name, v in (
+                ("--generation", args.generation),
+                ("--auto-compact-gens", args.auto_compact_gens),
+                ("--auto-compact-frac", args.auto_compact_frac),
+            )
+            if v is not None
+        ]
+        if appendish:
+            raise SystemExit(
+                "span-index build ignores append-only flags; drop "
+                + ", ".join(appendish) + " or pass --append"
+            )
     spark = _session(args)
     df = _read(spark, args.input, args.table)
     if args.append:
-        rep = append_span_index(df, args.index, text_col=args.text_col)
+        rep = append_span_index(
+            df, args.index, text_col=args.text_col,
+            generation=args.generation,
+        )
+        if (args.auto_compact_gens is not None
+                or args.auto_compact_frac is not None):
+            from pedsnetdcc_spark.datapipe.dedup import (
+                maybe_compact_span_index,
+            )
+
+            rep["auto_compact"] = maybe_compact_span_index(
+                spark, args.index,
+                max_generations=args.auto_compact_gens,
+                max_delta_fraction=args.auto_compact_frac,
+            )
     else:
         rep = build_span_index(
             df, args.index,
@@ -1511,9 +1553,20 @@ def build_parser() -> argparse.ArgumentParser:
 
     sp = sub.add_parser(
         "ann-compact",
-        help="fold streaming epoch deltas back into an ann-index base",
+        help="fold streaming epoch deltas back into an ann-index base "
+        "(unconditionally, or only past --if-epochs-over/--if-frac-over "
+        "thresholds — the cron-able auto-compact policy)",
     )
     sp.add_argument("--index", required=True, help="ann-index root dir")
+    sp.add_argument(
+        "--if-epochs-over", type=int, default=None,
+        help="only compact if committed epoch deltas exceed N",
+    )
+    sp.add_argument(
+        "--if-frac-over", type=float, default=None,
+        help="only compact if delta bytes exceed this fraction of the "
+        "base cells/",
+    )
     sp.set_defaults(fn=cmd_ann_compact)
 
     sp = sub.add_parser(
@@ -1537,6 +1590,23 @@ def build_parser() -> argparse.ArgumentParser:
         "--append", action="store_true",
         help="fold this table in as a new generation delta (shingle "
         "parameters come from the index's meta)",
+    )
+    sp.add_argument(
+        "--generation", type=int, default=None,
+        help="--append only: explicit generation tag for at-least-once "
+        "retries (a retried append REPLACES this generation instead of "
+        "duplicating it)",
+    )
+    sp.add_argument(
+        "--auto-compact-gens", type=int, default=None,
+        help="--append only: fold the deltas after this append if "
+        "committed generations exceed N (bounds the per-read "
+        "re-aggregation a never-compacting appender causes)",
+    )
+    sp.add_argument(
+        "--auto-compact-frac", type=float, default=None,
+        help="--append only: fold if delta bytes exceed this fraction "
+        "of the base keys/",
     )
     sp.add_argument(
         "--force", action="store_true",

@@ -1789,6 +1789,62 @@ def compact_span_index(spark, path: str) -> dict:
         return {"keys": n, "generations_folded": len(gens)}
 
 
+def _dir_bytes(path: str) -> int:
+    import os as _os
+
+    total = 0
+    for root, _dirs, files in _os.walk(path):
+        for f in files:
+            try:
+                total += _os.path.getsize(_os.path.join(root, f))
+            except OSError:
+                pass
+    return total
+
+
+def maybe_compact_span_index(
+    spark,
+    path: str,
+    max_generations: int | None = None,
+    max_delta_fraction: float | None = None,
+) -> dict:
+    """Auto-compact policy: fold the generation deltas iff the delta
+    fan-in crossed a threshold — committed generations above
+    ``max_generations``, or delta bytes above ``max_delta_fraction`` of
+    the base ``keys/``.
+
+    Nothing else bounds the fan-in between manual compactions, and
+    every read with ANY delta present pays a full re-aggregation
+    shuffle (:func:`_span_index_counts`) — a long-running appender that
+    never compacts silently degrades every reader.  Run this after each
+    append (CLI: ``span-index --append --auto-compact-gens/--frac``)
+    and the index self-bounds: below both thresholds it is a cheap
+    listing + ``du``, above either it is exactly
+    :func:`compact_span_index` (reads before == reads after, just
+    cheaper).  Thresholds are opt-in (``None`` = unbounded) so a bulk
+    backfill can defer the fold to one final compaction."""
+    gens = _span_index_gens(path)
+    import os as _os
+
+    reason = None
+    if max_generations is not None and len(gens) > max_generations:
+        reason = f"generations {len(gens)} > {max_generations}"
+    elif max_delta_fraction is not None and gens:
+        base_b = _dir_bytes(_os.path.join(path, "keys"))
+        delta_b = _dir_bytes(_os.path.join(path, "keys_delta"))
+        if delta_b > max_delta_fraction * base_b:
+            reason = (
+                f"delta bytes {delta_b} > {max_delta_fraction} × base "
+                f"{base_b}"
+            )
+    if reason is None:
+        return {"keys": None, "generations_folded": 0, "triggered": False}
+    rep = compact_span_index(spark, path)
+    rep["triggered"] = True
+    rep["reason"] = reason
+    return rep
+
+
 def duplicate_spans_against_index(
     df: DataFrame,
     path: str,

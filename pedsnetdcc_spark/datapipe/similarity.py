@@ -1247,6 +1247,51 @@ def _compact_ivf_index_locked(spark, path: str) -> dict:
     }
 
 
+def maybe_compact_ivf_index(
+    spark,
+    path: str,
+    max_epochs: int | None = None,
+    max_delta_fraction: float | None = None,
+) -> dict:
+    """Auto-compact policy, IVF twin of
+    :func:`pedsnetdcc_spark.datapipe.dedup.maybe_compact_span_index`:
+    fold the epoch deltas iff committed epochs exceed ``max_epochs`` or
+    delta bytes exceed ``max_delta_fraction`` of the base ``cells/``.
+    Bounds the handle's open-time directory listing (epochs × cells
+    dirs) and restores one-file-per-cell reads without requiring an
+    operator to schedule compaction by hand (CLI: ``ann-compact
+    --if-epochs-over / --if-frac-over``).  Thresholds are opt-in
+    (``None`` = unbounded)."""
+    import os as _os
+
+    from pedsnetdcc_spark.datapipe.dedup import _dir_bytes
+
+    delta = _os.path.join(path, "cells_delta")
+    epochs = (
+        [e for e in _os.listdir(delta) if e.startswith("epoch=")]
+        if _os.path.isdir(delta)
+        else []
+    )
+    reason = None
+    if max_epochs is not None and len(epochs) > max_epochs:
+        reason = f"epochs {len(epochs)} > {max_epochs}"
+    elif max_delta_fraction is not None and epochs:
+        base_b = _dir_bytes(_os.path.join(path, "cells"))
+        delta_b = _dir_bytes(delta)
+        if delta_b > max_delta_fraction * base_b:
+            reason = (
+                f"delta bytes {delta_b} > {max_delta_fraction} × base "
+                f"{base_b}"
+            )
+    if reason is None:
+        return {"cells": None, "rows": None, "epochs_folded": 0,
+                "triggered": False}
+    rep = compact_ivf_index(spark, path)
+    rep["triggered"] = True
+    rep["reason"] = reason
+    return rep
+
+
 def next_epoch_offset(path: str) -> int:
     """The epoch id a FRESH append stream must start from on an index
     with history: one past everything ever committed (folded epochs

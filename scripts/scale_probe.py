@@ -1479,6 +1479,11 @@ def main() -> None:
         only = set(args.only.split(",")) if args.only else None
         build_requested = only is None or "span_index_build_90pct" in only
         dedup_requested = only is None or "span_index_dedup_10pct_new" in only
+        if not (build_requested or dedup_requested):
+            # a misspelled --only must not generate multi-GB corpora
+            # (hours at d50000k) before measuring nothing — skip the
+            # decade loop entirely (round-12 ADVICE)
+            run_points = []
         build_times: dict[str, float] = {}
         dedup_times: dict[str, float] = {}
         sizes_mb: dict[str, float] = {}

@@ -123,6 +123,28 @@ def test_stderr_summary_clean_log_is_empty(tmp_path):
     assert _summarize_stderr_log(str(log)) == {}
 
 
+def test_stderr_summary_ignores_info_warn_prose(tmp_path):
+    """A log4j INFO/WARN line MENTIONING an exception class name is
+    prose, not an exception header (round-12 review: _EXC_RE counted
+    any line containing "Exception") — but an ERROR-level log line
+    reporting a real failure still counts."""
+    from bench import _summarize_stderr_log
+
+    log = tmp_path / "stderr.log"
+    log.write_text(
+        "=== bench marker: q1 ===\n"
+        "26/08/16 10:00:00 INFO BlockManager: retrying after "
+        "SparkException last attempt\n"
+        "26/08/16 10:00:01 WARN TaskSetManager: ignoring "
+        "FileNotFoundException during speculative cleanup\n"
+        "=== bench marker: q2 ===\n"
+        "26/08/16 10:00:02 ERROR TaskSetManager: Task 3 failed: "
+        "org.apache.spark.SparkException: boom\n"
+        "\tat org.apache.spark.Foo.bar(Foo.scala:1)\n"
+    )
+    assert _summarize_stderr_log(str(log)) == {"q2": 1}
+
+
 def test_compact_line_carries_stderr_attribution():
     out = _fake_out(120)
     out["stderr_exceptions"] = {"streaming_wds_export": 2, "session shutdown": 1}

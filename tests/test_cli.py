@@ -631,6 +631,14 @@ def test_cli_ann_index_and_query(spark, sf_dir, tmp_path, capsys):
     rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rep["n_centroids"] == 16
 
+    # conditional compact (cron-able auto-compact policy): a freshly
+    # built index has no deltas, so the threshold gate skips the fold
+    assert main([
+        "ann-compact", "--index", str(idx), "--if-epochs-over", "0",
+    ]) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["triggered"] is False and rep["epochs_folded"] == 0
+
     hits = tmp_path / "hits"
     assert main([
         "ann-query", "-i", str(qns), "--index", str(idx),
@@ -819,11 +827,28 @@ def test_cli_span_index_lifecycle(spark, sf_dir, tmp_path, capsys):
     idx = str(tmp_path / "idx")
 
     assert main(["span-index", "-i", str(old_ns), "--index", idx]) == 0
+    # append-only flags on a build fail loudly, before any Spark read
+    with pytest.raises(SystemExit, match="append-only"):
+        main(["span-index", "-i", str(gen_ns), "--index", idx,
+              "--auto-compact-gens", "4"])
+    # auto-compact below threshold: append commits, fold skipped
     assert main(["span-index", "-i", str(gen_ns), "--index", idx,
-                 "--append"]) == 0
+                 "--append", "--generation", "0",
+                 "--auto-compact-gens", "4"]) == 0
+    rep = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["generation"] == 0
+    assert rep["auto_compact"]["triggered"] is False
+    # retried append with the same tag replaces (still one generation),
+    # and the 0-gen threshold now triggers the fold inline
+    assert main(["span-index", "-i", str(gen_ns), "--index", idx,
+                 "--append", "--generation", "0",
+                 "--auto-compact-gens", "0"]) == 0
+    rep = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["auto_compact"]["triggered"] is True
+    assert rep["auto_compact"]["generations_folded"] == 1
     assert main(["span-index-compact", "--index", idx]) == 0
     rep = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
-    assert rep["generations_folded"] == 1 and rep["keys"] > 0
+    assert rep["generations_folded"] == 0 and rep["keys"] is None
 
     out1 = tmp_path / "spans"
     assert main(["span-dedup", "-i", str(new_ns), "-o", str(out1),

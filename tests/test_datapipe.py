@@ -3659,3 +3659,81 @@ def test_stream_ivf_append_lineage_offset_validation(spark, emb, tmp_path):
     cells = open_ivf_index(spark, root).cells
     assert cells.count() == base.count() + first.count() + second.count()
     assert cells.select("vec_id").distinct().count() == cells.count()
+
+
+def test_maybe_compact_span_index_policy(spark, tmp_path):
+    """Auto-compact threshold (VERDICT r12 task 5): appends below the
+    threshold leave the deltas; the append that crosses it triggers a
+    fold, and the index's read results are identical before and after."""
+    from pedsnetdcc_spark.datapipe.dedup import (
+        _span_index_gens,
+        build_span_index,
+        append_span_index,
+        duplicate_spans_against_index,
+        maybe_compact_span_index,
+    )
+
+    docs = _small_docs(spark)
+    idx = str(tmp_path / "auto_span")
+    build_span_index(docs, idx, "doc_id", k=4)
+    probe = spark.createDataFrame([(99, "a b c d e")], ["doc_id", "text"])
+
+    for _ in range(2):
+        append_span_index(docs, idx)
+        rep = maybe_compact_span_index(spark, idx, max_generations=2)
+        assert rep["triggered"] is False
+    assert len(_span_index_gens(idx)) == 2
+    before = sorted(
+        map(tuple, duplicate_spans_against_index(probe, idx).collect())
+    )
+
+    append_span_index(docs, idx)  # third generation crosses gens > 2
+    rep = maybe_compact_span_index(spark, idx, max_generations=2)
+    assert rep["triggered"] is True and rep["generations_folded"] == 3
+    assert _span_index_gens(idx) == []
+    after = sorted(
+        map(tuple, duplicate_spans_against_index(probe, idx).collect())
+    )
+    assert before == after
+
+    # byte-fraction trigger: any delta vs a tiny fraction fires
+    append_span_index(docs, idx)
+    rep = maybe_compact_span_index(spark, idx, max_delta_fraction=0.001)
+    assert rep["triggered"] is True and "delta bytes" in rep["reason"]
+
+
+def test_maybe_compact_ivf_index_policy(spark, emb, tmp_path):
+    """IVF twin: epoch count / byte-fraction thresholds gate the fold;
+    cell contents identical across the triggered compaction."""
+    from pedsnetdcc_spark.datapipe.similarity import (
+        _append_ivf_epoch,
+        build_ivf_index,
+        maybe_compact_ivf_index,
+        open_ivf_index,
+    )
+
+    root = str(tmp_path / "auto_ivf")
+    base = emb.where(F.col("vec_id") % 4 != 0)
+    newv = emb.select("vec_id", "embedding").where(F.col("vec_id") % 4 == 0)
+    build_ivf_index(base, root, n_centroids=8, assign="flat", seed=3)
+
+    _append_ivf_epoch(newv.where("vec_id % 8 = 0"), 0, root)
+    rep = maybe_compact_ivf_index(spark, root, max_epochs=1)
+    assert rep["triggered"] is False
+
+    _append_ivf_epoch(newv.where("vec_id % 8 = 4"), 1, root)
+    # reads WITH the deltas present (pre-fold truth)
+    before = sorted(
+        r["vec_id"] for r in
+        open_ivf_index(spark, root).cells.select("vec_id").collect()
+    )
+    rep = maybe_compact_ivf_index(spark, root, max_epochs=1)
+    assert rep["triggered"] is True and rep["epochs_folded"] == 2
+    import os
+
+    assert not os.path.isdir(f"{root}/cells_delta")
+    after = sorted(
+        r["vec_id"] for r in
+        open_ivf_index(spark, root).cells.select("vec_id").collect()
+    )
+    assert before == after
