@@ -922,14 +922,20 @@ def _probe_family(spark, queries, names, extra, points, runs: int):
         for (t_a, _, m_a), (t_b, _, m_b) in zip(points, points[1:]):
             e = math.log(times[t_b] / times[t_a]) / math.log(m_b / m_a)
             entry[f"exponent_{t_a}_{t_b}"] = round(e, 3)
-        first, last = points[0], points[-1]
-        overall = math.log(times[last[0]] / times[first[0]]) / math.log(
-            last[2] / first[2]
-        )
-        entry["exponent"] = round(overall, 3)
+        if len(points) >= 2:
+            first, last = points[0], points[-1]
+            overall = math.log(times[last[0]] / times[first[0]]) / math.log(
+                last[2] / first[2]
+            )
+            entry["exponent"] = round(overall, 3)
         result[name] = entry
         shown = " ".join(f"{t}={times[t]:7.2f}s" for t, _, _ in points)
-        print(f"{name:24s} {shown} exponent={overall:5.2f}", flush=True)
+        exp_shown = entry.get("exponent")
+        print(
+            f"{name:24s} {shown} exponent="
+            f"{exp_shown if exp_shown is not None else 'n/a (1 point)'}",
+            flush=True,
+        )
     return result
 
 
@@ -957,6 +963,20 @@ def main() -> None:
         "(e.g. d50000k) — earlier decades' numbers are kept from the "
         "merged output file, so one point can be (re-)measured without "
         "re-running the rest; exponents recompute over every decade "
+        "present after the merge",
+    )
+    ap.add_argument(
+        "--sim-10000x",
+        action="store_true",
+        help="add the x10000 point to the sim_deep family (20M vectors "
+        "— the fourth measured decade; generates the sim_x10000 "
+        "corpus, ~5.5 GB, on first use)",
+    )
+    ap.add_argument(
+        "--sim-points",
+        help="sim_deep family: comma-separated decade tags to run "
+        "(e.g. x10000) — other decades' numbers are kept from the "
+        "merged output file; exponents recompute over every decade "
         "present after the merge",
     )
     ap.add_argument(
@@ -1273,23 +1293,30 @@ def main() -> None:
     if args.family == "sim_deep":
         # third decade for the similarity family: the embedding
         # near-dup LSH scale path, the auto-grid ANN search paths, and
-        # semantic dedup at 2M vectors.  The registry's prover rows run
-        # these through capped proof universes, so the probes exercise
-        # the production paths directly, uncapped.
-        points = [
-            (
-                "x100",
-                build_scale(
-                    "x100", docs=500_000, embs=200_000, names=200_000, seed=7
-                ),
-                100,
-            ),
-            (
-                "x1000",
-                build_sim_deep_scale("sim_x1000", embs=2_000_000, seed=7),
-                1000,
-            ),
+        # semantic dedup at 2M vectors.  --sim-10000x adds the FOURTH
+        # decade (20M vectors, round-13 verdict item 4 — matching the
+        # span/text families' four-decade receipts).  The registry's
+        # prover rows run these through capped proof universes, so the
+        # probes exercise the production paths directly, uncapped.
+        # Builders are LAZY (like the span family) so a --sim-points
+        # re-measure of one decade never generates the others' corpora.
+        point_defs = [
+            ("x100", lambda: build_scale(
+                "x100", docs=500_000, embs=200_000, names=200_000, seed=7),
+             100),
+            ("x1000", lambda: build_sim_deep_scale(
+                "sim_x1000", embs=2_000_000, seed=7), 1000),
         ]
+        if args.sim_10000x:
+            point_defs.append(
+                ("x10000", lambda: build_sim_deep_scale(
+                    "sim_x10000", embs=20_000_000, seed=7), 10000)
+            )
+        run_defs = point_defs
+        if args.sim_points:
+            keep_tags = set(args.sim_points.split(","))
+            run_defs = [p for p in point_defs if p[0] in keep_tags]
+        points = [(tag, build(), mult) for tag, build, mult in run_defs]
 
         def _read_emb(spark, d):
             from pedsnetdcc_spark.sources.io import read_table
@@ -1359,22 +1386,57 @@ def main() -> None:
             for q in list(sim_extra) + ["semantic_dedup"]
             if not args.only or q in args.only.split(",")
         ]
-        _ann_lsh(spark, points[0][1]).count()  # JVM warm
+        # JVM warm on the small x10 corpus (never a measured decade —
+        # warming on points[0] would pre-pay an hour of LSH at x10000)
+        warm_dir = build_scale(
+            "x10", docs=50_000, embs=20_000, names=20_000, seed=7
+        )
+        _ann_lsh(spark, warm_dir).count()
         spark.catalog.clearCache()
         fam = out["families"].get(
             "sim_deep",
             {
-                "x100_rows": {"embeddings": 200_000},
-                "x1000_rows": {"embeddings": 2_000_000},
                 "invariant": "64-dim unit gaussians with a 10% "
                 "rolling-window near-copy rate at every scale; ANN rows "
                 "search a fixed hash-selected 200-query set",
                 "queries": {},
             },
         )
-        fam["queries"].update(
-            _probe_family(spark, QUERIES, sim_names, sim_extra, points, args.runs)
+        fam.update({
+            f"{tag}_rows": {"embeddings": mult * 2_000}
+            for tag, _b, mult in point_defs
+        })
+        # merge this invocation's decades with any already in the
+        # output file and recompute exponents over every decade
+        # present, exactly as --span-points documents
+        _sim_mult = {"x100": 100, "x1000": 1000, "x10000": 10000}
+        _sim_order = ["x100", "x1000", "x10000"]
+        fresh_entries = _probe_family(
+            spark, QUERIES, sim_names, sim_extra, points, args.runs
         )
+        for qname, entry in fresh_entries.items():
+            old_times = {
+                k: v
+                for k, v in fam["queries"].get(qname, {}).items()
+                if k in _sim_mult
+            }
+            new_times = {k: v for k, v in entry.items() if k in _sim_mult}
+            merged = {**old_times, **new_times}
+            ent: dict = {t: merged[t] for t in _sim_order if t in merged}
+            have = list(ent)
+            for t_a, t_b in zip(have, have[1:]):
+                ent[f"exponent_{t_a}_{t_b}"] = round(
+                    math.log(merged[t_b] / merged[t_a])
+                    / math.log(_sim_mult[t_b] / _sim_mult[t_a]),
+                    3,
+                )
+            if len(have) >= 2:
+                ent["exponent"] = round(
+                    math.log(merged[have[-1]] / merged[have[0]])
+                    / math.log(_sim_mult[have[-1]] / _sim_mult[have[0]]),
+                    3,
+                )
+            fam["queries"][qname] = ent
         out["families"]["sim_deep"] = fam
 
     if args.family == "media_deep":
