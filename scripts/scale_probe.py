@@ -314,7 +314,12 @@ def gen_embeddings(n: int, seed: int, path: str) -> None:
             "label": pa.array((np.arange(n) % 10).astype(np.int32), pa.int32()),
         }
     )
-    pq.write_table(tbl, path)
+    # bounded row groups: pyarrow's default writes the whole table as
+    # ONE row group, and a row group is Spark's minimum read unit — at
+    # 20M rows (x10000 decade) that is a ~5 GB single-task decompress,
+    # which OOMs the 8g probe heap (measured: FAILED_READ_FILE ->
+    # executor OOM on the first x10000 scan).  256k rows ≈ 64 MB.
+    pq.write_table(tbl, path, row_group_size=262_144)
 
 
 def gen_part(n_names: int, seed: int, path: str) -> None:
