@@ -3737,3 +3737,63 @@ def test_maybe_compact_ivf_index_policy(spark, emb, tmp_path):
         open_ivf_index(spark, root).cells.select("vec_id").collect()
     )
     assert before == after
+
+
+def test_index_writer_lock_interleaved_ivf(spark, emb, tmp_path, monkeypatch):
+    """IVF twin of the interleaved-append race: writer A is paused
+    INSIDE its locked epoch append (mid-write, before the rename) while
+    a compaction attempts to run concurrently — it must fail
+    immediately with the named error, and A's epoch then commits
+    exactly once.  Covers the concurrent compact+append window that was
+    previously safe only by convention."""
+    import threading
+
+    import pedsnetdcc_spark.util as U
+    from pedsnetdcc_spark.datapipe.similarity import (
+        _append_ivf_epoch,
+        build_ivf_index,
+        compact_ivf_index,
+        open_ivf_index,
+    )
+    from pedsnetdcc_spark.util import IndexWriterLocked
+
+    root = str(tmp_path / "interleave_ivf")
+    base = emb.where(F.col("vec_id") % 5 != 0)
+    newv = emb.select("vec_id", "embedding").where(F.col("vec_id") % 5 == 0)
+    build_ivf_index(base, root, n_centroids=8, assign="flat", seed=3)
+
+    inside_write = threading.Event()
+    release_a = threading.Event()
+    real_rbk = U.repartition_by_key
+    a_err: list[BaseException] = []
+
+    def paused_rbk(df, *cols, **kw):
+        inside_write.set()
+        assert release_a.wait(120), "test deadlock: A never released"
+        return real_rbk(df, *cols, **kw)
+
+    monkeypatch.setattr(U, "repartition_by_key", paused_rbk)
+
+    def writer_a():
+        try:
+            _append_ivf_epoch(newv, 0, root)
+        except BaseException as e:  # pragma: no cover - failure path
+            a_err.append(e)
+
+    ta = threading.Thread(target=writer_a)
+    ta.start()
+    try:
+        assert inside_write.wait(120), "A never reached its write"
+        monkeypatch.setattr(U, "repartition_by_key", real_rbk)
+        with pytest.raises(IndexWriterLocked, match="another writer"):
+            compact_ivf_index(spark, root)
+    finally:
+        release_a.set()
+        ta.join(120)
+    assert not a_err, f"writer A failed: {a_err}"
+    import os
+
+    assert os.path.isdir(f"{root}/cells_delta/epoch=000000")
+    # the refused compaction left no partial state; a clean one folds
+    assert compact_ivf_index(spark, root)["epochs_folded"] == 1
+    assert open_ivf_index(spark, root).cells.count() == emb.count()
