@@ -3797,3 +3797,21 @@ def test_index_writer_lock_interleaved_ivf(spark, emb, tmp_path, monkeypatch):
     # the refused compaction left no partial state; a clean one folds
     assert compact_ivf_index(spark, root)["epochs_folded"] == 1
     assert open_ivf_index(spark, root).cells.count() == emb.count()
+
+
+def test_writer_lock_released_on_failed_build(spark, tmp_path):
+    """A build that fails mid-flight (bad column) must release the
+    lock on the way out — a failed job must not require the manual
+    stale-lock override before the retry."""
+    import os
+
+    from pedsnetdcc_spark.datapipe.dedup import build_span_index
+
+    docs = _small_docs(spark)
+    idx = str(tmp_path / "fail_build")
+    with pytest.raises(Exception):
+        build_span_index(docs, idx, "no_such_column", k=4)
+    assert not os.path.exists(os.path.join(idx, ".writer.lock"))
+    # retry works without manual intervention
+    build_span_index(docs, idx, "doc_id", k=4, force=True)
+    assert os.path.exists(os.path.join(idx, "meta.json"))
