@@ -408,7 +408,17 @@ def embedding_near_dup_pairs_lsh(
 
     Shuffle budget (VERIFY-BEFORE-DISTINCT — the PassJoin lesson): the
     only payload shuffle is the banding exchange, n·tables rows each
-    carrying one dim-wide vector.  The bucket join then produces
+    carrying one dim-wide vector — **at SOURCE precision** (round 13):
+    embeddings arrive as ``array<float>``, and float32 widens to
+    float64 exactly, so casting to double at VERIFY time (inside the
+    post-join fold) is bit-identical to casting before the exchange
+    while halving the banding payload.  Measured consequence at the
+    20M-vector probe decade: the double-payload exchange is ~2 ×
+    20M × 8 × 512 B ≈ 160 GB of shuffle (both join sides), which
+    exhausted this box's ~66 GB scratch; the float32 payload fits.
+    The sketch UDF still receives the double cast (float32 matmul
+    could flip near-zero projection signs and change bucketing).
+    The bucket join then produces
     candidate pairs with BOTH vectors already co-located, the exact
     cosine verifies IN-STAGE (sequential JVM fold — bit-identical to
     the brute-force verifier and to DuckDB's list_dot_product), and
@@ -431,10 +441,14 @@ def embedding_near_dup_pairs_lsh(
         bits = max(2, min(24, math.ceil(math.log2(max(n / target_bucket, 2.0)))))
     v = df.select(
         F.col(id_col).alias("__id"),
-        F.col(vec_col).cast("array<double>").alias("__v"),
-    ).withColumn("__nv", _norm(F.col("__v")))
+        # source precision (array<float> halves the banding payload);
+        # every arithmetic consumer below casts to double first
+        F.col(vec_col).alias("__v"),
+    ).withColumn("__nv", _norm(F.col("__v").cast("array<double>")))
     sk = hyperplane_sketches_batch(bits, tables, dim)
-    banded = v.withColumn("__sks", sk(F.col("__v"))).select(
+    banded = v.withColumn(
+        "__sks", sk(F.col("__v").cast("array<double>"))
+    ).select(
         "__id", "__v", "__nv", F.posexplode("__sks").alias("tbl", "bucket")
     )
     if max_bucket is not None:
@@ -464,7 +478,11 @@ def embedding_near_dup_pairs_lsh(
             "id_a",
             "id_b",
             (
-                _dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb"))
+                _dot(
+                    F.col("__va").cast("array<double>"),
+                    F.col("__vb").cast("array<double>"),
+                )
+                / (F.col("__na") * F.col("__nb"))
             ).alias("cosine"),
         )
     )
