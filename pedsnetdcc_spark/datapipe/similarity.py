@@ -226,6 +226,55 @@ def embedding_near_dup_pairs(
     return sims.where(F.col("cosine") >= threshold)
 
 
+def _hash_sample_rows(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    sample_size: int,
+    seed: int,
+) -> list:
+    """The ``sample_size`` rows with the smallest ``xxhash64(id, seed)``
+    — partition-independent (same sample whatever the layout) and
+    deterministic, the shared sample for every codebook trainer.
+
+    ``orderBy(__h).limit(n)`` compiles to TakeOrderedAndProject: no
+    full sort and no shuffle at any table size — but each task returns
+    its LOCAL top-n to the driver, so driver results are
+    ``tasks × sample_size`` rows (measured: the 20M-vector probe
+    decade at sample_size=156k × 40 tasks blew the 1 GiB
+    ``spark.driver.maxResultSize``).  The scan is therefore
+    pre-filtered to ``__h ≤ T`` with T the 8·sample_size/n hash
+    quantile (one count to learn n): only ~8·sample_size rows survive
+    FLEET-WIDE, so the take returns ≤ that many to the driver.  The
+    filter provably cannot change the sample — a row it excludes has a
+    hash above T, and if T were below the global sample_size-th
+    smallest hash then FEWER than sample_size rows would pass, which
+    is detected (len < sample_size) and falls back to the exact
+    unfiltered take (also the n ≤ 8·sample_size path).  The returned
+    rows are bit-identical to the unfiltered form in every case, so
+    trained codebooks — and everything downstream of them — are
+    unchanged."""
+    base = df.select(
+        F.col(vec_col).cast("array<double>").alias("__v"),
+        F.xxhash64(F.col(id_col), F.lit(seed)).alias("__h"),
+    )
+    n = df.count()
+    if n > 8 * sample_size:
+        frac = 8.0 * sample_size / n
+        threshold = int(-(2 ** 63) + frac * 2 ** 64)
+        rows = (
+            base.where(F.col("__h") <= F.lit(threshold))
+            .orderBy("__h")
+            .limit(sample_size)
+            .collect()
+        )
+        if len(rows) >= sample_size:
+            return rows
+        # astronomically unlikely (Chernoff at 8x margin), but the
+        # exact take is always available as ground truth
+    return base.orderBy("__h").limit(sample_size).collect()
+
+
 def train_kmeans_centroids(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -236,26 +285,13 @@ def train_kmeans_centroids(
     seed: int = 0,
 ) -> np.ndarray:
     """Deterministic sampled spherical k-means: Lloyd iterations on a
-    bounded driver sample, cosine objective (unit-normalized points and
-    centroids, assignment by max dot product).
-
-    The sample is the ``sample_size`` rows with the smallest
-    ``xxhash64(id, seed)`` — partition-independent (same sample whatever
-    the layout), and ``orderBy(...).limit(n)`` compiles to
-    TakeOrderedAndProject: each task keeps its local top-n and the
-    driver merges, so there is no full sort and no shuffle even on a
-    100 TB table.  Init is seeded k-means++ on the sample.  Returns a
+    bounded driver sample (:func:`_hash_sample_rows` — smallest-xxhash
+    sample, driver results bounded at any table size), cosine objective
+    (unit-normalized points and centroids, assignment by max dot
+    product).  Init is seeded k-means++ on the sample.  Returns a
     unit-normalized ``(k, dim)`` array.
     """
-    rows = (
-        df.select(
-            F.col(vec_col).cast("array<double>").alias("__v"),
-            F.xxhash64(F.col(id_col), F.lit(seed)).alias("__h"),
-        )
-        .orderBy("__h")
-        .limit(sample_size)
-        .collect()
-    )
+    rows = _hash_sample_rows(df, id_col, vec_col, sample_size, seed)
     if not rows:
         raise ValueError("cannot train k-means centroids on an empty table")
     X = np.stack([r["__v"] for r in rows]).astype(np.float64)
@@ -1979,22 +2015,14 @@ def train_pq_codebooks(
 ) -> np.ndarray:
     """Train the ``(m, codebook_size, dim/m)`` PQ sub-codebooks on a
     bounded deterministic sample (same partition-independent
-    smallest-xxhash64 sample + TakeOrderedAndProject shape as
-    :func:`train_kmeans_centroids` — no full sort, no shuffle at any
-    table size).  Vectors are unit-normalized BEFORE splitting (cosine
+    smallest-xxhash64 sample as :func:`train_kmeans_centroids`, driver
+    results bounded via :func:`_hash_sample_rows` at any table size).
+    Vectors are unit-normalized BEFORE splitting (cosine
     regime: approximate inner product of normalized vectors = cosine),
     then each of the ``m`` subspaces gets an independent Euclidean
     k-means with seed ``seed + j``.  ``dim`` must divide evenly by
     ``m``."""
-    rows = (
-        df.select(
-            F.col(vec_col).cast("array<double>").alias("__v"),
-            F.xxhash64(F.col(id_col), F.lit(seed)).alias("__h"),
-        )
-        .orderBy("__h")
-        .limit(sample_size)
-        .collect()
-    )
+    rows = _hash_sample_rows(df, id_col, vec_col, sample_size, seed)
     if not rows:
         raise ValueError("cannot train PQ codebooks on an empty table")
     X = np.stack([r["__v"] for r in rows]).astype(np.float64)

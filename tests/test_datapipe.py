@@ -3815,3 +3815,28 @@ def test_writer_lock_released_on_failed_build(spark, tmp_path):
     # retry works without manual intervention
     build_span_index(docs, idx, "doc_id", k=4, force=True)
     assert os.path.exists(os.path.join(idx, "meta.json"))
+
+
+def test_hash_sample_threshold_path_identical(spark, emb):
+    """The pre-filtered sample (driver-result-bounded path, fires when
+    n > 8x sample_size) must be BIT-IDENTICAL to the exact
+    TakeOrdered sample — centroids and everything downstream of them
+    depend on it.  emb has 2,000 rows, so sample_size=128 exercises
+    the threshold path (2000 > 1024) and sample_size=1024 the exact
+    fallback."""
+    from pedsnetdcc_spark.datapipe.similarity import _hash_sample_rows
+
+    src = emb.select("vec_id", "embedding")
+    for size in (128, 1024):
+        got = _hash_sample_rows(src, "vec_id", "embedding", size, seed=3)
+        exact = (
+            src.select(
+                F.col("embedding").cast("array<double>").alias("__v"),
+                F.xxhash64(F.col("vec_id"), F.lit(3)).alias("__h"),
+            )
+            .orderBy("__h")
+            .limit(size)
+            .collect()
+        )
+        assert [r["__h"] for r in got] == [r["__h"] for r in exact]
+        assert [r["__v"] for r in got] == [r["__v"] for r in exact]
