@@ -332,6 +332,148 @@ def _lloyd_numpy(Xn: np.ndarray, k: int, iters: int, seed: int) -> np.ndarray:
     return C
 
 
+#: codebook size at which the hierarchical-assign paths switch from the
+#: driver trainer to :func:`train_kmeans_centroids_hier`.  Below it the
+#: driver Lloyd is cheap and every existing codebook (registry queries,
+#: units, the x100/x1000 probe decades — all k ≤ 3906) stays
+#: bit-identical; above it the driver path is the measured wall (k and
+#: the 4·k sample grow together, so the assignment matmul materializes
+#: a sample×k float64 matrix: 48 GB/iteration at the 20M-vector decade).
+_HIER_TRAIN_MIN_K = 4096
+
+
+def train_kmeans_centroids_hier(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 4096,
+    sample_size: int | None = None,
+    iters: int = 10,
+    seed: int = 0,
+) -> np.ndarray:
+    """Distributed two-level codebook trainer — the big-``k`` path
+    :func:`train_kmeans_centroids` cannot take.  The driver trainer's
+    Lloyd step is O(sample·k·dim) time and O(sample·k) MEMORY per
+    iteration (the assignment matmul materializes the full similarity
+    matrix): with the hierarchical-IVF sizing rule (sample = 4·k,
+    k = n/512) that is O(n²) on ONE machine — measured at the
+    20M-vector probe decade as a 156 250 × 39 063 float64 matrix
+    (48 GB) rebuilt ten times, 2 712 s end-to-end.
+
+    Two-level shape instead: a ``k1 = ceil(sqrt(k))`` coarse codebook
+    is trained on the driver from a bounded 64·k1-row subsample (both
+    factors are sqrt-scale, so the driver matmul is ~64·k rows — KB to
+    MB); the full sample is then cut AS A DATAFRAME (hash-threshold
+    rule, never collected), every sample row is routed to its coarse
+    group by an Arrow-batched argmax, and each group's ``k_g`` fine
+    centroids (largest-remainder proportional allocation summing to
+    ``k``) are trained by an independent per-group Lloyd inside one
+    ``applyInPandas`` pass — groups run in parallel across executors
+    and each group's matrices are (sample/k1) × (k/k1), ~1/k of the
+    flat trainer's.  Only the finished (k, dim) codebook is collected;
+    it must fit the driver, which is inherent — downstream assignment
+    closure-ships it to executors anyway.
+
+    Determinism: the sample is the partition-layout-independent
+    ``xxhash64(id, seed) ≤ T`` rule with ``T`` the ``sample_size/n``
+    hash quantile (size is Binomial(n, s/n) — concentrated at
+    ``sample_size`` ± sqrt; unlike :func:`_hash_sample_rows` no exact
+    top-n cut is applied, because that would funnel the sample through
+    one task's sort and the trainer only needs the sample SIZE, not an
+    exact count); group rows are sorted by (hash, id) before Lloyd;
+    per-group seeds derive from (seed, group); output is ordered by
+    (group, local index).  The result is a valid codebook but NOT
+    bit-identical to the driver trainer's (different optimization
+    path) — which is why callers gate on ``k ≥ _HIER_TRAIN_MIN_K``.
+    """
+    import math
+
+    k = int(k)
+    if sample_size is None:
+        sample_size = 4 * k
+    k1 = max(2, math.ceil(math.sqrt(k)))
+    coarse_sample = min(sample_size, max(4096, 64 * k1))
+    C1 = train_kmeans_centroids(
+        df, id_col, vec_col, k=k1, sample_size=coarse_sample,
+        iters=iters, seed=seed,
+    )
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).cast("array<double>").alias("__v"),
+        F.xxhash64(F.col(id_col), F.lit(seed)).alias("__h"),
+    )
+    n = df.count()
+    if n > sample_size:
+        frac = float(sample_size) / n
+        threshold = int(-(2 ** 63) + frac * 2 ** 64)
+        S = base.where(F.col("__h") <= F.lit(threshold))
+    else:
+        S = base
+    assign_coarse, _ = _cell_assign_udfs(C1, nprobe=1)
+    Sg = S.withColumn("__g", assign_coarse(F.col("__v")))
+    counts = {
+        int(r["__g"]): int(r["cnt"])
+        for r in Sg.groupBy("__g").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    total = sum(counts.values())
+    if total == 0:
+        # pathological (n > 0 but the threshold caught nothing — only
+        # reachable for tiny n just above sample_size with an extreme
+        # hash draw): the driver trainer is affordable there
+        return train_kmeans_centroids(
+            df, id_col, vec_col, k=k, sample_size=sample_size,
+            iters=iters, seed=seed,
+        )
+    k_eff = min(k, total)
+    # largest-remainder allocation of k_eff fine centroids across the
+    # coarse groups, proportional to sampled population and capped by
+    # it (a group cannot yield more centroids than it has rows)
+    quota = {g: k_eff * c / total for g, c in counts.items()}
+    alloc = {g: min(counts[g], int(quota[g])) for g in counts}
+    rem = k_eff - sum(alloc.values())
+    order = sorted(counts, key=lambda g: (-(quota[g] - int(quota[g])), g))
+    while rem > 0:
+        progressed = False
+        for g in order:
+            if rem <= 0:
+                break
+            if alloc[g] < counts[g]:
+                alloc[g] += 1
+                rem -= 1
+                progressed = True
+        if not progressed:  # pragma: no cover - sum(counts) >= k_eff
+            break
+    alloc = {g: a for g, a in alloc.items() if a > 0}
+
+    def _train_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        g = int(pdf["__g"].iloc[0])
+        kg = alloc.get(g, 0)
+        if kg == 0 or not len(pdf):
+            return pd.DataFrame({
+                "__g": pd.Series(dtype="int32"),
+                "__idx": pd.Series(dtype="int32"),
+                "__c": pd.Series(dtype=object),
+            })
+        pdf = pdf.sort_values(["__h", "__id"])
+        X = np.stack(pdf["__v"].values).astype(np.float64)
+        nrm = np.linalg.norm(X, axis=1, keepdims=True)
+        nrm[nrm == 0] = 1.0
+        Cg = _lloyd_numpy(X / nrm, kg, iters, seed + 1000003 * (g + 1))
+        return pd.DataFrame({
+            "__g": np.full(len(Cg), g, dtype=np.int32),
+            "__idx": np.arange(len(Cg), dtype=np.int32),
+            "__c": list(Cg),
+        })
+
+    rows = (
+        Sg.groupBy("__g")
+        .applyInPandas(_train_group, schema="__g int, __idx int, __c array<double>")
+        .collect()  # k_eff rows of dim doubles — the codebook itself
+    )
+    rows.sort(key=lambda r: (r["__g"], r["__idx"]))
+    return np.stack([np.asarray(r["__c"], dtype=np.float64) for r in rows])
+
+
 def _hier_assign_udf(C: np.ndarray, k1: int, iters: int, seed: int):
     """Two-stage argmax assignment against a closure-captured codebook:
     the ``total`` fine centroids are themselves clustered into ``k1``
@@ -591,10 +733,19 @@ def ivf_topk(
                 n_centroids = min(1024, n_centroids)
         if assign == "hierarchical":
             sample_size = max(sample_size, 4 * int(n_centroids))
-        centroids = train_kmeans_centroids(
-            candidates, id_col, vec_col, k=n_centroids,
-            sample_size=sample_size, iters=iters, seed=seed,
-        )
+        if assign == "hierarchical" and int(n_centroids) >= _HIER_TRAIN_MIN_K:
+            # past the gate the driver trainer's sample×k Lloyd matmul
+            # is the wall (48 GB/iter at the 20M decade) — train the
+            # codebook distributed instead
+            centroids = train_kmeans_centroids_hier(
+                candidates, id_col, vec_col, k=int(n_centroids),
+                sample_size=sample_size, iters=iters, seed=seed,
+            )
+        else:
+            centroids = train_kmeans_centroids(
+                candidates, id_col, vec_col, k=n_centroids,
+                sample_size=sample_size, iters=iters, seed=seed,
+            )
     C = np.asarray(centroids, dtype=np.float64)
     _flat_assign, probe_cells = _cell_assign_udfs(C, nprobe)
     if assign == "hierarchical" and len(C) >= 64:
@@ -718,10 +869,17 @@ def build_ivf_index(
                 n_centroids = min(1024, n_centroids)
         if assign == "hierarchical":
             sample_size = max(sample_size, 4 * int(n_centroids))
-        C = train_kmeans_centroids(
-            df, id_col, vec_col, k=int(n_centroids), sample_size=sample_size,
-            iters=iters, seed=seed,
-        )
+        if assign == "hierarchical" and int(n_centroids) >= _HIER_TRAIN_MIN_K:
+            # see ivf_topk: distributed trainer past the driver-Lloyd gate
+            C = train_kmeans_centroids_hier(
+                df, id_col, vec_col, k=int(n_centroids),
+                sample_size=sample_size, iters=iters, seed=seed,
+            )
+        else:
+            C = train_kmeans_centroids(
+                df, id_col, vec_col, k=int(n_centroids),
+                sample_size=sample_size, iters=iters, seed=seed,
+            )
         spark = df.sparkSession
         if assign == "hierarchical" and len(C) >= 64:
             assign_cell, _ = _hier_assign_udf(

@@ -239,6 +239,101 @@ def test_ivf_hierarchical_auto_uncaps(spark):
     assert hits / len(exact) >= 0.8, (hits, len(exact))
 
 
+def test_hier_trainer_deterministic_partition_independent(spark):
+    """train_kmeans_centroids_hier (the distributed big-k trainer) must
+    be bit-deterministic and partition-layout independent — the sample
+    is a hash rule, group rows are sorted before Lloyd, and output
+    order is (group, local idx) — and return exactly k unit-normalized
+    centroids when the sample can support them."""
+    import numpy as np
+
+    from pedsnetdcc_spark.datapipe.similarity import train_kmeans_centroids_hier
+
+    rng = np.random.RandomState(11)
+    centers = rng.randn(32, 16) * 4.0
+    rows = [
+        (i, (centers[i % 32] + rng.randn(16) * 0.3).tolist())
+        for i in range(1600)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    c1 = train_kmeans_centroids_hier(df, k=32, sample_size=512, iters=5, seed=7)
+    c2 = train_kmeans_centroids_hier(
+        df.repartition(13), k=32, sample_size=512, iters=5, seed=7
+    )
+    assert c1.shape == (32, 16)
+    assert np.array_equal(c1, c2)  # partition-layout independent
+    assert np.allclose(np.linalg.norm(c1, axis=1), 1.0)
+
+
+def test_hier_trainer_codebook_recall(spark):
+    """A hier-trained codebook must be a GOOD codebook: on clustered
+    vectors (the regime IVF exists for), probing nprobe=6 of 64 cells
+    through the standard hierarchical assignment finds virtually every
+    true rank-1 neighbor — same bar as the driver-trained codebook in
+    test_ivf_hierarchical_assignment."""
+    import numpy as np
+
+    from pedsnetdcc_spark.datapipe.similarity import (
+        ivf_topk, train_kmeans_centroids_hier,
+    )
+
+    rng = np.random.RandomState(7)
+    centers = rng.randn(64, 16) * 4.0
+    rows = [
+        (i, (centers[i % 64] + rng.randn(16) * 0.3).tolist())
+        for i in range(1280)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = df.filter(F.col("vec_id") < 24)
+    exact = {r["query_id"]: r["neighbor_id"] for r in cosine_topk(df, q, k=1).collect()}
+    C = train_kmeans_centroids_hier(df, k=64, sample_size=1280, iters=5, seed=1)
+    hier = {
+        r["query_id"]: r["neighbor_id"]
+        for r in ivf_topk(
+            df, q, k=1, nprobe=6, seed=1, assign="hierarchical", centroids=C,
+        ).collect()
+    }
+    hits = sum(hier.get(k) == v for k, v in exact.items())
+    assert hits / len(exact) >= 0.85, (hits, len(exact))
+
+
+def test_hier_trainer_gate(spark, monkeypatch):
+    """ivf_topk routes codebook training through the distributed
+    trainer ONLY past _HIER_TRAIN_MIN_K cells — below the gate every
+    existing codebook (registry queries, units, the x100/x1000 probe
+    decades) must keep using the driver trainer bit-identically."""
+    import numpy as np
+
+    from pedsnetdcc_spark.datapipe import similarity as sim
+
+    rng = np.random.RandomState(5)
+    rows = [(i, rng.randn(8).tolist()) for i in range(400)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = df.filter(F.col("vec_id") < 4)
+    calls = []
+    real_hier = sim.train_kmeans_centroids_hier
+    monkeypatch.setattr(
+        sim, "train_kmeans_centroids_hier",
+        lambda *a, **kw: calls.append("hier") or real_hier(*a, **kw),
+    )
+    real_flat = sim.train_kmeans_centroids
+    monkeypatch.setattr(
+        sim, "train_kmeans_centroids",
+        lambda *a, **kw: calls.append("flat") or real_flat(*a, **kw),
+    )
+    sim.ivf_topk(df, q, k=1, n_centroids=64, nprobe=2, seed=1,
+                 assign="hierarchical").count()
+    assert calls == ["flat"]  # below the gate: driver trainer only
+    calls.clear()
+    sim.ivf_topk(df, q, k=1, n_centroids=sim._HIER_TRAIN_MIN_K, nprobe=2,
+                 seed=1, assign="hierarchical").count()
+    # past the gate: the distributed trainer (whose own coarse stage
+    # uses the driver trainer on a bounded sqrt-scale subsample)
+    assert calls[0] == "hier" and "flat" in calls
+    # k_eff caps at the sample when the table is smaller than k
+    assert len(real_hier(df, k=sim._HIER_TRAIN_MIN_K, iters=2, seed=1)) == 400
+
+
 def test_simhash_near_dup_matches_bruteforce(spark):
     """The block-and-band candidate join must return EXACTLY the n²
     all-pairs Hamming result (pigeonhole completeness + exact verify)."""
