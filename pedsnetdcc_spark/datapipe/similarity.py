@@ -350,6 +350,7 @@ def train_kmeans_centroids_hier(
     sample_size: int | None = None,
     iters: int = 10,
     seed: int = 0,
+    n: int | None = None,
 ) -> np.ndarray:
     """Distributed two-level codebook trainer — the big-``k`` path
     :func:`train_kmeans_centroids` cannot take.  The driver trainer's
@@ -402,7 +403,10 @@ def train_kmeans_centroids_hier(
         F.col(vec_col).cast("array<double>").alias("__v"),
         F.xxhash64(F.col(id_col), F.lit(seed)).alias("__h"),
     )
-    n = df.count()
+    if n is None:
+        # aggregate-only; both in-package callers pass ``n=`` from the
+        # auto-sizing count they already paid
+        n = df.count()
     if n > sample_size:
         frac = float(sample_size) / n
         threshold = int(-(2 ** 63) + frac * 2 ** 64)
@@ -739,7 +743,7 @@ def ivf_topk(
             # codebook distributed instead
             centroids = train_kmeans_centroids_hier(
                 candidates, id_col, vec_col, k=int(n_centroids),
-                sample_size=sample_size, iters=iters, seed=seed,
+                sample_size=sample_size, iters=iters, seed=seed, n=n,
             )
         else:
             centroids = train_kmeans_centroids(
@@ -873,7 +877,7 @@ def build_ivf_index(
             # see ivf_topk: distributed trainer past the driver-Lloyd gate
             C = train_kmeans_centroids_hier(
                 df, id_col, vec_col, k=int(n_centroids),
-                sample_size=sample_size, iters=iters, seed=seed,
+                sample_size=sample_size, iters=iters, seed=seed, n=n,
             )
         else:
             C = train_kmeans_centroids(
