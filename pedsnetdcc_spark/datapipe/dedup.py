@@ -1660,20 +1660,46 @@ def append_span_index(
     folds the same documents AGAIN as ``gen=N+1``, inflating every
     count.  An at-least-once scheduler must pass an explicit
     ``generation`` tag: a retried append then REPLACES its own
-    generation directory instead of duplicating it.  The tag only
-    covers retry-of-a-failed-append; re-running a generation AFTER a
-    compaction folded it still double-counts (the folded rows live in
-    the base and the replaced ``gen=N`` is new data to the next fold)
-    — record append success before compacting, as any at-least-once
-    pipeline must."""
+    generation directory instead of duplicating it.
+
+    REPLAY WATERMARK (round 13, IVF parity): a tagged generation at or
+    below meta's ``folded_through_generation`` is a NO-OP (returned as
+    ``{"generation": n, "skipped_folded_replay": True}``) — a
+    compaction already folded its rows into the base (legal between a
+    stream crash and its restart), so re-committing the delta would
+    double-count every row next to its folded copy.  This replaces the
+    old "record append success before compacting" convention with a
+    mechanism, exactly as :func:`compact_ivf_index`'s
+    ``folded_through_epoch`` did for the IVF index; the watermark is
+    written atomically BEFORE the compaction swap, so every reachable
+    crash state counts each generation exactly once.  Auto-numbering
+    also starts ABOVE the watermark, so generation ids stay monotonic
+    across compactions (:func:`next_generation_offset` relies on it).
+
+    An append whose batch yields ZERO shingle keys (all documents
+    shorter than ``k`` tokens, or an empty streaming micro-batch)
+    commits nothing — a committed ``gen=N`` with no parquet data files
+    is the one delta state ``spark.read.parquet`` schema inference can
+    fail on; returned as ``{"generation": n, "empty": True}``."""
     import os as _os
     import shutil as _shutil
 
     from pedsnetdcc_spark.util import index_writer_lock, repartition_by_key
 
-    meta = _span_index_meta(path)
     with index_writer_lock(path, "append"):
         _recover_span_compaction(path)
+        # meta is read INSIDE the lock: folded_through_generation is
+        # mutable (a concurrent compact updates it); shingle params are
+        # frozen at build time
+        meta = _span_index_meta(path)
+        folded = int(meta.get("folded_through_generation", -1))
+        if generation is None:
+            gens = [int(g.split("=", 1)[1]) for g in _span_index_gens(path)]
+            n = max([folded, *gens]) + 1
+        else:
+            n = int(generation)
+            if n <= folded:
+                return {"generation": n, "skipped_folded_replay": True}
         k, sep, digest = meta["k"], meta["sep"], meta["digest"]
         id_col = meta["id_col"]
         toks = df.select(
@@ -1686,15 +1712,21 @@ def append_span_index(
             .agg(F.count(F.lit(1)).alias("cnt"))
         )
         delta_root = _os.path.join(path, "keys_delta")
-        if generation is None:
-            gens = [int(g.split("=", 1)[1]) for g in _span_index_gens(path)]
-            n = max(gens, default=-1) + 1
-        else:
-            n = int(generation)
         final = _os.path.join(delta_root, f"gen={n}")
         tmp = _os.path.join(delta_root, f".tmp-gen-{n}")
         _shutil.rmtree(tmp, ignore_errors=True)
         repartition_by_key(counts, "__key").write.mode("overwrite").parquet(tmp)
+        # emptiness is checked on the WRITTEN tmp (one footer-read task)
+        # rather than on `counts` (which would re-run the aggregation):
+        # zero keys — every doc shorter than k, or an empty streaming
+        # micro-batch — commits nothing, so gen dirs never pile up
+        # schema-only debris and auto-compact thresholds count only
+        # real generations
+        if not any(
+            f.endswith(".parquet") for f in _os.listdir(tmp)
+        ) or df.sparkSession.read.parquet(tmp).isEmpty():
+            _shutil.rmtree(tmp, ignore_errors=True)
+            return {"generation": n, "empty": True}
         _os.makedirs(delta_root, exist_ok=True)
         if generation is not None:
             # explicit tag = retry semantics: replace this generation's
@@ -1760,7 +1792,13 @@ def compact_span_index(spark, path: str) -> dict:
     generation listing (mirroring ``compact_ivf_index``), so a crashed
     index compacts as a clean no-op instead of raising mid-swap on a
     delta dir the recovery just removed.  Single-writer contract
-    (ENFORCED via ``.writer.lock``): see :func:`append_span_index`."""
+    (ENFORCED via ``.writer.lock``): see :func:`append_span_index`.
+
+    Writes meta's ``folded_through_generation`` watermark atomically
+    BEFORE the swap (IVF parity, round 13), making tagged-generation
+    replays — a stream crashing between its delta commit and its
+    checkpoint commit, then restarting after this compaction folded
+    the generation — exactly-once instead of double-counted."""
     import os as _os
     import shutil as _shutil
 
@@ -1780,6 +1818,23 @@ def compact_span_index(spark, path: str) -> dict:
         for stale in (tmp, old, delta_old):
             _shutil.rmtree(stale, ignore_errors=True)
         repartition_by_key(merged, "__key").write.mode("overwrite").parquet(tmp)
+        # Watermark BEFORE the swap (IVF-parity, see
+        # _compact_ivf_index_locked): crash between here and the
+        # renames leaves the delta in place and counted exactly once
+        # (the stale tmp is invisible), while a replayed generation
+        # <= watermark is skipped with its rows still in the delta —
+        # still exactly once.  After the swap the folded rows live in
+        # the base and the watermark keeps the replay out.
+        max_folded = max(int(g.split("=", 1)[1]) for g in gens)
+        meta = _span_index_meta(path)
+        if int(meta.get("folded_through_generation", -1)) < max_folded:
+            meta["folded_through_generation"] = max_folded
+            tmp_meta = _os.path.join(path, ".meta.json.tmp")
+            import json as _json
+
+            with open(tmp_meta, "w") as f:
+                _json.dump(meta, f, sort_keys=True)
+            _os.replace(tmp_meta, _os.path.join(path, "meta.json"))
         _os.rename(keys_dir, old)
         _os.rename(delta_dir, delta_old)
         _os.rename(tmp, keys_dir)
@@ -1843,6 +1898,91 @@ def maybe_compact_span_index(
     rep["triggered"] = True
     rep["reason"] = reason
     return rep
+
+
+def next_generation_offset(path: str) -> int:
+    """The generation id a FRESH append stream must start from on an
+    index with history: one past everything ever committed — folded
+    generations via meta's ``folded_through_generation`` watermark,
+    unfolded ones via the delta listing.  Span twin of
+    :func:`pedsnetdcc_spark.datapipe.similarity.next_epoch_offset`: a
+    new checkpoint restarts Spark's epoch ids at 0, and an id at or
+    below the watermark is indistinguishable from a crash-replay —
+    without the offset it would be silently dropped (or clobber an
+    existing delta)."""
+    folded = int(_span_index_meta(path).get("folded_through_generation", -1))
+    gens = [int(g.split("=", 1)[1]) for g in _span_index_gens(path)]
+    return max([folded, *gens]) + 1
+
+
+def stream_span_index_append(stream: DataFrame, path: str, *,
+                             generation_offset: int,
+                             text_col: str = "text",
+                             checkpoint: str | None = None,
+                             auto_compact_generations: int | None = None,
+                             auto_compact_fraction: float | None = None):
+    """Continuous index maintenance for the span-digest index: a
+    streaming sink that folds each micro-batch of new documents into
+    the index as an atomic ``keys_delta/gen=N`` directory — the span
+    twin of :func:`pedsnetdcc_spark.datapipe.similarity.stream_ivf_index_append`,
+    with the identical epoch-identity contract.  Shingle parameters
+    come from the index's meta (a stream can never silently mix key
+    families); each micro-batch holds the ``.writer.lock`` for its
+    whole append and releases it between batches, so a compaction can
+    legally interleave with a live stream — the
+    ``folded_through_generation`` watermark keeps that interleaving
+    exactly-once (a replayed folded generation is a no-op, a replayed
+    unfolded one REPLACES its delta via the explicit tag).  Returns a
+    ``DataStreamWriter`` — caller adds trigger and ``.start()``.
+
+    A stream started with a FRESH checkpoint on an index with history
+    restarts Spark's epoch ids at 0 and MUST pass
+    ``generation_offset=next_generation_offset(path)`` — fixed for the
+    checkpoint's whole lifetime, which is why it is keyword-only with
+    NO default (an explicit ``0`` for a freshly built index).  Pass
+    ``checkpoint=`` (instead of setting ``checkpointLocation``
+    yourself) to make the contract machine-checked: the offset is
+    persisted as ``_span_generation_offset.json`` inside the
+    checkpoint dir on first wiring and validated on every restart, so
+    a colliding fresh lineage — or a restart with a different offset
+    or against a different index — raises at wiring time instead of
+    silently losing batches.
+
+    SELF-BOUNDING INGESTION: pass ``auto_compact_generations`` /
+    ``auto_compact_fraction`` to run
+    :func:`maybe_compact_span_index` after each micro-batch — a
+    never-compacted appender otherwise puts every reader on the
+    re-aggregation path forever.  The fold runs between the batch's
+    append lock release and the next batch (its own lock), the
+    watermark keeps any crash-replay across it exactly-once, and the
+    thresholds make it a cheap listing when nothing crossed them."""
+    from pedsnetdcc_spark.util import validate_stream_offset
+
+    def _append(batch_df: DataFrame, epoch_id: int) -> None:
+        append_span_index(
+            batch_df, path, text_col=text_col,
+            generation=epoch_id + generation_offset,
+        )
+        if (auto_compact_generations is not None
+                or auto_compact_fraction is not None):
+            maybe_compact_span_index(
+                batch_df.sparkSession, path,
+                max_generations=auto_compact_generations,
+                max_delta_fraction=auto_compact_fraction,
+            )
+
+    writer = stream.writeStream.foreachBatch(_append).outputMode("append")
+    if checkpoint is not None:
+        validate_stream_offset(
+            path, checkpoint, generation_offset,
+            marker_name="_span_generation_offset.json",
+            offset_key="generation_offset",
+            frontier_noun="generation",
+            required=next_generation_offset(path),
+            hint="pass generation_offset=next_generation_offset(path)",
+        )
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer
 
 
 def duplicate_spans_against_index(

@@ -1545,55 +1545,26 @@ def _validate_lineage_offset(path: str, checkpoint: str,
     ``_ivf_epoch_offset.json`` in the checkpoint dir (atomic replace;
     Spark ignores foreign files there).  Every later wiring of the SAME
     checkpoint must pass the SAME offset against the SAME index — the
-    offset is part of the lineage's identity for its whole lifetime."""
-    import json as _json
-    import os as _os
+    offset is part of the lineage's identity for its whole lifetime.
+    (Shared core: :func:`pedsnetdcc_spark.util.validate_stream_offset`,
+    also used by the span index's generation-offset twin.)"""
+    from pedsnetdcc_spark.util import validate_stream_offset
 
-    _os.makedirs(checkpoint, exist_ok=True)
-    marker = _os.path.join(checkpoint, "_ivf_epoch_offset.json")
-    index_abs = _os.path.abspath(path)
-    if _os.path.exists(marker):
-        with open(marker) as f:
-            stored = _json.load(f)
-        if stored.get("index_path") != index_abs:
-            raise ValueError(
-                f"checkpoint {checkpoint!r} belongs to a stream on index "
-                f"{stored.get('index_path')!r}, not {index_abs!r}; a "
-                "checkpoint lineage is bound to one index for life — use "
-                "a fresh checkpoint directory"
-            )
-        if int(stored["epoch_offset"]) != int(epoch_offset):
-            raise ValueError(
-                f"checkpoint {checkpoint!r} was started with "
-                f"epoch_offset={stored['epoch_offset']}; restarting it "
-                f"with epoch_offset={epoch_offset} would re-key every "
-                "replayed epoch (silent loss/clobber). Reuse the "
-                "lineage's original offset — it is fixed for the "
-                "checkpoint's whole lifetime."
-            )
-        return
-    required = next_epoch_offset(path)
-    if int(epoch_offset) < required:
-        raise ValueError(
-            f"fresh checkpoint {checkpoint!r} on index {index_abs!r} "
-            f"with epoch_offset={epoch_offset}: the index's committed "
-            f"epoch frontier requires an offset of at least {required} "
-            "(pass epoch_offset=next_epoch_offset(path)). A lower "
-            "offset would silently drop epochs at or below the "
-            "compaction watermark and clobber live deltas."
-        )
-    tmp = marker + ".tmp"
-    with open(tmp, "w") as f:
-        _json.dump(
-            {"epoch_offset": int(epoch_offset), "index_path": index_abs},
-            f, sort_keys=True,
-        )
-    _os.replace(tmp, marker)
+    validate_stream_offset(
+        path, checkpoint, epoch_offset,
+        marker_name="_ivf_epoch_offset.json",
+        offset_key="epoch_offset",
+        frontier_noun="epoch",
+        required=next_epoch_offset(path),
+        hint="pass epoch_offset=next_epoch_offset(path)",
+    )
 
 
 def stream_ivf_index_append(stream: DataFrame, path: str, *,
                             epoch_offset: int,
-                            checkpoint: str | None = None):
+                            checkpoint: str | None = None,
+                            auto_compact_epochs: int | None = None,
+                            auto_compact_fraction: float | None = None):
     """Continuous index maintenance: a streaming sink that assigns each
     micro-batch of new vectors to cells with the index's FROZEN codebook
     and lands it as an atomic ``cells_delta/epoch=NNNNNN`` directory —
@@ -1629,10 +1600,26 @@ def stream_ivf_index_append(stream: DataFrame, path: str, *,
     with a different offset or a different index — raises at wiring
     time instead of silently losing batches
     (:func:`_validate_lineage_offset`); the returned writer already
-    carries the ``checkpointLocation`` option."""
+    carries the ``checkpointLocation`` option.
+
+    SELF-BOUNDING INGESTION: pass ``auto_compact_epochs`` /
+    ``auto_compact_fraction`` to run :func:`maybe_compact_ivf_index`
+    after each micro-batch — a never-compacted appender otherwise
+    grows the handle's open-time delta fan-in without bound.  The fold
+    runs between the batch's append lock release and the next batch
+    (its own lock), the ``folded_through_epoch`` watermark keeps any
+    crash-replay across it exactly-once, and the thresholds make it a
+    cheap listing when nothing crossed them."""
 
     def _append(batch_df: DataFrame, epoch_id: int) -> None:
         _append_ivf_epoch(batch_df, epoch_id + epoch_offset, path)
+        if (auto_compact_epochs is not None
+                or auto_compact_fraction is not None):
+            maybe_compact_ivf_index(
+                batch_df.sparkSession, path,
+                max_epochs=auto_compact_epochs,
+                max_delta_fraction=auto_compact_fraction,
+            )
 
     writer = stream.writeStream.foreachBatch(_append).outputMode("append")
     if checkpoint is not None:

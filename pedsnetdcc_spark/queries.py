@@ -2086,14 +2086,18 @@ def q_span_index_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     production ``digest="xxh64"`` family (native token-hash-slice
     hashing, shingle strings never materialized), so a hash match here
     proves the whole incremental lifecycle AND the xxh64 digest agree
-    with the text-replayed semantics."""
+    with the text-replayed semantics.  The src4 generation arrives
+    through ``stream_span_index_append`` (round 13: the span twin of
+    the IVF index's streaming sink, same lineage-offset validation and
+    folded-generation replay watermark), so the continuous-ingestion
+    path shares this row's hash gate."""
 
     from pedsnetdcc_spark.datapipe.dedup import (
-        append_span_index,
         build_span_index,
         compact_span_index,
         drop_duplicate_spans_against_index,
         duplicate_spans_against_index,
+        stream_span_index_append,
     )
 
     docs = _t(spark, sf_dir, "documents")
@@ -2103,10 +2107,27 @@ def q_span_index_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("source").isin("src5", "src6", "src7", "src8", "src9")
     )
     idx = _scratch_dir("pedsnetdcc_span_idx_")
+    src = _scratch_dir("pedsnetdcc_span_src_")
+    ckpt = _scratch_dir("pedsnetdcc_span_ckpt_")
     build_span_index(base, idx, "doc_id", "text", k=8, digest="xxh64")
-    append_span_index(gen1, idx)
+    # generation_offset=0 (fresh index, fresh lineage); checkpoint=
+    # routes through the persisted-offset validation
+    gen1.select("doc_id", "text").write.mode("overwrite").parquet(src)
+    q = (
+        stream_span_index_append(
+            spark.readStream.schema("doc_id long, text string").parquet(src),
+            idx, generation_offset=0, checkpoint=ckpt,
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        if not q.awaitTermination(600):
+            raise TimeoutError("span_index_dedup append did not drain")
+    finally:
+        q.stop()
     folded = compact_span_index(spark, idx)
-    assert folded["generations_folded"] == 1, folded
+    assert folded["generations_folded"] >= 1, folded
     spans = duplicate_spans_against_index(new, idx, min_count=2).select(
         F.lit("span").alias("part"),
         "doc_id",

@@ -242,3 +242,75 @@ def index_writer_lock(path: str, op: str):
                 os.remove(lock)
 
     return _lock()
+
+
+def validate_stream_offset(
+    index_path: str,
+    checkpoint: str,
+    offset: int,
+    *,
+    marker_name: str,
+    offset_key: str,
+    frontier_noun: str,
+    required: int,
+    hint: str,
+) -> None:
+    """Persist-and-validate an append stream lineage's id offset next
+    to its checkpoint, so a colliding fresh lineage RAISES instead of
+    silently losing batches.  Shared core of the IVF index's
+    ``_validate_lineage_offset`` and the span index's
+    ``_validate_generation_offset`` — a fresh checkpoint restarts
+    Spark's epoch ids at 0, so the offset is part of the lineage's
+    identity for its whole lifetime (same value on every restart, one
+    index per checkpoint for life).
+
+    First wiring of a checkpoint (no marker): ``offset`` must be at
+    least ``required`` (one past the index's committed frontier — an
+    id at or below the compaction watermark is indistinguishable from
+    a crash-replay and would be silently dropped; one colliding with a
+    live delta would clobber it).  The offset is then written to
+    ``marker_name`` in the checkpoint dir (atomic replace; Spark
+    ignores foreign files there).  Every later wiring of the SAME
+    checkpoint must pass the SAME offset against the SAME index."""
+    import json
+    import os
+
+    os.makedirs(checkpoint, exist_ok=True)
+    marker = os.path.join(checkpoint, marker_name)
+    index_abs = os.path.abspath(index_path)
+    if os.path.exists(marker):
+        with open(marker) as f:
+            stored = json.load(f)
+        if stored.get("index_path") != index_abs:
+            raise ValueError(
+                f"checkpoint {checkpoint!r} belongs to a stream on index "
+                f"{stored.get('index_path')!r}, not {index_abs!r}; a "
+                "checkpoint lineage is bound to one index for life — use "
+                "a fresh checkpoint directory"
+            )
+        if int(stored[offset_key]) != int(offset):
+            raise ValueError(
+                f"checkpoint {checkpoint!r} was started with "
+                f"{offset_key}={stored[offset_key]}; restarting it with "
+                f"{offset_key}={offset} would re-key every replayed "
+                f"{frontier_noun} (silent loss/clobber). Reuse the "
+                "lineage's original offset — it is fixed for the "
+                "checkpoint's whole lifetime."
+            )
+        return
+    if int(offset) < required:
+        raise ValueError(
+            f"fresh checkpoint {checkpoint!r} on index {index_abs!r} "
+            f"with {offset_key}={offset}: the index's committed "
+            f"{frontier_noun} frontier requires an offset of at least "
+            f"{required} ({hint}). A lower offset would silently drop "
+            f"{frontier_noun}s at or below the compaction watermark "
+            "and clobber live deltas."
+        )
+    tmp = marker + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(
+            {offset_key: int(offset), "index_path": index_abs},
+            f, sort_keys=True,
+        )
+    os.replace(tmp, marker)

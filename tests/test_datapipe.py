@@ -3935,3 +3935,278 @@ def test_hash_sample_threshold_path_identical(spark, emb):
         )
         assert [r["__h"] for r in got] == [r["__h"] for r in exact]
         assert [r["__v"] for r in got] == [r["__v"] for r in exact]
+
+
+# round-13: span-index streaming sink + folded_through_generation
+# watermark (IVF parity — the replay-after-compact double-count seam
+# closed by mechanism on BOTH index families)
+
+
+def test_span_tagged_replay_after_compact_is_noop(spark, tmp_path):
+    """A tagged generation at or below meta's folded_through_generation
+    is skipped: a stream that crashed between its delta commit and its
+    checkpoint commit, restarted AFTER a compaction folded the
+    generation, must not double-count (the old contract was the
+    'record success before compacting' convention)."""
+    from pedsnetdcc_spark.datapipe.dedup import (
+        _span_index_counts,
+        _span_index_gens,
+        append_span_index,
+        build_span_index,
+        compact_span_index,
+    )
+
+    old = spark.createDataFrame([(1, "a b c d e")], ["doc_id", "text"])
+    gen = spark.createDataFrame([(2, "p q r s t")], ["doc_id", "text"])
+    idx = str(tmp_path / "wm_span")
+    build_span_index(old, idx, "doc_id", k=4)
+    assert append_span_index(gen, idx, generation=0) == {"generation": 0}
+    assert compact_span_index(spark, idx)["generations_folded"] == 1
+
+    rep = append_span_index(gen, idx, generation=0)
+    assert rep == {"generation": 0, "skipped_folded_replay": True}
+    assert _span_index_gens(idx) == []  # nothing re-committed
+    counts = {
+        r["__key"]: r["cnt"]
+        for r in _span_index_counts(spark, idx).collect()
+    }
+    assert counts and all(c == 1 for c in counts.values()), counts
+
+
+def test_span_auto_generation_continues_above_watermark(spark, tmp_path):
+    """Auto-numbering starts above folded_through_generation, so
+    generation ids are monotonic across compactions and
+    next_generation_offset never goes backwards."""
+    from pedsnetdcc_spark.datapipe.dedup import (
+        _span_index_gens,
+        append_span_index,
+        build_span_index,
+        compact_span_index,
+        next_generation_offset,
+    )
+
+    docs = _small_docs(spark)
+    idx = str(tmp_path / "mono_span")
+    build_span_index(docs, idx, "doc_id", k=4)
+    assert next_generation_offset(idx) == 0
+    assert append_span_index(docs, idx)["generation"] == 0
+    assert next_generation_offset(idx) == 1
+    compact_span_index(spark, idx)
+    # delta listing is empty, but the watermark keeps the frontier
+    assert next_generation_offset(idx) == 1
+    assert append_span_index(docs, idx)["generation"] == 1
+    assert _span_index_gens(idx) == ["gen=1"]
+
+
+def test_span_append_empty_batch_commits_nothing(spark, tmp_path):
+    """A batch yielding zero shingle keys (every doc shorter than k)
+    commits no generation directory — an empty gen=N is the one delta
+    state parquet schema inference can fail on — and the index stays
+    readable."""
+    from pedsnetdcc_spark.datapipe.dedup import (
+        _span_index_counts,
+        _span_index_gens,
+        append_span_index,
+        build_span_index,
+    )
+
+    docs = _small_docs(spark)
+    idx = str(tmp_path / "empty_span")
+    build_span_index(docs, idx, "doc_id", k=4)
+    short = spark.createDataFrame([(9, "a b")], ["doc_id", "text"])
+    rep = append_span_index(short, idx)
+    assert rep == {"generation": 0, "empty": True}
+    assert _span_index_gens(idx) == []
+    n = _span_index_counts(spark, idx).count()
+    assert n > 0
+
+
+def test_stream_span_index_append_lineage(spark, tmp_path):
+    """Span twin of the IVF lineage-offset test: the streaming sink
+    lands micro-batch generations exactly once across a mid-stream
+    compaction; a colliding fresh lineage raises at wiring time, a
+    drifted offset raises, a different index raises, and the correct
+    second lineage (offset from next_generation_offset) matches a
+    batch-built index over the same corpus."""
+    import os
+
+    from pedsnetdcc_spark.datapipe.dedup import (
+        _span_index_counts,
+        build_span_index,
+        compact_span_index,
+        next_generation_offset,
+        stream_span_index_append,
+    )
+
+    rows = [(i, " ".join(f"w{i}x{j}" for j in range(6))) for i in range(12)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    base = docs.where("doc_id < 4")
+    first = docs.where("doc_id >= 4 and doc_id < 8")
+    second = docs.where("doc_id >= 8")
+    idx = str(tmp_path / "lineage_span")
+    build_span_index(base, idx, "doc_id", k=4)
+
+    def run(df, src, ckpt, offset):
+        if not os.path.isdir(src):
+            df.coalesce(1).write.parquet(src)
+        q = (
+            stream_span_index_append(
+                spark.readStream.schema("doc_id long, text string")
+                .parquet(src),
+                idx, generation_offset=offset, checkpoint=ckpt,
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(300)
+
+    c1 = str(tmp_path / "c1")
+    run(first, str(tmp_path / "s1"), c1, 0)
+    assert os.path.exists(os.path.join(c1, "_span_generation_offset.json"))
+    assert compact_span_index(spark, idx)["generations_folded"] >= 1
+
+    stream2 = spark.readStream.schema("doc_id long, text string").parquet(
+        str(tmp_path / "s1")
+    )
+    with pytest.raises(ValueError, match="committed generation frontier"):
+        stream_span_index_append(
+            stream2, idx, generation_offset=0,
+            checkpoint=str(tmp_path / "c2"),
+        )
+    with pytest.raises(ValueError, match="was started with"):
+        stream_span_index_append(
+            stream2, idx, generation_offset=7, checkpoint=c1
+        )
+    other = str(tmp_path / "other_span")
+    build_span_index(base, other, "doc_id", k=4)
+    with pytest.raises(ValueError, match="bound to one index"):
+        stream_span_index_append(
+            stream2, other, generation_offset=0, checkpoint=c1
+        )
+
+    off = next_generation_offset(idx)
+    assert off >= 1
+    run(second, str(tmp_path / "s2"), str(tmp_path / "c2b"), off)
+
+    # ground truth: a fresh batch build over the full corpus
+    truth_idx = str(tmp_path / "truth_span")
+    build_span_index(docs, truth_idx, "doc_id", k=4)
+    got = {
+        r["__key"]: r["cnt"]
+        for r in _span_index_counts(spark, idx).collect()
+    }
+    want = {
+        r["__key"]: r["cnt"]
+        for r in _span_index_counts(spark, truth_idx).collect()
+    }
+    assert got == want
+
+
+def test_stream_span_append_offset_is_required_keyword(spark, tmp_path):
+    """generation_offset has no default — omitting the one parameter
+    whose omission is silent data loss is a TypeError at wiring time
+    (IVF parity)."""
+    from pedsnetdcc_spark.datapipe.dedup import stream_span_index_append
+
+    src = str(tmp_path / "src")
+    spark.createDataFrame([(1, "a b c d e")], ["doc_id", "text"]).coalesce(
+        1
+    ).write.parquet(src)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    with pytest.raises(TypeError):
+        stream_span_index_append(stream, str(tmp_path / "noidx"))
+
+
+def test_stream_span_append_auto_compacts(spark, tmp_path):
+    """A streaming appender with auto-compact thresholds self-bounds
+    the delta fan-in mid-stream (folds happen between batch locks) and
+    still lands every document exactly once across the folds."""
+    import os
+
+    from pedsnetdcc_spark.datapipe.dedup import (
+        _span_index_counts,
+        _span_index_gens,
+        build_span_index,
+        next_generation_offset,
+        stream_span_index_append,
+    )
+
+    rows = [(i, " ".join(f"w{i}x{j}" for j in range(6))) for i in range(16)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    base = docs.where("doc_id < 4")
+    idx = str(tmp_path / "ac_span")
+    build_span_index(base, idx, "doc_id", k=4)
+
+    src = str(tmp_path / "src")
+    for lo, hi in ((4, 8), (8, 12), (12, 16)):
+        docs.where(f"doc_id >= {lo} and doc_id < {hi}").select(
+            "doc_id", "text"
+        ).coalesce(1).write.mode("append").parquet(src)
+    q = (
+        stream_span_index_append(
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src),
+            idx, generation_offset=0,
+            checkpoint=str(tmp_path / "ck"),
+            auto_compact_generations=0,  # fold after every batch
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300)
+    assert _span_index_gens(idx) == []  # every batch folded
+    assert next_generation_offset(idx) >= 3
+
+    truth_idx = str(tmp_path / "truth")
+    build_span_index(docs, truth_idx, "doc_id", k=4)
+    got = {
+        r["__key"]: r["cnt"]
+        for r in _span_index_counts(spark, idx).collect()
+    }
+    want = {
+        r["__key"]: r["cnt"]
+        for r in _span_index_counts(spark, truth_idx).collect()
+    }
+    assert got == want
+    assert not os.path.isdir(os.path.join(idx, "keys_delta"))
+
+
+def test_stream_ivf_append_auto_compacts(spark, emb, tmp_path):
+    """IVF twin: the streaming sink's auto-compact folds epoch deltas
+    mid-stream; every vector lands exactly once."""
+    import os
+
+    from pedsnetdcc_spark.datapipe.similarity import (
+        build_ivf_index,
+        next_epoch_offset,
+        open_ivf_index,
+        stream_ivf_index_append,
+    )
+
+    base = emb.where(F.col("vec_id") % 4 != 0)
+    newv = emb.select("vec_id", "embedding").where(F.col("vec_id") % 4 == 0)
+    root = str(tmp_path / "ac_ivf")
+    build_ivf_index(base, root, n_centroids=8, assign="flat", seed=3)
+
+    src = str(tmp_path / "src")
+    newv.where("vec_id % 8 = 0").coalesce(1).write.mode("append").parquet(src)
+    newv.where("vec_id % 8 = 4").coalesce(1).write.mode("append").parquet(src)
+    q = (
+        stream_ivf_index_append(
+            spark.readStream.schema("vec_id long, embedding array<float>")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src),
+            root, epoch_offset=0,
+            checkpoint=str(tmp_path / "ck"),
+            auto_compact_epochs=0,  # fold after every batch
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300)
+    assert not os.path.isdir(os.path.join(root, "cells_delta"))
+    assert next_epoch_offset(root) >= 2
+    cells = open_ivf_index(spark, root).cells
+    assert cells.count() == base.count() + newv.count()
+    assert cells.select("vec_id").distinct().count() == cells.count()
