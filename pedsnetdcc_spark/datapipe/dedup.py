@@ -1631,6 +1631,7 @@ def append_span_index(
     path: str,
     text_col: str = "text",
     generation: int | None = None,
+    live_lineage_checkpoint: str | None = None,
 ) -> dict:
     """Fold a NEW generation of documents into the index as an atomic
     ``keys_delta/gen=N`` directory — per-key counts of the new docs
@@ -1687,6 +1688,14 @@ def append_span_index(
     from pedsnetdcc_spark.util import index_writer_lock, repartition_by_key
 
     with index_writer_lock(path, "append"):
+        if live_lineage_checkpoint is not None:
+            # streaming sink's liveness guard (checked INSIDE the lock,
+            # registration happens under the same lock): a superseded
+            # stream fails loudly here instead of committing a delta
+            # whose id range collides with its successor's
+            from pedsnetdcc_spark.util import assert_live_lineage
+
+            assert_live_lineage(path, live_lineage_checkpoint)
         _recover_span_compaction(path)
         # meta is read INSIDE the lock: folded_through_generation is
         # mutable (a concurrent compact updates it); shingle params are
@@ -1946,7 +1955,13 @@ def stream_span_index_append(stream: DataFrame, path: str, *,
     checkpoint dir on first wiring and validated on every restart, so
     a colliding fresh lineage — or a restart with a different offset
     or against a different index — raises at wiring time instead of
-    silently losing batches.
+    silently losing batches.  Wiring also registers the checkpoint as
+    the index's ONE live append lineage
+    (:func:`pedsnetdcc_spark.util.register_live_lineage`): a second
+    stream wired later supersedes this one, whose next micro-batch
+    then fails loudly with
+    :class:`~pedsnetdcc_spark.util.StreamLineageSuperseded` instead of
+    silently clobbering generations whose ids collide.
 
     SELF-BOUNDING INGESTION: pass ``auto_compact_generations`` /
     ``auto_compact_fraction`` to run
@@ -1962,6 +1977,7 @@ def stream_span_index_append(stream: DataFrame, path: str, *,
         append_span_index(
             batch_df, path, text_col=text_col,
             generation=epoch_id + generation_offset,
+            live_lineage_checkpoint=checkpoint,
         )
         if (auto_compact_generations is not None
                 or auto_compact_fraction is not None):
@@ -1973,14 +1989,25 @@ def stream_span_index_append(stream: DataFrame, path: str, *,
 
     writer = stream.writeStream.foreachBatch(_append).outputMode("append")
     if checkpoint is not None:
-        validate_stream_offset(
-            path, checkpoint, generation_offset,
-            marker_name="_span_generation_offset.json",
-            offset_key="generation_offset",
-            frontier_noun="generation",
-            required=next_generation_offset(path),
-            hint="pass generation_offset=next_generation_offset(path)",
+        # validate + register under the writer lock so two simultaneous
+        # wirings serialize; registering makes THIS checkpoint the
+        # index's one live append lineage (superseding any previous —
+        # the superseded stream fails loudly at its next batch)
+        from pedsnetdcc_spark.util import (
+            index_writer_lock,
+            register_live_lineage,
         )
+
+        with index_writer_lock(path, "wire-lineage"):
+            validate_stream_offset(
+                path, checkpoint, generation_offset,
+                marker_name="_span_generation_offset.json",
+                offset_key="generation_offset",
+                frontier_noun="generation",
+                required=next_generation_offset(path),
+                hint="pass generation_offset=next_generation_offset(path)",
+            )
+            register_live_lineage(path, checkpoint)
         writer = writer.option("checkpointLocation", checkpoint)
     return writer
 

@@ -1219,7 +1219,8 @@ def query_ivf_index(
     )
 
 
-def _append_ivf_epoch(batch_df: DataFrame, epoch_id: int, path: str) -> None:
+def _append_ivf_epoch(batch_df: DataFrame, epoch_id: int, path: str,
+                      live_lineage_checkpoint: str | None = None) -> None:
     """One micro-batch of new vectors → one atomic
     ``cells_delta/epoch=NNNNNN`` directory, cell-partitioned like the
     base layout.  Write-to-temp + rename, so a replayed epoch REPLACES
@@ -1243,8 +1244,14 @@ def _append_ivf_epoch(batch_df: DataFrame, epoch_id: int, path: str) -> None:
     partial output (hence the pre-rename rmtree of ``final``); that
     same replacement semantics means a SECOND independent stream
     pointed at the index clobbers the first's epochs whenever their
-    ids collide — never share an index between append streams (give
-    each stream its own checkpoint AND its own index, or serialize).
+    ids collide.  For checkpoint-routed streams this is now ENFORCED,
+    not convention: pass ``live_lineage_checkpoint`` (the sink does)
+    and the batch asserts — inside this same lock — that its
+    checkpoint is still the index's ONE registered live lineage
+    (:func:`pedsnetdcc_spark.util.assert_live_lineage`); wiring a new
+    lineage supersedes the old, whose next batch fails loudly with
+    :class:`~pedsnetdcc_spark.util.StreamLineageSuperseded` instead of
+    silently interleaving ids.
 
     A replayed epoch at or below meta's ``folded_through_epoch``
     watermark is a NO-OP: a compaction already folded its rows into
@@ -1257,9 +1264,15 @@ def _append_ivf_epoch(batch_df: DataFrame, epoch_id: int, path: str) -> None:
     ``spark.read.parquet(cells_delta)`` schema inference fragile if
     every sibling epoch were also empty, and there is nothing to
     replay-protect — the checkpoint still advances."""
-    from pedsnetdcc_spark.util import index_writer_lock
+    from pedsnetdcc_spark.util import assert_live_lineage, index_writer_lock
 
     with index_writer_lock(path, "append-epoch"):
+        if live_lineage_checkpoint is not None:
+            # streaming sink's liveness guard (checked INSIDE the lock,
+            # registration happens under the same lock): a superseded
+            # stream fails loudly here instead of committing an epoch
+            # whose id range collides with its successor's
+            assert_live_lineage(path, live_lineage_checkpoint)
         _append_ivf_epoch_locked(batch_df, epoch_id, path)
 
 
@@ -1612,7 +1625,8 @@ def stream_ivf_index_append(stream: DataFrame, path: str, *,
     cheap listing when nothing crossed them."""
 
     def _append(batch_df: DataFrame, epoch_id: int) -> None:
-        _append_ivf_epoch(batch_df, epoch_id + epoch_offset, path)
+        _append_ivf_epoch(batch_df, epoch_id + epoch_offset, path,
+                          live_lineage_checkpoint=checkpoint)
         if (auto_compact_epochs is not None
                 or auto_compact_fraction is not None):
             maybe_compact_ivf_index(
@@ -1623,7 +1637,18 @@ def stream_ivf_index_append(stream: DataFrame, path: str, *,
 
     writer = stream.writeStream.foreachBatch(_append).outputMode("append")
     if checkpoint is not None:
-        _validate_lineage_offset(path, checkpoint, epoch_offset)
+        # validate + register under the writer lock so two simultaneous
+        # wirings serialize; registering makes THIS checkpoint the
+        # index's one live append lineage (superseding any previous —
+        # the superseded stream fails loudly at its next batch)
+        from pedsnetdcc_spark.util import (
+            index_writer_lock,
+            register_live_lineage,
+        )
+
+        with index_writer_lock(path, "wire-lineage"):
+            _validate_lineage_offset(path, checkpoint, epoch_offset)
+            register_live_lineage(path, checkpoint)
         writer = writer.option("checkpointLocation", checkpoint)
     return writer
 

@@ -314,3 +314,63 @@ def validate_stream_offset(
             f, sort_keys=True,
         )
     os.replace(tmp, marker)
+
+
+class StreamLineageSuperseded(RuntimeError):
+    """A streaming append's micro-batch found that a newer lineage was
+    wired on its index — this stream's checkpoint is no longer the
+    live one and committing would risk clobbering the successor's
+    deltas."""
+
+
+def register_live_lineage(index_path: str, checkpoint: str) -> None:
+    """Record ``checkpoint`` as the index's ONE live append lineage
+    (``_live_lineage.json`` in the index root, atomic replace).
+    Wiring a fresh lineage SUPERSEDES the previous one — the
+    superseded stream then fails loudly at its next micro-batch
+    (:func:`assert_live_lineage`) instead of silently interleaving
+    epoch/generation ids with the successor.  Callers take the index
+    writer lock around validate+register so two simultaneous wirings
+    serialize."""
+    import json
+    import os
+    import time
+
+    marker = os.path.join(index_path, "_live_lineage.json")
+    tmp = marker + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(
+            {"checkpoint": os.path.abspath(checkpoint),
+             "wired_unix": int(time.time())},
+            f, sort_keys=True,
+        )
+    os.replace(tmp, marker)
+
+
+def assert_live_lineage(index_path: str, checkpoint: str) -> None:
+    """Raise :class:`StreamLineageSuperseded` unless ``checkpoint`` is
+    still the index's registered live append lineage.  Called INSIDE
+    the per-batch writer lock (registration also happens under the
+    lock), so there is no window where a superseded stream can commit
+    a delta the successor's id range collides with.  An index with no
+    registration (pre-liveness layout, or batch-only appends) passes —
+    the guard activates the first time a checkpointed stream is wired."""
+    import json
+    import os
+
+    marker = os.path.join(index_path, "_live_lineage.json")
+    if not os.path.exists(marker):
+        return
+    with open(marker) as f:
+        live = json.load(f).get("checkpoint")
+    mine = os.path.abspath(checkpoint)
+    if live != mine:
+        raise StreamLineageSuperseded(
+            f"append stream with checkpoint {mine!r} was superseded on "
+            f"index {index_path!r}: the live lineage is now {live!r}. "
+            "One live append lineage per index — wiring a fresh "
+            "checkpoint takes over; stop this stream (its data through "
+            "its last committed batch is intact) and, to resume "
+            "appending, wire a new lineage with "
+            "offset=next_*_offset(path)."
+        )

@@ -4210,3 +4210,101 @@ def test_stream_ivf_append_auto_compacts(spark, emb, tmp_path):
     cells = open_ivf_index(spark, root).cells
     assert cells.count() == base.count() + newv.count()
     assert cells.select("vec_id").distinct().count() == cells.count()
+
+
+def test_span_stream_lineage_supersede_is_loud(spark, tmp_path):
+    """Two concurrent fresh lineages on one span index used to be a
+    silent clobber (both pass the frontier check with the same offset,
+    then replace each other's gen=N): wiring now registers ONE live
+    lineage, and the superseded stream's first micro-batch fails
+    loudly, committing nothing."""
+    import os
+
+    from pedsnetdcc_spark.datapipe.dedup import (
+        _span_index_counts,
+        build_span_index,
+        stream_span_index_append,
+    )
+
+    rows = [(i, " ".join(f"s{i}t{j}" for j in range(6))) for i in range(8)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    base = docs.where("doc_id < 4")
+    newdocs = docs.where("doc_id >= 4")
+    idx = str(tmp_path / "live_span")
+    build_span_index(base, idx, "doc_id", k=4)
+
+    src = str(tmp_path / "src")
+    newdocs.select("doc_id", "text").coalesce(1).write.parquet(src)
+
+    def rs():
+        return spark.readStream.schema("doc_id long, text string").parquet(src)
+
+    wA = stream_span_index_append(
+        rs(), idx, generation_offset=0, checkpoint=str(tmp_path / "cA")
+    )
+    # B wires later with the SAME valid offset -> B is now the live
+    # lineage (this was the silent-clobber setup)
+    wB = stream_span_index_append(
+        rs(), idx, generation_offset=0, checkpoint=str(tmp_path / "cB")
+    )
+
+    qA = wA.trigger(availableNow=True).start()
+    with pytest.raises(Exception, match="superseded"):
+        qA.awaitTermination(300)
+    assert not os.path.isdir(os.path.join(idx, "keys_delta"))  # A wrote nothing
+
+    qB = wB.trigger(availableNow=True).start()
+    assert qB.awaitTermination(300)
+
+    truth = str(tmp_path / "truth")
+    build_span_index(docs, truth, "doc_id", k=4)
+    got = {r["__key"]: r["cnt"]
+           for r in _span_index_counts(spark, idx).collect()}
+    want = {r["__key"]: r["cnt"]
+            for r in _span_index_counts(spark, truth).collect()}
+    assert got == want
+
+
+def test_ivf_stream_lineage_supersede_is_loud(spark, emb, tmp_path):
+    """IVF twin: the superseded stream's first epoch fails loudly with
+    the named error; the live lineage lands every vector exactly
+    once."""
+    import os
+
+    from pedsnetdcc_spark.datapipe.similarity import (
+        build_ivf_index,
+        open_ivf_index,
+        stream_ivf_index_append,
+    )
+
+    base = emb.where(F.col("vec_id") % 4 != 0)
+    newv = emb.select("vec_id", "embedding").where(F.col("vec_id") % 4 == 0)
+    root = str(tmp_path / "live_ivf")
+    build_ivf_index(base, root, n_centroids=8, assign="flat", seed=3)
+
+    src = str(tmp_path / "src")
+    newv.coalesce(1).write.parquet(src)
+
+    def rs():
+        return spark.readStream.schema(
+            "vec_id long, embedding array<float>"
+        ).parquet(src)
+
+    wA = stream_ivf_index_append(
+        rs(), root, epoch_offset=0, checkpoint=str(tmp_path / "cA")
+    )
+    wB = stream_ivf_index_append(
+        rs(), root, epoch_offset=0, checkpoint=str(tmp_path / "cB")
+    )
+
+    qA = wA.trigger(availableNow=True).start()
+    with pytest.raises(Exception, match="superseded"):
+        qA.awaitTermination(300)
+    assert not os.path.isdir(os.path.join(root, "cells_delta"))
+
+    qB = wB.trigger(availableNow=True).start()
+    assert qB.awaitTermination(300)
+
+    cells = open_ivf_index(spark, root).cells
+    assert cells.count() == base.count() + newv.count()
+    assert cells.select("vec_id").distinct().count() == cells.count()
