@@ -68,7 +68,7 @@ def train_bpe(
     text_col: str = "text",
     num_merges: int = 32,
     min_freq: int = 2,
-    checkpoint_every: int = 8,
+    checkpoint_every: int = 1,
 ) -> list[tuple[str, str]]:
     """Learn ``num_merges`` BPE merge rules from the corpus; returns
     the ordered merge list (the tokenizer).  Stops early when the best
@@ -78,11 +78,24 @@ def train_bpe(
     (weighted by word frequency), aggregate, take the deterministic
     argmax (TakeOrdered limit-1 — no global sort), and rewrite the
     symbol representations with one regex replace.  The driver holds
-    only the merge list and the 1-row argmax."""
+    only the merge list and the 1-row argmax.
+
+    The word-frequency table is localCheckpoint-ed BEFORE round 1 and
+    the state is re-checkpointed every ``checkpoint_every`` rounds
+    (lazy — the round's own argmax action materializes it, so no extra
+    job): each round's collect otherwise replays the FULL lineage —
+    the corpus-wide explode + count shuffle plus every earlier round's
+    regexp pass — turning an O(rounds) loop into O(rounds²) work with
+    ``rounds`` corpus scans (round-13 measurement: 38 bench jobs for 8
+    merges, each round re-running the corpus aggregate).  With the
+    default ``checkpoint_every=1`` a round replays exactly one regexp
+    pass over the small distinct-word table and the corpus is scanned
+    once at round 1.  localCheckpoint storage is disk-backed, so the
+    truncated lineage survives cache eviction."""
     state = word_frequencies(df, text_col).select(
         "freq",
         F.concat_ws(" ", F.split(F.col("word"), "")).alias("repr"),
-    )
+    ).localCheckpoint(eager=False)
     merges: list[tuple[str, str]] = []
     for i in range(num_merges):
         # stage the symbol array before element_at indexes it: an

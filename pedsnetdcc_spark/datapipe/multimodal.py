@@ -594,6 +594,33 @@ def sample_frames(
 # ---------------------------------------------------------------------------
 
 
+def _png_dhash64(buf: bytes) -> "tuple[int | None, bool]":
+    """Per-buffer dHash: decode a PNG and compute the 64-bit perceptual
+    difference hash (the row body of :func:`image_dhash`, shared with
+    the fused :func:`png_dhash_pipeline`).  Returns ``(hash, ok)``;
+    undecodable buffers yield ``(None, False)``."""
+    import numpy as np
+
+    hdr = parse_image_header(buf)
+    if hdr is None or hdr["format"] != "png":
+        return None, False
+    try:
+        meta, pix = decode_png(buf)
+    except (NotImplementedError, ValueError, zlib.error, IndexError):
+        return None, False
+    w, h, ch = meta["width"], meta["height"], meta["channels"]
+    grid = pix.reshape(h, w, ch)[:, :, 0].astype(np.int16)
+    ys = (np.arange(8) * h) // 8
+    xs = (np.arange(9) * w) // 9
+    small = grid[np.ix_(ys, xs)]
+    bits = (small[:, :-1] > small[:, 1:]).ravel()
+    weights = np.uint64(1) << np.arange(64, dtype=np.uint64)
+    val = int((bits.astype(np.uint64) * weights).sum())
+    if val >= 1 << 63:
+        val -= 1 << 64  # two's-complement into a signed long
+    return val, True
+
+
 def image_dhash(
     df: DataFrame,
     id_col: str,
@@ -617,38 +644,15 @@ def image_dhash(
     schema = f"{id_col} long, {out_col} long, decodable boolean"
 
     def op(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
-        import numpy as np
         import pandas as pd
-
-        weights = np.uint64(1) << np.arange(64, dtype=np.uint64)
 
         for pdf in batches:
             ids, hashes, flags = [], [], []
             for rid, payload in zip(pdf[id_col], pdf[payload_col]):
-                buf = bytes(payload)
-                hdr = parse_image_header(buf)
-                ok = hdr is not None and hdr["format"] == "png"
-                if ok:
-                    try:
-                        meta, pix = decode_png(buf)
-                    except (NotImplementedError, ValueError, zlib.error, IndexError):
-                        ok = False
+                val, ok = _png_dhash64(bytes(payload))
                 ids.append(rid)
-                if not ok:
-                    hashes.append(None)
-                    flags.append(False)
-                    continue
-                w, h, ch = meta["width"], meta["height"], meta["channels"]
-                grid = pix.reshape(h, w, ch)[:, :, 0].astype(np.int16)
-                ys = (np.arange(8) * h) // 8
-                xs = (np.arange(9) * w) // 9
-                small = grid[np.ix_(ys, xs)]
-                bits = (small[:, :-1] > small[:, 1:]).ravel()
-                val = int((bits.astype(np.uint64) * weights).sum())
-                if val >= 1 << 63:
-                    val -= 1 << 64  # two's-complement into a signed long
                 hashes.append(val)
-                flags.append(True)
+                flags.append(ok)
             yield pd.DataFrame(
                 {id_col: ids, out_col: hashes, "decodable": flags}
             )
@@ -711,6 +715,98 @@ def upscale_images(
     from pedsnetdcc_spark.util import ensure_parallelism
 
     return ensure_parallelism(df.select(id_col, payload_col)).mapInPandas(
+        op, schema=schema
+    )
+
+
+def png_dhash_pipeline(
+    df: DataFrame,
+    id_col: str,
+    src_col: str,
+    variant_mod: int | None = None,
+    variant_offset: int = 10_000_000,
+    variant_factor: int = 2,
+) -> DataFrame:
+    """Fused text → PNG → dHash pass: :func:`with_png_payload` +
+    (optionally) :func:`upscale_images` + :func:`image_dhash` in ONE
+    Arrow-batched ``mapInPandas``, so the MB-scale PNG payloads never
+    cross the JVM↔Python boundary — only the 8-byte hash does (the
+    optimization-guide §8 proxy rule: ship metadata, not payloads).
+
+    The composed three-operator pipeline pays the payload boundary
+    crossing three times AND re-runs the encode pass once per DAG
+    branch (a filter on a ``mapInPandas`` output cannot push below the
+    opaque operator, so ``union(imgs, upscale(imgs.where(...)))``
+    executes the encode twice).  This pass does the identical codec
+    work — encode, decode, 9×8 resample, 64 gradient bits; variants
+    really are decoded, ``np.kron``-upscaled and RE-ENCODED before
+    being re-decoded for their hash — once per row, in the worker.
+    Output is row-identical to the composed pipeline (equivalence
+    unit-tested).
+
+    With ``variant_mod=m``, every row whose id ≡ 0 (mod m) also emits
+    an upscaled-variant row under ``id + variant_offset``, matching
+    the near-dup harness plant.
+
+    Returns ``(id, dhash, decodable)``.
+    """
+    import pandas as pd  # noqa: F401
+
+    schema = f"{id_col} long, dhash long, decodable boolean"
+
+    def op(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            ids, hashes, flags = [], [], []
+            for rid, text in zip(pdf[id_col], pdf[src_col]):
+                data = str(text).encode("utf-8")
+                width = 1 + len(data) % 61
+                height = max(1, -(-len(data) // width))
+                padded = data.ljust(width * height, b"\x00")
+                png = encode_png(width, height, padded, channels=1)
+                val, ok = _png_dhash64(png)
+                ids.append(rid)
+                hashes.append(val)
+                flags.append(ok)
+                if variant_mod and rid % variant_mod == 0:
+                    ids.append(rid + variant_offset)
+                    try:
+                        meta, pix = decode_png(png)
+                        w, h, ch = (
+                            meta["width"], meta["height"], meta["channels"],
+                        )
+                        grid = pix.reshape(h, w, ch)[:, :, 0]
+                        big = np.kron(
+                            grid,
+                            np.ones(
+                                (variant_factor, variant_factor),
+                                dtype=grid.dtype,
+                            ),
+                        )
+                        vpng = encode_png(
+                            w * variant_factor,
+                            h * variant_factor,
+                            big.tobytes(),
+                            channels=1,
+                        )
+                        vval, vok = _png_dhash64(vpng)
+                    except (NotImplementedError, ValueError, zlib.error,
+                            IndexError):
+                        # an undecodable original passes through the
+                        # upscale unchanged in the composed pipeline and
+                        # then fails the hash decode — same terminal row
+                        vval, vok = None, False
+                    hashes.append(vval)
+                    flags.append(vok)
+            yield pd.DataFrame(
+                {id_col: ids, "dhash": hashes, "decodable": flags}
+            )
+
+    from pedsnetdcc_spark.util import ensure_parallelism
+
+    return ensure_parallelism(df.select(id_col, src_col)).mapInPandas(
         op, schema=schema
     )
 
@@ -815,6 +911,100 @@ def audio_fingerprint(
     from pedsnetdcc_spark.util import ensure_parallelism
 
     return ensure_parallelism(df.select(id_col, payload_col)).mapInPandas(
+        op, schema=schema
+    )
+
+
+def wav_signal_pipeline(
+    df: DataFrame,
+    id_col: str,
+    src_col: str,
+    frames: int = 65,
+) -> DataFrame:
+    """Fused text → WAV → fingerprint + features pass:
+    :func:`with_wav_payload` + :func:`audio_fingerprint` +
+    :func:`extract_audio_features` in ONE Arrow-batched
+    ``mapInPandas`` — the WAV payload never crosses the JVM↔Python
+    boundary, and the encode pass runs once instead of once per DAG
+    branch (the composed pipeline re-encodes per consumer because a
+    ``mapInPandas`` is opaque to subtree reuse).  The codec work per
+    row is identical: encode_wav, decode_wav, integer frame energies,
+    sign-of-delta bits, and the numpy feature folds (equivalence
+    unit-tested against the composed operators).
+
+    ``rms`` is deliberately not emitted: its numpy pairwise summation
+    is not bit-portable (the reason `audio_features` drops it), so no
+    consumer of the fused pass exists for it.
+
+    Returns ``(id, afp, decodable, channels, sample_rate, bit_depth,
+    n_samples, zero_crossings, peak)``.
+    """
+    import pandas as pd  # noqa: F401
+
+    if frames > 65:
+        raise ValueError(f"frames-1 bits must fit a long, got frames={frames}")
+    schema = (
+        f"{id_col} long, afp long, decodable boolean, channels int,"
+        " sample_rate int, bit_depth int, n_samples long,"
+        " zero_crossings long, peak int"
+    )
+
+    def op(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        weights = np.uint64(1) << np.arange(frames - 1, dtype=np.uint64)
+        cols = [
+            id_col, "afp", "decodable", "channels", "sample_rate",
+            "bit_depth", "n_samples", "zero_crossings", "peak",
+        ]
+
+        for pdf in batches:
+            rows = []
+            for rid, text in zip(pdf[id_col], pdf[src_col]):
+                data = str(text).encode("utf-8") or b"\x00"
+                wav = encode_wav(data, sample_rate=8000, channels=1, bits=8)
+                try:
+                    meta = decode_wav(wav)
+                except (ValueError, NotImplementedError, struct.error):
+                    rows.append(
+                        (rid, None, False, None, None, None, None, None, None)
+                    )
+                    continue
+                # fingerprint: channel-0 stream (audio_fingerprint body)
+                s = meta["samples"][:: max(meta["channels"], 1)]
+                v = s.astype(np.float64)
+                if meta["bit_depth"] == 8:
+                    v = v - 128.0  # uint8 PCM is offset-binary
+                n = max(len(v), 1)
+                f_ids = (np.arange(len(v)) * frames) // n
+                E = np.bincount(f_ids, weights=v * v, minlength=frames)
+                bits = E[1:] > E[:-1]
+                val = int((bits.astype(np.uint64) * weights).sum())
+                if val >= 1 << 63:
+                    val -= 1 << 64
+                # features: all-channel stream (extract_audio_features body)
+                sa = meta["samples"].astype(np.float64)
+                if meta["bit_depth"] == 8:
+                    sa = sa - 128.0
+                rows.append(
+                    (
+                        rid,
+                        val,
+                        True,
+                        meta["channels"],
+                        meta["sample_rate"],
+                        meta["bit_depth"],
+                        meta["n_samples"],
+                        int(np.count_nonzero(np.diff(np.signbit(sa)))),
+                        int(np.max(np.abs(sa))) if len(sa) else 0,
+                    )
+                )
+            yield pd.DataFrame(rows, columns=cols)
+
+    from pedsnetdcc_spark.util import ensure_parallelism
+
+    return ensure_parallelism(df.select(id_col, src_col)).mapInPandas(
         op, schema=schema
     )
 

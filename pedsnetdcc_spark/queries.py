@@ -3399,23 +3399,21 @@ def q_image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair set at Hamming ≤ 6 — the planted scale variants surface at
     Hamming 0 (dHash's defining invariance), plus any incidental
     near pairs, both computed identically by the SQL twin."""
-    from pedsnetdcc_spark.datapipe.multimodal import (
-        image_dhash,
-        upscale_images,
-        with_png_payload,
-    )
+    from pedsnetdcc_spark.datapipe.multimodal import png_dhash_pipeline
 
     docs = _t(spark, sf_dir, "documents")
-    imgs = with_png_payload(docs, "doc_id", "text").select("doc_id", "payload")
-    variants = upscale_images(
-        imgs.where(F.col("doc_id") % 10 == 0), "doc_id", factor=2
-    ).select((F.col("doc_id") + 10_000_000).alias("doc_id"), "payload")
-    allimgs = imgs.unionByName(variants)
-    # ONE codec pass: the signature part and the pair join share the
-    # same cached dHash table (image_near_dup_pairs would re-decode)
-    sigs = image_dhash(allimgs, "doc_id").where(F.col("decodable")).select(
-        "doc_id", "dhash"
-    ).cache()
+    # ONE fused codec pass (round-13 optimization): encode → upscale →
+    # dhash run inside a single mapInPandas, so the PNG payloads never
+    # cross the JVM↔Python boundary (the composed with_png_payload →
+    # upscale_images → image_dhash chain crossed it three times and
+    # re-ran the encode once per union branch — a filter cannot push
+    # below an opaque mapInPandas).  Row-identical output, unit-proven.
+    # The cache holds only (id, hash): the signature part and the pair
+    # join share it without re-running the codec pass.
+    sigs = png_dhash_pipeline(
+        docs, "doc_id", "text", variant_mod=10, variant_offset=10_000_000,
+        variant_factor=2,
+    ).where(F.col("decodable")).select("doc_id", "dhash").cache()
     hashes = sigs.select(
         F.lit("hash").alias("part"),
         F.col("doc_id").alias("a"),
@@ -3683,26 +3681,30 @@ def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairwise summation is not bit-comparable to sequential SQL; it is
     unit-tested instead."""
     from pedsnetdcc_spark.datapipe.dedup import simhash_band_pairs
-    from pedsnetdcc_spark.datapipe.multimodal import (
-        audio_fingerprint,
-        extract_audio_features,
-        with_wav_payload,
-    )
+    from pedsnetdcc_spark.datapipe.multimodal import wav_signal_pipeline
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    media = with_wav_payload(docs, "doc_id", "text").select("doc_id", "payload")
-    copies = media.where(F.col("doc_id") % 10 == 0).select(
-        (F.col("doc_id") + 10_000_000).alias("doc_id"), "payload"
-    )
-    allwav = media.unionByName(copies)
-    sigs = (
-        audio_fingerprint(allwav, "doc_id")
+    # ONE fused codec pass (round-13 optimization): encode_wav →
+    # decode → fingerprint + features run inside a single mapInPandas —
+    # the composed with_wav_payload → {audio_fingerprint,
+    # extract_audio_features} chain re-ran the WAV encode THREE times
+    # (once per DAG branch: media, copies, feats) and shipped the
+    # payload across the JVM↔Python boundary each time.  Row-identical
+    # output, unit-proven.  The planted copies are byte-identical WAVs,
+    # so their fingerprint is the original's (a pure function of the
+    # payload) — the copy rows are a JVM-side projection of the fused
+    # table, not a second decode of the same bytes.
+    fused = (
+        wav_signal_pipeline(docs, "doc_id", "text")
         .where(F.col("decodable"))
-        .select("doc_id", "afp")
         .cache()
     )
-    feats = extract_audio_features(media, "doc_id").drop("rms")
-    feat_part = feats.join(sigs, "doc_id").select(
+    sigs = fused.select("doc_id", "afp").unionByName(
+        fused.where(F.col("doc_id") % 10 == 0).select(
+            (F.col("doc_id") + 10_000_000).alias("doc_id"), "afp"
+        )
+    )
+    feat_part = fused.select(
         F.lit("feat").alias("part"),
         F.col("doc_id").alias("a"),
         F.col("afp").alias("b"),

@@ -4308,3 +4308,90 @@ def test_ivf_stream_lineage_supersede_is_loud(spark, emb, tmp_path):
     cells = open_ivf_index(spark, root).cells
     assert cells.count() == base.count() + newv.count()
     assert cells.select("vec_id").distinct().count() == cells.count()
+
+
+def test_png_dhash_pipeline_equals_composed(spark, docs):
+    """The fused text→PNG→dHash pass (round-13 optimization: one
+    mapInPandas, payloads never cross the Python boundary) is
+    row-identical to the composed with_png_payload → upscale_images →
+    image_dhash pipeline, variants included."""
+    from pedsnetdcc_spark.datapipe.multimodal import (
+        image_dhash,
+        png_dhash_pipeline,
+        upscale_images,
+        with_png_payload,
+    )
+
+    sample = docs.limit(30)
+    imgs = with_png_payload(sample, "doc_id", "text").select(
+        "doc_id", "payload"
+    )
+    variants = upscale_images(
+        imgs.where(F.col("doc_id") % 10 == 0), "doc_id", factor=2
+    ).select((F.col("doc_id") + 10_000_000).alias("doc_id"), "payload")
+    composed = {
+        (r["doc_id"], r["dhash"], r["decodable"])
+        for r in image_dhash(
+            imgs.unionByName(variants), "doc_id"
+        ).collect()
+    }
+    fused = {
+        (r["doc_id"], r["dhash"], r["decodable"])
+        for r in png_dhash_pipeline(
+            sample, "doc_id", "text", variant_mod=10,
+            variant_offset=10_000_000, variant_factor=2,
+        ).collect()
+    }
+    assert fused == composed and len(fused) > 30
+
+
+def test_wav_signal_pipeline_equals_composed(spark, docs):
+    """The fused text→WAV→fingerprint+features pass (round-13
+    optimization) matches audio_fingerprint and
+    extract_audio_features run over with_wav_payload exactly."""
+    from pedsnetdcc_spark.datapipe.multimodal import (
+        audio_fingerprint,
+        extract_audio_features,
+        wav_signal_pipeline,
+        with_wav_payload,
+    )
+
+    sample = docs.limit(25)
+    media = with_wav_payload(sample, "doc_id", "text").select(
+        "doc_id", "payload"
+    )
+    fps = {
+        r["doc_id"]: (r["afp"], r["decodable"])
+        for r in audio_fingerprint(media, "doc_id").collect()
+    }
+    feats = {
+        r["doc_id"]: r
+        for r in extract_audio_features(media, "doc_id").collect()
+    }
+    fused = wav_signal_pipeline(sample, "doc_id", "text").collect()
+    assert len(fused) == 25
+    for r in fused:
+        rid = r["doc_id"]
+        assert (r["afp"], r["decodable"]) == fps[rid]
+        f = feats[rid]
+        assert (
+            r["channels"], r["sample_rate"], r["bit_depth"],
+            r["n_samples"], r["zero_crossings"], r["peak"],
+        ) == (
+            f["channels"], f["sample_rate"], f["bit_depth"],
+            f["n_samples"], f["zero_crossings"], f["peak"],
+        )
+
+
+def test_train_bpe_checkpoint_cadence_invariant(spark, docs):
+    """The per-round localCheckpoint (round-13 optimization: each
+    round's collect otherwise replays the corpus aggregate plus every
+    earlier regexp pass) does not change the learned merge sequence."""
+    from pedsnetdcc_spark.datapipe.bpe import train_bpe
+
+    sample = docs.limit(40)
+    m1 = train_bpe(sample, "text", num_merges=6, min_freq=1,
+                   checkpoint_every=1)
+    m8 = train_bpe(sample, "text", num_merges=6, min_freq=1,
+                   checkpoint_every=8)
+    assert m1 == m8 and len(m1) == 6
