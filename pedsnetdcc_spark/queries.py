@@ -578,19 +578,31 @@ def q_streaming_interval_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", "1")
         .parquet(src)
     )
-    q = (
-        incremental_interval_sync(
-            stream, store, "observation_period", "user_id", "ts", "ts"
-        )
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
+    # the foreachBatch merge aggregates per user_id in BATCH mode but
+    # inherits the session shuffle conf at each micro-batch — scope it
+    # to the stream's key volume like the stateful queries
+    from pedsnetdcc_spark.streaming.incremental import (
+        scoped_stream_shuffle_partitions,
     )
+
     try:
-        if not q.awaitTermination(600):
-            raise TimeoutError("streaming_interval_sync did not drain")
+        with scoped_stream_shuffle_partitions(spark):
+            q = (
+                incremental_interval_sync(
+                    stream, store, "observation_period", "user_id", "ts", "ts"
+                )
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            try:
+                if not q.awaitTermination(600):
+                    raise TimeoutError(
+                        "streaming_interval_sync did not drain"
+                    )
+            finally:
+                q.stop()
     finally:
-        q.stop()
         shutil.rmtree(src, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
     return store.read(spark, "observation_period")
@@ -650,19 +662,31 @@ def q_streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = streaming_event_counts(
         stream, "ts", ["event_type"], window_duration="1 day", watermark="2 days"
     )
-    q = (
-        counts.writeStream.format("parquet")
-        .option("path", sink)
-        .option("checkpointLocation", ckpt)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
+    # state-store partitions sized to the stream's key cardinality
+    # (~200 day-windows × event types), not the batch session's
+    # core-count default — see scoped_stream_shuffle_partitions
+    from pedsnetdcc_spark.streaming.incremental import (
+        scoped_stream_shuffle_partitions,
     )
+
     try:
-        if not q.awaitTermination(600):
-            raise TimeoutError("streaming_windowed_counts did not drain")
+        with scoped_stream_shuffle_partitions(spark):
+            q = (
+                counts.writeStream.format("parquet")
+                .option("path", sink)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            try:
+                if not q.awaitTermination(600):
+                    raise TimeoutError(
+                        "streaming_windowed_counts did not drain"
+                    )
+            finally:
+                q.stop()
     finally:
-        q.stop()
         shutil.rmtree(src, ignore_errors=True)
         # the sink must persist for the returned read; the checkpoint
         # need not — dropping it keeps repeated bench/parity runs from
@@ -821,19 +845,31 @@ def q_streaming_interval_eras(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream, ["user_id", "event_type"], "start_ts", "end_ts",
         gap_days=_ERA_GAP, watermark=f"{_STREAM_ERA_WATERMARK_DAYS} days",
     )
-    q = (
-        eras.writeStream.format("parquet")
-        .option("path", sink)
-        .option("checkpointLocation", ckpt)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
+    # state-store partitions sized to the stream's key cardinality
+    # (≤ _STREAM_ERA_USER_CAP users × event types), not the batch
+    # session's core-count default — see scoped_stream_shuffle_partitions
+    from pedsnetdcc_spark.streaming.incremental import (
+        scoped_stream_shuffle_partitions,
     )
+
     try:
-        if not q.awaitTermination(600):
-            raise TimeoutError("streaming_interval_eras did not drain")
+        with scoped_stream_shuffle_partitions(spark):
+            q = (
+                eras.writeStream.format("parquet")
+                .option("path", sink)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            try:
+                if not q.awaitTermination(600):
+                    raise TimeoutError(
+                        "streaming_interval_eras did not drain"
+                    )
+            finally:
+                q.stop()
     finally:
-        q.stop()
         shutil.rmtree(src, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
     # state timestamps are instants (watermarks reject NTZ); cast back
@@ -2701,19 +2737,29 @@ def q_streaming_lsh_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream, "doc_id", "text", num_hashes=8, num_bands=4,
         hash_family="portable",
     )
-    q = (
-        pairs.writeStream.format("parquet")
-        .option("path", sink)
-        .option("checkpointLocation", ckpt)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
+    # state-store partitions sized to the stream's key cardinality
+    # (band×bucket groups of the 2000-doc capped universe), not the
+    # batch session's core-count default
+    from pedsnetdcc_spark.streaming.incremental import (
+        scoped_stream_shuffle_partitions,
     )
+
     try:
-        if not q.awaitTermination(600):
-            raise TimeoutError("streaming_lsh_index did not drain")
+        with scoped_stream_shuffle_partitions(spark):
+            q = (
+                pairs.writeStream.format("parquet")
+                .option("path", sink)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            try:
+                if not q.awaitTermination(600):
+                    raise TimeoutError("streaming_lsh_index did not drain")
+            finally:
+                q.stop()
     finally:
-        q.stop()
         shutil.rmtree(stage, ignore_errors=True)
         shutil.rmtree(src, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
