@@ -195,6 +195,23 @@ def _seeded_hash(col: Column, seed: int, family: str) -> Column:
     raise ValueError(f"unknown hash family {family!r}")
 
 
+def _seeded_hash_sql(expr: str, seed: int, family: str) -> str:
+    """Spark-SQL text of :func:`_seeded_hash` — the identical expression
+    tree, parsed JVM-side in ONE Py4J round trip.  Building a multi-lane
+    signature from Column objects costs thousands of driver socket round
+    trips (≥6 per expression node); the SQL form is parsed by Catalyst
+    into the same operators, so only plan-construction time changes
+    (equality asserted in tests)."""
+    if family == "xxhash64":
+        return f"xxhash64({expr}, {seed})"
+    if family == "portable":
+        return (
+            f"cast(conv(substring(md5(concat('{seed}:', {expr})), 1, 15),"
+            " 16, 10) as bigint)"
+        )
+    raise ValueError(f"unknown hash family {family!r}")
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str,
@@ -208,7 +225,9 @@ def minhash_signatures(
     Deterministic (seeded hash family), one explode + one groupBy."""
     sh = shingle_ngrams(df, id_col, text_col, n=n)
     mins = [
-        F.min(_seeded_hash(F.col("shingle"), i, hash_family)).alias(f"h{i}")
+        F.expr(f"min({_seeded_hash_sql('shingle', i, hash_family)})").alias(
+            f"h{i}"
+        )
         for i in range(num_hashes)
     ]
     sig = sh.groupBy(id_col).agg(*mins)
@@ -283,14 +302,16 @@ def fused_minhash_signatures(
             lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
         ).alias("__mh_sh"),
     )
-    sh = F.col("__mh_sh")
-    mins = F.array(
-        *[
-            F.array_min(
-                F.transform(sh, lambda s: _seeded_hash(s, i, hash_family))
-            )
+    # SQL-text lanes (see _seeded_hash_sql): a Python lambda handed to
+    # F.transform costs an extra Py4J callback registration per lane
+    mins = F.expr(
+        "array("
+        + ", ".join(
+            f"array_min(transform(__mh_sh,"
+            f" s -> {_seeded_hash_sql('s', i, hash_family)}))"
             for i in range(num_hashes)
-        ]
+        )
+        + ")"
     )
     return staged.select(F.col(id_col), mins.alias(sig_col))
 
@@ -371,7 +392,9 @@ def minhash_dedup_pairs(
         else shingle_ngrams(repartition_by_key(df, F.col(id_col)), id_col, text_col, n=n)
     )
     mins = [
-        F.min(_seeded_hash(F.col("shingle"), i, hash_family)).alias(f"h{i}")
+        F.expr(f"min({_seeded_hash_sql('shingle', i, hash_family)})").alias(
+            f"h{i}"
+        )
         for i in range(num_hashes)
     ]
     sigs = sh.groupBy(id_col).agg(*mins)
@@ -424,34 +447,39 @@ def simhash(
     # equivalent to 2·Σ(w·bit) > Σw, so the per-bit aggregate is an
     # unconditional masked sum (no branch per row per bit — ~10% off
     # the whole signature job) plus ONE shared total-weight sum.
+    # The per-bit expressions are built as SQL TEXT parsed JVM-side in
+    # one round trip each (F.expr), not composed Column objects: the
+    # Column form costs ~6 Py4J socket round trips per node × bits ×
+    # a 5-node tree ≈ 2-3 s of DRIVER time per signature plan at
+    # bits=64 (measured round 13 — half of several queries' "Catalyst
+    # floor" was really Python-side plan construction).  The parsed
+    # tree is the identical expression, so plans and results are
+    # unchanged (bit-equal asserted in tests).
     df = repartition_by_key(df, F.col(id_col))
     toks = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("tok"))
     if hash_family == "portable":
         src = toks.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("__tf"))
-        h = _seeded_hash(F.col("tok"), 0, "portable")
+        h_sql = _seeded_hash_sql("tok", 0, "portable")
         ones = [
-            F.sum(F.shiftright(h, i).bitwiseAND(F.lit(1)) * F.col("__tf")).alias(
-                f"o{i}"
-            )
+            F.expr(f"sum((shiftright({h_sql}, {i}) & 1) * __tf)").alias(f"o{i}")
             for i in range(bits)
         ]
         total = F.sum(F.col("__tf")).alias("__n")
     else:
         src = toks
-        h = F.xxhash64(F.col("tok"))
         ones = [
-            F.sum(F.shiftright(h, i).bitwiseAND(F.lit(1))).alias(f"o{i}")
+            F.expr(f"sum(shiftright(xxhash64(tok), {i}) & 1)").alias(f"o{i}")
             for i in range(bits)
         ]
         total = F.count(F.lit(1)).alias("__n")
     agg = src.groupBy(id_col).agg(*ones, total)
-    sig = None
-    for i in range(bits):
-        bit = F.when(
-            F.col(f"o{i}") * 2 > F.col("__n"), F.lit(1).cast("long")
-        ).otherwise(F.lit(0).cast("long"))
-        term = F.shiftleft(bit, i)
-        sig = term if sig is None else sig.bitwiseOR(term)
+    sig = F.expr(
+        " | ".join(
+            f"shiftleft(if(o{i} * 2 > __n, cast(1 as bigint),"
+            f" cast(0 as bigint)), {i})"
+            for i in range(bits)
+        )
+    )
     return agg.select(F.col(id_col), sig.alias(out_col))
 
 
@@ -462,22 +490,23 @@ def simhash64(
     each bit votes ±(term frequency); signature bit = sign of the vote
     sum.  Near-duplicates have small Hamming distance."""
     # single doc-keyed exchange; signed votes folded to unconditional
-    # masked bit-sums (2·ones > n ⟺ vote sum > 0) — see simhash
+    # masked bit-sums (2·ones > n ⟺ vote sum > 0) — see simhash.
+    # SQL-text expressions for the same Py4J-round-trip reason as
+    # simhash: identical parsed tree, ~100× fewer driver socket calls.
     df = repartition_by_key(df, F.col(id_col))
     toks = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("tok"))
-    h = F.xxhash64(F.col("tok"))
     ones = [
-        F.sum(F.shiftright(h, i).bitwiseAND(F.lit(1))).alias(f"o{i}")
+        F.expr(f"sum(shiftright(xxhash64(tok), {i}) & 1)").alias(f"o{i}")
         for i in range(64)
     ]
     agg = toks.groupBy(id_col).agg(*ones, F.count(F.lit(1)).alias("__n"))
-    sig = None
-    for i in range(64):
-        bit = F.when(
-            F.col(f"o{i}") * 2 > F.col("__n"), F.lit(1).cast("long")
-        ).otherwise(F.lit(0).cast("long"))
-        term = F.shiftleft(bit, i)
-        sig = term if sig is None else sig.bitwiseOR(term)
+    sig = F.expr(
+        " | ".join(
+            f"shiftleft(if(o{i} * 2 > __n, cast(1 as bigint),"
+            f" cast(0 as bigint)), {i})"
+            for i in range(64)
+        )
+    )
     return agg.select(F.col(id_col), sig.alias(out_col))
 
 
