@@ -39,6 +39,58 @@ def _dot(a: Column, b: Column) -> Column:
     )
 
 
+def _read_codebook_rows(path: str, sort_cols: list[str]) -> list[dict]:
+    """Driver-side read of a tiny codebook parquet directory (k×dim
+    doubles), sorted by ``sort_cols`` — pyarrow, NO Spark job.  The
+    codebooks are kilobytes and land on the driver anyway (``collect``);
+    routing them through a distributed scan cost 1-2 scheduled jobs per
+    read, and the streaming append pays that read EVERY micro-batch
+    (round-13 profile: ~10 such jobs per ann_index_roundtrip
+    lifecycle).  Byte-identical values: same parquet files, same
+    decode, same sort."""
+    import pyarrow.parquet as _pq
+
+    tbl = _pq.read_table(path)
+    df = tbl.to_pandas().sort_values(sort_cols, kind="mergesort")
+    return df.to_dict("records")
+
+
+def _write_codebook_parquet(
+    rows: list[tuple], schema_ddl: str, path: str
+) -> None:
+    """Driver-side single-file parquet write of a tiny codebook —
+    pyarrow, NO Spark job — into a directory Spark reads exactly like
+    the previous ``createDataFrame(...).repartition(1).write`` layout
+    (one data file inside ``path``; Spark's reader needs no _SUCCESS
+    marker).  ``schema_ddl`` fields of the form ``name type`` with
+    types int / array<double> only (all the codebooks need)."""
+    import os as _os
+    import shutil as _shutil
+
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    fields = []
+    for part in schema_ddl.split(","):
+        name, typ = part.strip().split(None, 1)
+        if typ == "int":
+            fields.append(_pa.field(name, _pa.int32()))
+        elif typ == "array<double>":
+            fields.append(_pa.field(name, _pa.list_(_pa.float64())))
+        else:  # pragma: no cover - guarded by the two call sites
+            raise ValueError(f"unsupported codebook field type {typ!r}")
+    schema = _pa.schema(fields)
+    cols = list(zip(*rows)) if rows else [[] for _ in fields]
+    tbl = _pa.table(
+        {f.name: list(c) for f, c in zip(schema, cols)}, schema=schema
+    )
+    _shutil.rmtree(path, ignore_errors=True)
+    _os.makedirs(path, exist_ok=True)
+    _pq.write_table(
+        tbl, _os.path.join(path, "part-00000.parquet"), compression="zstd"
+    )
+
+
 def _norm(a: Column) -> Column:
     return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
 
@@ -911,21 +963,18 @@ def build_ivf_index(
                 sample_size=sample_size, iters=iters, seed=seed + 1,
             )
             assigned = pq_encode(assigned, pq_cb, id_col, vec_col)
-            spark0 = df.sparkSession
             cb_rows = [
                 (j, c, [float(x) for x in pq_cb[j, c]])
                 for j in range(pq_cb.shape[0])
                 for c in range(pq_cb.shape[1])
             ]
-            # repartition(1), NOT coalesce(1): a parallelized local
-            # collection is 32 pickled partitions, and coalesce strings
-            # ALL of them through one task's serial Python-deserialization
-            # loop (~5 s measured for 512 rows); repartition deserializes
-            # in parallel and shuffles JVM rows to the single writer (~0.5 s)
-            spark0.createDataFrame(
-                cb_rows, "subspace int, code int, centroid array<double>"
-            ).repartition(1).write.mode("overwrite").parquet(
-                _os.path.join(path, "pq_codebooks.parquet")
+            # the codebook already lives on the driver — write it with
+            # pyarrow (no round trip through createDataFrame + a Spark
+            # write job; round 13, replacing the repartition(1) form)
+            _write_codebook_parquet(
+                cb_rows,
+                "subspace int, code int, centroid array<double>",
+                _os.path.join(path, "pq_codebooks.parquet"),
             )
         # cluster rows by cell BEFORE the partitioned write: without this,
         # every write task emits a file into every cell directory it holds
@@ -934,13 +983,11 @@ def build_ivf_index(
         repartition_by_key(assigned, "centroid_id").write.mode(
             "overwrite"
         ).partitionBy("centroid_id").parquet(_os.path.join(path, "cells"))
-        # repartition(1) for the same serial-deserialization reason as the
-        # PQ codebook write above
-        spark.createDataFrame(
+        # driver-side pyarrow write, like the PQ codebook above
+        _write_codebook_parquet(
             [(i, [float(x) for x in row]) for i, row in enumerate(C)],
             "centroid_id int, centroid array<double>",
-        ).repartition(1).write.mode("overwrite").parquet(
-            _os.path.join(path, "centroids.parquet")
+            _os.path.join(path, "centroids.parquet"),
         )
         meta = {
             "id_col": id_col,
@@ -980,20 +1027,19 @@ class IvfIndexHandle:
 
         with open(_os.path.join(path, "meta.json")) as f:
             self.meta = _json.load(f)
-        crows = (
-            spark.read.parquet(_os.path.join(path, "centroids.parquet"))
-            .orderBy("centroid_id")
-            .collect()
+        # driver-side pyarrow reads (no Spark jobs) — the codebooks are
+        # kilobytes and end up on the driver either way
+        crows = _read_codebook_rows(
+            _os.path.join(path, "centroids.parquet"), ["centroid_id"]
         )
         self.centroids = np.array(
             [r["centroid"] for r in crows], dtype=np.float64
         )
         self.pq_codebooks = None
         if self.meta.get("pq_m"):
-            pq_rows = (
-                spark.read.parquet(_os.path.join(path, "pq_codebooks.parquet"))
-                .orderBy("subspace", "code")
-                .collect()
+            pq_rows = _read_codebook_rows(
+                _os.path.join(path, "pq_codebooks.parquet"),
+                ["subspace", "code"],
             )
             m = self.meta["pq_m"]
             k = self.meta["pq_codebook_size"]
@@ -1299,12 +1345,10 @@ def _append_ivf_epoch_locked(
         # nothing to commit; an all-empty epoch dir would also be the
         # one delta state spark.read.parquet can fail schema inference on
         return
-    crows = (
-        batch_df.sparkSession.read.parquet(
-            _os.path.join(path, "centroids.parquet")
-        )
-        .orderBy("centroid_id")
-        .collect()
+    # frozen codebooks, read driver-side (pyarrow — no Spark job): the
+    # stream pays this read EVERY micro-batch
+    crows = _read_codebook_rows(
+        _os.path.join(path, "centroids.parquet"), ["centroid_id"]
     )
     C = np.array([r["centroid"] for r in crows], dtype=np.float64)
     if meta["assign"] == "hierarchical" and len(C) >= 64:
@@ -1321,12 +1365,8 @@ def _append_ivf_epoch_locked(
     ).withColumn("centroid_id", assign_cell(F.col(vec_col)))
     if meta.get("pq_m"):
         # frozen PQ codebooks, like the frozen cell codebook above
-        pq_rows = (
-            batch_df.sparkSession.read.parquet(
-                _os.path.join(path, "pq_codebooks.parquet")
-            )
-            .orderBy("subspace", "code")
-            .collect()
+        pq_rows = _read_codebook_rows(
+            _os.path.join(path, "pq_codebooks.parquet"), ["subspace", "code"]
         )
         pq_cb = np.array(
             [r["centroid"] for r in pq_rows], dtype=np.float64
@@ -1467,11 +1507,19 @@ def _compact_ivf_index_locked(spark, path: str) -> dict:
     _os.rename(tmp, cells_dir)
     _shutil.rmtree(old, ignore_errors=True)
     _shutil.rmtree(delta_old, ignore_errors=True)
-    compacted = spark.read.parquet(cells_dir)
-    n_cells = compacted.select("centroid_id").distinct().count()
+    # one aggregate job for both receipt counts (was distinct().count()
+    # + count() — two scans, two scheduled jobs; round 13)
+    counts = (
+        spark.read.parquet(cells_dir)
+        .agg(
+            F.countDistinct("centroid_id").alias("cells"),
+            F.count(F.lit(1)).alias("rows"),
+        )
+        .first()
+    )
     return {
-        "cells": n_cells,
-        "rows": compacted.count(),
+        "cells": counts["cells"],
+        "rows": counts["rows"],
         "epochs_folded": len(epochs),
     }
 
