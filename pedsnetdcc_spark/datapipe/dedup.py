@@ -763,14 +763,23 @@ def cross_corpus_contamination(
 _PASSJOIN_SEP = "\x01"
 
 
-def _pj_seg_start(j, length, k):
-    """0-based start of segment ``j`` of a ``length``-char string."""
-    return F.floor(F.lit(j) * length / k).cast("int")
+def _pj_seg_start(j, length_sql: str, k) -> str:
+    """SQL text: 0-based start of segment ``j`` of a ``length``-char
+    string.  The PassJoin builders emit SQL TEXT parsed JVM-side in one
+    round trip (F.expr) instead of composed Column objects — the
+    Column form cost ~9.7k Py4J socket round trips (≈2.5 s of pure
+    driver time) per edit_distance_pairs plan at τ=2 (round-13
+    measurement); the parsed tree is the identical expression."""
+    return f"cast(floor({j} * {length_sql} / {k}) as int)"
 
 
-def _pj_seg_len(j, length, k):
-    nxt = _pj_seg_start(j + 1, length, k) if j + 1 < k else length.cast("int")
-    return nxt - _pj_seg_start(j, length, k)
+def _pj_seg_len(j, length_sql: str, k) -> str:
+    nxt = (
+        _pj_seg_start(j + 1, length_sql, k)
+        if j + 1 < k
+        else f"cast({length_sql} as int)"
+    )
+    return f"({nxt} - {_pj_seg_start(j, length_sql, k)})"
 
 
 def _pj_index(side, tau: int, keys: list[str]) -> DataFrame:
@@ -780,22 +789,19 @@ def _pj_index(side, tau: int, keys: list[str]) -> DataFrame:
     slen) — the segment value, its index, the indexed length, and the
     segment's 1-based span (kept so the hot route can splice it out)."""
     k = tau + 1
-    Lc = F.col("__L")
-    entries = F.array(
-        *[
-            F.struct(
-                F.substring(
-                    F.col("__s"), _pj_seg_start(j, Lc, k) + 1, _pj_seg_len(j, Lc, k)
-                ).alias("val"),
-                F.lit(j).alias("j"),
-                Lc.cast("int").alias("li"),
-                (_pj_seg_start(j, Lc, k) + 1).cast("int").alias("pos"),
-                _pj_seg_len(j, Lc, k).cast("int").alias("slen"),
-            )
-            for j in range(k)
-        ]
-    )
-    return side.select(*keys, "id_b", "__sb", "__s", F.explode(entries).alias("g")).select(
+    entries = "array(" + ", ".join(
+        "struct("
+        f"substring(__s, {_pj_seg_start(j, '__L', k)} + 1,"
+        f" {_pj_seg_len(j, '__L', k)}) as val,"
+        f" {j} as j,"
+        " cast(__L as int) as li,"
+        f" cast({_pj_seg_start(j, '__L', k)} + 1 as int) as pos,"
+        f" cast({_pj_seg_len(j, '__L', k)} as int) as slen)"
+        for j in range(k)
+    ) + ")"
+    return side.select(
+        *keys, "id_b", "__sb", "__s", F.expr(f"explode({entries})").alias("g")
+    ).select(
         *keys, "id_b", "__sb", "__s", "g.val", "g.j", "g.li", "g.pos", "g.slen"
     )
 
@@ -809,34 +815,35 @@ def _pj_probe(side, tau: int, keys: list[str]) -> DataFrame:
     sh in [ceil((D-tau)/2), floor((D+tau)/2)] — a (tau - |D| + 1)-wide
     window instead of every position (PassJoin's position filter,
     tightened by the suffix bound).  ``side`` columns: (*keys, id_a,
-    __sa, __s, __L); output adds (val, j, li, p, slen)."""
+    __sa, __s, __L); output adds (val, j, li, p, slen).  Built as SQL
+    text for the Py4J-round-trip reason documented on
+    :func:`_pj_seg_start`."""
     k = tau + 1
     arrays = []
     for delta in range(-tau, tau + 1):
-        li = (F.col("__L") + delta).cast("int")
+        li = f"cast(__L + {delta} as int)"
         gap = -delta  # D = L - li
         lo_sh = -(-(gap - tau) // 2)  # ceil((D - tau) / 2)
         hi_sh = (gap + tau) // 2  # floor((D + tau) / 2)
         for j in range(k):
             slen = _pj_seg_len(j, li, k)
-            pos_j = _pj_seg_start(j, li, k) + 1
-            lo = F.greatest(F.lit(1), (pos_j + lo_sh).cast("int"))
-            hi = F.least((F.col("__L") - slen + 1).cast("int"), (pos_j + hi_sh).cast("int"))
-            positions = F.when(
-                (li > tau) & (slen >= 1) & (slen <= F.col("__L")) & (lo <= hi),
-                F.sequence(lo, hi),
-            ).otherwise(F.array().cast("array<int>"))
-
-            def _mk(_j, _li, _slen):
-                return lambda p: F.struct(
-                    F.substring(F.col("__s"), p, _slen).alias("val"),
-                    F.lit(_j).alias("j"),
-                    _li.alias("li"),
-                    p.cast("int").alias("p"),
-                    _slen.cast("int").alias("slen"),
-                )
-
-            arrays.append(F.transform(positions, _mk(j, li, slen)))
+            pos_j = f"({_pj_seg_start(j, li, k)} + 1)"
+            lo = f"greatest(1, cast({pos_j} + {lo_sh} as int))"
+            hi = (
+                f"least(cast(__L - {slen} + 1 as int),"
+                f" cast({pos_j} + {hi_sh} as int))"
+            )
+            positions = (
+                f"if(({li} > {tau}) and ({slen} >= 1) and ({slen} <= __L)"
+                f" and ({lo} <= {hi}), sequence({lo}, {hi}),"
+                " cast(array() as array<int>))"
+            )
+            arrays.append(
+                f"transform({positions}, p -> struct("
+                f"substring(__s, p, {slen}) as val,"
+                f" {j} as j, {li} as li, cast(p as int) as p,"
+                f" cast({slen} as int) as slen))"
+            )
     # (no array_distinct: entries carry their position p, so they are
     # unique by construction — same-value substrings at different
     # window positions must each survive for the hot route's splice)
@@ -845,7 +852,9 @@ def _pj_probe(side, tau: int, keys: list[str]) -> DataFrame:
         "id_a",
         "__sa",
         "__s",
-        F.explode(F.flatten(F.array(*arrays))).alias("g"),
+        F.expr(
+            "explode(flatten(array(" + ", ".join(arrays) + ")))"
+        ).alias("g"),
     ).select(*keys, "id_a", "__sa", "__s", "g.val", "g.j", "g.li", "g.p", "g.slen")
 
 
