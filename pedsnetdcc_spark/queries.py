@@ -3306,18 +3306,29 @@ def q_ann_index_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             .parquet(src)
         )
         # epoch_offset=0 (fresh index, fresh lineage); checkpoint= routes
-        # through the persisted-offset validation and sets the option
-        q = (
-            stream_ivf_index_append(stream, idx, epoch_offset=0,
-                                    checkpoint=ckpt)
-            .trigger(availableNow=True)
-            .start()
+        # through the persisted-offset validation and sets the option.
+        # The foreachBatch append repartitions by centroid_id in BATCH
+        # mode but inherits the session shuffle conf and AQE is off for
+        # streaming-derived plans — scope it to the stream's key volume
+        # (16 cells here) like the other streaming queries
+        from pedsnetdcc_spark.streaming.incremental import (
+            scoped_stream_shuffle_partitions,
         )
-        try:
-            if not q.awaitTermination(600):
-                raise TimeoutError("ann_index_roundtrip append did not drain")
-        finally:
-            q.stop()
+
+        with scoped_stream_shuffle_partitions(spark):
+            q = (
+                stream_ivf_index_append(stream, idx, epoch_offset=0,
+                                        checkpoint=ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            try:
+                if not q.awaitTermination(600):
+                    raise TimeoutError(
+                        "ann_index_roundtrip append did not drain"
+                    )
+            finally:
+                q.stop()
         folded = compact_ivf_index(spark, idx)
         assert folded["epochs_folded"] == 2, folded
         handle = open_ivf_index(spark, idx)
