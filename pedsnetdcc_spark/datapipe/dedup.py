@@ -1763,15 +1763,17 @@ def append_span_index(
         tmp = _os.path.join(delta_root, f".tmp-gen-{n}")
         _shutil.rmtree(tmp, ignore_errors=True)
         repartition_by_key(counts, "__key").write.mode("overwrite").parquet(tmp)
-        # emptiness is checked on the WRITTEN tmp (one footer-read task)
-        # rather than on `counts` (which would re-run the aggregation):
-        # zero keys — every doc shorter than k, or an empty streaming
-        # micro-batch — commits nothing, so gen dirs never pile up
-        # schema-only debris and auto-compact thresholds count only
-        # real generations
-        if not any(
-            f.endswith(".parquet") for f in _os.listdir(tmp)
-        ) or df.sparkSession.read.parquet(tmp).isEmpty():
+        # emptiness is checked on the WRITTEN tmp's parquet FOOTERS
+        # (driver-side metadata read, no Spark job) rather than on
+        # `counts` (which would re-run the aggregation) or a
+        # read-back isEmpty (which scheduled a scan job per append —
+        # every streaming micro-batch paid it): zero keys — every doc
+        # shorter than k, or an empty streaming micro-batch — commits
+        # nothing, so gen dirs never pile up schema-only debris and
+        # auto-compact thresholds count only real generations
+        from pedsnetdcc_spark.util import parquet_dir_num_rows
+
+        if parquet_dir_num_rows(tmp) == 0:
             _shutil.rmtree(tmp, ignore_errors=True)
             return {"generation": n, "empty": True}
         _os.makedirs(delta_root, exist_ok=True)
@@ -1887,7 +1889,14 @@ def compact_span_index(spark, path: str) -> dict:
         _os.rename(tmp, keys_dir)
         _shutil.rmtree(old, ignore_errors=True)
         _shutil.rmtree(delta_old, ignore_errors=True)
-        n = spark.read.parquet(keys_dir).count()
+        # receipt from the new base's parquet FOOTERS (driver-side
+        # metadata, no Spark job): the old read-back count() scheduled
+        # a full extra scan of the just-compacted index — at production
+        # index sizes a complete pass over the pipeline's largest
+        # artifact — for a number the footers already carry exactly
+        from pedsnetdcc_spark.util import parquet_dir_num_rows
+
+        n = parquet_dir_num_rows(keys_dir)
         return {"keys": n, "generations_folded": len(gens)}
 
 
@@ -2103,6 +2112,7 @@ def drop_duplicate_spans_against_index(
     text_col: str = "text",
     min_count: int = 2,
     recover: bool = True,
+    spans: DataFrame | None = None,
 ) -> DataFrame:
     """Cut the spans :func:`duplicate_spans_against_index` finds and
     reassemble each new document — existing-corpus-wins semantics: the
@@ -2112,13 +2122,22 @@ def drop_duplicate_spans_against_index(
     non-zero; a shingle repeated only within the new batch keeps no
     copy either, matching keep="unique" locally — the conservative
     incremental-publish behavior).  Output contract matches
-    :func:`drop_duplicate_spans`."""
+    :func:`drop_duplicate_spans`.
+
+    ``spans``: a caller that already built
+    :func:`duplicate_spans_against_index` over the SAME ``df``/``path``/
+    ``min_count`` may pass it in, sharing one plan subtree instead of
+    constructing the aggregate+join pipeline twice — the ``shingles=``
+    sharing seam of :func:`ngram_jaccard_pairs`, applied to the index
+    form (the executed work was already deduplicated by exchange
+    reuse; this removes the duplicate plan-construction cost)."""
     meta = _span_index_meta(path)
     sep = meta["sep"]
     id_col = meta["id_col"]
-    spans = duplicate_spans_against_index(
-        df, path, text_col=text_col, min_count=min_count, recover=recover
-    )
+    if spans is None:
+        spans = duplicate_spans_against_index(
+            df, path, text_col=text_col, min_count=min_count, recover=recover
+        )
     toks = df.select(
         F.col(id_col), F.split(F.col(text_col), _regex_literal(sep)).alias("__arr")
     )

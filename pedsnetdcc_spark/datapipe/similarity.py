@@ -1507,19 +1507,22 @@ def _compact_ivf_index_locked(spark, path: str) -> dict:
     _os.rename(tmp, cells_dir)
     _shutil.rmtree(old, ignore_errors=True)
     _shutil.rmtree(delta_old, ignore_errors=True)
-    # one aggregate job for both receipt counts (was distinct().count()
-    # + count() — two scans, two scheduled jobs; round 13)
-    counts = (
-        spark.read.parquet(cells_dir)
-        .agg(
-            F.countDistinct("centroid_id").alias("cells"),
-            F.count(F.lit(1)).alias("rows"),
-        )
-        .first()
+    # receipt counts from the new base's LAYOUT (driver-side, no Spark
+    # job; was one aggregate job, before that two full scans): the
+    # cells are hive-partitioned by centroid_id, so the distinct-cell
+    # count is the partition-directory listing — Spark only creates a
+    # centroid_id=N dir for rows that exist, so listing == the data's
+    # countDistinct — and the row total is the sum of the parquet
+    # footers' num_rows.  A read-back scan of the just-compacted index
+    # paid a full extra pass over it for numbers its metadata carries.
+    from pedsnetdcc_spark.util import parquet_dir_num_rows
+
+    n_cells = sum(
+        1 for d in _os.listdir(cells_dir) if d.startswith("centroid_id=")
     )
     return {
-        "cells": counts["cells"],
-        "rows": counts["rows"],
+        "cells": n_cells,
+        "rows": parquet_dir_num_rows(cells_dir),
         "epochs_folded": len(epochs),
     }
 
@@ -1805,16 +1808,25 @@ def lsh_bucketed_topk(
         "__cv",
         F.posexplode("__sks").alias("tbl", "bucket"),
     )
+    # the probe array — tables × (1 + bits) (tbl, bucket) structs — is
+    # rendered as SQL TEXT parsed JVM-side in ONE Py4J round trip: the
+    # per-probe Column loop cost ~6 gateway calls per struct (hundreds
+    # of round trips at auto-sized bits) of pure driver latency at
+    # plan-construction time.  Identical expression tree, so plans and
+    # results are unchanged (same probes, same join keys).
     q_probe_entries = []
     for t in range(tables):
-        sk_q = F.col("__sks")[t]
+        sk_q = f"__sks[{t}]"
         probes = [sk_q] + (
-            [sk_q.bitwiseXOR(F.lit(1 << i)) for i in range(bits)] if probe_hamming1 else []
+            [f"({sk_q} ^ {1 << i})" for i in range(bits)]
+            if probe_hamming1 else []
         )
         q_probe_entries.extend(
-            F.struct(F.lit(t).alias("tbl"), p.alias("bucket")) for p in probes
+            f"struct({t} AS tbl, {p} AS bucket)" for p in probes
         )
-    q_all = q.withColumn("__tb", F.explode(F.array(*q_probe_entries))).select(
+    q_all = q.withColumn(
+        "__tb", F.explode(F.expr(f"array({', '.join(q_probe_entries)})"))
+    ).select(
         "query_id", "__qv", F.col("__tb.tbl").alias("tbl"), F.col("__tb.bucket").alias("bucket")
     )
     pairs = c_all.join(F.broadcast(q_all), ["tbl", "bucket"]).where(

@@ -2164,14 +2164,20 @@ def q_span_index_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.stop()
     folded = compact_span_index(spark, idx)
     assert folded["generations_folded"] >= 1, folded
-    spans = duplicate_spans_against_index(new, idx, min_count=2).select(
+    # one against-index subtree, shared by both parts (spans= seam):
+    # the clean part's cut runs over the SAME spans DataFrame instead
+    # of re-constructing the aggregate+join pipeline a second time
+    found = duplicate_spans_against_index(new, idx, min_count=2)
+    spans = found.select(
         F.lit("span").alias("part"),
         "doc_id",
         F.col("span_start").cast("long").alias("a"),
         F.col("span_end").cast("long").alias("b"),
         F.lit(None).cast("string").alias("payload"),
     )
-    clean = drop_duplicate_spans_against_index(new, idx, min_count=2).select(
+    clean = drop_duplicate_spans_against_index(
+        new, idx, min_count=2, spans=found
+    ).select(
         F.lit("clean").alias("part"),
         "doc_id",
         F.col("n_tokens").cast("long").alias("a"),

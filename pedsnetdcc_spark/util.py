@@ -168,6 +168,30 @@ def clear_index_children(path: str) -> None:
                 os.remove(full)
 
 
+def parquet_dir_num_rows(path: str) -> int:
+    """Total row count of a parquet directory from the file FOOTERS
+    only — a driver-side pyarrow metadata read, NO Spark job and no
+    data pages touched.  The persisted-index lifecycles use it for
+    their receipt/emptiness counts: a ``read.parquet(...).count()``
+    there schedules a full scan of the index (at production index
+    sizes that is a complete extra pass over the largest artifact the
+    pipeline owns) for a number every footer already carries.  Footer
+    ``num_rows`` is exact — it is what the scan's own metadata-only
+    count would use."""
+    import os
+
+    import pyarrow.parquet as _pq
+
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if f.endswith(".parquet"):
+                total += _pq.ParquetFile(
+                    os.path.join(root, f)
+                ).metadata.num_rows
+    return total
+
+
 class IndexWriterLocked(RuntimeError):
     """A second writer tried to build/append/compact a persisted index
     while another writer held its ``.writer.lock``."""

@@ -4395,3 +4395,46 @@ def test_train_bpe_checkpoint_cadence_invariant(spark, docs):
     m8 = train_bpe(sample, "text", num_merges=6, min_freq=1,
                    checkpoint_every=8)
     assert m1 == m8 and len(m1) == 6
+
+
+def test_index_receipts_from_footers_match_spark_counts(spark, emb, tmp_path):
+    """Round-13 job-count hygiene: the compact receipts (span ``keys``
+    count; IVF ``cells``/``rows``) and the span append's emptiness
+    check now come from driver-side parquet footers / partition-dir
+    listing instead of read-back Spark scans — the numbers must equal
+    what the replaced scans computed, and the footer helper must agree
+    with a Spark count on a real directory."""
+    from pedsnetdcc_spark.datapipe.dedup import (
+        append_span_index,
+        build_span_index,
+        compact_span_index,
+    )
+    from pedsnetdcc_spark.datapipe.similarity import (
+        _append_ivf_epoch,
+        build_ivf_index,
+        compact_ivf_index,
+    )
+    from pedsnetdcc_spark.util import parquet_dir_num_rows
+
+    docs = _small_docs(spark)
+    idx = str(tmp_path / "span_receipts")
+    build_span_index(docs, idx, "doc_id", k=4)
+    append_span_index(docs, idx)
+    rep = compact_span_index(spark, idx)
+    keys_dir = f"{idx}/keys"
+    assert rep["keys"] == spark.read.parquet(keys_dir).count()
+    assert parquet_dir_num_rows(keys_dir) == rep["keys"]
+
+    # an all-too-short batch still commits nothing (footer path)
+    tiny = spark.createDataFrame([(7, "a b")], ["doc_id", "text"])
+    assert append_span_index(tiny, idx)["empty"] is True
+
+    ivf = str(tmp_path / "ivf_receipts")
+    build_ivf_index(emb, ivf, n_centroids=8, assign="flat", seed=1)
+    _append_ivf_epoch(emb.limit(20), 0, ivf)
+    rep = compact_ivf_index(spark, ivf)
+    cells = spark.read.parquet(f"{ivf}/cells")
+    got = cells.agg(
+        F.countDistinct("centroid_id").alias("c"), F.count(F.lit(1)).alias("r")
+    ).first()
+    assert (rep["cells"], rep["rows"]) == (got["c"], got["r"])
