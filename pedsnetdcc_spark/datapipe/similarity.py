@@ -284,6 +284,7 @@ def _hash_sample_rows(
     vec_col: str,
     sample_size: int,
     seed: int,
+    n: int | None = None,
 ) -> list:
     """The ``sample_size`` rows with the smallest ``xxhash64(id, seed)``
     — partition-independent (same sample whatever the layout) and
@@ -305,12 +306,18 @@ def _hash_sample_rows(
     unfiltered take (also the n ≤ 8·sample_size path).  The returned
     rows are bit-identical to the unfiltered form in every case, so
     trained codebooks — and everything downstream of them — are
-    unchanged."""
+    unchanged.
+
+    ``n=``: a caller that already knows (or will reuse) the table's
+    row count passes it in — the package's standard stats seam — so a
+    build that trains BOTH a cell codebook and PQ sub-codebooks on the
+    same table pays ONE count action, not one per trainer."""
     base = df.select(
         F.col(vec_col).cast("array<double>").alias("__v"),
         F.xxhash64(F.col(id_col), F.lit(seed)).alias("__h"),
     )
-    n = df.count()
+    if n is None:
+        n = df.count()
     if n > 8 * sample_size:
         frac = 8.0 * sample_size / n
         threshold = int(-(2 ** 63) + frac * 2 ** 64)
@@ -335,15 +342,17 @@ def train_kmeans_centroids(
     sample_size: int = 4096,
     iters: int = 10,
     seed: int = 0,
+    n: int | None = None,
 ) -> np.ndarray:
     """Deterministic sampled spherical k-means: Lloyd iterations on a
     bounded driver sample (:func:`_hash_sample_rows` — smallest-xxhash
     sample, driver results bounded at any table size), cosine objective
     (unit-normalized points and centroids, assignment by max dot
     product).  Init is seeded k-means++ on the sample.  Returns a
-    unit-normalized ``(k, dim)`` array.
+    unit-normalized ``(k, dim)`` array.  ``n=`` skips the sampler's
+    count action when the caller already paid it (stats seam).
     """
-    rows = _hash_sample_rows(df, id_col, vec_col, sample_size, seed)
+    rows = _hash_sample_rows(df, id_col, vec_col, sample_size, seed, n=n)
     if not rows:
         raise ValueError("cannot train k-means centroids on an empty table")
     X = np.stack([r["__v"] for r in rows]).astype(np.float64)
@@ -444,21 +453,23 @@ def train_kmeans_centroids_hier(
     k = int(k)
     if sample_size is None:
         sample_size = 4 * k
+    if n is None:
+        # aggregate-only; both in-package callers pass ``n=`` from the
+        # auto-sizing count they already paid.  Counted BEFORE the
+        # coarse trainer so its sampler shares the same count (stats
+        # seam) instead of re-counting the table.
+        n = df.count()
     k1 = max(2, math.ceil(math.sqrt(k)))
     coarse_sample = min(sample_size, max(4096, 64 * k1))
     C1 = train_kmeans_centroids(
         df, id_col, vec_col, k=k1, sample_size=coarse_sample,
-        iters=iters, seed=seed,
+        iters=iters, seed=seed, n=n,
     )
     base = df.select(
         F.col(id_col).alias("__id"),
         F.col(vec_col).cast("array<double>").alias("__v"),
         F.xxhash64(F.col(id_col), F.lit(seed)).alias("__h"),
     )
-    if n is None:
-        # aggregate-only; both in-package callers pass ``n=`` from the
-        # auto-sizing count they already paid
-        n = df.count()
     if n > sample_size:
         frac = float(sample_size) / n
         threshold = int(-(2 ** 63) + frac * 2 ** 64)
@@ -478,7 +489,7 @@ def train_kmeans_centroids_hier(
         # hash draw): the driver trainer is affordable there
         return train_kmeans_centroids(
             df, id_col, vec_col, k=k, sample_size=sample_size,
-            iters=iters, seed=seed,
+            iters=iters, seed=seed, n=n,
         )
     k_eff = min(k, total)
     # largest-remainder allocation of k_eff fine centroids across the
@@ -800,7 +811,7 @@ def ivf_topk(
         else:
             centroids = train_kmeans_centroids(
                 candidates, id_col, vec_col, k=n_centroids,
-                sample_size=sample_size, iters=iters, seed=seed,
+                sample_size=sample_size, iters=iters, seed=seed, n=n,
             )
     C = np.asarray(centroids, dtype=np.float64)
     _flat_assign, probe_cells = _cell_assign_udfs(C, nprobe)
@@ -917,9 +928,13 @@ def build_ivf_index(
             )
     with index_writer_lock(path, "build"):
         clear_index_children(path)
+        # one count action for the whole build (stats seam): auto
+        # sizing, the cell trainer's sampler, and the PQ trainer's
+        # sampler all reuse it — before the seam an IVF-PQ build
+        # counted the same table up to three times
+        if n is None:
+            n = df.count()
         if n_centroids == "auto":
-            if n is None:
-                n = df.count()
             n_centroids = max(16, math.ceil(n / target_cell))
             if assign == "flat":
                 n_centroids = min(1024, n_centroids)
@@ -934,7 +949,7 @@ def build_ivf_index(
         else:
             C = train_kmeans_centroids(
                 df, id_col, vec_col, k=int(n_centroids),
-                sample_size=sample_size, iters=iters, seed=seed,
+                sample_size=sample_size, iters=iters, seed=seed, n=n,
             )
         spark = df.sparkSession
         if assign == "hierarchical" and len(C) >= 64:
@@ -960,7 +975,7 @@ def build_ivf_index(
             # fetches real vectors only for the shortlist.
             pq_cb = train_pq_codebooks(
                 df, id_col, vec_col, m=pq_m, codebook_size=pq_codebook_size,
-                sample_size=sample_size, iters=iters, seed=seed + 1,
+                sample_size=sample_size, iters=iters, seed=seed + 1, n=n,
             )
             assigned = pq_encode(assigned, pq_cb, id_col, vec_col)
             cb_rows = [
@@ -2246,6 +2261,7 @@ def train_pq_codebooks(
     sample_size: int = 4096,
     iters: int = 10,
     seed: int = 0,
+    n: int | None = None,
 ) -> np.ndarray:
     """Train the ``(m, codebook_size, dim/m)`` PQ sub-codebooks on a
     bounded deterministic sample (same partition-independent
@@ -2255,8 +2271,9 @@ def train_pq_codebooks(
     regime: approximate inner product of normalized vectors = cosine),
     then each of the ``m`` subspaces gets an independent Euclidean
     k-means with seed ``seed + j``.  ``dim`` must divide evenly by
-    ``m``."""
-    rows = _hash_sample_rows(df, id_col, vec_col, sample_size, seed)
+    ``m``.  ``n=`` skips the sampler's count action when the caller
+    already paid it (stats seam)."""
+    rows = _hash_sample_rows(df, id_col, vec_col, sample_size, seed, n=n)
     if not rows:
         raise ValueError("cannot train PQ codebooks on an empty table")
     X = np.stack([r["__v"] for r in rows]).astype(np.float64)
