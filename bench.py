@@ -131,10 +131,12 @@ def _isolated_pass(timings: dict[str, float]) -> dict[str, dict]:
     for name in top:
         runs: list[float] = []
         arm_loads: list[float] = []
+        arm_steal: list = []
         for arm in range(arms):
             # 1-min load at arm start: a hot arm on a loaded box is
             # separable from a plan regression without a manual re-time
             arm_loads.append((_loadavg() or [-1.0])[0])
+            ticks0 = _cpu_ticks()
             try:
                 runs.append(_isolated_one(name))
             except Exception as exc:  # noqa: BLE001 — isolation is advisory
@@ -142,16 +144,22 @@ def _isolated_pass(timings: dict[str, float]) -> dict[str, dict]:
                     f"bench: isolated {name} arm {arm} failed: {exc!r}",
                     file=sys.stderr,
                 )
+            # steal DURING the arm: the hypervisor-withheld share is
+            # what actually spreads identical arms (round-13 finding —
+            # 7.7 vs 13.5 s same-config arms at load1 ≈ 0); loadavg
+            # only sees guest-side demand
+            arm_steal.append(_steal_pct(ticks0, _cpu_ticks()))
         if runs:
             out[name] = {
                 "best": round(min(runs), 3),
                 "spread": round(max(runs) - min(runs), 3),
                 "runs": [round(r, 3) for r in runs],
                 "loadavg1": arm_loads,
+                "steal_pct": arm_steal,
             }
         else:
             out[name] = {"best": -1.0, "spread": -1.0, "runs": [],
-                         "loadavg1": arm_loads}
+                         "loadavg1": arm_loads, "steal_pct": arm_steal}
     return out
 
 
@@ -248,11 +256,40 @@ def _loadavg() -> list[float]:
         return []
 
 
+def _cpu_ticks() -> "tuple[int, int] | None":
+    """(steal_ticks, total_ticks) from the aggregate /proc/stat line —
+    the VM-host throttling counter loadavg cannot see.  Round-13
+    finding: identical fresh-JVM isolated arms on an otherwise-idle box
+    spread 7.7 → 13.5 s with load1 near zero; steal time (CPU the
+    hypervisor withheld) is the mechanism that makes such arms
+    non-reproducible, so the artifact records it per phase and per arm
+    and a large ``steal_pct`` marks the number as machine-noise, not a
+    plan regression.  None on platforms without /proc/stat."""
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        vals = [int(x) for x in parts[1:]]
+        steal = vals[7] if len(vals) > 7 else 0
+        return steal, sum(vals)
+    except (OSError, ValueError, IndexError):  # pragma: no cover
+        return None
+
+
+def _steal_pct(before, after) -> "float | None":
+    """Percent of total CPU ticks stolen between two _cpu_ticks()
+    samples (None when either sample is unavailable)."""
+    if not before or not after:
+        return None
+    ds, dt = after[0] - before[0], after[1] - before[1]
+    return round(100.0 * ds / dt, 2) if dt > 0 else None
+
+
 def _main_timed(sf_dir: str, sf: float | None, stderr_log: str) -> None:
     from pedsnetdcc_spark.queries import QUERIES
     from pedsnetdcc_spark.session import build_session
 
     load_start = _loadavg()
+    ticks_start = _cpu_ticks()
     _marker("session start")
     spark = build_session(app_name="pedsnetdcc_spark_bench")
     # warm the JVM/IO path once so per-query numbers measure the queries
@@ -282,6 +319,7 @@ def _main_timed(sf_dir: str, sf: float | None, stderr_log: str) -> None:
             timings[name] = -1.0
             spark.catalog.clearCache()
     load_after_timed = _loadavg()
+    ticks_after_timed = _cpu_ticks()
     _marker("session shutdown")
     spark.stop()
 
@@ -295,10 +333,18 @@ def _main_timed(sf_dir: str, sf: float | None, stderr_log: str) -> None:
         "queries": timings,
         "sf": sf,
         "loadavg": {"start": load_start, "after_timed": load_after_timed},
+        # steal_pct: CPU the hypervisor withheld during each phase (see
+        # _cpu_ticks) — the in-band answer to "is this number load or
+        # a regression" that loadavg alone cannot give on a VM
+        "steal_pct": {
+            "timed": _steal_pct(ticks_start, ticks_after_timed),
+        },
     }
     if os.environ.get("SPARK_GRAFT_BENCH_ISOLATED", "1") != "0":
         _marker("isolated pass")
+        ticks_iso = _cpu_ticks()
         out["isolated"] = _isolated_pass(timings)
+        out["steal_pct"]["isolated"] = _steal_pct(ticks_iso, _cpu_ticks())
     out["loadavg"]["end"] = _loadavg()
     _marker("end")
     exc = _summarize_stderr_log(stderr_log)
@@ -367,6 +413,10 @@ def _compact_line(out: dict, budget: int = 1850) -> dict:
         compact["load1"] = {
             k: (v[0] if v else None) for k, v in out["loadavg"].items()
         }
+    if any(v is not None for v in (out.get("steal_pct") or {}).values()):
+        # hypervisor steal per phase — the line's own "was this box
+        # throttled" note (per-arm values live in BENCH_FULL.json)
+        compact["steal_pct"] = out["steal_pct"]
     omitted: list[float] = []
     while len(json.dumps(compact, separators=(",", ":"))) > budget and compact["queries"]:
         name, sec = min(compact["queries"].items(), key=lambda kv: kv[1])

@@ -153,3 +153,18 @@ def test_compact_line_carries_stderr_attribution():
     assert c["stderr_exceptions"] == out["stderr_exceptions"]
     assert c["stderr_log"] == "BENCH_STDERR.log"
     assert len(json.dumps(c, separators=(",", ":"))) <= 1850
+
+
+def test_compact_line_carries_steal_pct():
+    """The round-13 hypervisor-steal fields ride the compact line when
+    present (the in-band "was this box throttled" note) and are omitted
+    when the platform gave no samples — and the line still fits."""
+    out = _fake_out(93)
+    out["steal_pct"] = {"timed": 3.41, "isolated": 12.9}
+    c = _compact_line(out)
+    assert c["steal_pct"] == {"timed": 3.41, "isolated": 12.9}
+    assert len(json.dumps(c, separators=(",", ":"))) <= 1850
+
+    out2 = _fake_out(93)
+    out2["steal_pct"] = {"timed": None, "isolated": None}
+    assert "steal_pct" not in _compact_line(out2)
