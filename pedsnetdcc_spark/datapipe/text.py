@@ -861,20 +861,21 @@ def lm_score(
     behavior: use the combined corpus as ``model_df`` to avoid it).
     """
     df = ensure_parallelism(df)
-    model = model_df if model_df is not None else df
-    toks = tokens(text_col)
-    n = F.size(toks)
 
-    def _streams(src: DataFrame, with_id: bool):
+    def _staged(src: DataFrame, with_id: bool) -> DataFrame:
         # STAGE the token array through a projection before indexing
         # into it: referencing `tokens(text)` inside a per-element
         # lambda re-evaluates the split for EVERY element (the same
         # O(tokens²) re-evaluation trap the CDC chunker dodges);
         # measured 21 s → 0.7 s for the bigram build at the 10× probe
-        # point.  Bigrams come from one arrays_zip of two slices — a
-        # single pass, no per-element element_at.
+        # point.
         cols = [F.col(id_col)] if with_id else []
-        st = src.select(*cols, tokens(text_col).alias("__a"))
+        return src.select(*cols, tokens(text_col).alias("__a"))
+
+    def _streams(st: DataFrame, with_id: bool):
+        # Bigrams come from one arrays_zip of two slices — a single
+        # pass, no per-element element_at.
+        cols = [F.col(id_col)] if with_id else []
         a = F.col("__a")
         cnt = F.size(a)
         uni = st.select(*cols, F.explode(a).alias("w"))
@@ -889,18 +890,35 @@ def lm_score(
         ).select(*cols, F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
         return uni, bi
 
-    _, d_bi = _streams(df, with_id=True)
+    # TOKENIZE ONCE (round-14, guide §5: reuse beats recompute): the
+    # scored corpus feeds THREE streams (bigram terms, the first-token
+    # term, and — when the model is the corpus itself — the unigram
+    # counts), and without materialization each stream re-runs the
+    # regexp split scan (the profile measured 3-4 separate
+    # scan+tokenize stage sets per run; exchange reuse cannot fold
+    # them because the branch projections differ).  The staged token
+    # table is cached and every stream derives from it — one tokenize
+    # pass; the cache is derived within-query data, cleared by the
+    # session's normal cache lifecycle (same pattern as the fused
+    # image-codec hash table).
+    st = _staged(df, with_id=True).cache()
+    a = F.col("__a")
+    d_bi = _streams(st, with_id=True)[1]
     d_bi_tf = d_bi.groupBy(id_col, "w1", "w2").agg(
         F.count(F.lit(1)).alias("m")
     )
     if model_df is None:
         # model == scored corpus: derive the model counts FROM the
-        # per-doc pre-aggregate (one bigram shuffle feeds both)
-        m_uni = _streams(model, with_id=False)[0]
+        # per-doc pre-aggregate (one bigram shuffle feeds both) and
+        # the unigram counts from the SAME cached token table
+        m_uni = _streams(st, with_id=False)[0]
         c1 = m_uni.groupBy("w").agg(F.count(F.lit(1)).alias("c1"))
         c2 = d_bi_tf.groupBy("w1", "w2").agg(F.sum("m").alias("c2"))
     else:
-        m_uni, m_bi = _streams(model, with_id=False)
+        # foreign model: its token table feeds two streams (uni + bi)
+        # — stage and cache it once for the same reason as ``st``
+        mst = _staged(model_df, with_id=False).cache()
+        m_uni, m_bi = _streams(mst, with_id=False)
         c1 = m_uni.groupBy("w").agg(F.count(F.lit(1)).alias("c1"))
         c2 = m_bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
     totals = c1.agg(
@@ -908,8 +926,8 @@ def lm_score(
         F.count(F.lit(1)).cast("double").alias("v"),
     )
 
-    first = df.where(n >= 1).select(
-        F.col(id_col), F.element_at(toks, 1).alias("w")
+    first = st.where(F.size(a) >= 1).select(
+        F.col(id_col), F.element_at(a, 1).alias("w")
     )
     d_uni_first = (
         first.join(c1, "w")
