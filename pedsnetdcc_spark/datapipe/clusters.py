@@ -72,7 +72,24 @@ def connected_components(
     their own cluster — join back with a coalesce, see
     :func:`assign_clusters`).
     """
-    edges = _symmetrize(pairs, src, dst).distinct().cache()
+    # ONE exchange for the whole fixpoint (round-14, guide §2.4): the
+    # symmetric edge table is hash-partitioned by the DESTINATION
+    # endpoint ``v`` before the dedup and cached that way.  Every
+    # per-round message aggregate groups by ``v`` (the incoming-label
+    # min per node), and HashPartitioning(v) satisfies the clustering
+    # the dedup (u,v) and the aggregate (v) both require, so neither
+    # the dedup nor ANY round's aggregate adds an Exchange — rounds
+    # reuse the one partitioning established here.  The width is the
+    # session's configured shuffle parallelism (explicit, so AQE
+    # cannot coalesce it away under the small label tables and
+    # re-serialize the rounds).
+    n_part = int(pairs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    edges = (
+        _symmetrize(pairs, src, dst)
+        .repartition(n_part, "v")
+        .dropDuplicates()
+        .cache()
+    )
     # Materialize the cache through a DataFrame action so AQE plans the
     # (potentially expensive) pair pipeline — executing it lazily from
     # inside a localCheckpoint would go through the RDD path, which
@@ -88,7 +105,12 @@ def connected_components(
     # Seed labels with the 1-hop neighborhood min straight from the
     # edge list (min over {node} ∪ neighbors) — a whole propagation
     # round folded into the init aggregate for free, so quasi-clique
-    # graphs finish after a single confirming round.
+    # graphs finish after a single confirming round.  Grouped by the
+    # DESTINATION ``v`` (symmetric edges make min-over-in-neighbors ==
+    # min-over-out-neighbors), so the seed aggregate rides the cached
+    # ``v`` partitioning with no exchange — and the seed labels come
+    # out hash-partitioned by node, which every round's label join
+    # below reuses.
     # eager=False throughout: the action that immediately follows each
     # checkpoint (the seed's count, each round's changed-rows count)
     # materializes it in the SAME job, where eager=True would run a
@@ -97,15 +119,15 @@ def connected_components(
     # dedup_clusters bench; 2-hop rounds were also tried and lost, the
     # join work dominates over round overhead at this size).
     labels = (
-        edges.groupBy(F.col("u").alias("node"))
-        .agg(F.least(F.min("v"), F.first("u")).alias("component"))
+        edges.groupBy(F.col("v").alias("node"))
+        .agg(F.least(F.min("u"), F.first("v")).alias("component"))
         .localCheckpoint(eager=False)
     )
 
-    # Convergence = exact changed-rows test: the new labels anti-joined
-    # against the previous round's (both sides are checkpointed 2-column
-    # tables; the previous side broadcasts under the same cutoff as the
-    # propagation join).  Labels only ever decrease, so zero changed
+    # Convergence = exact changed-rows test, computed INLINE in each
+    # round's label join (a ``new < old`` flag on the updated labels —
+    # round-14; it replaced an equivalent anti-join of new vs previous
+    # labels).  Labels only ever decrease, so zero changed
     # rows ⟺ fixpoint.  Chosen over the earlier monotone-sum invariant
     # (Σ component, decimal-accumulated) for two measured reasons: the
     # sum needs one extra CONFIRMING round (it only observes that the
@@ -126,21 +148,41 @@ def connected_components(
         return labels
     broadcast_labels = n_nodes <= 8_000_000
 
+    # Round shape (round-14, guide §2.4 — share one exchange across
+    # rounds): the incoming-label min per node aggregates over the
+    # cached ``v``-partitioned edges (broadcast label join preserves
+    # the streamed side's partitioning; the rename is a projection, so
+    # the aggregate needs NO exchange), then ONE node-keyed join folds
+    # min-with-own-label AND the changed-rows convergence test into
+    # the same pass — both sides are hash-partitioned by node at the
+    # same width, so the join is exchange-free too.  Per round:
+    # zero Exchanges on the broadcast path (previously one node-keyed
+    # exchange of labels ∪ messages per round) and still exactly one
+    # action.  Labels only ever decrease, so ``new < old`` on any row
+    # ⟺ the anti-join this replaces would be non-empty.
     for _ in range(max_iter):
         prev = labels
         lab_u = labels.withColumnRenamed("node", "u")
-        msgs = (
+        msgs_min = (
             edges.join(F.broadcast(lab_u) if broadcast_labels else lab_u, "u")
-            .select(F.col("v").alias("node"), "component")
+            .groupBy(F.col("v").alias("node"))
+            .agg(F.min("component").alias("__m"))
         )
-        labels = (
-            labels.unionByName(msgs)
-            .groupBy("node")
-            .agg(F.min("component").alias("component"))
+        upd = (
+            prev.join(msgs_min, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"), F.coalesce("__m", "component")
+                ).alias("component"),
+                (F.coalesce("__m", "component") < F.col("component")).alias(
+                    "__chg"
+                ),
+            )
             .localCheckpoint(eager=False)
         )
-        prev_side = F.broadcast(prev) if broadcast_labels else prev
-        changed = labels.join(prev_side, ["node", "component"], "left_anti").count()
+        changed = upd.where("__chg").count()
+        labels = upd.select("node", "component")
         if changed == 0:
             edges.unpersist()
             return labels
