@@ -3339,11 +3339,16 @@ def q_ann_index_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         assert folded["epochs_folded"] == 2, folded
         handle = open_ivf_index(spark, idx)
         queries_df = emb.where(F.col("vec_id") < 8)
+        # ONE probe assignment for both serving paths (round-14): the
+        # exact and the PQ proof answer the SAME query batch, so the
+        # probe UDF pass + its distinct-cells collect run once, not
+        # once per scoring path
+        probe = handle.probe_assignments(queries_df, nprobe=4)
         # cached: the exact handle answers feed BOTH the equality check
         # against ivf_topk and the PQ-path recall join below — without
         # the cache the pruned-cell query DAG executes twice in the one
         # final action (bounded: <= 8 queries x k rows by contract)
-        got = handle.query(queries_df, k=5, nprobe=4).cache()
+        got = handle.query(queries_df, k=5, nprobe=4, probe=probe).cache()
         ref = ivf_topk(
             emb, queries_df, "vec_id", "embedding", k=5, nprobe=4,
             centroids=handle.centroids, assign="flat",
@@ -3366,7 +3371,8 @@ def q_ann_index_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("matches_ivf"),
         )
         got_pq = handle.query(
-            queries_df, k=5, nprobe=4, scoring="pq", rerank_factor=8
+            queries_df, k=5, nprobe=4, scoring="pq", rerank_factor=8,
+            probe=probe,
         )
         pq_part = topk_recall_per_query(got_pq, got, min_common=4).select(
             "query_id",
