@@ -270,7 +270,11 @@ def _cpu_ticks() -> "tuple[int, int] | None":
             parts = f.readline().split()
         vals = [int(x) for x in parts[1:]]
         steal = vals[7] if len(vals) > 7 else 0
-        return steal, sum(vals)
+        # denominator: first 8 fields only (user..steal) — guest/
+        # guest_nice are already folded into user/nice by the kernel,
+        # so counting them would deflate steal_pct on nested-guest
+        # hosts (advice r13)
+        return steal, sum(vals[:8])
     except (OSError, ValueError, IndexError):  # pragma: no cover
         return None
 

@@ -23,7 +23,8 @@ def main() -> None:
     only = set(sys.argv[2:])
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     out_dir = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "plans", "r13")
+        os.path.abspath(__file__))), "plans",
+        os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r14"))
     os.makedirs(out_dir, exist_ok=True)
 
     from pedsnetdcc_spark.queries import QUERIES

@@ -52,14 +52,32 @@ def main() -> None:
     spark.range(64).repartition(64).mapInPandas(_warm_op, "id long") \
         .mapInPandas(_warm_op, "id long").count()
 
+    def _cpu_ticks():
+        # /proc/stat steal capture, same fields as bench.py (r13 §13):
+        # every profile window carries its own throttle note (r13
+        # verdict item 7 — scaling/profile numbers self-adjudicate)
+        try:
+            with open("/proc/stat") as f:
+                vals = [int(x) for x in f.readline().split()[1:]]
+            return (vals[7] if len(vals) > 7 else 0), sum(vals[:8])
+        except (OSError, ValueError, IndexError):  # pragma: no cover
+            return None
+
     windows = {}
+    steals = {}
     for name in names:
         fn = QUERIES[name]
         fn(spark, sf_dir).count()          # warm run
         spark.catalog.clearCache()
+        ticks0 = _cpu_ticks()
         t0 = time.time() * 1000
         fn(spark, sf_dir).count()          # timed run
         t1 = time.time() * 1000
+        ticks1 = _cpu_ticks()
+        if ticks0 and ticks1 and ticks1[1] > ticks0[1]:
+            steals[name] = round(
+                100.0 * (ticks1[0] - ticks0[0]) / (ticks1[1] - ticks0[1]), 2
+            )
         spark.catalog.clearCache()
         windows[name] = (t0, t1)
     spark.stop()
@@ -134,7 +152,8 @@ def main() -> None:
             covered += cur_e - cur_s
         print(f"\n=== {name}: wall {wall/1000:.2f}s, {len(inwin)} jobs, "
               f"job-covered {covered/1000:.2f}s, "
-              f"driver-gap {(wall-covered)/1000:.2f}s ===")
+              f"driver-gap {(wall-covered)/1000:.2f}s, "
+              f"steal {steals.get(name, 'n/a')}% ===")
         prev_end = t0
         for s, e, jid, desc in inwin:
             gap = s - prev_end

@@ -904,16 +904,39 @@ def build_r10_scale(tag: str, cust: int, seed: int) -> str:
     return d
 
 
+def _cpu_ticks():
+    """(steal, total) ticks from /proc/stat — same capture bench.py
+    carries (round-13 §13); gives every recorded scaling number an
+    in-band hypervisor-throttle note so 8-vs-32 / decade adjudications
+    need no hand-argued box-noise appendix (round-13 verdict item 7)."""
+    try:
+        with open("/proc/stat") as f:
+            vals = [int(x) for x in f.readline().split()[1:]]
+        return (vals[7] if len(vals) > 7 else 0), sum(vals[:8])
+    except (OSError, ValueError, IndexError):  # pragma: no cover
+        return None
+
+
+def _steal_pct(before, after):
+    if not before or not after:
+        return None
+    ds, dt = after[0] - before[0], after[1] - before[1]
+    return round(100.0 * ds / dt, 2) if dt > 0 else None
+
+
 def _probe_family(spark, queries, names, extra, points, runs: int):
     """``points`` = [(tag, dir, scale_multiple), ...] in ascending
     scale; exponents are fitted between consecutive points and overall
-    (first→last)."""
+    (first→last).  Each point also records ``steal_pct_<tag>`` — the
+    hypervisor steal across that point's best-of-N window."""
     result: dict[str, dict[str, float]] = {}
     for name in names:
         fn = extra.get(name) or queries[name]
         times = {}
+        steals = {}
         for tag, d, _mult in points:
             best = math.inf
+            ticks0 = _cpu_ticks()
             for _ in range(runs):
                 gc.collect()
                 t0 = time.time()
@@ -923,7 +946,11 @@ def _probe_family(spark, queries, names, extra, points, runs: int):
                 # other scale) a partial replay
                 spark.catalog.clearCache()
             times[tag] = round(best, 3)
+            steals[tag] = _steal_pct(ticks0, _cpu_ticks())
         entry: dict[str, float] = dict(times)
+        for tag, s in steals.items():
+            if s is not None:
+                entry[f"steal_pct_{tag}"] = s
         for (t_a, _, m_a), (t_b, _, m_b) in zip(points, points[1:]):
             e = math.log(times[t_b] / times[t_a]) / math.log(m_b / m_a)
             entry[f"exponent_{t_a}_{t_b}"] = round(e, 3)
