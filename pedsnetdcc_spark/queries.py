@@ -6223,10 +6223,66 @@ def q_jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _QUERY_ORDER = [
     # -- 1: due back for a current verdict — every row below was
-    #       driver-green in round 11, sat past the 50-entry cutoff in
-    #       round 12 (re-verified by the identical local DuckDB compare
+    #       driver-green in round 12, sat past the 50-entry cutoff in
+    #       round 13 (re-verified by the identical local DuckDB compare
     #       every session), and rotates back up on the two-round
     #       invariant (43 rows) ------------------------------------------
+    "generation_diff",
+    "streaming_wds_export",
+    "duplicate_spans",
+    "table_profile",
+    "doc_signals",
+    "interval_months",
+    "near_dup_scorecard_deep",
+    "streaming_interval_eras",
+    "streaming_lsh_index",
+    "jdbc_roundtrip",
+    "knn_label_eval",
+    "id_mapping",
+    "corpus_pipeline",
+    "vocab_stats",
+    "corpus_report",
+    "covid_post_shape",
+    "not_null_audit",
+    "corpus_prep",
+    "multimodal_png_meta",
+    "top_unshipped_orders",
+    "regional_supplier_volume",
+    "dimension_names",
+    "distinct_cohort",
+    "cohort_subset",
+    "merge_sites",
+    "group_counts",
+    "id_map_varchar_suite",
+    "polymorphic_map",
+    "classify_domains",
+    "value_quality",
+    "insert_missing",
+    "recompute_column",
+    "lms_z_score",
+    "doc_fingerprint",
+    "dedup_exact",
+    "pk_violations",
+    "bpe_encode",
+    "cdc_passage_dedup",
+    "subset_pcornet",
+    "interval_summary",
+    "asof_backward",
+    "ann_quantized_topk",
+    "span_index_dedup",    # -- 2: keep driver-green (flagship relational pipelines whose
+    #       verdicts we want current every round; green r9..r13) ----------
+    "eras",
+    "rollup_eras",
+    "era_ids_pipeline",
+    "cdm_transform",
+    "cdm_drug_era",
+    "dedup_clusters",
+    "near_dup_scorecard",
+    # -- 3: past the 50-entry cutoff — every entry below was driver-green
+    #       in round 13 (CORRECTNESS_r13: 50/50, zero fail) and still runs
+    #       through the IDENTICAL DuckDB row/schema/hash compare in
+    #       tests/test_oracle_parity.py every session; they rotate back up
+    #       in round 15 (43 rows) -----------------------------------------
     "ann_index_roundtrip",
     "ann_pq_topk",
     "image_near_dup",
@@ -6270,83 +6326,28 @@ _QUERY_ORDER = [
     "gopher_quality",
     "key_skew_profile",
     "hashed_bow",
-    # -- 2: keep driver-green (flagship relational pipelines whose
-    #       verdicts we want current every round; green r9..r12) ----------
-    "eras",
-    "rollup_eras",
-    "era_ids_pipeline",
-    "cdm_transform",
-    "cdm_drug_era",
-    "dedup_clusters",
-    "near_dup_scorecard",
-    # -- 3: past the 50-entry cutoff — every entry below was driver-green
-    #       in round 12 (CORRECTNESS_r12: 50/50, zero fail) and still runs
-    #       through the IDENTICAL DuckDB row/schema/hash compare in
-    #       tests/test_oracle_parity.py every session; they rotate back up
-    #       in round 14 (43 rows) -----------------------------------------
-    "generation_diff",
-    "streaming_wds_export",
-    "duplicate_spans",
-    "table_profile",
-    "doc_signals",
-    "interval_months",
-    "near_dup_scorecard_deep",
-    "streaming_interval_eras",
-    "streaming_lsh_index",
-    "jdbc_roundtrip",
-    "knn_label_eval",
-    "id_mapping",
-    "corpus_pipeline",
-    "vocab_stats",
-    "corpus_report",
-    "covid_post_shape",
-    "not_null_audit",
-    "corpus_prep",
-    "multimodal_png_meta",
-    "top_unshipped_orders",
-    "regional_supplier_volume",
-    "dimension_names",
-    "distinct_cohort",
-    "cohort_subset",
-    "merge_sites",
-    "group_counts",
-    "id_map_varchar_suite",
-    "polymorphic_map",
-    "classify_domains",
-    "value_quality",
-    "insert_missing",
-    "recompute_column",
-    "lms_z_score",
-    "doc_fingerprint",
-    "dedup_exact",
-    "pk_violations",
-    "bpe_encode",
-    "cdc_passage_dedup",
-    "subset_pcornet",
-    "interval_summary",
-    "asof_backward",
-    "ann_quantized_topk",
-    "span_index_dedup",
+
 ]
 
-# Round-13 window arithmetic (executing the layout round 12 pre-funded
-# exactly, VERDICT r12 task 1): the 43 rows driver-green in round 11
-# that sat past the cutoff in round 12 rotate back up + the 7
+# Round-14 window arithmetic (executing the layout round 13 pre-funded
+# exactly, VERDICT r13 task 8): the 43 rows driver-green in round 12
+# that sat past the cutoff in round 13 rotate back up + the 7
 # keep-green flagships = exactly 50 scored.  Zero free slots, zero
-# melts owed — no query's CONTRACT changed this round (the round-13
-# changes are API hardening on the persisted-index lifecycles, a
-# single-writer lock, auto-compact policy, and bench instrumentation,
-# all output-identical and re-proven by the local all-93 parity
-# compare), so nothing re-enters the window.  The 43 rows driver-green
-# in round 12 (CORRECTNESS_r12: 50/50) sit past the cutoff and rotate
-# back up in round 14.  (The registry size and the 50/past-cutoff
-# split are asserted below from the list itself so the numbers cannot
-# drift from the executed state.)
+# melts owed — no query's CONTRACT changed this round (the round-14
+# changes are plan-shape optimizations — tokenize-once lm staging, the
+# exchange-free component rounds, the shared ANN probe seam, and the
+# pyarrow.fs dispatch of the index metadata I/O — all output-identical
+# and re-proven by the local all-93 parity compare), so nothing
+# re-enters the window.  The 43 rows driver-green in round 13
+# (CORRECTNESS_r13: 50/50) sit past the cutoff and rotate back up in
+# round 15.  (The registry size and the 50/past-cutoff split are
+# asserted below from the list itself so the numbers cannot drift from
+# the executed state.)
 _SCORING_WINDOW = 50
 assert len(_QUERY_ORDER) == 93 and len(set(_QUERY_ORDER)) == 93, (
     f"registry drifted: {len(_QUERY_ORDER)} entries "
     f"({len(set(_QUERY_ORDER))} unique); the window-arithmetic comments "
-    "above assume 50 scored (42 due + span_index_dedup + 7 flagships) "
+    "above assume 50 scored (43 due + 7 flagships) "
     "+ 43 past the cutoff = 93"
 )
 # Pin the cutoff LOCATION, not just the total: the keep-green
