@@ -1037,6 +1037,24 @@ def build_ivf_index(
         return meta
 
 
+class _ProbeAssignment:
+    """:meth:`IvfIndexHandle.probe_assignments` result: unpacks as the
+    documented ``(qa, probed)`` pair and additionally carries the
+    collected probe rows (``.qrows`` — one row per query, first probed
+    cell) so the PQ path's driver-side LUT build needs no second
+    collect of the query vectors."""
+
+    __slots__ = ("qa", "probed", "qrows")
+
+    def __init__(self, qa, probed, qrows):
+        self.qa = qa
+        self.probed = probed
+        self.qrows = qrows
+
+    def __iter__(self):
+        return iter((self.qa, self.probed))
+
+
 class IvfIndexHandle:
     """An opened :func:`build_ivf_index` layout, held for repeated
     query batches — the serving pattern.
@@ -1107,9 +1125,12 @@ class IvfIndexHandle:
         several scoring paths (the roundtrip proof runs both the exact
         and the ADC path) derives the assignment ONCE and passes it to
         each call via ``query(probe=...)`` — the probe UDF pass and its
-        distinct+collect job are per-batch costs, not per-scoring-path
-        costs (round-14; guide §5: don't repeat driver actions whose
-        inputs are unchanged)."""
+        bounded collect are per-batch costs, not per-scoring-path costs
+        (round-14; guide §5: don't repeat driver actions whose inputs
+        are unchanged).  ONE collect serves both driver needs: the
+        distinct probed-cell list AND the per-query vectors the PQ
+        path's LUT build wants (``.qrows`` on the returned object) —
+        previously two separate jobs."""
         id_col = id_col or self.meta["id_col"]
         vec_col = vec_col or self.meta["vec_col"]
         _, probe_cells = _cell_assign_udfs(self.centroids, nprobe)
@@ -1123,11 +1144,11 @@ class IvfIndexHandle:
                 "query_id", "__qv", F.explode("__cells").alias("centroid_id")
             )
         )
-        probed = sorted(
-            r["centroid_id"]
-            for r in qa.select("centroid_id").distinct().collect()
-        )
-        return qa, probed
+        # bounded by contract: <= queries × nprobe rows
+        rows = qa.collect()
+        probed = sorted({r["centroid_id"] for r in rows})
+        qrows = list({r["query_id"]: r for r in rows}.values())
+        return _ProbeAssignment(qa, probed, qrows)
 
     def query(
         self,
@@ -1156,12 +1177,13 @@ class IvfIndexHandle:
         to pay the probe job once per batch."""
         id_col = id_col or self.meta["id_col"]
         vec_col = vec_col or self.meta["vec_col"]
-        qa, probed = probe if probe is not None else self.probe_assignments(
-            queries, nprobe, id_col, vec_col
-        )
+        if probe is None:
+            probe = self.probe_assignments(queries, nprobe, id_col, vec_col)
+        qa, probed = probe
         if scoring == "pq":
             return self._query_pq(
-                queries, qa, probed, k, id_col, vec_col, rerank_factor
+                queries, qa, probed, k, id_col, vec_col, rerank_factor,
+                qrows=getattr(probe, "qrows", None),
             )
         if scoring != "exact":
             raise ValueError(f"scoring must be 'exact' or 'pq', got {scoring!r}")
@@ -1187,7 +1209,8 @@ class IvfIndexHandle:
         )
 
     def _query_pq(
-        self, queries, qa, probed, k, id_col, vec_col, rerank_factor
+        self, queries, qa, probed, k, id_col, vec_col, rerank_factor,
+        qrows=None,
     ) -> DataFrame:
         """IVF-PQ (ADC) serving path: the coarse stage scans ONLY
         ``(id, pq_code, centroid_id)`` of the probed cells — column
@@ -1216,10 +1239,13 @@ class IvfIndexHandle:
             )
         cb = self.pq_codebooks
         m, ksub, dsub = cb.shape
-        qrows = queries.select(
-            F.col(id_col).alias("query_id"),
-            F.col(vec_col).cast("array<double>").alias("__qv"),
-        ).collect()  # bounded by contract: the probe set
+        if qrows is None:
+            # standalone PQ call: collect the (bounded) query vectors;
+            # a shared probe_assignments already carries them (qrows=)
+            qrows = queries.select(
+                F.col(id_col).alias("query_id"),
+                F.col(vec_col).cast("array<double>").alias("__qv"),
+            ).collect()  # bounded by contract: the probe set
         spark = queries.sparkSession
         luts = []
         for r in qrows:
