@@ -1426,10 +1426,10 @@ def _append_ivf_epoch_locked(
         # its checkpoint committed) — re-writing it would double-count
         # every row next to its folded copy; the replay is a no-op
         return
-    if batch_df.isEmpty():
-        # nothing to commit; an all-empty epoch dir would also be the
-        # one delta state spark.read.parquet can fail schema inference on
-        return
+    # (Emptiness is decided AFTER the tmp write from the parquet
+    # footers — the span-index append's pattern — instead of a
+    # pre-write isEmpty(), which scheduled one extra scan job on EVERY
+    # micro-batch to protect against the rare empty one; round-14.)
     # frozen codebooks, read driver-side (pyarrow — no Spark job): the
     # stream pays this read EVERY micro-batch
     crows = _read_codebook_rows(
@@ -1468,6 +1468,24 @@ def _append_ivf_epoch_locked(
     repartition_by_key(assigned, "centroid_id").write.mode(
         "overwrite"
     ).partitionBy("centroid_id").parquet(tmp)
+    from pedsnetdcc_spark.util import parquet_dir_num_rows
+
+    if parquet_dir_num_rows(tmp) == 0:
+        # empty micro-batch: commit nothing (an all-empty epoch dir is
+        # the one delta state spark.read.parquet can fail schema
+        # inference on, and there is nothing to replay-protect — the
+        # checkpoint still advances).  Decided from the written tmp's
+        # footers (driver-side, no job) instead of a pre-write
+        # isEmpty() scan job every batch paid.  The tmp write may have
+        # created the cells_delta parent as a side effect — drop it
+        # again if this left it empty, or the next open would schema-
+        # infer over a contentless delta dir (we hold the writer lock,
+        # so no concurrent epoch can be mid-commit here).
+        _shutil.rmtree(tmp, ignore_errors=True)
+        delta_parent = _os.path.dirname(final)
+        if _os.path.isdir(delta_parent) and not _os.listdir(delta_parent):
+            _os.rmdir(delta_parent)
+        return
     _shutil.rmtree(final, ignore_errors=True)
     _os.makedirs(_os.path.dirname(final), exist_ok=True)
     _os.rename(tmp, final)
